@@ -1,0 +1,67 @@
+"""Table catalog: the schema/key registry the reference keeps in its
+``PGXSchemaLoader`` (reference: pkg/decode/schema.go:114-191) — here a static
+registry over the driver's parquet tables plus helpers to load/register them.
+
+At 100 TB scale each entry would also carry partitioning/bucketing metadata;
+``load`` is a plain parquet scan so Catalyst gets pushdown + pruning for free.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+# every driver-provided table (TESTDATA.md)
+TABLES: tuple[str, ...] = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# primary keys — plays the role of the reference's replica-identity/key cache
+# (pkg/decode/schema.go:161-191, query at pkg/sql/source.go:9-18)
+KEYS: dict[str, str] = {
+    "region": "r_regionkey",
+    "nation": "n_nationkey",
+    "customer": "c_custkey",
+    "supplier": "s_suppkey",
+    "part": "p_partkey",
+    "orders": "o_orderkey",
+    "lineitem": "l_orderkey",  # composite in truth; l_linenumber disambiguates
+    "events": "event_id",
+    "documents": "doc_id",
+    "embeddings": "vec_id",
+}
+
+# non-key columns of the two CDC-mutated tables (FIXTURES.md T2)
+CDC_COLS: dict[str, list[str]] = {
+    "customer": ["c_name", "c_nationkey", "c_acctbal", "c_mktsegment"],
+    "orders": [
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        "o_orderdate",
+        "o_orderpriority",
+    ],
+}
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+
+
+def register_views(spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = TABLES) -> None:
+    """Register the base tables as temp views (names match the DuckDB oracle's
+    pre-registered views, so one SQL text can run on either engine)."""
+    for t in tables:
+        load(spark, sf_dir, t).createOrReplaceTempView(t)

@@ -1,0 +1,179 @@
+"""Deterministic CDC change feeds derived from the driver's snapshot tables.
+
+Models FIXTURES.md T2 (`cdc_customer`, `cdc_orders`): a scripted stream of
+INSERT/UPDATE/DELETE row events, flattened transaction framing
+(`lsn` = tx LSN from Begin, `seq` = position within tx — reference:
+pb/pgcapture.proto:24-51, pkg/source/postgres.go:224-231), with
+
+- explicit NULL-setting UPDATEs (value NULL, column listed in ``present``),
+- unchanged-TOAST omission (column ABSENT from ``present``; consumers must keep
+  the previous image — reference: pkg/decode/decoder.go:106-114),
+- DELETE carrying only the old key image (pkg/decode/pgoutput.go:119-135),
+- INSERTs of brand-new keys, and an INSERT-then-UPDATE class.
+
+The feed is pure arithmetic over the snapshot keys (multiplicative hashing by
+the odd constant 2654435761, a bijection mod 2^32, so ``lsn`` is unique per
+transaction and pseudo-randomly ordered). It is rendered as SQL that runs
+IDENTICALLY on Spark SQL and DuckDB — the only dialect difference is the
+micros→timestamp constructor — which is what makes every downstream operator
+oracle-checkable by the driver.
+
+``present`` is a comma-joined column list (portable across both engines;
+membership test = ``instr(',' || present || ',', ',col,') > 0``).
+"""
+
+from __future__ import annotations
+
+SPARK = "spark"
+DUCKDB = "duckdb"
+
+# 2024-01-01 00:00:00 UTC in microseconds
+_EPOCH_2024_US = 1_704_067_200_000_000
+
+
+def _ts_micros(expr: str, dialect: str) -> str:
+    """timestamp from microseconds-since-unix-epoch, per dialect."""
+    if dialect == SPARK:
+        return f"timestamp_micros({expr})"
+    return f"make_timestamp({expr})"
+
+
+def _commit_ts(dialect: str) -> str:
+    return _ts_micros(f"{_EPOCH_2024_US} + (h % 86400) * 1000000", dialect)
+
+
+def cdc_customer_sql(dialect: str) -> str:
+    """Change feed over ``customer`` (key c_custkey).
+
+    Event classes by cls = h % 10:
+      0-2 → 1-3 UPDATEs in one tx (seq = j); c_name TOAST-omitted when
+            (h+j) % 11 = 0; c_mktsegment explicitly NULLed when (h+j) % 7 = 0
+      3   → DELETE (old key image only)
+      4   → INSERT of new key c_custkey + 10_000_000
+      5   → INSERT of new key c_custkey + 20_000_000 then UPDATE of its acctbal
+    """
+    ts = _commit_ts(dialect)
+    return f"""
+WITH __cust AS (
+  SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
+         (c_custkey * 2654435761) % 4294967296 AS h,
+         ((c_custkey * 2654435761) % 4294967296) % 10 AS cls,
+         1 + (((c_custkey * 2654435761) % 4294967296) % 3) AS nev
+  FROM customer
+),
+__upd AS (
+  SELECT *, 1 AS j FROM __cust WHERE cls <= 2
+  UNION ALL SELECT *, 2 AS j FROM __cust WHERE cls <= 2 AND nev >= 2
+  UNION ALL SELECT *, 3 AS j FROM __cust WHERE cls <= 2 AND nev >= 3
+)
+SELECT h AS lsn, j AS seq, h * 100 + j AS ord, {ts} AS commit_ts, 'UPDATE' AS op,
+       c_custkey,
+       CASE WHEN (h + j) % 11 = 0 THEN CAST(NULL AS STRING)
+            ELSE 'Customer#' || CAST(c_custkey AS STRING) || '#v' || CAST(j AS STRING) END AS c_name,
+       CAST((c_custkey + j) % 25 AS INT) AS c_nationkey,
+       CAST(h % 100000 AS DOUBLE) / 100.0 + j AS c_acctbal,
+       CASE WHEN (h + j) % 7 = 0 THEN CAST(NULL AS STRING)
+            ELSE 'SEG' || CAST((h + j) % 5 AS STRING) END AS c_mktsegment,
+       CAST(NULL AS BIGINT) AS old_c_custkey,
+       CASE WHEN (h + j) % 11 = 0
+            THEN 'c_custkey,c_nationkey,c_acctbal,c_mktsegment'
+            ELSE 'c_custkey,c_name,c_nationkey,c_acctbal,c_mktsegment' END AS present
+FROM __upd
+UNION ALL
+SELECT h, 1, h * 100 + 1, {ts}, 'DELETE',
+       c_custkey,
+       CAST(NULL AS STRING), CAST(NULL AS INT), CAST(NULL AS DOUBLE), CAST(NULL AS STRING),
+       c_custkey, ''
+FROM __cust WHERE cls = 3
+UNION ALL
+SELECT h, 1, h * 100 + 1, {ts}, 'INSERT',
+       c_custkey + 10000000,
+       'NewCustomer#' || CAST(c_custkey + 10000000 AS STRING),
+       CAST(c_custkey % 25 AS INT),
+       CAST(h % 50000 AS DOUBLE) / 100.0,
+       'SEG' || CAST(h % 5 AS STRING),
+       CAST(NULL AS BIGINT),
+       'c_custkey,c_name,c_nationkey,c_acctbal,c_mktsegment'
+FROM __cust WHERE cls = 4
+UNION ALL
+SELECT h, 1, h * 100 + 1, {ts}, 'INSERT',
+       c_custkey + 20000000,
+       'NewCustomer#' || CAST(c_custkey + 20000000 AS STRING),
+       CAST(c_custkey % 25 AS INT),
+       CAST(h % 50000 AS DOUBLE) / 100.0,
+       'SEG' || CAST(h % 5 AS STRING),
+       CAST(NULL AS BIGINT),
+       'c_custkey,c_name,c_nationkey,c_acctbal,c_mktsegment'
+FROM __cust WHERE cls = 5
+UNION ALL
+SELECT h, 2, h * 100 + 2, {ts}, 'UPDATE',
+       c_custkey + 20000000,
+       CAST(NULL AS STRING), CAST(NULL AS INT),
+       CAST(h % 50000 AS DOUBLE) / 100.0 + 7.5,
+       CAST(NULL AS STRING),
+       CAST(NULL AS BIGINT),
+       'c_custkey,c_acctbal'
+FROM __cust WHERE cls = 5
+"""
+
+
+def cdc_orders_sql(dialect: str) -> str:
+    """Change feed over ``orders`` (key o_orderkey). Same class scheme as
+    customer, minus the INSERT+UPDATE class; o_orderdate is never updated
+    (absent from every UPDATE's ``present`` — a permanently-TOASTed column),
+    and o_custkey is TOAST-omitted when (h+j) % 11 = 0."""
+    ts = _commit_ts(dialect)
+    return f"""
+WITH __ord AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority,
+         (o_orderkey * 2654435761) % 4294967296 AS h,
+         ((o_orderkey * 2654435761) % 4294967296) % 10 AS cls,
+         1 + (((o_orderkey * 2654435761) % 4294967296) % 3) AS nev
+  FROM orders
+),
+__upd AS (
+  SELECT *, 1 AS j FROM __ord WHERE cls <= 2
+  UNION ALL SELECT *, 2 AS j FROM __ord WHERE cls <= 2 AND nev >= 2
+  UNION ALL SELECT *, 3 AS j FROM __ord WHERE cls <= 2 AND nev >= 3
+)
+SELECT h AS lsn, j AS seq, h * 100 + j AS ord, {ts} AS commit_ts, 'UPDATE' AS op,
+       o_orderkey,
+       CASE WHEN (h + j) % 11 = 0 THEN CAST(NULL AS BIGINT)
+            ELSE (o_orderkey + j) % 150000 + 1 END AS o_custkey,
+       CASE WHEN (h + j) % 3 = 0 THEN 'F' WHEN (h + j) % 3 = 1 THEN 'O' ELSE 'P' END AS o_orderstatus,
+       CAST(h % 10000000 AS DOUBLE) / 100.0 + j AS o_totalprice,
+       CAST(NULL AS TIMESTAMP) AS o_orderdate,
+       CASE WHEN (h + j) % 7 = 0 THEN CAST(NULL AS STRING)
+            ELSE CAST((h + j) % 5 + 1 AS STRING) || '-PRI' END AS o_orderpriority,
+       CAST(NULL AS BIGINT) AS old_o_orderkey,
+       CASE WHEN (h + j) % 11 = 0
+            THEN 'o_orderkey,o_orderstatus,o_totalprice,o_orderpriority'
+            ELSE 'o_orderkey,o_custkey,o_orderstatus,o_totalprice,o_orderpriority' END AS present
+FROM __upd
+UNION ALL
+SELECT h, 1, h * 100 + 1, {ts}, 'DELETE',
+       o_orderkey,
+       CAST(NULL AS BIGINT), CAST(NULL AS STRING), CAST(NULL AS DOUBLE),
+       CAST(NULL AS TIMESTAMP), CAST(NULL AS STRING),
+       o_orderkey, ''
+FROM __ord WHERE cls = 3
+UNION ALL
+SELECT h, 1, h * 100 + 1, {ts}, 'INSERT',
+       o_orderkey + 100000000,
+       o_orderkey % 150000 + 1,
+       'O',
+       CAST(h % 10000000 AS DOUBLE) / 100.0,
+       {_ts_micros(f"{_EPOCH_2024_US} + (h % 31536000) * 1000000", dialect)},
+       CAST(h % 5 + 1 AS STRING) || '-PRI',
+       CAST(NULL AS BIGINT),
+       'o_orderkey,o_custkey,o_orderstatus,o_totalprice,o_orderdate,o_orderpriority'
+FROM __ord WHERE cls = 4
+"""
+
+
+FEEDS = {
+    "customer": cdc_customer_sql,
+    "orders": cdc_orders_sql,
+}
+
+FEED_KEYS = {"customer": "c_custkey", "orders": "o_orderkey"}
