@@ -56,9 +56,9 @@ def cdc_customer_sql(dialect: str) -> str:
     return f"""
 WITH __cust AS (
   SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
-         (c_custkey * 2654435761) % 4294967296 AS h,
-         ((c_custkey * 2654435761) % 4294967296) % 10 AS cls,
-         1 + (((c_custkey * 2654435761) % 4294967296) % 3) AS nev
+         ((c_custkey + 1) * 2654435761) % 4294967296 AS h,
+         (((c_custkey + 1) * 2654435761) % 4294967296) % 10 AS cls,
+         1 + ((((c_custkey + 1) * 2654435761) % 4294967296) % 3) AS nev
   FROM customer
 ),
 __upd AS (
@@ -126,9 +126,9 @@ def cdc_orders_sql(dialect: str) -> str:
     return f"""
 WITH __ord AS (
   SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority,
-         (o_orderkey * 2654435761) % 4294967296 AS h,
-         ((o_orderkey * 2654435761) % 4294967296) % 10 AS cls,
-         1 + (((o_orderkey * 2654435761) % 4294967296) % 3) AS nev
+         ((o_orderkey + 1) * 2654435761) % 4294967296 AS h,
+         (((o_orderkey + 1) * 2654435761) % 4294967296) % 10 AS cls,
+         1 + ((((o_orderkey + 1) * 2654435761) % 4294967296) % 3) AS nev
   FROM orders
 ),
 __upd AS (
@@ -168,6 +168,35 @@ SELECT h, 1, h * 100 + 1, {ts}, 'INSERT',
        CAST(NULL AS BIGINT),
        'o_orderkey,o_custkey,o_orderstatus,o_totalprice,o_orderdate,o_orderpriority'
 FROM __ord WHERE cls = 4
+"""
+
+
+def generic_feed_sql(dialect: str) -> str:
+    """FIXTURES.md T1-shaped generic stream: customer+orders change events
+    flattened to metadata columns, PLUS Begin/Commit frame rows per
+    transaction (op='BEGIN'/'COMMIT') — so frame-suppression (gateway
+    forwards only Change messages, pkg/dblog/gateway.go:159-173) is testable."""
+    return f"""
+WITH __fc AS ({cdc_customer_sql(dialect)}),
+__fo AS ({cdc_orders_sql(dialect)}),
+__changes AS (
+  SELECT lsn, seq, ord, op, 'public' AS schema_name, 'customer' AS table_name,
+         CAST(c_custkey AS STRING) AS key_str
+  FROM __fc
+  UNION ALL
+  SELECT lsn, seq, ord, op, 'public', 'orders', CAST(o_orderkey AS STRING)
+  FROM __fo
+),
+__txs AS (SELECT DISTINCT lsn FROM __changes)
+SELECT * FROM __changes
+UNION ALL
+SELECT lsn, 0, lsn * 100, 'BEGIN', CAST(NULL AS STRING), CAST(NULL AS STRING),
+       CAST(NULL AS STRING)
+FROM __txs
+UNION ALL
+SELECT lsn, 99, lsn * 100 + 99, 'COMMIT', CAST(NULL AS STRING), CAST(NULL AS STRING),
+       CAST(NULL AS STRING)
+FROM __txs
 """
 
 

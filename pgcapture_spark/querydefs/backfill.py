@@ -1,0 +1,77 @@
+"""DBLog dump/backfill queries (SURVEY §2 S7/S8/T8/B4)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from pgcapture_spark.catalog import CDC_COLS, register_views
+from pgcapture_spark.fixtures.cdc_feed import DUCKDB, cdc_customer_sql
+from pgcapture_spark.operators.apply import apply_oracle_sql, cdc_apply
+from pgcapture_spark.operators.backfill import backfill_union, dump_chunk, watermark_guard
+from pgcapture_spark.queries import _feed, q
+
+_CUST_COLS = CDC_COLS["customer"]
+
+
+@q(
+    "backfill_chunk_scan",
+    """
+SELECT CAST(0 AS BIGINT) AS lsn, CAST(7 AS INT) AS seq, CAST(1 AS BIGINT) AS ord,
+       'UPDATE' AS op, c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
+       'c_custkey,c_name,c_nationkey,c_acctbal,c_mktsegment' AS present
+FROM customer
+WHERE CAST(c_custkey % 64 AS INT) BETWEEN 8 AND 15
+""",
+    "S7/T8: one scheduled dump chunk — partition-pruned snapshot scan"
+    " relabeled op=UPDATE, checkpoint (lsn=0, seq=dumpID)"
+    " (pkg/dblog/dumper.go:112-170, gateway.go:198-212).",
+)
+def backfill_chunk_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, ("customer",))
+    return dump_chunk(spark.table("customer"), "c_custkey", _CUST_COLS, 8, 15, dump_id=7)
+
+
+@q(
+    "backfill_watermark_guard",
+    f"""
+WITH feed AS ({cdc_customer_sql(DUCKDB)}),
+sources AS (
+  SELECT 'shard' || CAST(lsn % 4 AS STRING) AS source_id, lsn AS commit_lsn FROM feed
+)
+SELECT source_id, max(commit_lsn) AS applied_lsn,
+       max(commit_lsn) >= 2147483648 AS allowed
+FROM sources GROUP BY source_id
+""",
+    "S8: dump-consistency watermark guard — replica must have applied ≥ the"
+    " stream LSN or the chunk is requeued (checkLSN,"
+    " pkg/dblog/dumper.go:133-137,172-186).",
+)
+def backfill_watermark_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    feed = _feed(spark, sf_dir, "customer")
+    sources = feed.select(
+        F.concat(F.lit("shard"), (F.col("lsn") % 4).cast("string")).alias("source_id"),
+        F.col("lsn").alias("commit_lsn"),
+    )
+    return watermark_guard(sources, 2147483648)
+
+
+@q(
+    "backfill_union_merge",
+    # invariant: full-table dump ∪ live stream, folded from an EMPTY snapshot,
+    # equals the stream applied to the original snapshot — dump rows (ord=1)
+    # never overwrite newer changes. Same oracle as cdc_apply_customer.
+    apply_oracle_sql(cdc_customer_sql(DUCKDB), "customer", "c_custkey", _CUST_COLS),
+    "B4: the DBLog merge — dump chunks unioned into the live stream,"
+    " reconciled per key by the last-image fold; dump rows lose to any"
+    " later change (pkg/dblog/gateway.go:113-217).",
+)
+def backfill_union_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, ("customer",))
+    snapshot = spark.table("customer")
+    feed = _feed(spark, sf_dir, "customer")
+    dumps = dump_chunk(snapshot, "c_custkey", _CUST_COLS, 0, 63, dump_id=1)
+    merged = backfill_union(feed, dumps)
+    empty = snapshot.where("1=0")
+    return cdc_apply(empty, merged, "c_custkey", _CUST_COLS)
