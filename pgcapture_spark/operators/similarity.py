@@ -1,0 +1,138 @@
+"""Similarity search over embedding columns (`array<float>`).
+
+- ``cosine_topk``: brute-force exact top-k — the correctness baseline. The dot
+  product is a sequential fold over zipped arrays (deterministic, JVM-side via
+  Catalyst array expressions — no Python, no UDF).
+- ``signlsh_topk``: the scale path — random-hyperplane-style LSH where the
+  hyperplanes are the first ``nbits`` coordinate axes (sign bits), bucketing
+  candidates into 2^nbits cells so the pairwise join is per-bucket instead of
+  full cross. An IVF variant would swap the bucket id for argmin-centroid.
+- ``label_centroids``: per-label mean vectors (decimal-exact sums so results
+  are order-independent → reproducible across engines/cluster sizes).
+
+At 100 TB: brute-force is a broadcast of the (small) query set against the
+corpus — embarrassingly parallel scan; LSH buckets co-partition via one
+shuffle on the bucket id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+DOT_EXPR = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+)
+NORM_EXPR = "sqrt(aggregate({a}, CAST(0.0 AS DOUBLE), (acc, v) -> acc + v * v))"
+
+
+def _as_double(df: DataFrame, col: str = "embedding") -> DataFrame:
+    from pgcapture_spark.operators.textstats import ensure_parallelism
+
+    return ensure_parallelism(df).withColumn(
+        "emb_d", F.expr(f"transform({col}, v -> CAST(v AS DOUBLE))")
+    )
+
+
+def with_norm(df: DataFrame) -> DataFrame:
+    return _as_double(df).withColumn("norm", F.expr(NORM_EXPR.format(a="emb_d")))
+
+
+def cosine_topk(
+    embeddings: DataFrame, query_pred: str, k: int = 5, quant: int = 1_000_000
+) -> DataFrame:
+    """Exact top-k cosine neighbors for every vector matching ``query_pred``.
+
+    Output: (query_id, neighbor_id, rank, score) with score floor-quantized at
+    1/quant for stable cross-engine comparison; rank ties broken by
+    neighbor_id.
+    """
+    base = with_norm(embeddings).select("vec_id", "emb_d", "norm")
+    queries = base.where(query_pred).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("emb_d").alias("q_emb"),
+        F.col("norm").alias("q_norm"),
+    )
+    pairs = base.join(F.broadcast(queries), F.col("vec_id") != F.col("query_id"))
+    scored = pairs.withColumn(
+        "raw_score",
+        F.expr(DOT_EXPR.format(a="q_emb", b="emb_d")) / (F.col("q_norm") * F.col("norm")),
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("raw_score").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "rank",
+            (F.floor(F.col("raw_score") * quant + F.lit(0.5)) / quant).alias("score"),
+        )
+    )
+
+
+def sign_bucket_expr(col: str = "embedding", nbits: int = 8) -> str:
+    """LSH bucket id from the sign bits of the first nbits coordinates."""
+    terms = " + ".join(
+        f"(CASE WHEN element_at({col}, {i + 1}) >= 0 THEN {1 << i} ELSE 0 END)"
+        for i in range(nbits)
+    )
+    return f"({terms})"
+
+
+def signlsh_topk(
+    embeddings: DataFrame,
+    query_pred: str,
+    k: int = 3,
+    nbits: int = 8,
+    quant: int = 1_000_000,
+) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's LSH bucket."""
+    base = (
+        with_norm(embeddings)
+        .withColumn("bucket", F.expr(sign_bucket_expr("emb_d", nbits)))
+        .select("vec_id", "emb_d", "norm", "bucket")
+    )
+    queries = base.where(query_pred).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("emb_d").alias("q_emb"),
+        F.col("norm").alias("q_norm"),
+        F.col("bucket").alias("q_bucket"),
+    )
+    cand = base.join(
+        F.broadcast(queries),
+        (F.col("bucket") == F.col("q_bucket")) & (F.col("vec_id") != F.col("query_id")),
+    )
+    scored = cand.withColumn(
+        "raw_score",
+        F.expr(DOT_EXPR.format(a="q_emb", b="emb_d")) / (F.col("q_norm") * F.col("norm")),
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("raw_score").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("bucket"),
+            "rank",
+            (F.floor(F.col("raw_score") * quant + F.lit(0.5)) / quant).alias("score"),
+        )
+    )
+
+
+def label_centroids(embeddings: DataFrame, dims: int = 64) -> DataFrame:
+    """Per-label mean vector, one row per (label, dim). Decimal-exact sums —
+    order-independent, so the result is identical regardless of partitioning."""
+    exploded = _as_double(embeddings).select(
+        "label", F.posexplode("emb_d").alias("dim", "val")
+    )
+    # quantize each value at 1e-9 with pure double arithmetic (bit-identical
+    # across engines — double→decimal CASTs round differently), sum exactly as
+    # integers, then scale back
+    scaled = F.expr("CAST(floor(val * 1000000000 + 0.5) AS BIGINT)")
+    return exploded.groupBy("label", "dim").agg(
+        (F.sum(scaled).cast("double") / 1000000000.0 / F.count("*")).alias("mean_val"),
+        F.count("*").alias("n_vecs"),
+    )

@@ -1,0 +1,172 @@
+"""Text-analysis operators for large-scale training-data pipelines: token
+counting, quality scoring, heuristic language ID, document fingerprinting.
+
+Not part of the reference's surface (it ships raw row events); these are the
+north-star additions (BASELINE.json) over the ``documents`` table.
+
+Scale design: everything is per-row array expressions (split/filter/transform/
+aggregate) — NO shuffle, NO Python, fully fused into the parquet scan by
+whole-stage codegen. A 100 TB corpus maps straight through.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# tokens: lowercase, whitespace-split, empties dropped
+TOKENS_EXPR = "filter(split(lower(text), '\\\\s+'), t -> length(t) > 0)"
+
+# NOTE on shingles: an array-lambda formulation
+# (transform(sequence(...), i -> element_at(tokens, i) ...)) is QUADRATIC in
+# Spark — higher-order functions are interpreted (no whole-stage codegen, no
+# common-subexpression elimination), so when Catalyst inlines the ``tokens``
+# alias, every element_at re-runs the split. Shingles are therefore built as
+# ROWS: posexplode + window-lead (shingle_rows below) — fully codegen'd, one
+# shuffle on doc_id.
+
+# heuristic language markers (synthetic corpus vocabulary, arbitrary but fixed)
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a"),
+    "es": ("data", "row"),
+    "de": ("table", "key"),
+    "fr": ("value", "query"),
+    "zh": ("hash", "join"),
+}
+LANG_ORDER = ("en", "es", "de", "fr", "zh")  # tie-break priority
+
+
+def ensure_parallelism(df: DataFrame) -> DataFrame:
+    """CPU-heavy per-row operators need one task per core. A 100 TB corpus has
+    thousands of input splits; a small local file has one — repartition only
+    when the scan under-splits, so no shuffle is added at scale."""
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
+def with_tokens(docs: DataFrame) -> DataFrame:
+    return ensure_parallelism(docs).withColumn("tokens", F.expr(TOKENS_EXPR))
+
+
+def token_rows(docs: DataFrame) -> DataFrame:
+    """(doc_id, pos, token) rows — the codegen-friendly token representation."""
+    return ensure_parallelism(docs).select(
+        "doc_id", F.posexplode(F.expr(TOKENS_EXPR)).alias("pos", "token")
+    )
+
+
+def shingle_rows(docs: DataFrame) -> DataFrame:
+    """(doc_id, shingle) rows (3-token shingles, duplicates kept): window-lead
+    over token rows — linear, whole-stage-codegen, one shuffle on doc_id."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("doc_id").orderBy("pos")
+    return (
+        token_rows(docs)
+        .withColumn("_t1", F.lead("token", 1).over(w))
+        .withColumn("_t2", F.lead("token", 2).over(w))
+        .where(F.col("_t2").isNotNull())
+        .select("doc_id", F.concat_ws(" ", "token", "_t1", "_t2").alias("shingle"))
+    )
+
+
+def token_count(docs: DataFrame) -> DataFrame:
+    """Whitespace/regex tokenization + counts (BPE-ish sub-token count as the
+    letter-run count — a cheap deterministic proxy)."""
+    return with_tokens(docs).select(
+        "doc_id",
+        F.size("tokens").alias("n_tokens"),
+        F.length("text").alias("n_chars_text"),
+        F.expr("size(filter(split(lower(text), '[^a-z0-9]+'), t -> length(t) > 0))").alias(
+            "n_word_runs"
+        ),
+    )
+
+
+def _marker_count(lang: str) -> Column:
+    toks = ", ".join(f"'{t}'" for t in LANG_MARKERS[lang])
+    return F.expr(f"size(filter(tokens, t -> t in ({toks})))")
+
+
+def lang_scores(docs: DataFrame) -> DataFrame:
+    df = with_tokens(docs)
+    for lang in LANG_ORDER:
+        df = df.withColumn(f"score_{lang}", _marker_count(lang))
+    return df
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """Heuristic n-gram language ID: argmax of marker-token hit counts with a
+    fixed tie-break order."""
+    df = lang_scores(docs)
+    pred = None
+    for lang in LANG_ORDER:
+        cond = None
+        for other in LANG_ORDER:
+            if other == lang:
+                continue
+            c = F.col(f"score_{lang}") >= F.col(f"score_{other}")
+            cond = c if cond is None else (cond & c)
+        pred = F.when(cond, F.lit(lang)) if pred is None else pred.when(cond, F.lit(lang))
+    df = df.withColumn("predicted_lang", pred.otherwise(F.lit(LANG_ORDER[0])))
+    return df.select(
+        "doc_id",
+        "lang",
+        *[f"score_{la}" for la in LANG_ORDER],
+        "predicted_lang",
+        (F.col("predicted_lang") == F.col("lang")).alias("correct"),
+    )
+
+
+def quality_score(docs: DataFrame) -> DataFrame:
+    """Composite quality score: length, mean token length, stopword ratio,
+    digit ratio — the usual pre-training heuristics, pure arithmetic."""
+    df = with_tokens(docs)
+    df = df.select(
+        "doc_id",
+        F.size("tokens").alias("n_tokens"),
+        F.length("text").alias("n_chars"),
+        F.expr(
+            "CAST(aggregate(tokens, 0L, (acc, t) -> acc + length(t)) AS DOUBLE)"
+            " / greatest(size(tokens), 1)"
+        ).alias("mean_token_len"),
+        F.expr(
+            "CAST(size(filter(tokens, t -> t in ('the', 'a', 'of'))) AS DOUBLE)"
+            " / greatest(size(tokens), 1)"
+        ).alias("stopword_ratio"),
+        F.expr(
+            "CAST(length(regexp_replace(text, '[^0-9]', '')) AS DOUBLE) / greatest(length(text), 1)"
+        ).alias("digit_ratio"),
+    )
+    return df.withColumn(
+        "quality",
+        F.expr(
+            "0.4 * least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)"
+            " + 0.3 * (1.0 - stopword_ratio)"
+            " + 0.2 * least(mean_token_len / 8.0, 1.0)"
+            " + 0.1 * (1.0 - digit_ratio)"
+        ),
+    )
+
+
+def fingerprint(docs: DataFrame, k: int = 4) -> DataFrame:
+    """Document fingerprint: k-min sketch over shingle hashes (winnowing-lite —
+    the k lexicographically-smallest md5s of the 3-gram shingles, joined).
+    Docs with < 3 tokens fingerprint as ''."""
+    fp = (
+        shingle_rows(docs)
+        .groupBy("doc_id")
+        .agg(
+            F.expr(
+                f"concat_ws('-', slice(array_sort(collect_list(md5(shingle))), 1, {k}))"
+            ).alias("fingerprint")
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(fp, "doc_id", "left")
+        .select("doc_id", F.coalesce("fingerprint", F.lit("")).alias("fingerprint"))
+    )

@@ -50,5 +50,8 @@ def _feed(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 from pgcapture_spark.querydefs import (  # noqa: E402,F401
     backfill as _qd_backfill,
     core as _qd_core,
+    relational as _qd_relational,
     surface as _qd_surface,
+    textops as _qd_textops,
+    vector as _qd_vector,
 )

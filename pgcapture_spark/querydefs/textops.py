@@ -1,0 +1,299 @@
+"""Training-data text operators over ``documents`` (north-star additions):
+token counting, quality scoring, language ID, fingerprinting, dedup family.
+
+Oracle construction: the DuckDB SQL mirrors the Spark array-expression logic
+exactly (same tokenization regex, same md5-based hash family, same arithmetic),
+so value hashes match bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pgcapture_spark.catalog import register_views
+from pgcapture_spark.operators.dedup import (
+    exact_dedup_groups,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from pgcapture_spark.operators.textstats import (
+    LANG_MARKERS,
+    LANG_ORDER,
+    fingerprint,
+    lang_id,
+    quality_score,
+    token_count,
+)
+from pgcapture_spark.queries import q
+
+# ---------------------------------------------------------------- shared SQL
+
+_DUCK_TOKENS = r"list_filter(string_split_regex(lower(text), '\s+'), t -> len(t) > 0)"
+_DUCK_SHINGLES = (
+    "CASE WHEN len(tokens) >= 3 THEN "
+    "list_transform(range(1, len(tokens) - 1), "
+    "i -> tokens[i] || ' ' || tokens[i + 1] || ' ' || tokens[i + 2]) "
+    "ELSE CAST([] AS VARCHAR[]) END"
+)
+_DUCK_DOCS_TOK = f"SELECT doc_id, lang, text, {_DUCK_TOKENS} AS tokens FROM documents"
+_DUCK_DOCS_SH = f"SELECT doc_id, tokens, {_DUCK_SHINGLES} AS shingles FROM ({_DUCK_DOCS_TOK})"
+
+
+@q(
+    "text_token_count",
+    f"""
+WITH t AS ({_DUCK_DOCS_TOK})
+SELECT doc_id, len(tokens) AS n_tokens, length(text) AS n_chars_text,
+       len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 0))
+         AS n_word_runs
+FROM t
+""",
+    "North-star: token counting (whitespace + alnum-run tokenizers).",
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, ("documents",))
+    out = token_count(spark.table("documents"))
+    return out.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_chars_text").cast("long").alias("n_chars_text"),
+        F.col("n_word_runs").cast("long").alias("n_word_runs"),
+    )
+
+
+_DUCK_QUALITY = f"""
+WITH t AS ({_DUCK_DOCS_TOK}),
+m AS (
+  SELECT doc_id,
+         len(tokens) AS n_tokens,
+         length(text) AS n_chars,
+         CAST(coalesce(list_sum(list_transform(tokens, x -> length(x))), 0) AS DOUBLE)
+           / greatest(len(tokens), 1) AS mean_token_len,
+         CAST(len(list_filter(tokens, x -> x in ('the', 'a', 'of'))) AS DOUBLE)
+           / greatest(len(tokens), 1) AS stopword_ratio,
+         CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+           / greatest(length(text), 1) AS digit_ratio
+  FROM t
+)
+SELECT doc_id, n_tokens, n_chars, mean_token_len, stopword_ratio, digit_ratio,
+       0.4 * least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
+       + 0.3 * (1.0 - stopword_ratio)
+       + 0.2 * least(mean_token_len / 8.0, 1.0)
+       + 0.1 * (1.0 - digit_ratio) AS quality
+FROM m
+"""
+
+
+@q(
+    "text_quality_score",
+    _DUCK_QUALITY,
+    "North-star: composite quality heuristics (length/stopword/digit ratios).",
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, ("documents",))
+    out = quality_score(spark.table("documents"))
+    return out.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_chars").cast("long").alias("n_chars"),
+        "mean_token_len",
+        "stopword_ratio",
+        "digit_ratio",
+        "quality",
+    )
+
+
+def _duck_lang_sql() -> str:
+    score_cols = []
+    for lang in LANG_ORDER:
+        toks = ", ".join(f"'{t}'" for t in LANG_MARKERS[lang])
+        score_cols.append(
+            f"len(list_filter(tokens, x -> x in ({toks}))) AS score_{lang}"
+        )
+    whens = []
+    for lang in LANG_ORDER:
+        conds = " AND ".join(
+            f"score_{lang} >= score_{o}" for o in LANG_ORDER if o != lang
+        )
+        whens.append(f"WHEN {conds} THEN '{lang}'")
+    case = "CASE " + " ".join(whens) + f" ELSE '{LANG_ORDER[0]}' END"
+    scores = ", ".join(f"score_{la}" for la in LANG_ORDER)
+    return f"""
+WITH t AS ({_DUCK_DOCS_TOK}),
+s AS (SELECT doc_id, lang, {', '.join(score_cols)} FROM t),
+p AS (SELECT doc_id, lang, {scores}, {case} AS predicted_lang FROM s)
+SELECT doc_id, lang, {scores}, predicted_lang, predicted_lang = lang AS correct FROM p
+"""
+
+
+@q(
+    "text_lang_id",
+    _duck_lang_sql(),
+    "North-star: heuristic language ID — marker-token scoring with fixed"
+    " tie-break (n-gram heuristic family).",
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, ("documents",))
+    out = lang_id(spark.table("documents"))
+    return out.select(
+        "doc_id",
+        "lang",
+        *[F.col(f"score_{la}").cast("long").alias(f"score_{la}") for la in LANG_ORDER],
+        "predicted_lang",
+        "correct",
+    )
+
+
+@q(
+    "text_fingerprint",
+    f"""
+WITH sh AS ({_DUCK_DOCS_SH})
+SELECT doc_id,
+       array_to_string(list_sort(list_transform(shingles, s -> md5(s)))[1:4], '-')
+         AS fingerprint
+FROM sh
+""",
+    "North-star: document fingerprint — k-min sketch of shingle md5s"
+    " (winnowing-lite rolling-hash family).",
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, ("documents",))
+    return fingerprint(spark.table("documents"))
+
+
+# ---------------------------------------------------------------- dedup family
+
+@q(
+    "dedup_exact",
+    """
+SELECT md5(lower(trim(text))) AS text_hash, min(doc_id) AS canonical_id,
+       count(*) AS n_docs
+FROM documents GROUP BY 1
+""",
+    "North-star: exact dedup — digest group-by, canonical id = min doc_id.",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, ("documents",))
+    return exact_dedup_groups(spark.table("documents"))
+
+
+_DUCK_SHINGLE_SETS = f"""
+SELECT DISTINCT doc_id, unnest(shingles) AS shingle FROM ({_DUCK_DOCS_SH})
+"""
+
+_DUCK_JACCARD = f"""
+WITH s AS ({_DUCK_SHINGLE_SETS}),
+dfc AS (SELECT shingle, count(*) AS df FROM s GROUP BY 1),
+rare AS (SELECT s.doc_id, s.shingle FROM s JOIN dfc USING (shingle)
+         WHERE dfc.df BETWEEN 2 AND 64),
+pairs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
+          FROM rare a JOIN rare b USING (shingle)
+          WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+sizes AS (SELECT doc_id, count(*) AS n_shingles FROM s GROUP BY 1),
+inter AS (SELECT p.a_id, p.b_id, count(*) AS inter_cnt
+          FROM pairs p
+          JOIN s sa ON sa.doc_id = p.a_id
+          JOIN s sb ON sb.doc_id = p.b_id AND sb.shingle = sa.shingle
+          GROUP BY 1, 2)
+SELECT i.a_id, i.b_id, i.inter_cnt,
+       na.n_shingles + nb.n_shingles - i.inter_cnt AS union_cnt,
+       CAST(i.inter_cnt AS DOUBLE) / (na.n_shingles + nb.n_shingles - i.inter_cnt) AS jaccard
+FROM inter i
+JOIN sizes na ON na.doc_id = i.a_id
+JOIN sizes nb ON nb.doc_id = i.b_id
+WHERE CAST(i.inter_cnt AS DOUBLE) / (na.n_shingles + nb.n_shingles - i.inter_cnt) >= 0.1
+"""
+
+
+@q(
+    "dedup_ngram_jaccard",
+    _DUCK_JACCARD,
+    "North-star: n-gram Jaccard near-dup — stop-shingle-pruned candidate join"
+    " + true Jaccard verification.",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, ("documents",))
+    return ngram_jaccard_pairs(spark.table("documents"), threshold=0.1, max_df=64)
+
+
+def _duck_minhash_sql(k: int = 8, bands: int = 4) -> str:
+    rpb = k // bands
+    sigs = ",\n       ".join(
+        f"list_min(list_transform(shingles, s -> md5('{i}|' || s))) AS sig_{i}"
+        for i in range(k)
+    )
+    band_rows = "\nUNION ALL\n".join(
+        "SELECT doc_id, {b} AS band_idx, md5({parts}) AS band_hash FROM sigs".format(
+            b=b,
+            parts=" || '|' || ".join(f"sig_{b * rpb + r}" for r in range(rpb)),
+        )
+        for b in range(bands)
+    )
+    agree = " + ".join(
+        f"(CASE WHEN sa.sig_{i} = sb.sig_{i} THEN 1 ELSE 0 END)" for i in range(k)
+    )
+    return f"""
+WITH sh AS ({_DUCK_DOCS_SH}),
+sigs AS (SELECT doc_id, {sigs} FROM sh),
+banded AS ({band_rows}),
+cand AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
+         FROM banded a JOIN banded b USING (band_idx, band_hash)
+         WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+est AS (SELECT c.a_id, c.b_id, ({agree}) / {k} AS est_sim
+        FROM cand c JOIN sigs sa ON sa.doc_id = c.a_id
+        JOIN sigs sb ON sb.doc_id = c.b_id),
+s AS ({_DUCK_SHINGLE_SETS}),
+sizes AS (SELECT doc_id, count(*) AS n_shingles FROM s GROUP BY 1),
+inter AS (SELECT e.a_id, e.b_id, e.est_sim, count(*) AS inter_cnt
+          FROM est e
+          JOIN s sa2 ON sa2.doc_id = e.a_id
+          JOIN s sb2 ON sb2.doc_id = e.b_id AND sb2.shingle = sa2.shingle
+          GROUP BY 1, 2, 3)
+SELECT i.a_id, i.b_id, i.est_sim,
+       CAST(i.inter_cnt AS DOUBLE) / (za.n_shingles + zb.n_shingles - i.inter_cnt) AS jaccard
+FROM inter i
+JOIN sizes za ON za.doc_id = i.a_id
+JOIN sizes zb ON zb.doc_id = i.b_id
+WHERE CAST(i.inter_cnt AS DOUBLE) / (za.n_shingles + zb.n_shingles - i.inter_cnt) >= 0.1
+"""
+
+
+@q(
+    "dedup_minhash_lsh",
+    _duck_minhash_sql(),
+    "North-star: MinHash+LSH near-dup — shingle→minhash→band→bucket-join,"
+    " verified by true Jaccard (the scale path).",
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, ("documents",))
+    return minhash_lsh_pairs(spark.table("documents"), k=8, bands=4, threshold=0.1)
+
+
+def _duck_simhash_sql(bits: int = 32) -> str:
+    votes = ",\n       ".join(
+        f"sum(CASE WHEN ((th >> {b}) & 1) = 1 THEN 1 ELSE -1 END) AS v_{b}"
+        for b in range(bits)
+    )
+    value = " + ".join(
+        f"(CASE WHEN v_{b} >= 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END)" for b in range(bits)
+    )
+    return f"""
+WITH t AS ({_DUCK_DOCS_TOK}),
+toks AS (SELECT doc_id, unnest(tokens) AS token FROM t),
+hashed AS (SELECT doc_id, ('0x' || substr(md5(token), 1, 8))::BIGINT AS th FROM toks),
+agg AS (SELECT doc_id, {votes} FROM hashed GROUP BY doc_id)
+SELECT doc_id, {value} AS simhash FROM agg
+"""
+
+
+@q(
+    "dedup_simhash",
+    _duck_simhash_sql(),
+    "North-star: 32-bit SimHash — per-bit majority vote over token hashes;"
+    " near-dups pair via bit_count(xor) <= r downstream.",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, ("documents",))
+    return simhash(spark.table("documents"))

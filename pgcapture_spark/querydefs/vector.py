@@ -1,0 +1,115 @@
+"""Similarity-search queries over ``embeddings`` (north-star additions):
+brute-force cosine top-k (exact baseline), sign-LSH bucketed ANN (scale path),
+per-label centroids."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from pgcapture_spark.catalog import register_views
+from pgcapture_spark.operators.similarity import (
+    cosine_topk,
+    label_centroids,
+    signlsh_topk,
+)
+from pgcapture_spark.queries import q
+
+_DUCK_NORMED = """
+SELECT vec_id, e, sqrt(list_sum(list_transform(e, v -> v * v))) AS norm
+FROM (SELECT vec_id, list_transform(embedding, v -> CAST(v AS DOUBLE)) AS e
+      FROM embeddings)
+"""
+
+_DUCK_TOPK = f"""
+WITH normed AS ({_DUCK_NORMED}),
+queries AS (SELECT vec_id AS query_id, e AS qe, norm AS qn FROM normed
+            WHERE vec_id % 50 = 0),
+scored AS (
+  SELECT q.query_id, n.vec_id AS neighbor_id,
+         list_sum(list_transform(range(1, 65), i -> q.qe[i] * n.e[i])) / (q.qn * n.norm)
+           AS raw
+  FROM queries q JOIN normed n ON n.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, raw,
+         row_number() OVER (PARTITION BY query_id ORDER BY raw DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank, floor(raw * 1000000 + 0.5) / 1000000 AS score
+FROM ranked WHERE rank <= 5
+"""
+
+
+@q(
+    "sim_cosine_topk",
+    _DUCK_TOPK,
+    "North-star: exact brute-force cosine top-5 for query vectors"
+    " (vec_id % 50 = 0) — broadcast queries × corpus scan, sequential-fold dot"
+    " product, deterministic tiebreak.",
+)
+def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, ("embeddings",))
+    return cosine_topk(spark.table("embeddings"), "vec_id % 50 = 0", k=5)
+
+
+def _duck_bucket(nbits: int = 8) -> str:
+    return " + ".join(
+        f"(CASE WHEN e[{i + 1}] >= 0 THEN {1 << i} ELSE 0 END)" for i in range(nbits)
+    )
+
+
+_DUCK_ANN = f"""
+WITH normed AS ({_DUCK_NORMED}),
+bucketed AS (SELECT vec_id, e, norm, {_duck_bucket()} AS bucket FROM normed),
+queries AS (SELECT vec_id AS query_id, e AS qe, norm AS qn, bucket AS q_bucket
+            FROM bucketed WHERE vec_id % 25 = 0),
+cand AS (
+  SELECT q.query_id, n.vec_id AS neighbor_id, n.bucket,
+         list_sum(list_transform(range(1, 65), i -> q.qe[i] * n.e[i])) / (q.qn * n.norm)
+           AS raw
+  FROM queries q JOIN bucketed n
+    ON n.bucket = q.q_bucket AND n.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, bucket, raw,
+         row_number() OVER (PARTITION BY query_id ORDER BY raw DESC, neighbor_id) AS rank
+  FROM cand
+)
+SELECT query_id, neighbor_id, bucket, rank, floor(raw * 1000000 + 0.5) / 1000000 AS score
+FROM ranked WHERE rank <= 3
+"""
+
+
+@q(
+    "sim_signlsh_ann",
+    _DUCK_ANN,
+    "North-star: LSH-bucketed approximate NN — sign-bit bucket (2^8 cells)"
+    " restricts the candidate join; IVF swaps bucket for argmin-centroid.",
+)
+def sim_signlsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, ("embeddings",))
+    return signlsh_topk(spark.table("embeddings"), "vec_id % 25 = 0", k=3, nbits=8)
+
+
+_DUCK_CENTROIDS = """
+WITH ex AS (
+  SELECT label, i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS val
+  FROM embeddings, range(1, 65) t(i)
+)
+SELECT label, dim,
+       CAST(sum(CAST(floor(val * 1000000000 + 0.5) AS BIGINT)) AS DOUBLE)
+         / 1000000000.0 / count(*) AS mean_val,
+       count(*) AS n_vecs
+FROM ex GROUP BY label, dim
+"""
+
+
+@q(
+    "sim_label_centroids",
+    _DUCK_CENTROIDS,
+    "North-star: per-label centroid vectors — decimal-exact elementwise means"
+    " (order-independent, cluster-size invariant).",
+)
+def sim_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, ("embeddings",))
+    return label_centroids(spark.table("embeddings"))
