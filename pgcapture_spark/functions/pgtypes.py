@@ -1,0 +1,265 @@
+"""PostgreSQL binary wire-format decoders (SURVEY §2 D7, §1.3).
+
+The reference ships values in PG binary format end-to-end and decodes only at
+the consumer edge, driven by the type OID (pkg/decode/decoder.go:70-79; the
+Python client's registry python/pgcapture/decoders.py:157-225). This module
+rebuilds that decode edge for Spark: pure-Python codecs for the supported OID
+set + Arrow-batched pandas UDFs so decoding is vectorized per batch, not per
+row.
+
+Format notes (PostgreSQL wire protocol, public docs):
+- integers/floats: big-endian fixed width
+- date: int32 days since 2000-01-01; timestamp(tz): int64 µs since 2000-01-01
+  (the Y2K epoch shift: 946684800 s — decoders.py:17, pkg/sink/postgres.go:729)
+- jsonb: 1-byte version header (=1) then utf8 (decoders.py:120-121)
+- uuid: 16 raw bytes
+- arrays: int32 ndim, int32 hasnull, int32 elem-oid, then per-dim
+  (int32 len, int32 lower-bound), then elements as int32 length-prefixed
+  payloads, -1 = NULL (decoders.py:126-155); N-dim supported.
+
+Lazy decode at scale: keep values as ``binary`` columns and decode only the
+columns a query touches — Catalyst column pruning then skips the UDF for
+untouched columns (SURVEY §4 "binary passthrough").
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+import struct
+import uuid as _uuid
+from collections.abc import Callable
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+# ---- epoch constants -------------------------------------------------------
+PG_EPOCH = dt.datetime(2000, 1, 1, tzinfo=dt.timezone.utc)
+PG_EPOCH_DATE = dt.date(2000, 1, 1)
+MICROS_Y2K_SHIFT = 946_684_800_000_000  # µs between 1970-01-01 and 2000-01-01
+
+# ---- scalar codecs ---------------------------------------------------------
+
+def dec_bool(b: bytes) -> bool:
+    return b[0] != 0
+
+
+def dec_bytea(b: bytes) -> bytes:
+    return bytes(b)
+
+
+def dec_int2(b: bytes) -> int:
+    return struct.unpack(">h", b)[0]
+
+
+def dec_int4(b: bytes) -> int:
+    return struct.unpack(">i", b)[0]
+
+
+def dec_int8(b: bytes) -> int:
+    return struct.unpack(">q", b)[0]
+
+
+def dec_float4(b: bytes) -> float:
+    return struct.unpack(">f", b)[0]
+
+
+def dec_float8(b: bytes) -> float:
+    return struct.unpack(">d", b)[0]
+
+
+def dec_text(b: bytes) -> str:
+    return b.decode("utf-8")
+
+
+def dec_json(b: bytes) -> str:
+    return b.decode("utf-8")
+
+
+def dec_jsonb(b: bytes) -> str:
+    if b[0] != 1:
+        raise ValueError(f"unsupported jsonb version {b[0]}")
+    return b[1:].decode("utf-8")
+
+
+def dec_date(b: bytes) -> dt.date:
+    days = struct.unpack(">i", b)[0]
+    return PG_EPOCH_DATE + dt.timedelta(days=days)
+
+
+def dec_time(b: bytes) -> int:
+    """time = µs since midnight (kept as int64, matching decoders.py:93-95)."""
+    return struct.unpack(">q", b)[0]
+
+
+def dec_timestamp(b: bytes) -> dt.datetime:
+    micros = struct.unpack(">q", b)[0]
+    return (PG_EPOCH + dt.timedelta(microseconds=micros)).replace(tzinfo=None)
+
+
+def dec_timestamptz(b: bytes) -> dt.datetime:
+    micros = struct.unpack(">q", b)[0]
+    return PG_EPOCH + dt.timedelta(microseconds=micros)
+
+
+def dec_uuid(b: bytes) -> str:
+    return str(_uuid.UUID(bytes=bytes(b)))
+
+
+# element-oid → (decoder, name); array oids map to element decoders
+SCALAR_DECODERS: dict[int, Callable[[bytes], object]] = {
+    16: dec_bool,
+    17: dec_bytea,
+    20: dec_int8,
+    21: dec_int2,
+    23: dec_int4,
+    25: dec_text,
+    114: dec_json,
+    700: dec_float4,
+    701: dec_float8,
+    1042: dec_text,  # bpchar
+    1043: dec_text,  # varchar
+    1082: dec_date,
+    1083: dec_time,
+    1114: dec_timestamp,
+    1184: dec_timestamptz,
+    2950: dec_uuid,
+    3802: dec_jsonb,
+}
+
+# array oid → element oid (the reference's supported set, decoders.py:160-224)
+ARRAY_OIDS: dict[int, int] = {
+    1000: 16,
+    1001: 17,
+    1005: 21,
+    1007: 23,
+    1016: 20,
+    1009: 25,
+    1014: 1042,
+    1015: 1043,
+    1021: 700,
+    1022: 701,
+    1115: 1114,
+    1182: 1082,
+    1185: 1184,
+    2951: 2950,
+    3807: 3802,
+}
+
+
+def dec_array(b: bytes, elem_decoder: Callable[[bytes], object]):
+    """N-dimensional PG array → nested Python lists (decoders.py:126-155)."""
+    ndim, _hasnull, _oid = struct.unpack(">iii", b[:12])
+    off = 12
+    dims = []
+    for _ in range(ndim):
+        ln, _lb = struct.unpack(">ii", b[off : off + 8])
+        dims.append(ln)
+        off += 8
+
+    def read_elem():
+        nonlocal off
+        (ln,) = struct.unpack(">i", b[off : off + 4])
+        off += 4
+        if ln == -1:
+            return None
+        val = elem_decoder(b[off : off + ln])
+        off += ln
+        return val
+
+    def build(level: int):
+        if level == ndim - 1:
+            return [read_elem() for _ in range(dims[level])]
+        return [build(level + 1) for _ in range(dims[level])]
+
+    if ndim == 0:
+        return []
+    return build(0)
+
+
+def decode_value(oid: int, b: bytes | None):
+    """Decode one binary datum by OID (None stays SQL NULL —
+    pkg/decode/decoder.go:73-74)."""
+    if b is None:
+        return None
+    if oid in SCALAR_DECODERS:
+        return SCALAR_DECODERS[oid](b)
+    if oid in ARRAY_OIDS:
+        return dec_array(b, SCALAR_DECODERS[ARRAY_OIDS[oid]])
+    raise ValueError(f"unsupported OID {oid}")
+
+
+# ---- Spark surface ---------------------------------------------------------
+
+_SPARK_TYPES: dict[int, str] = {
+    16: "boolean",
+    17: "binary",
+    20: "long",
+    21: "short",
+    23: "int",
+    25: "string",
+    114: "string",
+    700: "float",
+    701: "double",
+    1042: "string",
+    1043: "string",
+    1082: "date",
+    1083: "long",
+    1114: "timestamp",
+    1184: "timestamp",
+    2950: "string",
+    3802: "string",
+}
+
+
+def spark_type_for_oid(oid: int) -> str:
+    if oid in _SPARK_TYPES:
+        return _SPARK_TYPES[oid]
+    if oid in ARRAY_OIDS:
+        return f"array<{_SPARK_TYPES[ARRAY_OIDS[oid]]}>"
+    raise ValueError(f"unsupported OID {oid}")
+
+
+def pg_decode_udf(oid: int):
+    """Vectorized decoder for a fixed-OID binary column. Arrow-batched: the
+    per-row Python work is the codec only, transfer is columnar."""
+    out_type = spark_type_for_oid(oid)
+
+    if oid in (1114, 1184):
+
+        @F.pandas_udf(out_type)
+        def _udf(s: pd.Series) -> pd.Series:
+            return pd.Series(
+                [None if b is None else dec_timestamp(b) for b in s], dtype="datetime64[us]"
+            )
+
+        return _udf
+
+    @F.pandas_udf(out_type)
+    def _udf(s: pd.Series) -> pd.Series:
+        return pd.Series([decode_value(oid, b) for b in s], dtype="object")
+
+    return _udf
+
+
+def pg_decode_json_udf():
+    """Generic (oid, binary) → canonical JSON string — for heterogeneous golden
+    tables (FIXTURES.md T4)."""
+    def _to_jsonable(v):
+        if isinstance(v, bytes):
+            return v.hex()
+        if isinstance(v, (dt.datetime, dt.date)):
+            return v.isoformat()
+        if isinstance(v, list):
+            return [_to_jsonable(x) for x in v]
+        return v
+
+    @F.pandas_udf("string")
+    def _udf(oids: pd.Series, blobs: pd.Series) -> pd.Series:
+        out = []
+        for oid, b in zip(oids, blobs):
+            v = decode_value(int(oid), None if b is None else bytes(b))
+            out.append(json.dumps(_to_jsonable(v), separators=(",", ":")))
+        return pd.Series(out)
+
+    return _udf

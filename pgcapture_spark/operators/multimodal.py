@@ -1,0 +1,153 @@
+"""Multimodal column plumbing: image/audio/video as opaque ``binary`` columns
+with typed metadata, processed via Arrow-batched ``mapInPandas``.
+
+North-star addition (BASELINE.json). The Spark side is REAL — schema, batch
+iteration, partition sizing, output contracts are what a production pipeline
+uses; only the codec itself is stubbed (image/audio libraries are not in this
+container) behind ``DECODERS``: a deterministic fake is registered per
+modality so the plumbing is testable end-to-end, and a real decoder (PIL,
+torchaudio, pyav...) can be dropped in without touching the Spark code.
+
+Scale notes:
+- media blobs dominate row size → ``repartition`` by a size-aware budget
+  before CPU-heavy decode so one straggler blob doesn't serialize a task,
+- ``mapInPandas`` streams Arrow batches — peak memory is one batch, not one
+  partition,
+- metadata-only queries never touch the blob column (Catalyst prunes it at
+  the parquet scan).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("modality", T.StringType(), False),  # image|audio|video
+        T.StructField("mime", T.StringType(), True),
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField("meta_width", T.IntegerType(), True),
+        T.StructField("meta_height", T.IntegerType(), True),
+        T.StructField("meta_duration_ms", T.IntegerType(), True),
+    ]
+)
+
+FEATURE_SCHEMA = (
+    "media_id long, modality string, n_bytes long, digest string, "
+    "feature array<float>, decode_ok boolean, decode_err string"
+)
+
+
+def _fake_image_features(payload: bytes, dim: int = 8) -> list[float]:
+    """Deterministic stand-in for decode→resize→embed: bytes of the sha256
+    digest scaled to [0, 1). Replace with a real codec in production."""
+    h = hashlib.sha256(payload).digest()
+    return [b / 256.0 for b in h[:dim]]
+
+
+def _stub_decoder(modality: str) -> Callable[[bytes], list[float]]:
+    def _decode(payload: bytes) -> list[float]:
+        # REAL DECODE GOES HERE (PIL / torchaudio / pyav). Stubbed:
+        # deterministic fake features so plumbing is testable in-container.
+        return _fake_image_features(payload)
+
+    return _decode
+
+
+DECODERS: dict[str, Callable[[bytes], list[float]]] = {
+    "image": _stub_decoder("image"),
+    "audio": _stub_decoder("audio"),
+    "video": _stub_decoder("video"),
+}
+
+
+def extract_features(media: DataFrame, batch_hint: int = 64) -> DataFrame:
+    """Decode/feature-extract every media row via mapInPandas. Per-row failures
+    are captured, not thrown (decode_ok/decode_err) — a 100 TB run must not die
+    on one corrupt blob."""
+
+    def _proc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                payload = row.payload
+                try:
+                    if payload is None:
+                        raise ValueError("NULL payload")
+                    feat = DECODERS[row.modality](bytes(payload))
+                    out.append(
+                        (
+                            row.media_id,
+                            row.modality,
+                            len(payload),
+                            hashlib.sha256(bytes(payload)).hexdigest()[:16],
+                            feat,
+                            True,
+                            None,
+                        )
+                    )
+                except Exception as e:  # noqa: BLE001 — per-row quarantine
+                    out.append(
+                        (row.media_id, row.modality, 0, None, None, False, str(e))
+                    )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "media_id",
+                    "modality",
+                    "n_bytes",
+                    "digest",
+                    "feature",
+                    "decode_ok",
+                    "decode_err",
+                ],
+            )
+
+    from pgcapture_spark.operators.textstats import ensure_parallelism
+
+    return ensure_parallelism(media).mapInPandas(_proc, FEATURE_SCHEMA)
+
+
+def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Video frame-sampling PLAN: one output row per (media_id, frame_ts_ms)
+    to be decoded — the shuffle-able work list a real frame extractor maps
+    over. Pure Catalyst (sequence + explode), no Python."""
+    from pyspark.sql import functions as F
+
+    return (
+        media.where(F.col("modality") == "video")
+        .where(F.col("meta_duration_ms").isNotNull())
+        .select(
+            "media_id",
+            F.explode(
+                F.sequence(F.lit(0), F.col("meta_duration_ms") - 1, F.lit(every_ms))
+            ).alias("frame_ts_ms"),
+        )
+    )
+
+
+def synthetic_media(spark, n: int = 64) -> DataFrame:
+    """Deterministic in-repo media fixture (no external files): payload bytes
+    derived from the id."""
+    rows = []
+    for i in range(n):
+        modality = ("image", "audio", "video")[i % 3]
+        payload = hashlib.sha256(str(i).encode()).digest() * (1 + i % 5)
+        rows.append(
+            (
+                i,
+                modality,
+                {"image": "image/png", "audio": "audio/wav", "video": "video/mp4"}[modality],
+                bytearray(payload),
+                64 if modality == "image" else None,
+                64 if modality == "image" else None,
+                5000 if modality == "video" else None,
+            )
+        )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)

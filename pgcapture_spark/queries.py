@@ -50,6 +50,7 @@ def _feed(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 from pgcapture_spark.querydefs import (  # noqa: E402,F401
     backfill as _qd_backfill,
     core as _qd_core,
+    extras as _qd_extras,
     relational as _qd_relational,
     surface as _qd_surface,
     textops as _qd_textops,

@@ -1,0 +1,108 @@
+"""Remaining SURVEY §2 coverage: log compaction (A1), seq re-derivation (S2),
+replication lag (A9), and the PG-binary typed view (D7 — rows-only check, the
+oracle cannot decode PG wire format)."""
+
+from __future__ import annotations
+
+import struct
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pgcapture_spark.fixtures.cdc_feed import DUCKDB, cdc_customer_sql
+from pgcapture_spark.functions.pgtypes import pg_decode_udf
+from pgcapture_spark.queries import _feed, q
+
+
+@q(
+    "cdc_log_compaction",
+    f"""
+WITH feed AS ({cdc_customer_sql(DUCKDB)}),
+doubled AS (SELECT lsn, seq, ord, op FROM feed
+            UNION ALL SELECT lsn, seq, ord, op FROM feed)
+SELECT DISTINCT lsn, seq, ord, op FROM doubled
+""",
+    "A1: log compaction by checkpoint key — re-delivered events collapse on"
+    " (lsn, seq), the Pulsar key-compaction analog (pkg/sink/pulsar.go:143;"
+    " maintenance dropDuplicates).",
+)
+def cdc_log_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    feed = _feed(spark, sf_dir, "customer").select("lsn", "seq", "ord", "op")
+    return feed.unionAll(feed).dropDuplicates(["lsn", "seq"])
+
+
+@q(
+    "cdc_seq_rederive",
+    f"""
+WITH feed AS ({cdc_customer_sql(DUCKDB)})
+SELECT lsn, seq,
+       row_number() OVER (PARTITION BY lsn ORDER BY ord) AS rederived_seq
+FROM feed
+""",
+    "S2: seq stamping — position within the transaction re-derived as a"
+    " window, resets per tx (pkg/source/postgres.go:224-231).",
+)
+def cdc_seq_rederive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    feed = _feed(spark, sf_dir, "customer")
+    w = W.partitionBy("lsn").orderBy("ord")
+    return feed.select("lsn", "seq", F.row_number().over(w).alias("rederived_seq"))
+
+
+@q(
+    "cdc_replication_lag",
+    f"""
+WITH feed AS ({cdc_customer_sql(DUCKDB)})
+SELECT max(commit_ts) AS last_commit_ts,
+       CAST(epoch(TIMESTAMP '2024-01-02 00:00:00') - epoch(max(commit_ts)) AS BIGINT)
+         AS lag_seconds
+FROM feed
+""",
+    "A9: replication lag = now − last applied commit_ts"
+    " (pkg/sink/postgres.go:662-675); 'now' pinned for determinism.",
+)
+def cdc_replication_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    feed = _feed(spark, sf_dir, "customer")
+    return feed.agg(
+        F.max("commit_ts").alias("last_commit_ts"),
+        (
+            F.unix_timestamp(F.lit("2024-01-02 00:00:00").cast("timestamp"))
+            - F.unix_timestamp(F.max("commit_ts"))
+        ).alias("lag_seconds"),
+    )
+
+
+@q(
+    "pg_binary_typed_view",
+    None,  # oracle cannot decode PG wire format — driver records rows-only
+    "D7: typed per-table view decoded from PG binary wire format via"
+    " Arrow-batched pandas UDFs (python/pgcapture/decoders.py:23-155);"
+    " golden-value parity lives in tests/test_pgtypes.py.",
+)
+def pg_binary_typed_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode a deterministic binary-encoded mini-table (id int4, flag bool,
+    price float8, name text, created timestamp)."""
+    rows = []
+    for i in range(100):
+        rows.append(
+            (
+                i,
+                struct.pack(">i", i * 7),
+                struct.pack(">b", i % 2),
+                struct.pack(">d", i / 4.0),
+                f"name-{i}".encode(),
+                struct.pack(">q", i * 86_400_000_000),
+            )
+        )
+    df = spark.createDataFrame(
+        rows, "row_id int, c_id binary, c_flag binary, c_price binary, c_name binary, c_created binary"
+    )
+    return df.select(
+        "row_id",
+        pg_decode_udf(23)("c_id").alias("id"),
+        pg_decode_udf(16)("c_flag").alias("flag"),
+        pg_decode_udf(701)("c_price").alias("price"),
+        pg_decode_udf(25)("c_name").alias("name"),
+        pg_decode_udf(1114)("c_created").alias("created"),
+    )

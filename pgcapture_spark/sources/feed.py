@@ -1,0 +1,57 @@
+"""CDC feed as a streaming source.
+
+The reference's source is a replication slot / Pulsar topic pull loop
+(pkg/source/postgres.go:51-163, pkg/source/pulsar.go:38-156). The Spark-native
+equivalent is any replayable ordered source consumed with ``readStream``; here
+the deterministic feed is materialized to ordered parquet files (one file per
+LSN range = the topic-segment analog) and consumed with the file source +
+``maxFilesPerTrigger`` (the backpressure knob, mirroring the reference's
+bounded channels — pkg/source/main.go:76).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def materialize_feed(feed: DataFrame, out_dir: str, n_segments: int = 8) -> None:
+    """Write the feed as ``n_segments`` LSN-ordered parquet files — a durable,
+    replayable log (the Pulsar-topic analog). Range-partitioning by ord keeps
+    each file an LSN range, and part-file NAMES follow the range order.
+
+    Spark's file streaming source admits files oldest-mtime-first, but a single
+    parallel parquet write gives every part file the same mtime — segment order
+    would be arbitrary and a transaction straddling a boundary could be applied
+    out of LSN order. The log contract (totally ordered, like the reference's
+    Pulsar topic — pkg/sink/pulsar.go:143 keys by LSN|seq) requires delivery in
+    ord order, so stamp strictly increasing mtimes by part-file name. A real
+    deployment gets this from the source's offsets (Kafka/Delta); files are the
+    local-test stand-in."""
+    (
+        feed.repartitionByRange(n_segments, "ord")
+        .sortWithinPartitions("ord")
+        .write.mode("overwrite")
+        .parquet(out_dir)
+    )
+    parts = sorted(
+        f for f in os.listdir(out_dir) if f.startswith("part-") and not f.endswith(".crc")
+    )
+    t0 = time.time() - 10 * len(parts)
+    for i, name in enumerate(parts):
+        ts = t0 + 10 * i
+        os.utime(os.path.join(out_dir, name), (ts, ts))
+
+
+def read_feed_stream(
+    spark: SparkSession, feed_dir: str, schema, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """Consume the materialized feed as a stream, a few segments per
+    micro-batch."""
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(feed_dir)
+    )

@@ -1,0 +1,86 @@
+"""Streaming pipelines (SURVEY §3 E1/E2, §7 P3).
+
+``apply_stream`` is the engine's ``pulsar2pg``: readStream over the event log →
+``foreachBatch`` that folds each micro-batch to final-image-per-key and merges
+it into the snapshot state (the reference's tx state machine collapses into the
+micro-batch boundary — pkg/sink/postgres.go:207-278). The streaming checkpoint
+dir plays tracker/ackLsn (pkg/cursor/*), and SnapshotState adds batch-id
+idempotence (the ``consistent`` gate).
+
+``debounce_stream`` is the consumer-side DebounceHandler
+(pkg/pgcapture/debounce.go:87-155): the micro-batch trigger interval IS the
+debounce interval — within each batch, only the newest event per key is
+emitted. (The reference flushes its keyed buffer every Interval; a micro-batch
+is exactly that keyed buffer.)
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming import StreamingQuery
+
+from pgcapture_spark.operators.apply import cdc_apply, last_image_window
+from pgcapture_spark.streaming.state import SnapshotState
+
+
+def apply_stream(
+    feed_stream: DataFrame,
+    state: SnapshotState,
+    initial_snapshot: DataFrame,
+    key: str,
+    cols: list[str],
+    checkpoint_dir: str,
+    on_batch: Callable[[int, int], None] | None = None,
+) -> StreamingQuery:
+    """Start the apply pipeline; returns the StreamingQuery.
+
+    Exactly-once: the streaming checkpoint gives at-least-once batch delivery;
+    SnapshotState skips batch ids at-or-below its manifest — re-delivered
+    batches are no-ops (idempotent apply, reference A1/A5 semantics).
+    """
+
+    def _apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id <= state.last_batch():
+            return  # replayed batch — already merged (consistent gate)
+        current = state.read()
+        if current is None:
+            current = initial_snapshot
+        new_snapshot = cdc_apply(current, batch_df, key, cols)
+        state.commit(new_snapshot, batch_id)
+        if on_batch is not None:
+            on_batch(batch_id, batch_df.count())
+
+    return (
+        feed_stream.writeStream.foreachBatch(_apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def debounce_stream(
+    event_stream: DataFrame,
+    key: str,
+    sink: Callable[[DataFrame, int], None],
+    checkpoint_dir: str,
+    order_col: str = "ord",
+) -> StreamingQuery:
+    """Per-key last-write-wins within each micro-batch (= debounce interval)."""
+
+    def _flush(batch_df: DataFrame, batch_id: int) -> None:
+        sink(last_image_window(batch_df, key, order_col), batch_id)
+
+    return (
+        event_stream.writeStream.foreachBatch(_flush)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def replication_lag_seconds(snapshot_max_commit_ts, now_ts) -> float:
+    """A9: replLag = now − last applied commit_ts
+    (pkg/sink/postgres.go:662-675)."""
+    return (now_ts - snapshot_max_commit_ts).total_seconds()

@@ -1,0 +1,39 @@
+from __future__ import annotations
+
+from pgcapture_spark.operators.multimodal import (
+    extract_features,
+    frame_sample_plan,
+    synthetic_media,
+)
+
+
+def test_feature_extraction_plumbing(spark):
+    media = synthetic_media(spark, 48)
+    feats = extract_features(media).collect()
+    assert len(feats) == 48
+    ok = [r for r in feats if r.decode_ok]
+    assert len(ok) == 48
+    assert all(len(r.feature) == 8 for r in ok)
+    # determinism: same payload → same feature
+    again = {r.media_id: r.feature for r in extract_features(media).collect()}
+    assert all(again[r.media_id] == r.feature for r in ok)
+
+
+def test_corrupt_blob_is_quarantined_not_fatal(spark):
+    media = synthetic_media(spark, 6)
+    broken = media.selectExpr(
+        "media_id", "modality", "mime",
+        "CASE WHEN media_id = 3 THEN CAST(NULL AS BINARY) ELSE payload END AS payload",
+        "meta_width", "meta_height", "meta_duration_ms",
+    )
+    out = {r.media_id: r for r in extract_features(broken).collect()}
+    assert not out[3].decode_ok and "NULL payload" in out[3].decode_err
+    assert sum(1 for r in out.values() if r.decode_ok) == 5
+
+
+def test_frame_sample_plan(spark):
+    media = synthetic_media(spark, 9)
+    plan = frame_sample_plan(media, every_ms=1000).collect()
+    videos = [r for r in media.collect() if r.modality == "video"]
+    assert len(plan) == len(videos) * 5  # 5000ms / 1000ms
+    assert {r.frame_ts_ms for r in plan} == {0, 1000, 2000, 3000, 4000}

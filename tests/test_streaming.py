@@ -1,0 +1,97 @@
+"""Streaming pipeline tests (SURVEY §7 P3): the streamed apply must converge to
+the batch cdc_apply result; replays must be idempotent; debounce emits one row
+per key per micro-batch."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+
+from pgcapture_spark.catalog import CDC_COLS, register_views
+from pgcapture_spark.operators.apply import cdc_apply
+from pgcapture_spark.queries import _feed
+from pgcapture_spark.sources.feed import materialize_feed, read_feed_stream
+from pgcapture_spark.streaming.pipeline import apply_stream, debounce_stream
+from pgcapture_spark.streaming.state import SnapshotState
+from tests.conftest import SF_SMALL
+
+
+@pytest.fixture()
+def tmpdir():
+    d = tempfile.mkdtemp(prefix="pgcs_stream_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_streaming_apply_converges_and_is_idempotent(spark, tmpdir):
+    register_views(spark, SF_SMALL, ("customer",))
+    snapshot = spark.table("customer")
+    feed = _feed(spark, SF_SMALL, "customer")
+    expected = cdc_apply(snapshot, feed, "c_custkey", CDC_COLS["customer"])
+
+    feed_dir = f"{tmpdir}/feed"
+    materialize_feed(feed, feed_dir, n_segments=6)
+    schema = spark.read.parquet(feed_dir).schema
+
+    state = SnapshotState(spark, f"{tmpdir}/state")
+    batches: list[int] = []
+    stream = read_feed_stream(spark, feed_dir, schema, max_files_per_trigger=2)
+    q = apply_stream(
+        stream,
+        state,
+        snapshot,
+        "c_custkey",
+        CDC_COLS["customer"],
+        f"{tmpdir}/ckpt",
+        on_batch=lambda bid, n: batches.append(bid),
+    )
+    q.awaitTermination(120)
+    assert len(batches) >= 2, "expected multiple micro-batches"
+
+    final = state.read()
+    assert final.exceptAll(expected).count() == 0
+    assert expected.exceptAll(final).count() == 0
+
+    # replay with a FRESH streaming checkpoint but the SAME state: every batch
+    # id is at-or-below the manifest -> all skipped, state unchanged
+    last = state.last_batch()
+    q2 = apply_stream(
+        read_feed_stream(spark, feed_dir, schema, max_files_per_trigger=2),
+        state,
+        snapshot,
+        "c_custkey",
+        CDC_COLS["customer"],
+        f"{tmpdir}/ckpt2",
+    )
+    q2.awaitTermination(120)
+    assert state.last_batch() == last
+    final2 = state.read()
+    assert final2.exceptAll(expected).count() == 0
+
+
+def test_streaming_debounce_one_row_per_key_per_batch(spark, tmpdir):
+    feed = _feed(spark, SF_SMALL, "customer")
+    feed_dir = f"{tmpdir}/feed"
+    materialize_feed(feed, feed_dir, n_segments=4)
+    schema = spark.read.parquet(feed_dir).schema
+
+    flushed: list[tuple[int, int, int]] = []
+
+    def sink(df, batch_id):
+        rows = df.groupBy("c_custkey").count().where("count > 1").count()
+        flushed.append((batch_id, df.count(), rows))
+
+    q = debounce_stream(
+        read_feed_stream(spark, feed_dir, schema, max_files_per_trigger=1),
+        "c_custkey",
+        sink,
+        f"{tmpdir}/ckpt",
+    )
+    q.awaitTermination(120)
+    assert len(flushed) >= 2
+    total = sum(n for _, n, _ in flushed)
+    assert total <= feed.count()
+    # invariant: never more than one emitted row per key within a batch
+    assert all(dups == 0 for _, _, dups in flushed)
