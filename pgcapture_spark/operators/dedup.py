@@ -5,18 +5,24 @@ Scale design notes (the part that matters at 100 TB):
 
 - exact dedup is a single hash-aggregate on a digest — the canonical
   group-by-md5 shape; Catalyst does map-side partial aggregation.
+- everything shingle-based starts from PER-ROW ARRAYS (textstats.SHINGLES_EXPR
+  — zip_with over token slices): signature computation is a projection fused
+  into the parquet scan, zero shuffles. The only shuffles left are the ones
+  the algorithms *require*: the candidate equi-join (on a rare shingle or an
+  LSH bucket) and its dedup.
+- true-Jaccard verification is ``size(array_intersect(a_set, b_set))`` on the
+  candidate pairs — per-row, replacing the explode + shingle-equi-join +
+  two groupBys of the naive formulation. Doc shingle-set arrays join onto the
+  (small) candidate-pair set; AQE broadcasts the side that is small.
 - n-gram Jaccard restricts the candidate join to shingles with bounded
   document frequency (stop-shingle pruning) — without it the self-join on a
-  common shingle is quadratic in its df. The threshold is a tunable; the
-  verification step computes TRUE Jaccard over full shingle sets only for the
-  surviving candidate pairs.
-- MinHash+LSH is the scale path: O(docs × k) signature computation (per-row
-  array expressions, no shuffle), then banding turns near-dup search into an
-  equi-join on (band, band_hash) — the classic shingle→minhash→band→bucket
-  pipeline, entirely in built-in expressions (md5 as the hash family:
-  min(md5(i || shingle)) over the shingle set).
-- SimHash packs each doc into one 32-bit value; candidate pairs come from a
-  cheap equality/banding join, verified by bit_count(xor).
+  common shingle is quadratic in its df.
+- MinHash+LSH is the scale path: O(docs × k) signature computation, then
+  banding turns near-dup search into an equi-join on (band, band_hash) — the
+  classic shingle→minhash→band→bucket pipeline, entirely in built-in
+  expressions (md5 as the hash family: min(md5(i || shingle))).
+- SimHash packs each doc into one 32-bit value — a single projection;
+  near-dups pair via bit_count(xor) downstream.
 """
 
 from __future__ import annotations
@@ -24,7 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from pgcapture_spark.operators.textstats import shingle_rows, with_tokens
+from pgcapture_spark.operators.textstats import with_shingles, with_tokens
 
 
 def exact_dedup_groups(docs: DataFrame) -> DataFrame:
@@ -37,9 +43,36 @@ def exact_dedup_groups(docs: DataFrame) -> DataFrame:
     )
 
 
+def shingle_docs(docs: DataFrame) -> DataFrame:
+    """(doc_id, sh_set) — per-doc DISTINCT shingle array (per-row
+    array_distinct, no shuffle). Docs with < 3 tokens are dropped, matching
+    the row formulation where they produce no shingle rows."""
+    return (
+        with_shingles(docs)
+        .where(F.size("shingles") > 0)
+        .select("doc_id", F.array_distinct("shingles").alias("sh_set"))
+    )
+
+
 def shingle_sets(docs: DataFrame) -> DataFrame:
-    """(doc_id, shingle) distinct pairs."""
-    return shingle_rows(docs).distinct()
+    """(doc_id, shingle) distinct pairs — explode of the per-doc set."""
+    return shingle_docs(docs).select("doc_id", F.explode("sh_set").alias("shingle"))
+
+
+def _jaccard_verify(pairs: DataFrame, sets: DataFrame, extra: list[str]) -> DataFrame:
+    """Attach per-row true Jaccard to candidate (a_id, b_id) pairs via
+    array_intersect on the per-doc shingle sets."""
+    out = (
+        pairs.join(sets.select(F.col("doc_id").alias("a_id"), F.col("sh_set").alias("_sa")), "a_id")
+        .join(sets.select(F.col("doc_id").alias("b_id"), F.col("sh_set").alias("_sb")), "b_id")
+        .withColumn("inter_cnt", F.size(F.array_intersect("_sa", "_sb")).cast("long"))
+        .withColumn(
+            "union_cnt",
+            (F.size("_sa") + F.size("_sb")).cast("long") - F.col("inter_cnt"),
+        )
+        .withColumn("jaccard", F.col("inter_cnt") / F.col("union_cnt"))
+    )
+    return out.select("a_id", "b_id", *extra, "inter_cnt", "union_cnt", "jaccard")
 
 
 def ngram_jaccard_pairs(
@@ -49,9 +82,10 @@ def ngram_jaccard_pairs(
 
     Candidates = pairs sharing at least one shingle whose document frequency is
     in [2, max_df] (stop-shingle pruning bounds the self-join blow-up); then
-    true Jaccard on the full sets, kept at >= threshold.
-    """
-    s = shingle_sets(docs).cache()
+    true Jaccard on the full sets (array_intersect, per-row), kept at
+    >= threshold."""
+    sets = shingle_docs(docs).cache()
+    s = sets.select("doc_id", F.explode("sh_set").alias("shingle"))
     df_counts = s.groupBy("shingle").agg(F.count("*").alias("df"))
     rare = s.join(
         df_counts.where((F.col("df") >= 2) & (F.col("df") <= max_df)), "shingle"
@@ -63,45 +97,25 @@ def ngram_jaccard_pairs(
         .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
         .distinct()
     )
-    sizes = s.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
-    inter = (
-        pairs.join(s.alias("sa"), F.col("a_id") == F.col("sa.doc_id"))
-        .join(
-            s.alias("sb"),
-            (F.col("b_id") == F.col("sb.doc_id")) & (F.col("sa.shingle") == F.col("sb.shingle")),
-        )
-        .groupBy("a_id", "b_id")
-        .agg(F.count("*").alias("inter_cnt"))
-    )
-    out = (
-        inter.join(sizes.alias("na"), F.col("a_id") == F.col("na.doc_id"))
-        .join(sizes.alias("nb"), F.col("b_id") == F.col("nb.doc_id"))
-        .select(
-            "a_id",
-            "b_id",
-            "inter_cnt",
-            (F.col("na.n_shingles") + F.col("nb.n_shingles") - F.col("inter_cnt")).alias(
-                "union_cnt"
-            ),
-        )
-        .withColumn("jaccard", F.col("inter_cnt") / F.col("union_cnt"))
-    )
+    out = _jaccard_verify(pairs, sets, extra=[])
     return out.where(F.col("jaccard") >= threshold)
+
+
+def _sig_cols(k: int) -> list:
+    return [
+        F.array_min(F.expr(f"transform(shingles, s -> md5('{i}|' || s))")).alias(f"sig_{i}")
+        for i in range(k)
+    ]
 
 
 def minhash_signatures(docs: DataFrame, k: int = 8) -> DataFrame:
     """k-permutation MinHash signature: sig_i = min over shingles of
-    md5(i || '|' || shingle). Per-row array expressions only — no shuffle.
-
-    Built from shingle ROWS with a map-side-combinable min aggregate (min over
-    duplicate shingles == min over the set). Docs with zero shingles simply
-    have no signature row and drop out of the bucket equi-join."""
-    rows = shingle_rows(docs)
-    aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"sig_{i}")
-        for i in range(k)
-    ]
-    return rows.groupBy("doc_id").agg(*aggs)
+    md5(i || '|' || shingle). Pure per-row array expressions — a projection
+    fused into the scan, NO shuffle (min over duplicate shingles == min over
+    the set). Docs with zero shingles are dropped."""
+    return (
+        with_shingles(docs).where(F.size("shingles") > 0).select("doc_id", *_sig_cols(k))
+    )
 
 
 def minhash_lsh_pairs(
@@ -109,21 +123,31 @@ def minhash_lsh_pairs(
 ) -> DataFrame:
     """LSH banding over MinHash signatures: docs sharing any band bucket are
     candidates; verified by true Jaccard >= threshold. Returns
-    (a_id, b_id, est_sim, jaccard)."""
-    rows_per_band = k // bands
-    sigs = minhash_signatures(docs, k)
-    band_cols = []
-    for b in range(bands):
-        parts = [f"sig_{b * rows_per_band + r}" for r in range(rows_per_band)]
-        band_cols.append(F.md5(F.concat_ws("|", *parts)).alias(f"band_{b}"))
-    banded = sigs.select("doc_id", *[f"sig_{i}" for i in range(k)], *band_cols)
+    (a_id, b_id, est_sim, jaccard).
 
-    buckets = None
-    for b in range(bands):
-        part = banded.select(
-            "doc_id", F.lit(b).alias("band_idx"), F.col(f"band_{b}").alias("band_hash")
-        )
-        buckets = part if buckets is None else buckets.unionByName(part)
+    Plan shape: ONE projection computes signatures + shingle set per doc
+    (cached — it is tiny relative to the corpus: k hashes + the set per doc);
+    bands explode 1→bands rows; the bucket equi-join on (band_idx, band_hash)
+    is the only required shuffle; est_sim and true Jaccard are per-row
+    expressions on the joined pair rows."""
+    rows_per_band = k // bands
+    base = (
+        with_shingles(docs)
+        .where(F.size("shingles") > 0)
+        .select("doc_id", F.array_distinct("shingles").alias("sh_set"), *_sig_cols(k))
+        .cache()
+    )
+    band_hashes = F.array(
+        *[
+            F.md5(
+                F.concat_ws("|", *[f"sig_{b * rows_per_band + r}" for r in range(rows_per_band)])
+            )
+            for b in range(bands)
+        ]
+    )
+    buckets = base.select(
+        "doc_id", F.posexplode(band_hashes).alias("band_idx", "band_hash")
+    )
     cand = (
         buckets.alias("a")
         .join(buckets.alias("b"), ["band_idx", "band_hash"])
@@ -131,58 +155,55 @@ def minhash_lsh_pairs(
         .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
         .distinct()
     )
-    # estimated similarity = fraction of agreeing signature components
-    est = cand.join(sigs.alias("sa"), F.col("a_id") == F.col("sa.doc_id")).join(
-        sigs.alias("sb"), F.col("b_id") == F.col("sb.doc_id")
-    )
-    agree = sum(
-        F.when(F.col(f"sa.sig_{i}") == F.col(f"sb.sig_{i}"), 1).otherwise(0) for i in range(k)
-    )
-    est = est.select("a_id", "b_id", (agree / F.lit(k)).alias("est_sim"))
-
-    s = shingle_sets(docs)
-    sizes = s.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
-    inter = (
-        est.join(s.alias("sa2"), F.col("a_id") == F.col("sa2.doc_id"))
-        .join(
-            s.alias("sb2"),
-            (F.col("b_id") == F.col("sb2.doc_id"))
-            & (F.col("sa2.shingle") == F.col("sb2.shingle")),
-        )
-        .groupBy("a_id", "b_id", "est_sim")
-        .agg(F.count("*").alias("inter_cnt"))
-    )
-    out = (
-        inter.join(sizes.alias("za"), F.col("a_id") == F.col("za.doc_id"))
-        .join(sizes.alias("zb"), F.col("b_id") == F.col("zb.doc_id"))
-        .select(
+    sigs = base.select("doc_id", *[f"sig_{i}" for i in range(k)])
+    est = (
+        cand.join(
+            sigs.select(
+                F.col("doc_id").alias("a_id"), *[F.col(f"sig_{i}").alias(f"_sa_{i}") for i in range(k)]
+            ),
             "a_id",
-            "b_id",
-            "est_sim",
-            (
-                F.col("inter_cnt")
-                / (F.col("za.n_shingles") + F.col("zb.n_shingles") - F.col("inter_cnt"))
-            ).alias("jaccard"),
         )
+        .join(
+            sigs.select(
+                F.col("doc_id").alias("b_id"), *[F.col(f"sig_{i}").alias(f"_sb_{i}") for i in range(k)]
+            ),
+            "b_id",
+        )
+        .withColumn(
+            "est_sim",
+            sum(
+                F.when(F.col(f"_sa_{i}") == F.col(f"_sb_{i}"), 1).otherwise(0) for i in range(k)
+            )
+            / F.lit(k),
+        )
+        .select("a_id", "b_id", "est_sim")
     )
-    return out.where(F.col("jaccard") >= threshold)
+    out = _jaccard_verify(est, base.select("doc_id", "sh_set"), extra=["est_sim"])
+    return out.where(F.col("jaccard") >= threshold).select("a_id", "b_id", "est_sim", "jaccard")
 
 
 def simhash(docs: DataFrame, bits: int = 32) -> DataFrame:
     """32-bit SimHash over token hashes: per-bit majority vote of
-    conv(md5(token)[0:8], 16, 10). One explode + one aggregate (map-side
-    combinable) — scales linearly."""
-    toks = with_tokens(docs).select("doc_id", F.explode("tokens").alias("token"))
-    toks = toks.withColumn(
-        "th", F.expr("CAST(conv(substring(md5(token), 1, 8), 16, 10) AS BIGINT)")
+    conv(md5(token)[0:8], 16, 10). Pure per-row expressions (transform +
+    aggregate over the token array) — a single projection, zero shuffles,
+    scales linearly. Docs with zero tokens are dropped (parity with the
+    row/groupBy formulation)."""
+    t = (
+        with_tokens(docs)
+        .where(F.size("tokens") > 0)
+        .withColumn(
+            "_ths",
+            F.expr("transform(tokens, t -> CAST(conv(substring(md5(t), 1, 8), 16, 10) AS BIGINT))"),
+        )
     )
     votes = [
-        F.sum(F.expr(f"CASE WHEN (shiftright(th, {b}) & 1) = 1 THEN 1 ELSE -1 END")).alias(
-            f"v_{b}"
-        )
+        F.expr(
+            f"aggregate(_ths, 0, (acc, h) -> acc + "
+            f"(CASE WHEN (shiftright(h, {b}) & 1) = 1 THEN 1 ELSE -1 END))"
+        ).alias(f"v_{b}")
         for b in range(bits)
     ]
-    agg = toks.groupBy("doc_id").agg(*votes)
+    agg = t.select("doc_id", *votes)
     value = None
     for b in range(bits):
         term = F.when(F.col(f"v_{b}") >= 0, F.lit(1 << b).cast("bigint")).otherwise(F.lit(0))

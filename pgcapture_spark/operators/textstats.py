@@ -17,13 +17,22 @@ from pyspark.sql import functions as F
 # tokens: lowercase, whitespace-split, empties dropped
 TOKENS_EXPR = "filter(split(lower(text), '\\\\s+'), t -> length(t) > 0)"
 
-# NOTE on shingles: an array-lambda formulation
-# (transform(sequence(...), i -> element_at(tokens, i) ...)) is QUADRATIC in
-# Spark — higher-order functions are interpreted (no whole-stage codegen, no
-# common-subexpression elimination), so when Catalyst inlines the ``tokens``
-# alias, every element_at re-runs the split. Shingles are therefore built as
-# ROWS: posexplode + window-lead (shingle_rows below) — fully codegen'd, one
-# shuffle on doc_id.
+# NOTE on shingles: a per-index formulation (transform(sequence(...), i ->
+# element_at(tokens, i) ...)) is QUADRATIC when a pushed-down predicate or
+# collapsed projection inlines the ``tokens`` alias — every element_at then
+# re-runs the split PER ELEMENT. The zip_with-over-slices form below references
+# ``tokens`` a CONSTANT number of times, so even a full inline (e.g. the
+# size(shingles)>0 predicate pushed to the scan) costs O(tokens), not
+# O(tokens²). Measured at sf0.1: per-row arrays beat the posexplode +
+# window-lead row pipeline ~5× warm (no doc_id shuffle at all).
+SHINGLES_EXPR = (
+    "CASE WHEN size(tokens) >= 3 THEN "
+    "zip_with(slice(tokens, 1, size(tokens) - 2), "
+    "zip_with(slice(tokens, 2, size(tokens) - 2), slice(tokens, 3, size(tokens) - 2), "
+    "(x, y) -> concat(x, ' ', y)), "
+    "(a, b) -> concat(a, ' ', b)) "
+    "ELSE CAST(array() AS ARRAY<STRING>) END"
+)
 
 # heuristic language markers (synthetic corpus vocabulary, arbitrary but fixed)
 LANG_MARKERS: dict[str, tuple[str, ...]] = {
@@ -58,19 +67,17 @@ def token_rows(docs: DataFrame) -> DataFrame:
     )
 
 
-def shingle_rows(docs: DataFrame) -> DataFrame:
-    """(doc_id, shingle) rows (3-token shingles, duplicates kept): window-lead
-    over token rows — linear, whole-stage-codegen, one shuffle on doc_id."""
-    from pyspark.sql import Window as W
+def with_shingles(docs: DataFrame) -> DataFrame:
+    """docs + ``shingles`` array column (3-token shingles, duplicates kept) —
+    pure per-row expressions, zero shuffles."""
+    return with_tokens(docs).withColumn("shingles", F.expr(SHINGLES_EXPR))
 
-    w = W.partitionBy("doc_id").orderBy("pos")
-    return (
-        token_rows(docs)
-        .withColumn("_t1", F.lead("token", 1).over(w))
-        .withColumn("_t2", F.lead("token", 2).over(w))
-        .where(F.col("_t2").isNotNull())
-        .select("doc_id", F.concat_ws(" ", "token", "_t1", "_t2").alias("shingle"))
-    )
+
+def shingle_rows(docs: DataFrame) -> DataFrame:
+    """(doc_id, shingle) rows (3-token shingles, duplicates kept): explode of
+    the per-row shingle array — linear, no doc_id shuffle. Docs with < 3
+    tokens contribute no rows (explode drops empty arrays)."""
+    return with_shingles(docs).select("doc_id", F.explode("shingles").alias("shingle"))
 
 
 def token_count(docs: DataFrame) -> DataFrame:
@@ -156,17 +163,9 @@ def fingerprint(docs: DataFrame, k: int = 4) -> DataFrame:
     """Document fingerprint: k-min sketch over shingle hashes (winnowing-lite —
     the k lexicographically-smallest md5s of the 3-gram shingles, joined).
     Docs with < 3 tokens fingerprint as ''."""
-    fp = (
-        shingle_rows(docs)
-        .groupBy("doc_id")
-        .agg(
-            F.expr(
-                f"concat_ws('-', slice(array_sort(collect_list(md5(shingle))), 1, {k}))"
-            ).alias("fingerprint")
-        )
-    )
-    return (
-        docs.select("doc_id")
-        .join(fp, "doc_id", "left")
-        .select("doc_id", F.coalesce("fingerprint", F.lit("")).alias("fingerprint"))
+    return with_shingles(docs).select(
+        "doc_id",
+        F.expr(
+            f"concat_ws('-', slice(array_sort(transform(shingles, s -> md5(s))), 1, {k}))"
+        ).alias("fingerprint"),
     )
