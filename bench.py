@@ -37,8 +37,11 @@ HEADLINE = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",
+    "dedup_embed_cosine",
     "sim_cosine_topk",
     "sim_signlsh_ann",
+    "sim_ivf_ann",
+    "media_features_pandas",
 ]
 
 

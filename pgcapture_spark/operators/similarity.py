@@ -122,6 +122,120 @@ def signlsh_topk(
     )
 
 
+def embed_near_dup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.35,
+    nbits: int = 4,
+    quant: int = 1_000_000,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (north-star dedup family).
+
+    Candidates = pairs sharing a sign-LSH bucket (2^nbits cells — the recall/
+    cost dial: more bits, fewer candidates, lower recall), verified by exact
+    cosine >= threshold. One shuffle (the bucket self-join); the cosine is a
+    per-row fold. At 100 TB, nbits grows with corpus size to hold per-bucket
+    pair counts flat."""
+    base = (
+        with_norm(embeddings)
+        .withColumn("bucket", F.expr(sign_bucket_expr("emb_d", nbits)))
+        .select("vec_id", "emb_d", "norm", "bucket")
+    )
+    a = base.select(
+        F.col("vec_id").alias("a_id"),
+        F.col("emb_d").alias("a_e"),
+        F.col("norm").alias("a_n"),
+        "bucket",
+    )
+    b = base.select(
+        F.col("vec_id").alias("b_id"),
+        F.col("emb_d").alias("b_e"),
+        F.col("norm").alias("b_n"),
+        "bucket",
+    )
+    pairs = a.join(b, "bucket").where(F.col("a_id") < F.col("b_id"))
+    scored = pairs.withColumn(
+        "raw", F.expr(DOT_EXPR.format(a="a_e", b="b_e")) / (F.col("a_n") * F.col("b_n"))
+    )
+    return scored.where(F.col("raw") >= threshold).select(
+        "a_id",
+        "b_id",
+        "bucket",
+        (F.floor(F.col("raw") * quant + F.lit(0.5)) / quant).alias("cosine"),
+    )
+
+
+DIST2_EXPR = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> (x - y) * (x - y)), "
+    "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+)
+
+
+def centroid_vectors(embeddings: DataFrame) -> DataFrame:
+    """(c_label, c_e): per-label centroid as an ordered array — the IVF coarse
+    quantizer. Built from the decimal-exact per-dim means so the quantizer is
+    bit-identical across engines and cluster layouts."""
+    return (
+        label_centroids(embeddings)
+        .groupBy(F.col("label").alias("c_label"))
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(dim, mean_val))), s -> s.mean_val)"
+            ).alias("c_e")
+        )
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query_pred: str,
+    k: int = 3,
+    quant: int = 1_000_000,
+) -> DataFrame:
+    """IVF-style approximate NN: assign every vector to its nearest centroid
+    cell (coarse quantizer = label centroids, deterministic — a k-means would
+    slot in identically); queries probe their own cell (nprobe=1).
+
+    Plan shape: the centroid table is tiny → the assign step is a broadcast
+    nested-loop + map-side min_by groupBy (no big shuffle); the probe join
+    shuffles on cell id only. Ties in the argmin are broken by label; exact
+    distance ties are measure-zero on continuous data."""
+    normed = with_norm(embeddings).select("vec_id", "emb_d", "norm")
+    cents = centroid_vectors(embeddings)
+    dists = normed.join(F.broadcast(cents)).withColumn(
+        "dist2", F.expr(DIST2_EXPR.format(a="emb_d", b="c_e"))
+    )
+    assign = dists.groupBy("vec_id").agg(
+        F.expr("min_by(c_label, struct(dist2, c_label))").alias("cell")
+    )
+    cells = normed.join(assign, "vec_id")
+    queries = cells.where(query_pred).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("emb_d").alias("q_emb"),
+        F.col("norm").alias("q_norm"),
+        F.col("cell").alias("q_cell"),
+    )
+    cand = cells.join(
+        F.broadcast(queries),
+        (F.col("cell") == F.col("q_cell")) & (F.col("vec_id") != F.col("query_id")),
+    )
+    scored = cand.withColumn(
+        "raw",
+        F.expr(DOT_EXPR.format(a="q_emb", b="emb_d")) / (F.col("q_norm") * F.col("norm")),
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("raw").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("cell"),
+            "rank",
+            (F.floor(F.col("raw") * quant + F.lit(0.5)) / quant).alias("score"),
+        )
+    )
+
+
 def label_centroids(embeddings: DataFrame, dims: int = 64) -> DataFrame:
     """Per-label mean vector, one row per (label, dim). Decimal-exact sums —
     order-independent, so the result is identical regardless of partitioning."""

@@ -51,7 +51,9 @@ from pgcapture_spark.querydefs import (  # noqa: E402,F401
     backfill as _qd_backfill,
     core as _qd_core,
     extras as _qd_extras,
+    media as _qd_media,
     relational as _qd_relational,
+    streamq as _qd_streamq,
     surface as _qd_surface,
     textops as _qd_textops,
     vector as _qd_vector,

@@ -75,10 +75,21 @@ def cdc_replication_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @q(
     "pg_binary_typed_view",
-    None,  # oracle cannot decode PG wire format — driver records rows-only
+    # the oracle can't PARSE PG wire format, but the encoded fixture is
+    # deterministic — so it states the expected decoded values directly:
+    # a golden-value check of the whole decode path.
+    """
+SELECT CAST(i AS INT) AS row_id,
+       CAST(i * 7 AS INT) AS id,
+       (i % 2 = 1) AS flag,
+       i / 4.0 AS price,
+       'name-' || i AS name,
+       TIMESTAMP '2000-01-01' + i * INTERVAL 1 DAY AS created
+FROM range(100) t(i)
+""",
     "D7: typed per-table view decoded from PG binary wire format via"
     " Arrow-batched pandas UDFs (python/pgcapture/decoders.py:23-155);"
-    " golden-value parity lives in tests/test_pgtypes.py.",
+    " golden-value parity also in tests/test_pgtypes.py.",
 )
 def pg_binary_typed_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode a deterministic binary-encoded mini-table (id int4, flag bool,

@@ -1,0 +1,101 @@
+"""Multimodal queries (north-star additions): opaque binary payloads + typed
+metadata, processed with Arrow-batched ``mapInPandas``.
+
+The media view is derived deterministically from ``documents`` (payload =
+utf-8 bytes of the text, modality by doc_id % 3), so the whole pipeline —
+including the Python mapInPandas decode path — is ORACLE-CHECKABLE: the
+stubbed feature extractor (sha256-digest bytes scaled to [0,1), see
+operators/multimodal.py) is re-expressed in DuckDB SQL. Swapping the stub for
+a real codec keeps the Spark plumbing identical and drops this oracle to a
+rows-only check.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pgcapture_spark.catalog import register_views
+from pgcapture_spark.operators.multimodal import extract_features, frame_sample_plan
+from pgcapture_spark.queries import q
+
+_MODALITY = (
+    "CASE WHEN media_id % 3 = 0 THEN 'image' "
+    "WHEN media_id % 3 = 1 THEN 'audio' ELSE 'video' END"
+)
+
+
+def media_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → media: payload is the utf-8 text bytes; videos get a
+    duration derived from the char count (10 ms per char)."""
+    register_views(spark, sf_dir, ("documents",))
+    m = spark.table("documents").select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "UTF-8").alias("payload"),
+        F.col("n_chars"),
+    )
+    return m.select(
+        "media_id",
+        F.expr(_MODALITY).alias("modality"),
+        F.lit(None).cast("string").alias("mime"),
+        "payload",
+        F.lit(None).cast("int").alias("meta_width"),
+        F.lit(None).cast("int").alias("meta_height"),
+        F.when(F.expr(_MODALITY) == "video", (F.col("n_chars") * 10).cast("int"))
+        .otherwise(F.lit(None).cast("int"))
+        .alias("meta_duration_ms"),
+    )
+
+
+_DUCK_MEDIA = f"""
+SELECT doc_id AS media_id,
+       {_MODALITY.replace("media_id", "doc_id")} AS modality,
+       text,
+       n_chars
+FROM documents
+"""
+
+# DuckDB's sha256 takes VARCHAR (hashes its utf-8 bytes) — identical input to
+# the Python stub's sha256 over the utf-8 payload.
+_DUCK_FEATURES = f"""
+WITH m AS ({_DUCK_MEDIA})
+SELECT media_id, modality,
+       octet_length(encode(text)) AS n_bytes,
+       substr(sha256(text), 1, 16) AS digest,
+       list_transform(range(0, 8),
+         i -> CAST(('0x' || substr(sha256(text), 2 * i + 1, 2))::INT / 256.0 AS FLOAT))
+         AS feature,
+       true AS decode_ok
+FROM m
+"""
+
+
+@q(
+    "media_features_pandas",
+    _DUCK_FEATURES,
+    "North-star: multimodal feature extraction — binary payloads through an"
+    " Arrow-batched mapInPandas decode (stub codec = sha256-digest features;"
+    " per-row failure quarantine).",
+)
+def media_features_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    feats = extract_features(media_view(spark, sf_dir))
+    return feats.select("media_id", "modality", "n_bytes", "digest", "feature", "decode_ok")
+
+
+_DUCK_FRAME_PLAN = f"""
+WITH m AS ({_DUCK_MEDIA})
+SELECT media_id, unnest(range(0, n_chars * 10, 1000)) AS frame_ts_ms
+FROM m WHERE modality = 'video'
+"""
+
+
+@q(
+    "media_frame_plan",
+    _DUCK_FRAME_PLAN,
+    "North-star: video frame-sampling plan — one row per (media_id, frame_ts)"
+    " to decode; pure Catalyst sequence+explode, the shuffle-able work list a"
+    " real frame extractor maps over.",
+)
+def media_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    plan = frame_sample_plan(media_view(spark, sf_dir), every_ms=1000)
+    return plan.select("media_id", F.col("frame_ts_ms").cast("long").alias("frame_ts_ms"))

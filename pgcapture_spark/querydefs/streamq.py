@@ -1,0 +1,53 @@
+"""Streaming apply as a declared query (SURVEY §3 E2, §7 P3).
+
+``cdc_apply_customer_streamed`` runs the REAL Structured Streaming pipeline —
+materialized ordered feed segments → readStream(maxFilesPerTrigger) →
+foreachBatch incremental cdc_apply into versioned-parquet SnapshotState —
+and returns the converged snapshot. Its oracle is the SAME one-shot SQL as
+the batch ``cdc_apply_customer``: the incremental fold must converge to the
+batch result, which is exactly the reference's guarantee (replaying the
+Pulsar topic into PGXSink reaches the same final table —
+pkg/sink/postgres.go:207-278).
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+
+from pgcapture_spark.catalog import CDC_COLS, register_views
+from pgcapture_spark.fixtures.cdc_feed import DUCKDB, cdc_customer_sql
+from pgcapture_spark.operators.apply import apply_oracle_sql
+from pgcapture_spark.queries import _feed, q
+from pgcapture_spark.sources.feed import materialize_feed, read_feed_stream
+from pgcapture_spark.streaming.pipeline import apply_stream
+from pgcapture_spark.streaming.state import SnapshotState
+
+
+@q(
+    "cdc_apply_customer_streamed",
+    apply_oracle_sql(cdc_customer_sql(DUCKDB), "customer", "c_custkey", CDC_COLS["customer"]),
+    "E2/P3: the streamed apply pipeline end-to-end (readStream → foreachBatch"
+    " incremental merge → snapshot state) — converges to the one-shot batch"
+    " apply, checked against the same oracle.",
+)
+def cdc_apply_customer_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, ("customer",))
+    snapshot = spark.table("customer")
+    feed = _feed(spark, sf_dir, "customer")
+    d = tempfile.mkdtemp(prefix="pgcs_q_stream_")
+    feed_dir = f"{d}/feed"
+    materialize_feed(feed, feed_dir, n_segments=6)
+    schema = spark.read.parquet(feed_dir).schema
+    state = SnapshotState(spark, f"{d}/state")
+    query = apply_stream(
+        read_feed_stream(spark, feed_dir, schema, max_files_per_trigger=2),
+        state,
+        snapshot,
+        "c_custkey",
+        CDC_COLS["customer"],
+        f"{d}/ckpt",
+    )
+    query.awaitTermination(300)
+    return state.read()

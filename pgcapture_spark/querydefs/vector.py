@@ -9,6 +9,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pgcapture_spark.catalog import register_views
 from pgcapture_spark.operators.similarity import (
     cosine_topk,
+    embed_near_dup_pairs,
+    ivf_topk,
     label_centroids,
     signlsh_topk,
 )
@@ -89,6 +91,92 @@ FROM ranked WHERE rank <= 3
 def sim_signlsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir, ("embeddings",))
     return signlsh_topk(spark.table("embeddings"), "vec_id % 25 = 0", k=3, nbits=8)
+
+
+def _duck_near_dup(nbits: int = 4, threshold: float = 0.35) -> str:
+    bucket = " + ".join(
+        f"(CASE WHEN e[{i + 1}] >= 0 THEN {1 << i} ELSE 0 END)" for i in range(nbits)
+    )
+    return f"""
+WITH normed AS ({_DUCK_NORMED}),
+bucketed AS (SELECT vec_id, e, norm, {bucket} AS bucket FROM normed),
+pairs AS (
+  SELECT a.vec_id AS a_id, b.vec_id AS b_id, a.bucket,
+         list_sum(list_transform(range(1, 65), i -> a.e[i] * b.e[i])) / (a.norm * b.norm)
+           AS raw
+  FROM bucketed a JOIN bucketed b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+)
+SELECT a_id, b_id, bucket, floor(raw * 1000000 + 0.5) / 1000000 AS cosine
+FROM pairs WHERE raw >= {threshold}
+"""
+
+
+@q(
+    "dedup_embed_cosine",
+    _duck_near_dup(),
+    "North-star: embedding-cosine near-dup — sign-LSH bucketed candidate"
+    " pairs verified by exact cosine >= threshold (the embedding member of"
+    " the dedup family).",
+)
+def dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, ("embeddings",))
+    return embed_near_dup_pairs(spark.table("embeddings"), threshold=0.35, nbits=4)
+
+
+_DUCK_IVF = f"""
+WITH normed AS ({_DUCK_NORMED}),
+ex AS (
+  SELECT label, i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS val
+  FROM embeddings, range(1, 65) t(i)
+),
+centd AS (
+  SELECT label, dim,
+         CAST(sum(CAST(floor(val * 1000000000 + 0.5) AS BIGINT)) AS DOUBLE)
+           / 1000000000.0 / count(*) AS mean_val
+  FROM ex GROUP BY label, dim
+),
+cent AS (SELECT label AS c_label, list(mean_val ORDER BY dim) AS c_e
+         FROM centd GROUP BY label),
+dists AS (
+  SELECT n.vec_id, c.c_label,
+         list_sum(list_transform(range(1, 65),
+                  i -> (n.e[i] - c.c_e[i]) * (n.e[i] - c.c_e[i]))) AS dist2
+  FROM normed n CROSS JOIN cent c
+),
+assign AS (SELECT vec_id, c_label AS cell FROM (
+             SELECT vec_id, c_label,
+                    row_number() OVER (PARTITION BY vec_id ORDER BY dist2, c_label) AS rn
+             FROM dists) WHERE rn = 1),
+cells AS (SELECT n.vec_id, n.e, n.norm, a.cell FROM normed n JOIN assign a USING (vec_id)),
+queries AS (SELECT vec_id AS query_id, e AS qe, norm AS qn, cell AS q_cell
+            FROM cells WHERE vec_id % 25 = 1),
+cand AS (
+  SELECT q.query_id, n.vec_id AS neighbor_id, n.cell,
+         list_sum(list_transform(range(1, 65), i -> q.qe[i] * n.e[i])) / (q.qn * n.norm)
+           AS raw
+  FROM queries q JOIN cells n
+    ON n.cell = q.q_cell AND n.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cell, raw,
+         row_number() OVER (PARTITION BY query_id ORDER BY raw DESC, neighbor_id) AS rank
+  FROM cand
+)
+SELECT query_id, neighbor_id, cell, rank, floor(raw * 1000000 + 0.5) / 1000000 AS score
+FROM ranked WHERE rank <= 3
+"""
+
+
+@q(
+    "sim_ivf_ann",
+    _DUCK_IVF,
+    "North-star: IVF approximate NN — vectors assigned to nearest-centroid"
+    " cells (deterministic coarse quantizer from decimal-exact label"
+    " centroids), queries probe their own cell (nprobe=1).",
+)
+def sim_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, ("embeddings",))
+    return ivf_topk(spark.table("embeddings"), "vec_id % 25 = 1", k=3)
 
 
 _DUCK_CENTROIDS = """
