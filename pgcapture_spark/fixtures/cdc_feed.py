@@ -200,6 +200,81 @@ FROM __txs
 """
 
 
+_DEBOUNCE_BASE = """
+SELECT c_custkey, ((c_custkey + 1) * 2654435761) % 4294967296 AS h,
+       (((c_custkey + 1) * 2654435761) % 4294967296) % 10 AS cls,
+       1 + ((((c_custkey + 1) * 2654435761) % 4294967296) % 3) AS nev
+FROM customer
+"""
+
+
+def debounce_feed_sql() -> str:
+    """Arrival-ordered event feed (key, lsn, seq, arr, op) exercising EVERY
+    DebounceHandler rule (pkg/pgcapture/debounce.go:87-155). Pure integer
+    arithmetic — the same text runs on Spark SQL and DuckDB.
+
+    Per key class (cls = h % 10):
+      0-2 → nev UPDATEs then a DELETE: the last UPDATE flushes, earlier drop
+      3   → lone DELETE (immediate)
+      4   → INSERT; two UPDATEs (second supersedes first); DELETE flush
+      5   → INSERT; one UPDATE that stays buffered forever (suppressed)
+      6   → UPDATE; then a DUMP row (lsn=0 — always counts as latest,
+            replacing the buffer); DELETE flushes the dump row
+      7   → UPDATE (seq 5); an out-of-order OLDER UPDATE (seq 2) that must be
+            dropped; DELETE flushes seq 5
+      8   → two UPDATEs with EQUAL checkpoints: flush-then-store
+      9   → lone UPDATE, buffered forever (suppressed)
+    """
+    return f"""
+WITH __c AS ({_DEBOUNCE_BASE}),
+__upd AS (
+  SELECT *, 1 AS j FROM __c WHERE cls <= 2
+  UNION ALL SELECT *, 2 AS j FROM __c WHERE cls <= 2 AND nev >= 2
+  UNION ALL SELECT *, 3 AS j FROM __c WHERE cls <= 2 AND nev >= 3
+)
+SELECT c_custkey AS key, h AS lsn, j AS seq, h * 100 + j AS arr, 'UPDATE' AS op FROM __upd
+UNION ALL SELECT c_custkey, h, 50, h * 100 + 50, 'DELETE' FROM __c WHERE cls <= 2
+UNION ALL SELECT c_custkey, h, 1, h * 100 + 1, 'DELETE' FROM __c WHERE cls = 3
+UNION ALL SELECT c_custkey + 10000000, h, 1, h * 100 + 1, 'INSERT' FROM __c WHERE cls = 4
+UNION ALL SELECT c_custkey + 10000000, h, 10, h * 100 + 10, 'UPDATE' FROM __c WHERE cls = 4
+UNION ALL SELECT c_custkey + 10000000, h, 11, h * 100 + 11, 'UPDATE' FROM __c WHERE cls = 4
+UNION ALL SELECT c_custkey + 10000000, h, 20, h * 100 + 20, 'DELETE' FROM __c WHERE cls = 4
+UNION ALL SELECT c_custkey + 20000000, h, 1, h * 100 + 1, 'INSERT' FROM __c WHERE cls = 5
+UNION ALL SELECT c_custkey + 20000000, h, 2, h * 100 + 2, 'UPDATE' FROM __c WHERE cls = 5
+UNION ALL SELECT c_custkey, h, 1, h * 100 + 1, 'UPDATE' FROM __c WHERE cls = 6
+UNION ALL SELECT c_custkey, 0, 7, h * 100 + 2, 'UPDATE' FROM __c WHERE cls = 6
+UNION ALL SELECT c_custkey, h, 20, h * 100 + 3, 'DELETE' FROM __c WHERE cls = 6
+UNION ALL SELECT c_custkey, h, 5, h * 100 + 1, 'UPDATE' FROM __c WHERE cls = 7
+UNION ALL SELECT c_custkey, h, 2, h * 100 + 2, 'UPDATE' FROM __c WHERE cls = 7
+UNION ALL SELECT c_custkey, h, 9, h * 100 + 9, 'DELETE' FROM __c WHERE cls = 7
+UNION ALL SELECT c_custkey, h, 3, h * 100 + 1, 'UPDATE' FROM __c WHERE cls = 8
+UNION ALL SELECT c_custkey, h, 3, h * 100 + 2, 'UPDATE' FROM __c WHERE cls = 8
+UNION ALL SELECT c_custkey, h, 1, h * 100 + 1, 'UPDATE' FROM __c WHERE cls = 9
+"""
+
+
+def debounce_expected_sql() -> str:
+    """The debounce semantics as a golden SQL spec: exactly which events the
+    DebounceHandler emits for ``debounce_feed_sql`` (no timer flushes — the
+    interval outlives the stream). Runs identically on Spark SQL and DuckDB."""
+    return f"""
+WITH __c AS ({_DEBOUNCE_BASE})
+SELECT c_custkey AS key, h AS lsn, nev AS seq, h * 100 + nev AS arr, 'UPDATE' AS op,
+       'flush_by_delete' AS flush_kind FROM __c WHERE cls <= 2
+UNION ALL SELECT c_custkey, h, 50, h * 100 + 50, 'DELETE', 'immediate' FROM __c WHERE cls <= 2
+UNION ALL SELECT c_custkey, h, 1, h * 100 + 1, 'DELETE', 'immediate' FROM __c WHERE cls = 3
+UNION ALL SELECT c_custkey + 10000000, h, 1, h * 100 + 1, 'INSERT', 'immediate' FROM __c WHERE cls = 4
+UNION ALL SELECT c_custkey + 10000000, h, 11, h * 100 + 11, 'UPDATE', 'flush_by_delete' FROM __c WHERE cls = 4
+UNION ALL SELECT c_custkey + 10000000, h, 20, h * 100 + 20, 'DELETE', 'immediate' FROM __c WHERE cls = 4
+UNION ALL SELECT c_custkey + 20000000, h, 1, h * 100 + 1, 'INSERT', 'immediate' FROM __c WHERE cls = 5
+UNION ALL SELECT c_custkey, 0, 7, h * 100 + 2, 'UPDATE', 'flush_by_delete' FROM __c WHERE cls = 6
+UNION ALL SELECT c_custkey, h, 20, h * 100 + 3, 'DELETE', 'immediate' FROM __c WHERE cls = 6
+UNION ALL SELECT c_custkey, h, 5, h * 100 + 1, 'UPDATE', 'flush_by_delete' FROM __c WHERE cls = 7
+UNION ALL SELECT c_custkey, h, 9, h * 100 + 9, 'DELETE', 'immediate' FROM __c WHERE cls = 7
+UNION ALL SELECT c_custkey, h, 3, h * 100 + 1, 'UPDATE', 'flush_by_equal' FROM __c WHERE cls = 8
+"""
+
+
 FEEDS = {
     "customer": cdc_customer_sql,
     "orders": cdc_orders_sql,

@@ -17,10 +17,16 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 
 from pgcapture_spark.catalog import CDC_COLS, register_views
-from pgcapture_spark.fixtures.cdc_feed import DUCKDB, cdc_customer_sql
+from pgcapture_spark.fixtures.cdc_feed import (
+    DUCKDB,
+    cdc_customer_sql,
+    debounce_expected_sql,
+    debounce_feed_sql,
+)
 from pgcapture_spark.operators.apply import apply_oracle_sql
 from pgcapture_spark.queries import _feed, q
 from pgcapture_spark.sources.feed import materialize_feed, read_feed_stream
+from pgcapture_spark.streaming.debounce_state import stateful_debounce
 from pgcapture_spark.streaming.pipeline import apply_stream
 from pgcapture_spark.streaming.state import SnapshotState
 
@@ -51,3 +57,34 @@ def cdc_apply_customer_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     query.awaitTermination(300)
     return state.read()
+
+
+@q(
+    "cdc_debounce_stateful",
+    debounce_expected_sql(),
+    "C2 exact: the DebounceHandler ported to applyInPandasWithState — per-key"
+    " buffered UPDATE, INSERT/DELETE flush-then-fire, dump-latest (lsn=0),"
+    " equal-checkpoint flush-then-store, older-drop"
+    " (pkg/pgcapture/debounce.go:87-155). Oracle = the rules as a golden SQL"
+    " spec over the same arrival-ordered feed.",
+)
+def cdc_debounce_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, ("customer",))
+    feed = spark.sql(debounce_feed_sql())
+    d = tempfile.mkdtemp(prefix="pgcs_q_debounce_")
+    feed_dir = f"{d}/feed"
+    materialize_feed(feed, feed_dir, n_segments=5, order_col="arr")
+    schema = spark.read.parquet(feed_dir).schema
+    stream = read_feed_stream(spark, feed_dir, schema, max_files_per_trigger=1)
+    query = (
+        stateful_debounce(stream, "key", interval_ms=None)
+        .writeStream.format("parquet")
+        .option("path", f"{d}/out")
+        .option("checkpointLocation", f"{d}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(300)
+    return spark.read.schema(
+        "key bigint, lsn bigint, seq int, arr bigint, op string, flush_kind string"
+    ).parquet(f"{d}/out")

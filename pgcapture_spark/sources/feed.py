@@ -17,7 +17,9 @@ import time
 from pyspark.sql import DataFrame, SparkSession
 
 
-def materialize_feed(feed: DataFrame, out_dir: str, n_segments: int = 8) -> None:
+def materialize_feed(
+    feed: DataFrame, out_dir: str, n_segments: int = 8, order_col: str = "ord"
+) -> None:
     """Write the feed as ``n_segments`` LSN-ordered parquet files — a durable,
     replayable log (the Pulsar-topic analog). Range-partitioning by ord keeps
     each file an LSN range, and part-file NAMES follow the range order.
@@ -31,8 +33,8 @@ def materialize_feed(feed: DataFrame, out_dir: str, n_segments: int = 8) -> None
     deployment gets this from the source's offsets (Kafka/Delta); files are the
     local-test stand-in."""
     (
-        feed.repartitionByRange(n_segments, "ord")
-        .sortWithinPartitions("ord")
+        feed.repartitionByRange(n_segments, order_col)
+        .sortWithinPartitions(order_col)
         .write.mode("overwrite")
         .parquet(out_dir)
     )

@@ -95,3 +95,42 @@ def test_streaming_debounce_one_row_per_key_per_batch(spark, tmpdir):
     assert total <= feed.count()
     # invariant: never more than one emitted row per key within a batch
     assert all(dups == 0 for _, _, dups in flushed)
+
+
+def test_stateful_debounce_timer_flush(spark, tmpdir):
+    """With a short interval, buffered UPDATEs are flushed by the processing-
+    time timer (reference: the Interval ticker, debounce.go:87-104)."""
+    from pgcapture_spark.streaming.debounce_state import stateful_debounce
+
+    feed = spark.createDataFrame(
+        [(1, 10, 1, 100, "UPDATE"), (2, 11, 1, 101, "UPDATE")],
+        "key bigint, lsn bigint, seq int, arr bigint, op string",
+    )
+    feed_dir = f"{tmpdir}/feed"
+    feed.coalesce(1).write.parquet(feed_dir)
+    schema = spark.read.parquet(feed_dir).schema
+    stream = spark.readStream.schema(schema).parquet(feed_dir)
+    q = (
+        stateful_debounce(stream, "key", interval_ms=2000)
+        .writeStream.format("parquet")
+        .option("path", f"{tmpdir}/out")
+        .option("checkpointLocation", f"{tmpdir}/ckpt")
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    import time
+
+    deadline = time.time() + 60
+    rows = []
+    while time.time() < deadline:
+        try:
+            rows = spark.read.parquet(f"{tmpdir}/out").collect()
+        except Exception:
+            rows = []
+        if len(rows) == 2:
+            break
+        time.sleep(1)
+    q.stop()
+    assert len(rows) == 2
+    assert all(r.flush_kind == "timer" for r in rows)
+    assert sorted(r.key for r in rows) == [1, 2]
