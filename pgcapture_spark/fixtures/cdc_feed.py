@@ -275,6 +275,38 @@ UNION ALL SELECT c_custkey, h, 3, h * 100 + 1, 'UPDATE', 'flush_by_equal' FROM _
 """
 
 
+def ddl_feed_sql() -> str:
+    """Feed with an in-stream DDL event (SURVEY §2 A6, §7 P5): wave-1 UPDATEs
+    touch c_acctbal only; then ``ALTER TABLE customer ADD COLUMN c_note text``
+    (lsn 2^32+1 > every wave-1 hash lsn); wave-2 UPDATEs set the NEW column
+    for cls 6/7 keys. Pre-DDL events never list c_note in ``present`` — the
+    same presence encoding as unchanged TOAST — so one fold applies cleanly
+    after the schema evolves. Pure integer arithmetic; one text, both engines.
+    """
+    return f"""
+WITH __c AS ({_DEBOUNCE_BASE})
+SELECT h AS lsn, 1 AS seq, h * 100 + 1 AS ord, 'UPDATE' AS op,
+       CAST(NULL AS STRING) AS query,
+       c_custkey,
+       CAST(h % 100000 AS DOUBLE) / 100.0 AS c_acctbal,
+       CAST(NULL AS STRING) AS c_note,
+       'c_custkey,c_acctbal' AS present
+FROM __c WHERE cls <= 2
+UNION ALL
+SELECT 4294967297, 1, 429496729701, 'DDL',
+       'ALTER TABLE public.customer ADD COLUMN c_note text',
+       CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE), CAST(NULL AS STRING), ''
+UNION ALL
+SELECT 4294967300 + c_custkey, 1, (4294967300 + c_custkey) * 100 + 1, 'UPDATE',
+       CAST(NULL AS STRING),
+       c_custkey,
+       CAST(NULL AS DOUBLE),
+       'note-' || CAST(c_custkey AS STRING),
+       'c_custkey,c_note'
+FROM __c WHERE cls IN (6, 7)
+"""
+
+
 FEEDS = {
     "customer": cdc_customer_sql,
     "orders": cdc_orders_sql,

@@ -13,8 +13,95 @@ schema registry (catalog.py) — at scale, a Delta/Iceberg ``ALTER TABLE``.
 
 from __future__ import annotations
 
+import re
+from dataclasses import dataclass, field
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# Schema evolution (SURVEY §7 P5): the reference executes captured DDL against
+# the target and refreshes its column cache (pkg/sink/postgres.go:357-393,
+# pkg/decode/schema.go refresh on DDL events). The Spark analog: evolve the
+# snapshot's schema (add NULL-filled / drop columns) and the apply column
+# list. Only the ALTER TABLE subset that affects the row shape is parsed —
+# the reference parses full SQL with pg_query but likewise only *reacts* to
+# relation/column effects.
+
+_PG_TO_SPARK_TYPE = {
+    "text": "string",
+    "varchar": "string",
+    "character varying": "string",
+    "bpchar": "string",
+    "bool": "boolean",
+    "boolean": "boolean",
+    "int2": "smallint",
+    "smallint": "smallint",
+    "int4": "int",
+    "int": "int",
+    "integer": "int",
+    "int8": "bigint",
+    "bigint": "bigint",
+    "float4": "float",
+    "real": "float",
+    "float8": "double",
+    "double precision": "double",
+    "date": "date",
+    "timestamp": "timestamp",
+    "timestamptz": "timestamp",
+    "jsonb": "string",
+    "json": "string",
+    "uuid": "string",
+    "bytea": "binary",
+}
+
+_ALTER_RE = re.compile(r"^\s*ALTER\s+TABLE\s+(?:(\w+)\.)?(\w+)\s+(.+)$", re.I | re.S)
+_ADD_RE = re.compile(r"^ADD\s+(?:COLUMN\s+)?(?:IF\s+NOT\s+EXISTS\s+)?(\w+)\s+([\w ]+?)\s*$", re.I)
+_DROP_RE = re.compile(r"^DROP\s+(?:COLUMN\s+)?(?:IF\s+EXISTS\s+)?(\w+)\s*$", re.I)
+
+
+@dataclass
+class AlterTable:
+    schema: str | None
+    table: str
+    add: list[tuple[str, str]] = field(default_factory=list)  # (col, spark type)
+    drop: list[str] = field(default_factory=list)
+
+
+def parse_alter(query: str) -> AlterTable | None:
+    """Parse ``ALTER TABLE [schema.]t ADD/DROP COLUMN ...`` (comma-separated
+    actions). Returns None for DDL that doesn't change row shape."""
+    m = _ALTER_RE.match(query.strip().rstrip(";"))
+    if not m:
+        return None
+    out = AlterTable(schema=m.group(1), table=m.group(2))
+    for action in re.split(r",(?![^()]*\))", m.group(3)):
+        action = action.strip()
+        if am := _ADD_RE.match(action):
+            pg_type = am.group(2).strip().lower()
+            out.add.append((am.group(1), _PG_TO_SPARK_TYPE.get(pg_type, "string")))
+        elif dm := _DROP_RE.match(action):
+            out.drop.append(dm.group(1))
+    return out if (out.add or out.drop) else None
+
+
+def evolve_snapshot(
+    snapshot: DataFrame, cols: list[str], alter: AlterTable
+) -> tuple[DataFrame, list[str]]:
+    """Apply an AlterTable to a snapshot DataFrame + its apply column list:
+    added columns appear NULL-filled (exactly what the target table shows
+    after ALTER TABLE ADD COLUMN), dropped ones disappear."""
+    out = snapshot
+    new_cols = list(cols)
+    for col, spark_type in alter.add:
+        if col not in out.columns:
+            out = out.withColumn(col, F.lit(None).cast(spark_type))
+            new_cols.append(col)
+    for col in alter.drop:
+        if col in out.columns:
+            out = out.drop(col)
+            new_cols = [c for c in new_cols if c != col]
+    return out, new_cols
 
 
 def ddl_skip_filter(

@@ -117,3 +117,39 @@ def pg_binary_typed_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         pg_decode_udf(25)("c_name").alias("name"),
         pg_decode_udf(1114)("c_created").alias("created"),
     )
+
+
+from pgcapture_spark.catalog import register_views  # noqa: E402
+from pgcapture_spark.fixtures.cdc_feed import ddl_feed_sql  # noqa: E402
+from pgcapture_spark.operators.apply import apply_oracle_sql, cdc_apply  # noqa: E402
+from pgcapture_spark.operators.ddl import evolve_snapshot, parse_alter  # noqa: E402
+
+
+@q(
+    "cdc_apply_ddl_evolution",
+    apply_oracle_sql(
+        f"SELECT * FROM ({ddl_feed_sql()}) WHERE op <> 'DDL'",
+        "(SELECT c_custkey, c_acctbal, CAST(NULL AS STRING) AS c_note FROM customer)",
+        "c_custkey",
+        ["c_acctbal", "c_note"],
+    ),
+    "A6/P5: in-stream DDL replay — ALTER TABLE ADD COLUMN evolves the"
+    " snapshot schema mid-feed; post-DDL events populate the new column,"
+    " pre-DDL events never list it in `present` (the same encoding as"
+    " unchanged TOAST), so one fold applies after evolution"
+    " (pkg/sink/postgres.go:357-393).",
+)
+def cdc_apply_ddl_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, ("customer",))
+    feed = spark.sql(ddl_feed_sql())
+    # the DDL stream is tiny by nature (human-issued schema changes) — the
+    # reference also processes DDL serially, outside its pipeline
+    ddls = feed.where("op = 'DDL'").select("ord", "query").collect()
+    changes = feed.where("op <> 'DDL'")
+    snap = spark.table("customer").select("c_custkey", "c_acctbal")
+    cols = ["c_acctbal"]
+    for row in sorted(ddls, key=lambda r: r.ord):
+        alter = parse_alter(row.query)
+        if alter is not None:
+            snap, cols = evolve_snapshot(snap, cols, alter)
+    return cdc_apply(snap, changes, "c_custkey", cols)

@@ -84,3 +84,43 @@ def replication_lag_seconds(snapshot_max_commit_ts, now_ts) -> float:
     """A9: replLag = now − last applied commit_ts
     (pkg/sink/postgres.go:662-675)."""
     return (now_ts - snapshot_max_commit_ts).total_seconds()
+
+
+def apply_stream_with_ddl(
+    feed_stream: DataFrame,
+    state: SnapshotState,
+    initial_snapshot: DataFrame,
+    key: str,
+    checkpoint_dir: str,
+) -> StreamingQuery:
+    """apply_stream + in-stream DDL replay (SURVEY §7 P5): a micro-batch may
+    contain op='DDL' rows; the snapshot schema evolves before the batch's
+    changes fold in. Pre-DDL events never reference the new column (presence
+    encoding), so evolving first then folding the whole batch is equivalent
+    to splitting the batch at the DDL boundary. The versioned-parquet state
+    naturally supports a different schema per version."""
+    from pgcapture_spark.operators.ddl import evolve_snapshot, parse_alter
+
+    def _apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id <= state.last_batch():
+            return
+        current = state.read()
+        if current is None:
+            current = initial_snapshot
+        cols = [c for c in current.columns if c != key]
+        for row in sorted(
+            batch_df.where("op = 'DDL'").select("ord", "query").collect(),
+            key=lambda r: r.ord,
+        ):
+            alter = parse_alter(row.query)
+            if alter is not None:
+                current, cols = evolve_snapshot(current, cols, alter)
+        new_snapshot = cdc_apply(current, batch_df.where("op <> 'DDL'"), key, cols)
+        state.commit(new_snapshot, batch_id)
+
+    return (
+        feed_stream.writeStream.foreachBatch(_apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1,0 +1,68 @@
+"""DDL schema evolution (SURVEY §2 A6, §7 P5): parser, batch apply with an
+in-stream ALTER, and the streaming pipeline variant."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+
+from pgcapture_spark.catalog import register_views
+from pgcapture_spark.fixtures.cdc_feed import ddl_feed_sql
+from pgcapture_spark.operators.ddl import evolve_snapshot, parse_alter
+from pgcapture_spark.queries import REGISTRY
+from pgcapture_spark.sources.feed import materialize_feed, read_feed_stream
+from pgcapture_spark.streaming.pipeline import apply_stream_with_ddl
+from pgcapture_spark.streaming.state import SnapshotState
+from tests.conftest import SF_SMALL
+
+
+def test_parse_alter_add_drop():
+    a = parse_alter("ALTER TABLE public.customer ADD COLUMN c_note text")
+    assert a.schema == "public" and a.table == "customer"
+    assert a.add == [("c_note", "string")] and a.drop == []
+
+    b = parse_alter("alter table t add col1 int8, drop column old1, add if not exists col2 double precision;")
+    assert b.add == [("col1", "bigint"), ("col2", "double")]
+    assert b.drop == ["old1"]
+
+    assert parse_alter("CREATE INDEX foo ON t(x)") is None
+    assert parse_alter("ALTER TABLE t OWNER TO bob") is None
+
+
+def test_evolve_snapshot_add_is_null_filled(spark):
+    df = spark.createDataFrame([(1, 2.0)], "k bigint, v double")
+    out, cols = evolve_snapshot(df, ["v"], parse_alter("ALTER TABLE t ADD COLUMN note text"))
+    assert cols == ["v", "note"]
+    row = out.collect()[0]
+    assert row.note is None
+
+
+def test_streaming_apply_with_ddl_matches_batch(spark):
+    d = tempfile.mkdtemp(prefix="pgcs_ddl_")
+    try:
+        register_views(spark, SF_SMALL, ("customer",))
+        feed = spark.sql(ddl_feed_sql())
+        expected = REGISTRY["cdc_apply_ddl_evolution"].fn(spark, SF_SMALL)
+
+        feed_dir = f"{d}/feed"
+        materialize_feed(feed, feed_dir, n_segments=4)
+        schema = spark.read.parquet(feed_dir).schema
+        state = SnapshotState(spark, f"{d}/state")
+        q = apply_stream_with_ddl(
+            read_feed_stream(spark, feed_dir, schema, max_files_per_trigger=1),
+            state,
+            spark.table("customer").select("c_custkey", "c_acctbal"),
+            "c_custkey",
+            f"{d}/ckpt",
+        )
+        q.awaitTermination(120)
+        final = state.read()
+        assert sorted(final.columns) == sorted(expected.columns)
+        assert final.exceptAll(expected).count() == 0
+        assert expected.exceptAll(final).count() == 0
+        # the evolved column is genuinely populated post-DDL
+        assert final.where("c_note IS NOT NULL").count() > 0
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
