@@ -54,14 +54,16 @@ def last_image(changes: DataFrame, key: str, cols: list[str], order_col: str = "
     return changes.groupBy(key).agg(*aggs)
 
 
-def cdc_apply(snapshot: DataFrame, changes: DataFrame, key: str, cols: list[str]) -> DataFrame:
-    """Apply ``changes`` (schema: ord/op/present + key + cols) to ``snapshot``.
+def merge_images(snapshot: DataFrame, img: DataFrame, key: str, cols: list[str]) -> DataFrame:
+    """Merge pre-folded per-key final images into a snapshot (the join half of
+    ``cdc_apply``). Full outer: snapshot-only rows pass through, image-only
+    rows are inserts, matches resolve per column; DELETE images drop the row.
 
-    Returns the new snapshot with columns ``[key, *cols]``: deleted keys
-    removed, updated columns folded (explicit NULLs kept, TOAST-absent columns
-    inherited from the snapshot), new keys inserted.
-    """
-    img = last_image(changes, key, cols)
+    Scale note: a FULL OUTER join cannot broadcast, so this shuffles both
+    sides — correct for a one-shot replay where the change set touches most
+    keys. For incremental apply at 100 TB use BucketedSnapshotState
+    (streaming/state.py), which confines the join to the key-buckets the
+    micro-batch actually touches."""
     joined = snapshot.alias("s").join(img.alias("i"), on=key, how="full_outer")
     alive = joined.where(F.col("_last_op").isNull() | (F.col("_last_op") != "DELETE"))
     out = [F.col(key)]
@@ -72,6 +74,16 @@ def cdc_apply(snapshot: DataFrame, changes: DataFrame, key: str, cols: list[str]
             .alias(c)
         )
     return alive.select(*out)
+
+
+def cdc_apply(snapshot: DataFrame, changes: DataFrame, key: str, cols: list[str]) -> DataFrame:
+    """Apply ``changes`` (schema: ord/op/present + key + cols) to ``snapshot``.
+
+    Returns the new snapshot with columns ``[key, *cols]``: deleted keys
+    removed, updated columns folded (explicit NULLs kept, TOAST-absent columns
+    inherited from the snapshot), new keys inserted.
+    """
+    return merge_images(snapshot, last_image(changes, key, cols), key, cols)
 
 
 def last_image_window(changes: DataFrame, key: str, order_col: str = "ord") -> DataFrame:

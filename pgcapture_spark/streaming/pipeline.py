@@ -124,3 +124,50 @@ def apply_stream_with_ddl(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def apply_stream_bucketed(
+    feed_stream: DataFrame,
+    state,
+    key: str,
+    cols: list[str],
+    checkpoint_dir: str,
+    on_batch: Callable[[int, list[int]], None] | None = None,
+) -> StreamingQuery:
+    """Incremental apply against a BucketedSnapshotState: each micro-batch
+    folds to per-key images, names the key-buckets it touches, merges into
+    ONLY those buckets and rewrites only them — O(touched data) per batch
+    instead of O(snapshot) (see BucketedSnapshotState). State must be
+    ``initialize``d from the starting snapshot first."""
+    from pyspark.sql import functions as F
+
+    from pgcapture_spark.operators.apply import last_image, merge_images
+
+    def _apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id <= state.last_batch():
+            return  # replayed batch — already merged (consistent gate)
+        img = last_image(batch_df, key, cols).cache()
+        try:
+            buckets = sorted(
+                r[0]
+                for r in img.select(
+                    F.pmod(F.hash(F.col(key)), F.lit(state.n_buckets))
+                ).distinct().collect()
+            )
+            if not buckets:
+                return
+            current = state.read_buckets(buckets)
+            assert current is not None, "BucketedSnapshotState not initialized"
+            merged = merge_images(current.select(key, *cols), img, key, cols)
+            state.commit_buckets(merged, buckets, batch_id)
+            if on_batch is not None:
+                on_batch(batch_id, buckets)
+        finally:
+            img.unpersist()
+
+    return (
+        feed_stream.writeStream.foreachBatch(_apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

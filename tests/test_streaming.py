@@ -134,3 +134,49 @@ def test_stateful_debounce_timer_flush(spark, tmpdir):
     assert len(rows) == 2
     assert all(r.flush_kind == "timer" for r in rows)
     assert sorted(r.key for r in rows) == [1, 2]
+
+
+def test_bucketed_apply_touches_only_changed_buckets(spark, tmpdir):
+    """BucketedSnapshotState: converges to the batch cdc_apply result while
+    rewriting only the key-buckets each micro-batch touches."""
+    import json
+
+    from pgcapture_spark.streaming.pipeline import apply_stream_bucketed
+    from pgcapture_spark.streaming.state import BucketedSnapshotState
+
+    register_views(spark, SF_SMALL, ("customer",))
+    snapshot = spark.table("customer")
+    # a narrow feed slice so most buckets stay untouched
+    feed = _feed(spark, SF_SMALL, "customer").where("c_custkey % 29 = 0")
+    expected = cdc_apply(snapshot, feed, "c_custkey", CDC_COLS["customer"])
+
+    feed_dir = f"{tmpdir}/feed"
+    materialize_feed(feed, feed_dir, n_segments=4)
+    schema = spark.read.parquet(feed_dir).schema
+
+    state = BucketedSnapshotState(spark, f"{tmpdir}/state", "c_custkey", n_buckets=32)
+    state.initialize(snapshot)
+    touched: list[list[int]] = []
+    q = apply_stream_bucketed(
+        read_feed_stream(spark, feed_dir, schema, max_files_per_trigger=1),
+        state,
+        "c_custkey",
+        CDC_COLS["customer"],
+        f"{tmpdir}/ckpt",
+        on_batch=lambda bid, bs: touched.append(bs),
+    )
+    q.awaitTermination(120)
+    assert len(touched) >= 2
+
+    final = state.read().select(*expected.columns)
+    assert final.exceptAll(expected).count() == 0
+    assert expected.exceptAll(final).count() == 0
+
+    # untouched buckets still point at the initial version — never rewritten
+    manifest = json.load(open(f"{tmpdir}/state/MANIFEST.json"))
+    versions = set(manifest["buckets"].values())
+    assert "vinit" in versions, "expected some buckets never rewritten"
+    ever_touched = {b for bs in touched for b in bs}
+    for b, v in manifest["buckets"].items():
+        if int(b) not in ever_touched:
+            assert v == "vinit"
