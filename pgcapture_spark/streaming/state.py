@@ -58,6 +58,26 @@ class SnapshotState:
             json.dump({"version": version, "batch_id": batch_id}, f)
         os.replace(tmp, self._manifest)
 
+    def vacuum(self) -> list[str]:
+        """Remove superseded version dirs (see BucketedSnapshotState.vacuum)."""
+        if not os.path.exists(self._manifest):
+            return []
+        with open(self._manifest) as f:
+            current = json.load(f)["version"]
+        return _vacuum_versions(self.root, {current})
+
+
+def _vacuum_versions(root: str, referenced: set[str]) -> list[str]:
+    import shutil
+
+    removed = []
+    for name in os.listdir(root):
+        p = os.path.join(root, name)
+        if os.path.isdir(p) and name.startswith("v") and name not in referenced:
+            shutil.rmtree(p, ignore_errors=True)
+            removed.append(name)
+    return removed
+
 
 class BucketedSnapshotState:
     """Snapshot state partitioned by ``pmod(hash(key), n_buckets)`` — the
@@ -158,3 +178,11 @@ class BucketedSnapshotState:
             manifest["buckets"][str(b)] = version
         manifest["batch_id"] = batch_id
         self._swap(manifest)
+
+    def vacuum(self) -> list[str]:
+        """Remove version dirs no manifest entry references (the OPTIMIZE/
+        VACUUM maintenance analog — log compaction for the state). Safe
+        because the manifest swap is atomic: readers resolve paths from a
+        manifest snapshot they already loaded."""
+        manifest = self._load()
+        return _vacuum_versions(self.root, set(manifest["buckets"].values()))

@@ -180,3 +180,61 @@ def test_bucketed_apply_touches_only_changed_buckets(spark, tmpdir):
     for b, v in manifest["buckets"].items():
         if int(b) not in ever_touched:
             assert v == "vinit"
+
+
+def test_bucketed_apply_crash_resume_and_vacuum(spark, tmpdir):
+    """Kill the stream mid-way, restart with the SAME checkpoint + state:
+    replayed batches are skipped by the batch-id gate, the rest apply, and
+    the final state equals the batch result. vacuum() then drops superseded
+    versions without changing the readable state."""
+    from pgcapture_spark.streaming.pipeline import apply_stream_bucketed
+    from pgcapture_spark.streaming.state import BucketedSnapshotState
+
+    register_views(spark, SF_SMALL, ("customer",))
+    snapshot = spark.table("customer")
+    feed = _feed(spark, SF_SMALL, "customer")
+    expected = cdc_apply(snapshot, feed, "c_custkey", CDC_COLS["customer"])
+
+    feed_dir = f"{tmpdir}/feed"
+    materialize_feed(feed, feed_dir, n_segments=6)
+    schema = spark.read.parquet(feed_dir).schema
+
+    state = BucketedSnapshotState(spark, f"{tmpdir}/state", "c_custkey", n_buckets=16)
+    state.initialize(snapshot)
+
+    # phase 1: stop (crash) after the first committed batch
+    stopper = {}
+
+    def on_batch(bid, buckets):
+        stopper.setdefault("first", bid)
+
+    q = apply_stream_bucketed(
+        read_feed_stream(spark, feed_dir, schema, max_files_per_trigger=1),
+        state, "c_custkey", CDC_COLS["customer"], f"{tmpdir}/ckpt",
+        on_batch=on_batch,
+    )
+    import time
+    deadline = time.time() + 60
+    while "first" not in stopper and time.time() < deadline:
+        time.sleep(0.2)
+    q.stop()
+    q.awaitTermination(60)
+    assert state.last_batch() >= 0
+    mid_batch = state.last_batch()
+
+    # phase 2: resume with the SAME checkpoint dir — picks up where it left off
+    q2 = apply_stream_bucketed(
+        read_feed_stream(spark, feed_dir, schema, max_files_per_trigger=1),
+        state, "c_custkey", CDC_COLS["customer"], f"{tmpdir}/ckpt",
+    )
+    q2.awaitTermination(120)
+    assert state.last_batch() > mid_batch
+
+    final = state.read().select(*expected.columns)
+    assert final.exceptAll(expected).count() == 0
+    assert expected.exceptAll(final).count() == 0
+
+    removed = state.vacuum()
+    assert isinstance(removed, list)
+    final2 = state.read().select(*expected.columns)
+    assert final2.exceptAll(expected).count() == 0
