@@ -88,3 +88,61 @@ def cdc_debounce_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.schema(
         "key bigint, lsn bigint, seq int, arr bigint, op string, flush_kind string"
     ).parquet(f"{d}/out")
+
+
+_WINDOWED_ORACLE = """
+WITH w AS (SELECT max(ts) - INTERVAL 1 HOUR AS wm FROM events)
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start, event_type,
+       count(*) AS n_events,
+       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_value
+FROM events, w
+WHERE date_trunc('day', ts) + INTERVAL 1 DAY <= wm
+GROUP BY 1, 2
+"""
+
+
+@q(
+    "events_stream_windowed",
+    _WINDOWED_ORACLE,
+    "§2.7 streaming: event-time tumbling-window aggregation under a 1-hour"
+    " watermark — append mode emits exactly the windows the final watermark"
+    " closes; the oracle states that cutoff declaratively. Late-data"
+    " tolerance = the watermark delay.",
+)
+def events_stream_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from pgcapture_spark.catalog import load
+
+    events = load(spark, sf_dir, "events")
+    d = tempfile.mkdtemp(prefix="pgcs_q_window_")
+    feed_dir = f"{d}/feed"
+    materialize_feed(events, feed_dir, n_segments=4, order_col="ts")
+    schema = spark.read.parquet(feed_dir).schema
+    stream = read_feed_stream(spark, feed_dir, schema, max_files_per_trigger=1)
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            (
+                F.sum(F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)")).cast("double")
+                / 100.0
+            ).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"), "event_type", "n_events", "sum_value"
+        )
+    )
+    query = (
+        agg.writeStream.format("parquet")
+        .option("path", f"{d}/out")
+        .option("checkpointLocation", f"{d}/ckpt")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(300)
+    return spark.read.schema(
+        "window_start timestamp, event_type string, n_events bigint, sum_value double"
+    ).parquet(f"{d}/out")
