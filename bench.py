@@ -49,11 +49,12 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark(app="pgcapture-spark-bench")
-    # warm the JVM + codegen paths once (tiny sf) so per-query numbers measure
-    # the queries, not first-compile
-    REGISTRY["cdc_apply_customer"].fn(spark, "/root/testdata/sf0.001").write.format(
-        "noop"
-    ).mode("overwrite").save()
+    # warm the JVM + codegen + python-worker pools once (tiny sf) so per-query
+    # numbers measure the queries, not first-compile / worker spin-up
+    for warm_q in ("cdc_apply_customer", "media_features_pandas"):
+        REGISTRY[warm_q].fn(spark, "/root/testdata/sf0.001").write.format("noop").mode(
+            "overwrite"
+        ).save()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
@@ -61,6 +62,8 @@ def main() -> None:
         t0 = time.perf_counter()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
+        # drop per-query caches so queries are measured independently
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     print(
