@@ -53,6 +53,7 @@ from pgcapture_spark.querydefs import (  # noqa: E402,F401
     extras as _qd_extras,
     media as _qd_media,
     relational as _qd_relational,
+    skewq as _qd_skewq,
     streamq as _qd_streamq,
     surface as _qd_surface,
     textops as _qd_textops,
