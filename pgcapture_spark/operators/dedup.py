@@ -101,20 +101,44 @@ def ngram_jaccard_pairs(
     return out.where(F.col("jaccard") >= threshold)
 
 
-def _sig_cols(k: int) -> list:
+# MinHash = 2-universal linear probes over ONE md5-derived base hash per
+# shingle: h = first 8 md5 hex digits mod 2^30, sig_i = min((a_i·h + b_i) mod p)
+# with p = 2^31 − 1. One md5 per shingle instead of k; products stay < 2^60 so
+# the bigint arithmetic is wrap-free and identical in Spark and DuckDB.
+MINHASH_P = 2_147_483_647
+_H30 = 1 << 30
+BASE_HASH_EXPR = (
+    "transform(shingles, s -> CAST(conv(substring(md5(s), 1, 8), 16, 10) AS BIGINT) % {m})"
+).format(m=_H30)
+
+
+def minhash_ab(k: int) -> list[tuple[int, int]]:
+    """Deterministic (a_i, b_i) probe constants, 0 < a_i, b_i < 2^30."""
     return [
-        F.array_min(F.expr(f"transform(shingles, s -> md5('{i}|' || s))")).alias(f"sig_{i}")
+        ((2_654_435_761 * (i + 1)) % (_H30 - 1) + 1, (40_503 * (i + 7)) % _H30)
         for i in range(k)
     ]
 
 
+def _sig_cols(k: int, hashes_col: str = "_hs") -> list:
+    return [
+        F.expr(f"array_min(transform({hashes_col}, h -> ({a} * h + {b}) % {MINHASH_P}))").alias(
+            f"sig_{i}"
+        )
+        for i, (a, b) in enumerate(minhash_ab(k))
+    ]
+
+
 def minhash_signatures(docs: DataFrame, k: int = 8) -> DataFrame:
-    """k-permutation MinHash signature: sig_i = min over shingles of
-    md5(i || '|' || shingle). Pure per-row array expressions — a projection
-    fused into the scan, NO shuffle (min over duplicate shingles == min over
-    the set). Docs with zero shingles are dropped."""
+    """k-permutation MinHash signature: sig_i = min over shingles of the i-th
+    universal-hash probe. Pure per-row array expressions — a projection fused
+    into the scan, NO shuffle (min over duplicate shingles == min over the
+    set). Docs with zero shingles are dropped."""
     return (
-        with_shingles(docs).where(F.size("shingles") > 0).select("doc_id", *_sig_cols(k))
+        with_shingles(docs)
+        .where(F.size("shingles") > 0)
+        .withColumn("_hs", F.expr(BASE_HASH_EXPR))
+        .select("doc_id", *_sig_cols(k))
     )
 
 
@@ -126,14 +150,16 @@ def minhash_lsh_pairs(
     (a_id, b_id, est_sim, jaccard).
 
     Plan shape: ONE projection computes signatures + shingle set per doc
-    (cached — it is tiny relative to the corpus: k hashes + the set per doc);
+    (cached — it is tiny relative to the corpus: k ints + the set per doc);
     bands explode 1→bands rows; the bucket equi-join on (band_idx, band_hash)
-    is the only required shuffle; est_sim and true Jaccard are per-row
-    expressions on the joined pair rows."""
+    is the only required shuffle; candidate pairs pull BOTH the signature and
+    the shingle set in a single join per side (two joins total), then est_sim
+    and true Jaccard are per-row expressions on the joined pair rows."""
     rows_per_band = k // bands
     base = (
         with_shingles(docs)
         .where(F.size("shingles") > 0)
+        .withColumn("_hs", F.expr(BASE_HASH_EXPR))
         .select("doc_id", F.array_distinct("shingles").alias("sh_set"), *_sig_cols(k))
         .cache()
     )
@@ -155,20 +181,19 @@ def minhash_lsh_pairs(
         .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
         .distinct()
     )
-    sigs = base.select("doc_id", *[f"sig_{i}" for i in range(k)])
-    est = (
-        cand.join(
-            sigs.select(
-                F.col("doc_id").alias("a_id"), *[F.col(f"sig_{i}").alias(f"_sa_{i}") for i in range(k)]
-            ),
-            "a_id",
-        )
-        .join(
-            sigs.select(
-                F.col("doc_id").alias("b_id"), *[F.col(f"sig_{i}").alias(f"_sb_{i}") for i in range(k)]
-            ),
-            "b_id",
-        )
+    a_side = base.select(
+        F.col("doc_id").alias("a_id"),
+        F.col("sh_set").alias("_sa"),
+        *[F.col(f"sig_{i}").alias(f"_sa_{i}") for i in range(k)],
+    )
+    b_side = base.select(
+        F.col("doc_id").alias("b_id"),
+        F.col("sh_set").alias("_sb"),
+        *[F.col(f"sig_{i}").alias(f"_sb_{i}") for i in range(k)],
+    )
+    paired = (
+        cand.join(a_side, "a_id")
+        .join(b_side, "b_id")
         .withColumn(
             "est_sim",
             sum(
@@ -176,10 +201,16 @@ def minhash_lsh_pairs(
             )
             / F.lit(k),
         )
-        .select("a_id", "b_id", "est_sim")
+        .withColumn("inter_cnt", F.size(F.array_intersect("_sa", "_sb")).cast("long"))
+        .withColumn(
+            "union_cnt",
+            (F.size("_sa") + F.size("_sb")).cast("long") - F.col("inter_cnt"),
+        )
+        .withColumn("jaccard", F.col("inter_cnt") / F.col("union_cnt"))
     )
-    out = _jaccard_verify(est, base.select("doc_id", "sh_set"), extra=["est_sim"])
-    return out.where(F.col("jaccard") >= threshold).select("a_id", "b_id", "est_sim", "jaccard")
+    return paired.where(F.col("jaccard") >= threshold).select(
+        "a_id", "b_id", "est_sim", "jaccard"
+    )
 
 
 def simhash(docs: DataFrame, bits: int = 32) -> DataFrame:

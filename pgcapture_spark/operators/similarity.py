@@ -195,19 +195,28 @@ def ivf_topk(
     cell (coarse quantizer = label centroids, deterministic — a k-means would
     slot in identically); queries probe their own cell (nprobe=1).
 
-    Plan shape: the centroid table is tiny → the assign step is a broadcast
-    nested-loop + map-side min_by groupBy (no big shuffle); the probe join
-    shuffles on cell id only. Ties in the argmin are broken by label; exact
+    Plan shape: the coarse quantizer is tiny by construction (√N cells even at
+    100 TB), so it rides along as ONE broadcast row of array<struct> and the
+    cell assignment is a per-row argmin expression fused into the corpus scan —
+    no explode, no groupBy shuffle, no corpus re-join. The only shuffles left
+    are the centroid build (grouped on label, ~cells rows) and the final
+    per-query rank window. Ties in the argmin are broken by label; exact
     distance ties are measure-zero on continuous data."""
     normed = with_norm(embeddings).select("vec_id", "emb_d", "norm")
-    cents = centroid_vectors(embeddings)
-    dists = normed.join(F.broadcast(cents)).withColumn(
-        "dist2", F.expr(DIST2_EXPR.format(a="emb_d", b="c_e"))
+    cents_row = centroid_vectors(embeddings).agg(
+        F.expr("array_sort(collect_list(struct(c_label, c_e)))").alias("cents")
     )
-    assign = dists.groupBy("vec_id").agg(
-        F.expr("min_by(c_label, struct(dist2, c_label))").alias("cell")
+    # struct ordering = (d2, lbl) lexicographic, so array_min IS
+    # min_by(struct(dist2, label)) — one dist2 evaluation per centroid
+    argmin_cell = F.expr(
+        "array_min(transform(cents, c -> "
+        f"struct({DIST2_EXPR.format(a='emb_d', b='c.c_e')} AS d2, c.c_label AS lbl))).lbl"
     )
-    cells = normed.join(assign, "vec_id")
+    cells = (
+        normed.join(F.broadcast(cents_row))
+        .withColumn("cell", argmin_cell)
+        .drop("cents")
+    )
     queries = cells.where(query_pred).select(
         F.col("vec_id").alias("query_id"),
         F.col("emb_d").alias("q_emb"),

@@ -219,15 +219,19 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _duck_minhash_sql(k: int = 8, bands: int = 4) -> str:
+    from pgcapture_spark.operators.dedup import MINHASH_P, minhash_ab
+
     rpb = k // bands
     sigs = ",\n       ".join(
-        f"list_min(list_transform(shingles, s -> md5('{i}|' || s))) AS sig_{i}"
-        for i in range(k)
+        f"list_min(list_transform(hs, h -> ({a} * h + {b}) % {MINHASH_P})) AS sig_{i}"
+        for i, (a, b) in enumerate(minhash_ab(k))
     )
     band_rows = "\nUNION ALL\n".join(
         "SELECT doc_id, {b} AS band_idx, md5({parts}) AS band_hash FROM sigs".format(
             b=b,
-            parts=" || '|' || ".join(f"sig_{b * rpb + r}" for r in range(rpb)),
+            parts=" || '|' || ".join(
+                f"CAST(sig_{b * rpb + r} AS VARCHAR)" for r in range(rpb)
+            ),
         )
         for b in range(bands)
     )
@@ -236,7 +240,10 @@ def _duck_minhash_sql(k: int = 8, bands: int = 4) -> str:
     )
     return f"""
 WITH sh AS ({_DUCK_DOCS_SH}),
-sigs AS (SELECT doc_id, {sigs} FROM sh),
+hashed AS (SELECT doc_id, list_transform(shingles,
+             s -> ('0x' || substr(md5(s), 1, 8))::BIGINT % 1073741824) AS hs
+           FROM sh),
+sigs AS (SELECT doc_id, {sigs} FROM hashed),
 banded AS ({band_rows}),
 cand AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
          FROM banded a JOIN banded b USING (band_idx, band_hash)
