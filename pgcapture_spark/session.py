@@ -34,6 +34,10 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # the default 100-entry codegen class cache thrashes across a workload
+        # of many distinct plan shapes, silently recompiling stages (measured
+        # 2-3 s per large expression tree); the cache is driver-side and small
+        .config("spark.sql.codegen.cache.maxEntries", "5000")
         # events.parquet stores TIMESTAMP(NANOS); read as long + convert in catalog.load
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
