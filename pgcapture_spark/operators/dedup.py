@@ -213,6 +213,57 @@ def minhash_lsh_pairs(
     )
 
 
+def connected_components(nodes: DataFrame, edges: DataFrame, max_iters: int = 25) -> DataFrame:
+    """Min-label propagation over an undirected edge list: every node ends up
+    labeled with the smallest node id reachable from it. Input: ``nodes``
+    (doc_id), ``edges`` (a_id, b_id). Output: (doc_id, canonical_id) —
+    singletons map to themselves.
+
+    Each round is one shuffle (neighbor-min groupBy) + one join; labels are
+    monotonically non-increasing ints, so the label SUM is a convergence
+    certificate costing one scalar action per round. Rounds needed = graph
+    diameter — near-dup clusters are shallow (chains of a few docs), so this
+    converges in a handful of rounds; an adversarially deep graph would call
+    for large-star/small-star halving instead. localCheckpoint truncates the
+    growing lineage each round (the iterative-algorithm standard)."""
+    sym = edges.selectExpr("a_id AS src", "b_id AS dst").unionAll(
+        edges.selectExpr("b_id AS src", "a_id AS dst")
+    )
+    labels = nodes.select(F.col("doc_id"), F.col("doc_id").alias("lbl"))
+    prev_sum = None
+    for _ in range(max_iters):
+        labels = labels.localCheckpoint(eager=True)
+        cur_sum = labels.agg(F.sum("lbl")).first()[0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+        nbr_min = (
+            sym.join(labels, sym.src == labels.doc_id)
+            .groupBy("dst")
+            .agg(F.min("lbl").alias("nbr_lbl"))
+        )
+        labels = (
+            labels.join(nbr_min, labels.doc_id == nbr_min.dst, "left")
+            .select(
+                "doc_id",
+                F.least(F.col("lbl"), F.coalesce("nbr_lbl", "lbl")).alias("lbl"),
+            )
+        )
+    else:
+        raise RuntimeError(f"connected_components: no convergence in {max_iters} rounds")
+    return labels.select("doc_id", F.col("lbl").alias("canonical_id"))
+
+
+def near_dup_clusters(docs: DataFrame, threshold: float = 0.1) -> DataFrame:
+    """Near-duplicate clusters: MinHash+LSH pairs → connected components →
+    (doc_id, canonical_id, cluster_size). The full-pipeline dedup op: what a
+    training-data run uses to keep ONE representative per duplicate group."""
+    pairs = minhash_lsh_pairs(docs, threshold=threshold).select("a_id", "b_id")
+    comp = connected_components(docs.select("doc_id"), pairs)
+    sizes = comp.groupBy("canonical_id").agg(F.count("*").alias("cluster_size"))
+    return comp.join(sizes, "canonical_id").select("doc_id", "canonical_id", "cluster_size")
+
+
 def simhash(docs: DataFrame, bits: int = 32) -> DataFrame:
     """32-bit SimHash over token hashes: per-bit majority vote of
     conv(md5(token)[0:8], 16, 10). Pure per-row expressions (transform +

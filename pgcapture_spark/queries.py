@@ -52,6 +52,7 @@ from pgcapture_spark.querydefs import (  # noqa: E402,F401
     core as _qd_core,
     extras as _qd_extras,
     media as _qd_media,
+    pipeline as _qd_pipeline,
     relational as _qd_relational,
     skewq as _qd_skewq,
     streamq as _qd_streamq,

@@ -1,0 +1,120 @@
+"""Training-data pipeline queries (north-star additions): near-dup cluster
+resolution, sequence-packing batch planning, deterministic stratified
+sampling. These are the ops that turn the per-doc signals (textops/vector)
+into an actual dataset build.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pgcapture_spark.catalog import register_views
+from pgcapture_spark.operators.dedup import near_dup_clusters
+from pgcapture_spark.operators.packing import (
+    keep_hash_expr,
+    packed_batches,
+    stratified_sample,
+)
+from pgcapture_spark.operators.textstats import token_count
+from pgcapture_spark.queries import q
+from pgcapture_spark.querydefs.textops import _DUCK_TOKENS, _duck_minhash_sql
+
+# ------------------------------------------------------- near-dup clusters
+
+_DUCK_CLUSTERS = f"""
+WITH RECURSIVE
+pairs AS ({_duck_minhash_sql()}),
+edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+          UNION ALL
+          SELECT b_id AS src, a_id AS dst FROM pairs),
+cc(node, lbl) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.dst, c.lbl FROM cc c JOIN edges e ON e.src = c.node
+),
+comp AS (SELECT node AS doc_id, min(lbl) AS canonical_id FROM cc GROUP BY node),
+sizes AS (SELECT canonical_id, count(*) AS cluster_size FROM comp GROUP BY 1)
+SELECT comp.doc_id, comp.canonical_id, sizes.cluster_size
+FROM comp JOIN sizes USING (canonical_id)
+"""
+
+
+@q(
+    "dedup_clusters",
+    _DUCK_CLUSTERS,
+    "North-star: near-dup CLUSTER resolution — MinHash+LSH pairs → connected"
+    " components (min-label propagation, one shuffle per round, sum-of-labels"
+    " convergence certificate) → (doc, canonical, cluster size). The oracle is"
+    " a recursive CTE over the same edge list.",
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, ("documents",))
+    return near_dup_clusters(spark.table("documents"), threshold=0.1)
+
+
+# ------------------------------------------------------- sequence packing
+
+_PACK_BUDGET = 4096
+
+_DUCK_PACKING = f"""
+WITH t AS (SELECT doc_id, len({_DUCK_TOKENS}) AS n_tokens FROM documents),
+c AS (
+  SELECT doc_id, n_tokens,
+         CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS start_offset
+  FROM t)
+SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens, start_offset,
+       CAST(floor(start_offset / {_PACK_BUDGET}.0) AS BIGINT) AS batch_id
+FROM c
+"""
+
+
+@q(
+    "pack_sequences",
+    _DUCK_PACKING,
+    "North-star: sequence-packing batch plan — docs in stable order laid"
+    " end-to-end, batch = budget-block of the start offset; the cumulative sum"
+    " is the two-phase distributed prefix scan (range partition → parallel"
+    " in-partition window → broadcast prefix offsets), NOT a single-task"
+    " global window.",
+)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, ("documents",))
+    toks = token_count(spark.table("documents")).select("doc_id", "n_tokens")
+    return packed_batches(toks, budget=_PACK_BUDGET)
+
+
+# --------------------------------------------------- deterministic sampling
+
+_RATES = {"click": 25, "view": 10, "signup": 100, "purchase": 100, "error": 0}
+
+
+def _duck_sample_sql() -> str:
+    keep = (
+        "('0x' || substr(md5('strat|' || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 100"
+    )
+    rates = " ".join(
+        f"WHEN event_type = '{s}' THEN {p}" for s, p in sorted(_RATES.items())
+    )
+    return f"""
+SELECT event_id, user_id, event_type, value
+FROM events
+WHERE {keep} < (CASE {rates} ELSE 0 END)
+"""
+
+
+@q(
+    "sample_stratified",
+    _duck_sample_sql(),
+    "North-star: deterministic stratified sampling — per-stratum keep rates"
+    " decided by an md5 key hash (pure function of the row), bit-reproducible"
+    " across engines, partitionings and reruns; what rng sample() cannot give.",
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, ("events",))
+    out = stratified_sample(
+        spark.table("events"), stratum_col="event_type", key_col="user_id", rates_pct=_RATES
+    )
+    return out.select("event_id", "user_id", "event_type", "value")

@@ -261,3 +261,156 @@ SELECT c_nationkey, count(*) AS n FROM (
 def setops_union_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir, ("customer", "supplier"))
     return spark.sql(_SETOPS_SQL)
+
+
+_EXCEPT_INTERSECT_SQL = """
+SELECT 'except' AS op, c_nationkey FROM (
+  SELECT c_nationkey FROM customer
+  EXCEPT ALL
+  SELECT s_nationkey FROM supplier
+)
+UNION ALL
+SELECT 'intersect' AS op, c_nationkey FROM (
+  SELECT DISTINCT c_nationkey FROM customer
+  INTERSECT
+  SELECT DISTINCT s_nationkey FROM supplier
+)
+"""
+
+
+@q(
+    "setops_except_intersect",
+    _EXCEPT_INTERSECT_SQL,
+    "§2.7: exceptAll (multiset difference — the dedup-maintenance shape) and"
+    " intersect, labeled and unioned into one result.",
+)
+def setops_except_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, ("customer", "supplier"))
+    cust = spark.table("customer").select("c_nationkey")
+    supp = spark.table("supplier").select(F.col("s_nationkey").alias("c_nationkey"))
+    ex = cust.exceptAll(supp).select(F.lit("except").alias("op"), "c_nationkey")
+    inter = cust.intersect(supp).select(F.lit("intersect").alias("op"), "c_nationkey")
+    return ex.unionAll(inter)
+
+
+# ------------------------------------------------------- approximate distinct
+
+# HLL sketches differ across engines, so the cross-engine contract is the
+# ACCURACY BOUND, not the estimate: the oracle asserts the exact count; the
+# Spark side asserts its own estimate lands within 5% of exact (rsd=0.01
+# sketches are far tighter than that at these cardinalities).
+_APPROX_SQL_DUCK = """
+SELECT event_type, count(DISTINCT user_id) AS n_exact, true AS approx_within_5pct
+FROM events GROUP BY event_type
+"""
+
+
+@q(
+    "agg_approx_distinct",
+    _APPROX_SQL_DUCK,
+    "§2.7: approx_count_distinct (HLL) — estimate checked against the exact"
+    " distinct count under the sketch's accuracy contract.",
+)
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, ("events",))
+    return (
+        spark.table("events")
+        .groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("n_exact"),
+            F.approx_count_distinct("user_id", rsd=0.01).alias("_n_approx"),
+        )
+        .select(
+            "event_type",
+            "n_exact",
+            (
+                F.abs(F.col("_n_approx") - F.col("n_exact"))
+                <= 0.05 * F.col("n_exact")
+            ).alias("approx_within_5pct"),
+        )
+    )
+
+
+# ------------------------------------------------------------- rollup
+
+_ROLLUP_SQL = """
+SELECT c_mktsegment, o_orderpriority,
+       count(*) AS n_orders,
+       CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0
+         AS total_price
+FROM customer JOIN orders ON c_custkey = o_custkey
+GROUP BY ROLLUP (c_mktsegment, o_orderpriority)
+"""
+
+
+@q(
+    "agg_rollup",
+    _ROLLUP_SQL,
+    "§2.7: hierarchical aggregation (GROUP BY ROLLUP) — subtotal + grand-total"
+    " rows in one pass (Expand, single shuffle).",
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, ("customer", "orders"))
+    return spark.sql(_ROLLUP_SQL)
+
+
+# ------------------------------------------------------------- scalar gauntlet
+
+# string/date/math scalar functions with identical cross-engine semantics
+# (natural log not log10, floor-based rounding, interval arithmetic — the
+# dialect-safe subset; each engine gets its own text below)
+_SCALARS_SPARK = """
+SELECT o_orderkey,
+       upper(o_orderpriority) AS up,
+       substring(o_orderpriority, 1, 3) AS sub3,
+       length(o_orderstatus) AS status_len,
+       concat(o_orderstatus, '-', CAST(o_orderkey % 10 AS STRING)) AS tag,
+       lpad(CAST(o_orderkey % 1000 AS STRING), 6, '0') AS padded,
+       translate(o_orderpriority, '-', '_') AS translated,
+       year(o_orderdate) AS yr, month(o_orderdate) AS mo, day(o_orderdate) AS dom,
+       date_trunc('month', o_orderdate) AS month_start,
+       o_orderdate + INTERVAL '7' DAY AS plus_week,
+       abs(o_totalprice - 100000.0) AS abs_diff,
+       floor(o_totalprice / 1000.0) AS price_k,
+       CAST(floor(sqrt(o_totalprice) * 1000 + 0.5) AS BIGINT) AS sqrt_q,
+       CAST(floor(ln(o_totalprice + 1.0) * 1000 + 0.5) AS BIGINT) AS ln_q,
+       pmod(o_orderkey, 7) AS key_mod7,
+       CASE WHEN o_totalprice > 150000 THEN 'high'
+            WHEN o_totalprice > 50000 THEN 'mid' ELSE 'low' END AS bucket3
+FROM orders
+WHERE o_orderkey % 37 = 0
+"""
+
+_SCALARS_DUCK = """
+SELECT o_orderkey,
+       upper(o_orderpriority) AS up,
+       substring(o_orderpriority, 1, 3) AS sub3,
+       length(o_orderstatus) AS status_len,
+       o_orderstatus || '-' || CAST(o_orderkey % 10 AS VARCHAR) AS tag,
+       lpad(CAST(o_orderkey % 1000 AS VARCHAR), 6, '0') AS padded,
+       replace(o_orderpriority, '-', '_') AS translated,
+       year(o_orderdate) AS yr, month(o_orderdate) AS mo, day(o_orderdate) AS dom,
+       CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+       o_orderdate + INTERVAL 7 DAY AS plus_week,
+       abs(o_totalprice - 100000.0) AS abs_diff,
+       floor(o_totalprice / 1000.0) AS price_k,
+       CAST(floor(sqrt(o_totalprice) * 1000 + 0.5) AS BIGINT) AS sqrt_q,
+       CAST(floor(ln(o_totalprice + 1.0) * 1000 + 0.5) AS BIGINT) AS ln_q,
+       o_orderkey % 7 AS key_mod7,
+       CASE WHEN o_totalprice > 150000 THEN 'high'
+            WHEN o_totalprice > 50000 THEN 'mid' ELSE 'low' END AS bucket3
+FROM orders
+WHERE o_orderkey % 37 = 0
+"""
+
+
+@q(
+    "scalar_gauntlet",
+    _SCALARS_DUCK,
+    "§2.7: string/date/math scalar-function surface in one projection —"
+    " upper/substring/concat/lpad/translate, year/month/day/date_trunc/"
+    " interval arithmetic, abs/floor/sqrt/ln/mod/CASE.",
+)
+def scalar_gauntlet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, ("orders",))
+    return spark.sql(_SCALARS_SPARK)
