@@ -1,0 +1,98 @@
+"""Physical-plan audits: the scale claims (pushdown, pruning, broadcast,
+map-side combine, shuffle-free per-row ops) asserted against the actual
+Catalyst output, so a regression that silently de-optimizes a plan fails CI —
+the 100 TB design is enforced, not aspirational."""
+
+from __future__ import annotations
+
+import re
+
+from pgcapture_spark.queries import REGISTRY
+from tests.conftest import SF_SMALL
+
+
+def plan_str(spark, name: str, mode: str = "formatted") -> str:
+    df = REGISTRY[name].fn(spark, SF_SMALL)
+    return spark._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), mode)
+
+
+def plan_tree(spark, name: str) -> str:
+    """Just the operator tree (formatted mode repeats every node in a detail
+    section below the tree, which would double string counts)."""
+    return plan_str(spark, name).split("\n\n")[0]
+
+
+def scan_sections(plan: str) -> list[str]:
+    """The per-node detail blocks for parquet scans in a formatted plan."""
+    return [
+        m.group(0)
+        for m in re.finditer(r"\(\d+\) Scan parquet.*?(?=\n\(\d+\)|\Z)", plan, re.S)
+    ]
+
+
+def test_q3_broadcasts_dims_and_pushes_filters(spark):
+    tree = plan_tree(spark, "tpch_q3_shipping_priority")
+    assert tree.count("BroadcastHashJoin") == 2  # customer + orders broadcast
+    assert "SortMergeJoin" not in tree
+    plan = plan_str(spark, "tpch_q3_shipping_priority")
+    scans = {s.split("file:")[1].split("]")[0]: s for s in scan_sections(plan)}
+    cust = next(v for k, v in scans.items() if "customer" in k)
+    assert "EqualTo(c_mktsegment,BUILDING)" in cust
+    li = next(v for k, v in scans.items() if "lineitem" in k)
+    assert "GreaterThan(l_shipdate" in li
+    # column pruning: q3 needs 4 of lineitem's columns, scan must not read more
+    read = re.search(r"ReadSchema: struct<([^>]*)>", li).group(1)
+    assert sorted(c.split(":")[0] for c in read.split(",")) == [
+        "l_discount", "l_extendedprice", "l_orderkey", "l_shipdate",
+    ]
+
+
+def test_q1_pushdown_pruning_and_partial_agg(spark):
+    plan = plan_str(spark, "tpch_q1_pricing_summary")
+    li = next(s for s in scan_sections(plan) if "lineitem" in s)
+    assert "LessThanOrEqual(l_shipdate" in li
+    read = re.search(r"ReadSchema: struct<([^>]*)>", li).group(1)
+    assert "l_orderkey" not in read and "l_suppkey" not in read  # pruned
+    # map-side partial aggregation: two HashAggregates around one Exchange
+    tree = plan_tree(spark, "tpch_q1_pricing_summary")
+    assert tree.count("HashAggregate") == 2
+    assert tree.count("Exchange") == 1
+
+
+def test_q5_star_join_all_broadcast(spark):
+    tree = plan_tree(spark, "tpch_q5_local_supplier")
+    assert tree.count("BroadcastHashJoin") >= 4
+    assert "SortMergeJoin" not in tree
+    region = next(
+        s
+        for s in scan_sections(plan_str(spark, "tpch_q5_local_supplier"))
+        if "region.parquet" in s
+    )
+    assert "EqualTo(r_name,ASIA)" in region
+
+
+def test_per_row_text_ops_have_no_shuffle(spark):
+    # fingerprint/simhash are pure projections: the only allowed Exchange is
+    # the under-split repartition (round-robin), never a hash/range shuffle
+    for name in ("text_fingerprint", "dedup_simhash", "text_quality_score"):
+        plan = plan_str(spark, name, mode="simple")
+        assert "hashpartitioning" not in plan, name
+        assert "rangepartitioning" not in plan, name
+        assert "SortMergeJoin" not in plan, name
+
+
+def test_brute_force_topk_broadcasts_queries(spark):
+    plan = plan_str(spark, "sim_cosine_topk")
+    assert "Broadcast" in plan  # query set is broadcast, corpus is streamed
+
+
+def test_exact_dedup_single_shuffle_with_partial_agg(spark):
+    plan = plan_str(spark, "dedup_exact", mode="simple")
+    assert plan.count("Exchange") == 1
+    assert plan.count("HashAggregate") == 2
+
+
+def test_cdc_apply_no_cartesian_and_pushdown(spark):
+    plan = plan_str(spark, "cdc_apply_customer")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
