@@ -146,3 +146,106 @@ def events_stream_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.schema(
         "window_start timestamp, event_type string, n_events bigint, sum_value double"
     ).parquet(f"{d}/out")
+
+
+_SESSION_ORACLE = """
+WITH flagged AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                   OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                      > INTERVAL 30 MINUTES
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+sessions AS (
+  SELECT user_id, ts,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM flagged
+),
+s AS (
+  SELECT user_id, sid, count(*) AS n_events, min(ts) AS session_start,
+         max(ts) + INTERVAL 30 MINUTES AS session_end
+  FROM sessions GROUP BY 1, 2
+),
+w AS (SELECT max(ts) - INTERVAL 1 HOUR AS wm FROM events)
+SELECT user_id, session_start, session_end, n_events
+FROM s, w WHERE session_end < wm
+"""
+
+
+@q(
+    "events_stream_sessionized",
+    _SESSION_ORACLE,
+    "§2.7 streaming: session_window (merging gap windows) under a watermark —"
+    " append mode emits exactly the sessions the final watermark closes;"
+    " the oracle derives the same sessions with the batch lag-gap formulation"
+    " plus the watermark cutoff.",
+)
+def events_stream_sessionized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from pgcapture_spark.catalog import load
+
+    events = load(spark, sf_dir, "events")
+    d = tempfile.mkdtemp(prefix="pgcs_q_session_")
+    feed_dir = f"{d}/feed"
+    materialize_feed(events, feed_dir, n_segments=4, order_col="ts")
+    schema = spark.read.parquet(feed_dir).schema
+    stream = read_feed_stream(spark, feed_dir, schema, max_files_per_trigger=1)
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+    query = (
+        agg.writeStream.format("parquet")
+        .option("path", f"{d}/out")
+        .option("checkpointLocation", f"{d}/ckpt")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(300)
+    return spark.read.schema(
+        "user_id bigint, session_start timestamp, session_end timestamp, n_events bigint"
+    ).parquet(f"{d}/out")
+
+
+@q(
+    "cdc_stream_dedup",
+    cdc_customer_sql(DUCKDB),
+    "A1 in-stream: exactly-once event-log append under replay —"
+    " dropDuplicatesWithinWatermark on the compaction key (lsn, seq) collapses"
+    " a doubled feed back to the original (the streaming form of the Pulsar"
+    " ≤-checkpoint drop + key compaction, pkg/sink/pulsar.go:116-143).",
+)
+def cdc_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    feed = _feed(spark, sf_dir, "customer")
+    doubled = feed.unionAll(feed)
+    d = tempfile.mkdtemp(prefix="pgcs_q_dedup_")
+    feed_dir = f"{d}/feed"
+    # event-time-ordered segments: the watermark must advance monotonically or
+    # rows in later segments would be discarded as late instead of deduped
+    materialize_feed(doubled, feed_dir, n_segments=5, order_col="commit_ts")
+    schema = spark.read.parquet(feed_dir).schema
+    stream = read_feed_stream(spark, feed_dir, schema, max_files_per_trigger=1)
+    deduped = stream.withWatermark("commit_ts", "1 hour").dropDuplicatesWithinWatermark(
+        ["lsn", "seq"]
+    )
+    query = (
+        deduped.writeStream.format("parquet")
+        .option("path", f"{d}/out")
+        .option("checkpointLocation", f"{d}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(300)
+    out_schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in feed.schema)
+    return spark.read.schema(out_schema).parquet(f"{d}/out")
