@@ -104,6 +104,64 @@ def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_Q5_SQL)
 
 
+# ------------------------------------------------------------- Q6 shape
+
+# the canonical pushdown showcase: single scan, all three predicates reach the
+# parquet reader (PushedFilters), two-column ReadSchema, one partial+final agg.
+# Discount predicate via integer cents avoids double-literal boundary ambiguity.
+_Q6_SQL = """
+SELECT CAST(sum(CAST(floor(l_extendedprice * l_discount * 10000 + 0.5) AS BIGINT)) AS DOUBLE) / 10000.0 AS revenue,
+       count(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+  AND CAST(floor(l_discount * 100 + 0.5) AS BIGINT) BETWEEN 5 AND 7
+  AND l_quantity < 24
+"""
+
+
+@q(
+    "tpch_q6_forecast_revenue",
+    _Q6_SQL,
+    "§2.7: scan-heavy filter + global aggregate (TPC-H Q6 shape) — date/"
+    "quantity predicates push to the parquet scan, 2-column pruned ReadSchema.",
+)
+def tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, ("lineitem",))
+    return spark.sql(_Q6_SQL)
+
+
+# ------------------------------------------------------------- Q10 shape
+
+_Q10_SQL = """
+SELECT c_custkey, c_name,
+       CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5) AS BIGINT)) AS DOUBLE) / 10000.0 AS revenue,
+       CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS acctbal_cents,
+       n_name
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1997-07-01 00:00:00'
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name, acctbal_cents, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+@q(
+    "tpch_q10_returned_items",
+    _Q10_SQL,
+    "§2.7: returned-item revenue by customer (TPC-H Q10 shape) — fact-fact"
+    " shuffle join + broadcast nation dim + agg + deterministic top-20.",
+)
+def tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, ("customer", "orders", "lineitem", "nation"))
+    return spark.sql(_Q10_SQL)
+
+
 # ------------------------------------------------------------- semi/anti join
 
 _SEMI_ANTI_SQL = """

@@ -71,6 +71,34 @@ def test_q5_star_join_all_broadcast(spark):
     assert "EqualTo(r_name,ASIA)" in region
 
 
+def test_q6_all_predicates_pushed_scan_pruned(spark):
+    plan = plan_str(spark, "tpch_q6_forecast_revenue")
+    li = next(s for s in scan_sections(plan) if "lineitem" in s)
+    for pushed in (
+        "GreaterThanOrEqual(l_shipdate", "LessThan(l_shipdate", "LessThan(l_quantity",
+    ):
+        assert pushed in li
+    read = re.search(r"ReadSchema: struct<([^>]*)>", li).group(1)
+    assert sorted(c.split(":")[0] for c in read.split(",")) == [
+        "l_discount", "l_extendedprice", "l_quantity", "l_shipdate",
+    ]
+    tree = plan_tree(spark, "tpch_q6_forecast_revenue")
+    assert tree.count("HashAggregate") == 2 and tree.count("Exchange") == 1
+
+
+def test_q10_pushdown_and_streaming_topk(spark):
+    plan = plan_str(spark, "tpch_q10_returned_items")
+    li = next(s for s in scan_sections(plan) if "lineitem" in s)
+    assert "EqualTo(l_returnflag,R)" in li
+    orders = next(s for s in scan_sections(plan) if "orders" in s)
+    assert "GreaterThanOrEqual(o_orderdate" in orders
+    tree = plan_tree(spark, "tpch_q10_returned_items")
+    # top-20 must be TakeOrderedAndProject (per-partition heap + merge),
+    # never a global Sort of the full aggregate
+    assert "TakeOrderedAndProject" in tree
+    assert "BroadcastHashJoin" in tree  # nation dim broadcast
+
+
 def test_per_row_text_ops_have_no_shuffle(spark):
     # fingerprint/simhash are pure projections: the only allowed Exchange is
     # the under-split repartition (round-robin), never a hash/range shuffle
