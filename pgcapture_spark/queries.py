@@ -58,5 +58,6 @@ from pgcapture_spark.querydefs import (  # noqa: E402,F401
     streamq as _qd_streamq,
     surface as _qd_surface,
     textops as _qd_textops,
+    tpch_more as _qd_tpch_more,
     vector as _qd_vector,
 )
