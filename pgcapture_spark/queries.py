@@ -48,6 +48,7 @@ def _feed(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 
 # populate the registry (import order = display order)
 from pgcapture_spark.querydefs import (  # noqa: E402,F401
+    asofq as _qd_asofq,
     backfill as _qd_backfill,
     core as _qd_core,
     extras as _qd_extras,

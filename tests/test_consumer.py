@@ -71,3 +71,30 @@ def test_batch_consume_with_debounce(spark):
     ).select("key").distinct().count()
     assert seen == [n_keys]  # one row per key after debounce
     assert dups == [0]
+
+
+def test_asof_forward_direction(spark):
+    from pgcapture_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10, "a"), (1, 25, "b"), (2, 5, "c")], "k int, ts int, tag string"
+    )
+    right = spark.createDataFrame(
+        [(1, 10, 100.0), (1, 20, 200.0), (1, 30, 300.0), (3, 1, 999.0)],
+        "k int, ts int, v double",
+    )
+    fwd = {
+        (r["k"], r["ts"]): (r["asof_ts"], r["asof_v"])
+        for r in asof_join(
+            left, right, on="k", ts="ts", value_cols=["v"], direction="forward"
+        ).collect()
+    }
+    # earliest right.ts >= left.ts; ties (ts=10) match; key 2 has no right rows
+    assert fwd == {(1, 10): (10, 100.0), (1, 25): (30, 300.0), (2, 5): (None, None)}
+    bwd = {
+        (r["k"], r["ts"]): (r["asof_ts"], r["asof_v"])
+        for r in asof_join(
+            left, right, on="k", ts="ts", value_cols=["v"], direction="backward"
+        ).collect()
+    }
+    assert bwd == {(1, 10): (10, 100.0), (1, 25): (20, 200.0), (2, 5): (None, None)}

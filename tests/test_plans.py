@@ -124,3 +124,20 @@ def test_cdc_apply_no_cartesian_and_pushdown(spark):
     plan = plan_str(spark, "cdc_apply_customer")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_asof_join_is_window_not_nested_loop(spark):
+    # the union+window rewrite must never plan a pair-exploding non-equi join:
+    # one Window over the key, no BroadcastNestedLoopJoin / CartesianProduct
+    tree = plan_tree(spark, "events_asof_join")
+    assert "BroadcastNestedLoopJoin" not in tree
+    assert "CartesianProduct" not in tree
+    assert "Window" in tree
+
+
+def test_range_band_join_collapses_to_bucket_assign(spark):
+    # uniform-band range join = per-row width_bucket + one partial/final agg;
+    # no join operator of any kind in the plan
+    tree = plan_tree(spark, "events_range_band_join")
+    assert "Join" not in tree
+    assert tree.count("HashAggregate") == 2
