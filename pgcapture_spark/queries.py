@@ -61,4 +61,5 @@ from pgcapture_spark.querydefs import (  # noqa: E402,F401
     textops as _qd_textops,
     tpch_more as _qd_tpch_more,
     vector as _qd_vector,
+    windows_more as _qd_windows_more,
 )
