@@ -249,3 +249,79 @@ def cdc_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     query.awaitTermination(300)
     out_schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in feed.schema)
     return spark.read.schema(out_schema).parquet(f"{d}/out")
+
+
+_SS_JOIN_ORACLE = """
+SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id,
+       p.ts AS purchase_ts, c.ts AS click_ts,
+       CAST(floor(p.value * 100 + 0.5) AS BIGINT) AS purchase_cents
+FROM events p
+JOIN events c
+  ON p.user_id = c.user_id
+ AND p.event_type = 'purchase' AND c.event_type = 'click'
+ AND c.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts
+"""
+
+
+@q(
+    "events_stream_stream_join",
+    _SS_JOIN_ORACLE,
+    "§2.7 streaming: stream-stream inner join with an event-time range"
+    " constraint (click within the hour before each purchase) and watermarks"
+    " on BOTH sides bounding join state — the oracle is the identical batch"
+    " join, which the streaming join must reproduce pair-for-pair. State"
+    " stays O(watermark-window) per key at any scale; in-order segment"
+    " arrival keeps every needed click above the eviction line.",
+)
+def events_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from pgcapture_spark.catalog import load
+
+    events = load(spark, sf_dir, "events")
+    d = tempfile.mkdtemp(prefix="pgcs_q_ssjoin_")
+    feed_dir = f"{d}/feed"
+    materialize_feed(events, feed_dir, n_segments=4, order_col="ts")
+    schema = spark.read.parquet(feed_dir).schema
+    stream = read_feed_stream(spark, feed_dir, schema, max_files_per_trigger=1)
+    purchases = (
+        stream.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+            F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").alias("purchase_cents"),
+        )
+        .withWatermark("purchase_ts", "2 hours")
+    )
+    clicks = (
+        stream.where(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "2 hours")
+    )
+    joined = purchases.join(
+        clicks,
+        F.expr(
+            "user_id = c_user_id AND "
+            "click_ts BETWEEN purchase_ts - INTERVAL 1 HOUR AND purchase_ts"
+        ),
+        "inner",
+    ).select(
+        "purchase_id", "click_id", "user_id", "purchase_ts", "click_ts", "purchase_cents"
+    )
+    query = (
+        joined.writeStream.format("parquet")
+        .option("path", f"{d}/out")
+        .option("checkpointLocation", f"{d}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(300)
+    return spark.read.schema(
+        "purchase_id bigint, click_id bigint, user_id bigint,"
+        " purchase_ts timestamp, click_ts timestamp, purchase_cents bigint"
+    ).parquet(f"{d}/out")
