@@ -29,8 +29,14 @@ HEADLINE = [
     "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority",
     "tpch_q5_local_supplier",
+    "tpch_q9_product_profit",
+    "tpch_q13_customer_distribution",
+    "tpch_q18_large_orders",
+    "tpch_q21_waiting_supplier",
     "events_running_window",
     "events_sessionize",
+    "events_window_gauntlet",
+    "events_asof_join",
     # training-data operators
     "text_quality_score",
     "text_fingerprint",
@@ -56,12 +62,18 @@ def main() -> None:
             "overwrite"
         ).save()
 
+    # two passes per query, keep the min: pass 1 pays one-time per-shape costs
+    # (codegen compile, file-index build) and absorbs GC/OS noise; the min is
+    # the steady-state number a long-running cluster job would see.
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = REGISTRY[name].fn
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
         # drop per-query caches so queries are measured independently
         spark.catalog.clearCache()
 
