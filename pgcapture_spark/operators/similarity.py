@@ -203,8 +203,16 @@ def ivf_topk(
     per-query rank window. Ties in the argmin are broken by label; exact
     distance ties are measure-zero on continuous data."""
     normed = with_norm(embeddings).select("vec_id", "emb_d", "norm")
-    cents_row = centroid_vectors(embeddings).agg(
-        F.expr("array_sort(collect_list(struct(c_label, c_e)))").alias("cents")
+    # materialize the coarse quantizer ONCE and re-inject it as local data:
+    # left as a lazy plan it would recompute (explode + two aggregations) in
+    # BOTH branches of the self-join below. It is ≤ #cells rows — IVF coarse
+    # quantizers are driver-resident in any real ANN system, 100 TB included.
+    cent_rows = centroid_vectors(embeddings).collect()
+    cents_local = sorted(
+        (int(r["c_label"]), [float(v) for v in r["c_e"]]) for r in cent_rows
+    )
+    cents_row = embeddings.sparkSession.createDataFrame(
+        [(cents_local,)], "cents array<struct<c_label:int,c_e:array<double>>>"
     )
     # struct ordering = (d2, lbl) lexicographic, so array_min IS
     # min_by(struct(dist2, label)) — one dist2 evaluation per centroid
