@@ -325,3 +325,53 @@ def events_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "purchase_id bigint, click_id bigint, user_id bigint,"
         " purchase_ts timestamp, click_ts timestamp, purchase_cents bigint"
     ).parquet(f"{d}/out")
+
+
+_STREAM_STATIC_ORACLE = """
+SELECT c_mktsegment, event_type, count(*) AS n,
+       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0
+         AS sum_value
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY c_mktsegment, event_type
+"""
+
+
+@q(
+    "events_stream_static_join",
+    _STREAM_STATIC_ORACLE,
+    "§2.7 streaming: stream-static join — the event stream enriched against"
+    " the static customer dim (broadcast per micro-batch, no stream state),"
+    " then aggregated in complete mode; the batch join is the oracle.",
+)
+def events_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from pgcapture_spark.catalog import load
+
+    events = load(spark, sf_dir, "events")
+    dim = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    d = tempfile.mkdtemp(prefix="pgcs_q_ssdim_")
+    feed_dir = f"{d}/feed"
+    materialize_feed(events, feed_dir, n_segments=4, order_col="ts")
+    schema = spark.read.parquet(feed_dir).schema
+    stream = read_feed_stream(spark, feed_dir, schema, max_files_per_trigger=2)
+    agg = (
+        stream.join(F.broadcast(dim), stream.user_id == dim.c_custkey)
+        .groupBy("c_mktsegment", "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            (
+                F.sum(F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)")).cast("double")
+                / 100.0
+            ).alias("sum_value"),
+        )
+    )
+    query = (
+        agg.writeStream.format("memory")
+        .queryName("pgcs_stream_static")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(300)
+    return spark.table("pgcs_stream_static")

@@ -230,9 +230,7 @@ def cdc_debounce_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ------------------------------------------------------------- T9 JSON
 
-@q(
-    "cdc_json_marshal",
-    f"""
+_MARSHAL_DUCK = f"""
 WITH feed AS ({cdc_customer_sql(DUCKDB)})
 SELECT lsn, seq, ord, op,
   '{{' || concat_ws(',',
@@ -248,7 +246,12 @@ SELECT lsn, seq, ord, op,
          THEN '"c_mktsegment":' || CASE WHEN c_mktsegment IS NULL THEN 'null' ELSE '"' || c_mktsegment || '"' END END
   ) || '}}' AS payload
 FROM feed
-""",
+"""
+
+
+@q(
+    "cdc_json_marshal",
+    _MARSHAL_DUCK,
     "T9: presence-aware JSON marshal — unchanged-TOAST columns OMITTED,"
     " explicit SQL NULLs serialized as null (pkg/pgcapture/json.go:22-111).",
 )
@@ -319,3 +322,45 @@ def cdc_ddl_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
     )
     return dedupe_consecutive_ddl(ddl)
+
+
+# ------------------------------------------------------- T9⁻¹ JSON unmarshal
+
+_UNMARSHAL_DUCK = f"""
+WITH m AS ({_MARSHAL_DUCK})
+SELECT lsn, seq, ord, op,
+       CAST(payload->>'c_custkey' AS BIGINT) AS c_custkey,
+       payload->>'c_name' AS c_name,
+       CAST(payload->>'c_nationkey' AS INTEGER) AS c_nationkey,
+       CAST(CAST(payload->>'c_acctbal' AS DECIMAL(12,2)) AS DOUBLE) AS c_acctbal,
+       payload->>'c_mktsegment' AS c_mktsegment,
+       coalesce(array_to_string(json_keys(payload), ','), '') AS present_keys
+FROM m
+"""
+
+
+@q(
+    "cdc_json_unmarshal",
+    _UNMARSHAL_DUCK,
+    "T9 inverse / consumer decode (python client analog, decoders.py + "
+    "client.py): each engine unmarshals ITS OWN marshaled payload with its"
+    " native JSON parser — typed field extraction plus the key list, so the"
+    " NULL-vs-absent distinction survives the round trip.",
+)
+def cdc_json_unmarshal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    marshaled = cdc_json_marshal(spark, sf_dir)
+    return marshaled.select(
+        "lsn",
+        "seq",
+        "ord",
+        "op",
+        F.get_json_object("payload", "$.c_custkey").cast("bigint").alias("c_custkey"),
+        F.get_json_object("payload", "$.c_name").alias("c_name"),
+        F.get_json_object("payload", "$.c_nationkey").cast("int").alias("c_nationkey"),
+        F.get_json_object("payload", "$.c_acctbal")
+        .cast("decimal(12,2)")
+        .cast("double")
+        .alias("c_acctbal"),
+        F.get_json_object("payload", "$.c_mktsegment").alias("c_mktsegment"),
+        F.array_join(F.json_object_keys("payload"), ",").alias("present_keys"),
+    )
