@@ -304,3 +304,84 @@ SELECT doc_id, {value} AS simhash FROM agg
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir, ("documents",))
     return simhash(spark.table("documents"))
+
+
+# ---------------------------------------------------------------- tf-idf
+
+# determinism across engines: tf and idf are quantized SEPARATELY (ppm / milli)
+# before the score multiply, so the only cross-engine float ops are one IEEE
+# division (exact-rounded identically everywhere) and one ln() (quantized at
+# 1e-3, far coarser than any libm ulp divergence); the score is then an exact
+# BIGINT product. Scale: two grouped aggregations + one broadcast scalar —
+# the same shape at 100 TB, no driver-side collection.
+_DUCK_TFIDF = f"""
+WITH t AS ({_DUCK_DOCS_TOK}),
+tok AS (SELECT doc_id, unnest(tokens) AS token FROM t),
+cnt AS (SELECT doc_id, token, count(*) AS c FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, sum(c) AS n FROM cnt GROUP BY 1),
+dfq AS (SELECT token, count(*) AS df FROM cnt GROUP BY 1),
+tot AS (SELECT count(*) AS nd FROM documents),
+scored AS (
+  SELECT doc_id, token,
+         CAST(floor(CAST(c AS DOUBLE) / CAST(n AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS tf_ppm,
+         CAST(floor(ln(CAST(nd + 1 AS DOUBLE) / CAST(df + 1 AS DOUBLE)) * 1000 + 0.5) AS BIGINT) AS idf_milli
+  FROM cnt JOIN dl USING (doc_id) JOIN dfq USING (token) CROSS JOIN tot
+)
+SELECT doc_id, token, tf_ppm, idf_milli, tf_ppm * idf_milli AS score, rank
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY tf_ppm * idf_milli DESC, token) AS rank
+  FROM scored
+)
+WHERE rank <= 3
+"""
+
+
+@q(
+    "text_tfidf_topterms",
+    _DUCK_TFIDF,
+    "North-star: tf-idf keyword extraction — top-3 terms per document;"
+    " tf/idf quantized separately so the ranking score is an exact integer"
+    " product in both engines.",
+)
+def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from pgcapture_spark.operators.textstats import token_rows
+
+    register_views(spark, sf_dir, ("documents",))
+    docs = spark.table("documents")
+    cnt = token_rows(docs).groupBy("doc_id", "token").agg(F.count("*").alias("c"))
+    dl = cnt.groupBy("doc_id").agg(F.sum("c").alias("n"))
+    dfq = cnt.groupBy("token").agg(F.count("*").alias("df"))
+    tot = docs.agg(F.count("*").alias("nd"))
+    scored = (
+        cnt.join(dl, "doc_id")
+        .join(dfq, "token")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            "token",
+            F.expr(
+                "CAST(floor(CAST(c AS DOUBLE) / CAST(n AS DOUBLE) * 1000000 + 0.5) AS BIGINT)"
+            ).alias("tf_ppm"),
+            F.expr(
+                "CAST(floor(ln(CAST(nd + 1 AS DOUBLE) / CAST(df + 1 AS DOUBLE)) * 1000 + 0.5) AS BIGINT)"
+            ).alias("idf_milli"),
+        )
+    )
+    w = W.partitionBy("doc_id").orderBy(
+        (F.col("tf_ppm") * F.col("idf_milli")).desc(), F.col("token")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select(
+            "doc_id",
+            "token",
+            "tf_ppm",
+            "idf_milli",
+            (F.col("tf_ppm") * F.col("idf_milli")).alias("score"),
+            "rank",
+        )
+    )
