@@ -5,6 +5,7 @@ per-label centroids."""
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from pgcapture_spark.catalog import register_views
 from pgcapture_spark.operators.similarity import (
@@ -201,3 +202,89 @@ FROM ex GROUP BY label, dim
 def sim_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir, ("embeddings",))
     return label_centroids(spark.table("embeddings"))
+
+
+# ---------------------------------------------------- time-series similarity
+
+# Top-k similar users by exact integer euclidean distance over the first 32
+# values (cents) of each user's event-time-ordered series — the distributed
+# whole-series-matching shape (cf. retrieved papers on streaming time-series
+# similarity / distributed top-k similarity search, PAPERS.md). Scale: one
+# groupBy(user) to build series, the tiny query series broadcast, per-row
+# fold for the distance, one global top-k — no pairwise blowup beyond
+# |users| rows, and the series build is the same single shuffle at 100 TB.
+_TS_SIM_DUCK = """
+WITH series AS (
+  SELECT user_id,
+         (list(CAST(floor(value * 100 + 0.5) AS BIGINT) ORDER BY ts, event_id))[1:32]
+           AS vals
+  FROM events GROUP BY user_id
+  HAVING count(*) >= 32
+),
+q AS (SELECT user_id AS q_user, vals AS q_vals FROM series
+      WHERE user_id = (SELECT min(user_id) FROM series)),
+dists AS (
+  SELECT s.user_id, q.q_user,
+         list_sum(list_transform(range(1, 33),
+                  i -> (s.vals[i] - q.q_vals[i]) * (s.vals[i] - q.q_vals[i])))
+           AS dist2
+  FROM series s CROSS JOIN q
+  WHERE s.user_id <> q.q_user
+)
+SELECT user_id, q_user, dist2,
+       row_number() OVER (ORDER BY dist2, user_id) AS rank
+FROM dists
+QUALIFY rank <= 5
+"""
+
+
+@q(
+    "ts_similarity_topk",
+    _TS_SIM_DUCK,
+    "North-star: whole-series time-series similarity search — top-5 users"
+    " nearest to the query user's 32-step value series under exact integer"
+    " (cents) euclidean distance.",
+)
+def ts_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    register_views(spark, sf_dir, ("events",))
+    series = (
+        spark.table("events")
+        .groupBy("user_id")
+        .agg(
+            F.expr(
+                "slice(transform(array_sort(collect_list(struct(ts, event_id,"
+                " CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents))),"
+                " s -> s.cents), 1, 32)"
+            ).alias("vals"),
+            F.count("*").alias("n"),
+        )
+        .where(F.col("n") >= 32)
+        .select("user_id", "vals")
+    )
+    qrow = (
+        series.withColumn(
+            "rn", F.row_number().over(W.orderBy(F.col("user_id")))
+        )
+        .where(F.col("rn") == 1)
+        .select(F.col("user_id").alias("q_user"), F.col("vals").alias("q_vals"))
+    )
+    dists = (
+        series.crossJoin(F.broadcast(qrow))
+        .where(F.col("user_id") != F.col("q_user"))
+        .select(
+            "user_id",
+            "q_user",
+            F.expr(
+                "aggregate(zip_with(vals, q_vals, (x, y) -> (x - y) * (x - y)),"
+                " 0L, (acc, v) -> acc + v)"
+            ).alias("dist2"),
+        )
+    )
+    return (
+        dists.withColumn(
+            "rank", F.row_number().over(W.orderBy(F.col("dist2"), F.col("user_id")))
+        )
+        .where(F.col("rank") <= 5)
+    )
