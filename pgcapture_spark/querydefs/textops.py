@@ -352,13 +352,17 @@ def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir, ("documents",))
     docs = spark.table("documents")
     cnt = token_rows(docs).groupBy("doc_id", "token").agg(F.count("*").alias("c"))
-    dl = cnt.groupBy("doc_id").agg(F.sum("c").alias("n"))
-    dfq = cnt.groupBy("token").agg(F.count("*").alias("df"))
+    # doc length and document frequency as WINDOWS over cnt, not separate
+    # aggregations: grouped-agg branches would each recompute the tokenize +
+    # explode lineage (three full corpus passes in the physical plan); the
+    # window chain keeps ONE pass, and the doc_id window shares its exchange
+    # with the final ranking window.
     tot = docs.agg(F.count("*").alias("nd"))
+    cnt = cnt.withColumn("df", F.count("*").over(W.partitionBy("token"))).withColumn(
+        "n", F.sum("c").over(W.partitionBy("doc_id"))
+    )
     scored = (
-        cnt.join(dl, "doc_id")
-        .join(dfq, "token")
-        .crossJoin(F.broadcast(tot))
+        cnt.crossJoin(F.broadcast(tot))
         .select(
             "doc_id",
             "token",

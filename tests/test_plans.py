@@ -141,3 +141,29 @@ def test_range_band_join_collapses_to_bucket_assign(spark):
     tree = plan_tree(spark, "events_range_band_join")
     assert "Join" not in tree
     assert tree.count("HashAggregate") == 2
+
+
+def test_tfidf_single_tokenize_pass(spark):
+    # doc-length and document-frequency are windows over ONE (doc_id, token)
+    # aggregation — a grouped-agg formulation would tokenize the corpus three
+    # times (one Generate per branch)
+    tree = plan_tree(spark, "text_tfidf_topterms")
+    assert tree.count("Generate") == 1
+    assert "WindowGroupLimit" in tree  # rank<=3 pushed into the sort
+
+
+def test_q18_semi_join_before_wide_join(spark):
+    # the HAVING>threshold group feeds a LeftSemi that prunes orders/lineitem
+    # BEFORE the 3-way join — never a full join then filter
+    tree = plan_tree(spark, "tpch_q18_large_orders")
+    assert "LeftSemi" in tree
+    assert "TakeOrderedAndProject" in tree  # top-100 never fully sorts
+
+
+def test_q21_correlated_exists_decorrelate(spark):
+    # EXISTS → LeftSemi, NOT EXISTS → LeftAnti, both against the fact —
+    # no nested-loop fallback
+    tree = plan_tree(spark, "tpch_q21_waiting_supplier")
+    assert "LeftSemi" in tree and "LeftAnti" in tree
+    assert "BroadcastNestedLoopJoin" not in tree
+    assert "CartesianProduct" not in tree
