@@ -151,3 +151,47 @@ def synthetic_media(spark, n: int = 64) -> DataFrame:
             )
         )
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+RESIZE_SCHEMA = (
+    "media_id long, src_w int, src_h int, dst_w int, dst_h int, "
+    "n_bytes_out long, digest string"
+)
+
+
+def resize_images(media: DataFrame, max_side: int = 256) -> DataFrame:
+    """Aspect-preserving resize of image rows to fit ``max_side``, via
+    mapInPandas. The geometry is exact integer math (floor-scaled, never
+    upscaled) so the plan is reproducible; the pixel transform is STUBBED —
+    the emitted payload digest covers (payload, dst dims), standing in for
+    the real resampled bytes. Per the multimodal contract the Spark-side
+    plumbing (metadata schema, Arrow batching, partition-parallel map) is the
+    real thing; swap the stub for PIL/libvips in production."""
+
+    def _proc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                w, h = int(row.src_w), int(row.src_h)
+                m = max(w, h)
+                if m <= max_side:
+                    tw, th = w, h
+                else:
+                    tw, th = w * max_side // m, h * max_side // m
+                payload = bytes(row.payload)
+                # REAL RESAMPLE GOES HERE. Stub: digest binds payload+geometry.
+                digest = hashlib.sha256(
+                    payload + f"|{tw}|{th}".encode()
+                ).hexdigest()[:16]
+                out.append((row.media_id, w, h, tw, th, tw * th * 3, digest))
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "media_id", "src_w", "src_h", "dst_w", "dst_h",
+                    "n_bytes_out", "digest",
+                ],
+            )
+
+    from pgcapture_spark.operators.textstats import ensure_parallelism
+
+    return ensure_parallelism(media).mapInPandas(_proc, RESIZE_SCHEMA)

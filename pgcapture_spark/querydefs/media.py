@@ -99,3 +99,49 @@ FROM m WHERE modality = 'video'
 def media_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan = frame_sample_plan(media_view(spark, sf_dir), every_ms=1000)
     return plan.select("media_id", F.col("frame_ts_ms").cast("long").alias("frame_ts_ms"))
+
+
+# deterministic synthetic source dims for image rows (no real headers in the
+# fixture payloads): w/h are pure functions of media_id, so the oracle can
+# re-derive them.
+_DIMS = "32 + (media_id * 7) % 480 AS src_w, 32 + (media_id * 13) % 480 AS src_h"
+
+_DUCK_RESIZE = f"""
+WITH m AS ({_DUCK_MEDIA}),
+img AS (
+  SELECT media_id, text, {_DIMS.replace("media_id", "media_id")}
+  FROM m WHERE modality = 'image'
+),
+geo AS (
+  SELECT media_id, text, src_w, src_h,
+         CASE WHEN greatest(src_w, src_h) <= 256 THEN src_w
+              ELSE src_w * 256 // greatest(src_w, src_h) END AS dst_w,
+         CASE WHEN greatest(src_w, src_h) <= 256 THEN src_h
+              ELSE src_h * 256 // greatest(src_w, src_h) END AS dst_h
+  FROM img
+)
+SELECT media_id, src_w, src_h, dst_w, dst_h,
+       CAST(dst_w AS BIGINT) * dst_h * 3 AS n_bytes_out,
+       substr(sha256(text || '|' || dst_w || '|' || dst_h), 1, 16) AS digest
+FROM geo
+"""
+
+
+@q(
+    "media_resize_pandas",
+    _DUCK_RESIZE,
+    "North-star: multimodal resize — aspect-preserving integer fit to 256px"
+    " planned from typed metadata, pixel transform stubbed behind an Arrow-"
+    "batched mapInPandas whose digest binds payload+geometry.",
+)
+def media_resize_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pgcapture_spark.operators.multimodal import resize_images
+
+    media = media_view(spark, sf_dir).where(F.col("modality") == "image")
+    media = media.select(
+        "media_id",
+        "payload",
+        F.expr("CAST(32 + (media_id * 7) % 480 AS INT)").alias("src_w"),
+        F.expr("CAST(32 + (media_id * 13) % 480 AS INT)").alias("src_h"),
+    )
+    return resize_images(media)
