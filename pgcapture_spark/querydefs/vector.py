@@ -288,3 +288,120 @@ def ts_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("rank") <= 5)
     )
+
+
+# --------------------------------------------------- product quantization ANN
+
+# PQ/ADC: 64 dims → M=8 subspaces × 8 dims; the per-subspace codebook is the
+# label-centroid slice (deterministic — a trained k-means would slot in
+# identically). Corpus vectors compress to 8 small codes; each query builds an
+# 8×10 distance table and scores candidates by table lookups only (ADC) — at
+# 100 TB the corpus scan reads CODES (8 bytes/vector), not raw vectors, and
+# the tables ride along in one broadcast. Per-subspace distances are quantized
+# to integers before summing, so ranking is exact cross-engine.
+_DUCK_PQ = f"""
+WITH normed AS ({_DUCK_NORMED}),
+ex AS (
+  SELECT label, i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS val
+  FROM embeddings, range(1, 65) t(i)
+),
+centd AS (
+  SELECT label, dim,
+         CAST(sum(CAST(floor(val * 1000000000 + 0.5) AS BIGINT)) AS DOUBLE)
+           / 1000000000.0 / count(*) AS mean_val
+  FROM ex GROUP BY label, dim
+),
+cent AS (SELECT label AS c_label, list(mean_val ORDER BY dim) AS c_e
+         FROM centd GROUP BY label),
+sub_d AS (
+  SELECT n.vec_id, m.m, c.c_label,
+         list_sum(list_transform(range(1, 9),
+                  i -> (n.e[m.m * 8 + i] - c.c_e[m.m * 8 + i])
+                     * (n.e[m.m * 8 + i] - c.c_e[m.m * 8 + i]))) AS d2
+  FROM normed n CROSS JOIN range(0, 8) m(m) CROSS JOIN cent c
+),
+codes AS (
+  SELECT vec_id, m, c_label AS code FROM (
+    SELECT vec_id, m, c_label,
+           row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, c_label) AS rn
+    FROM sub_d
+  ) WHERE rn = 1
+),
+qd AS (
+  SELECT vec_id AS query_id, m, c_label,
+         CAST(floor(d2 * 1000000 + 0.5) AS BIGINT) AS d2q
+  FROM sub_d WHERE vec_id % 25 = 1
+),
+adc AS (
+  SELECT qd.query_id, v.vec_id AS neighbor_id, sum(qd.d2q) AS approx_d2q
+  FROM codes v JOIN qd ON qd.m = v.m AND qd.c_label = v.code
+  WHERE v.vec_id <> qd.query_id
+  GROUP BY 1, 2
+)
+SELECT query_id, neighbor_id, approx_d2q,
+       row_number() OVER (PARTITION BY query_id
+                          ORDER BY approx_d2q, neighbor_id) AS rank
+FROM adc
+QUALIFY rank <= 3
+"""
+
+_SUBD2 = (
+    "aggregate(zip_with(slice(emb_d, m * 8 + 1, 8), slice(c.c_e, m * 8 + 1, 8),"
+    " (x, y) -> (x - y) * (x - y)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+)
+
+
+@q(
+    "sim_pq_adc_ann",
+    _DUCK_PQ,
+    "North-star: product-quantization ANN with asymmetric distance computation"
+    " — corpus compressed to 8 subspace codes, queries score via broadcast"
+    " 8×10 integer distance tables; exact integer ranking cross-engine.",
+)
+def sim_pq_adc_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from pgcapture_spark.operators.similarity import centroid_vectors, with_norm
+
+    register_views(spark, sf_dir, ("embeddings",))
+    emb = spark.table("embeddings")
+    normed = with_norm(emb).select("vec_id", "emb_d")
+    cent_rows = centroid_vectors(emb).collect()
+    cents_local = sorted(
+        (int(r["c_label"]), [float(v) for v in r["c_e"]]) for r in cent_rows
+    )
+    cents_row = emb.sparkSession.createDataFrame(
+        [(cents_local,)], "cents array<struct<c_label:int,c_e:array<double>>>"
+    )
+    with_cents = normed.join(F.broadcast(cents_row))
+    # corpus → 8 codes (argmin per subspace; cents sorted by label, so
+    # element_at index = label + 1 on the query side)
+    corpus = with_cents.select(
+        "vec_id",
+        F.expr(
+            "transform(sequence(0, 7), m -> array_min(transform(cents, c ->"
+            f" struct({_SUBD2} AS d2, c.c_label AS lbl))).lbl)"
+        ).alias("codes"),
+    )
+    queries = with_cents.where("vec_id % 25 = 1").select(
+        F.col("vec_id").alias("query_id"),
+        F.expr(
+            "transform(sequence(0, 7), m -> transform(cents, c ->"
+            f" CAST(floor({_SUBD2} * 1000000 + 0.5) AS BIGINT)))"
+        ).alias("dtab"),
+    )
+    adc = (
+        corpus.join(F.broadcast(queries))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.expr(
+                "aggregate(sequence(0, 7), 0L, (acc, m) -> acc +"
+                " element_at(element_at(dtab, m + 1),"
+                " element_at(codes, m + 1) + 1))"
+            ).alias("approx_d2q"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy("approx_d2q", "neighbor_id")
+    return adc.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= 3)
