@@ -180,3 +180,40 @@ def agg_percentile_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM exact e
         """
     )
+
+
+# ------------------------------------------------------------------ pivot
+
+# the DataFrame pivot API (wide-table contingency) — the oracle states the
+# same result as explicit conditional aggregation. Pivot values are declared
+# literals, so Spark skips the extra distinct-values job (at scale, always
+# declare them).
+_PIVOT_DUCK = """
+SELECT user_id % 10 AS user_bucket,
+       count(*) FILTER (event_type = 'click')    AS click,
+       count(*) FILTER (event_type = 'error')    AS error,
+       count(*) FILTER (event_type = 'purchase') AS purchase,
+       count(*) FILTER (event_type = 'signup')   AS signup,
+       count(*) FILTER (event_type = 'view')     AS view
+FROM events GROUP BY user_bucket
+"""
+
+
+@q(
+    "agg_pivot_counts",
+    _PIVOT_DUCK,
+    "§2.7: pivot — event-type counts widened to columns per user bucket"
+    " (declared pivot values → single-pass Expand, no distinct pre-job).",
+)
+def agg_pivot_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    register_views(spark, sf_dir, ("events",))
+    return (
+        spark.table("events")
+        .withColumn("user_bucket", F.col("user_id") % 10)
+        .groupBy("user_bucket")
+        .pivot("event_type", ["click", "error", "purchase", "signup", "view"])
+        .count()
+        .na.fill(0)
+    )
