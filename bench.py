@@ -40,6 +40,7 @@ HEADLINE = [
     # training-data operators
     "text_quality_score",
     "text_fingerprint",
+    "text_tfidf_topterms",
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",
@@ -47,6 +48,7 @@ HEADLINE = [
     "sim_cosine_topk",
     "sim_signlsh_ann",
     "sim_ivf_ann",
+    "sim_pq_adc_ann",
     "media_features_pandas",
 ]
 
