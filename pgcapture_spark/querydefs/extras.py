@@ -153,3 +153,61 @@ def cdc_apply_ddl_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         if alter is not None:
             snap, cols = evolve_snapshot(snap, cols, alter)
     return cdc_apply(snap, changes, "c_custkey", cols)
+
+
+_MAD_DUCK = """
+WITH c AS (
+  SELECT user_id, event_id, CAST(floor(value * 100 + 0.5) AS BIGINT) AS value_cents
+  FROM events
+),
+m AS (SELECT user_id, median(value_cents) AS med_cents FROM c GROUP BY user_id),
+d AS (SELECT c.user_id, c.event_id, c.value_cents, m.med_cents,
+             abs(c.value_cents - m.med_cents) AS ad
+      FROM c JOIN m USING (user_id)),
+m2 AS (SELECT user_id, median(ad) AS mad_cents FROM d GROUP BY user_id)
+SELECT d.user_id, d.event_id, d.value_cents, d.med_cents, m2.mad_cents,
+       d.ad > 3.0 * m2.mad_cents AS is_outlier
+FROM d JOIN m2 USING (user_id)
+"""
+
+
+@q(
+    "events_mad_outliers",
+    _MAD_DUCK,
+    "North-star / §2.7 custom agg: per-key robust outlier flags via grouped"
+    " applyInPandas (nested medians — inexpressible in one native pass);"
+    " integer-cents input keeps the interpolated medians exact cross-engine.",
+)
+def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pgcapture_spark.operators.outliers import mad_outliers
+
+    register_views(spark, sf_dir, ("events",))
+    return mad_outliers(spark.table("events"))
+
+
+_LATERAL_SPARK = """
+SELECT c.c_custkey, c.c_mktsegment, t.o_orderkey, t.totalprice_cents
+FROM customer c,
+LATERAL (
+  SELECT o_orderkey,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS totalprice_cents
+  FROM orders
+  WHERE o_custkey = c.c_custkey
+  ORDER BY totalprice_cents DESC, o_orderkey
+  LIMIT 2
+) t
+WHERE c.c_custkey % 10 = 4
+"""
+
+_LATERAL_DUCK = _LATERAL_SPARK  # identical syntax in DuckDB
+
+
+@q(
+    "join_lateral_topn",
+    _LATERAL_DUCK,
+    "§2.7: correlated LATERAL subquery — top-2 orders per customer, the"
+    " decorrelated-apply join shape (Catalyst rewrites to a ranked join).",
+)
+def join_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, ("customer", "orders"))
+    return spark.sql(_LATERAL_SPARK)
