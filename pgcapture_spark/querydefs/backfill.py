@@ -75,3 +75,83 @@ def backfill_union_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     merged = backfill_union(feed, dumps)
     empty = snapshot.where("1=0")
     return cdc_apply(empty, merged, "c_custkey", _CUST_COLS)
+
+
+@q(
+    "backfill_streamed",
+    apply_oracle_sql(cdc_customer_sql(DUCKDB), "customer", "c_custkey", _CUST_COLS),
+    "B4 streamed — the full DBLog gateway loop as a running pipeline: four"
+    " dump chunks interleaved BETWEEN stream segments (each a separate"
+    " micro-batch), every chunk consistent-as-of its injection point (the"
+    " watermark rule: the dumping replica has applied ≥ the stream position,"
+    " pkg/dblog/dumper.go:172-186), folded from an EMPTY snapshot by the"
+    " incremental apply. Converges to the batch apply result: chunk content"
+    " at-or-newer than all earlier events, later events strictly newer than"
+    " any chunk.",
+)
+def backfill_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    from pyspark.sql import functions as F
+
+    from pgcapture_spark.sources.feed import read_feed_stream
+    from pgcapture_spark.streaming.pipeline import apply_stream
+    from pgcapture_spark.streaming.state import SnapshotState
+
+    register_views(spark, sf_dir, ("customer",))
+    base = spark.table("customer")
+    feed = _feed(spark, sf_dir, "customer")
+
+    # segment boundaries: ord quartiles (exact percentiles — 3 scalars)
+    p = feed.agg(
+        *[
+            F.expr(f"percentile_disc({q_}) WITHIN GROUP (ORDER BY ord)").alias(f"p{i}")
+            for i, q_ in enumerate((0.25, 0.5, 0.75))
+        ],
+        F.max("ord").alias("p3"),
+    ).collect()[0]
+    bounds = [int(p[i]) for i in range(4)]
+
+    d = tempfile.mkdtemp(prefix="pgcs_q_bfstream_")
+    feed_dir = f"{d}/feed"
+    os.makedirs(feed_dir)
+
+    def _write_piece(df, idx: int) -> None:
+        tmp = f"{d}/piece{idx}"
+        df.unionByName(feed.limit(0), allowMissingColumns=True).select(
+            *feed.columns
+        ).coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = next(
+            f for f in os.listdir(tmp) if f.startswith("part-") and f.endswith(".parquet")
+        )
+        dst = os.path.join(feed_dir, f"seg-{idx:03d}.parquet")
+        shutil.move(os.path.join(tmp, part), dst)
+        ts = time.time() - 10 * (16 - idx)
+        os.utime(dst, (ts, ts))
+
+    lo_ord = -1
+    for i, hi_ord in enumerate(bounds):
+        _write_piece(feed.where((F.col("ord") > lo_ord) & (F.col("ord") <= hi_ord)), 2 * i)
+        # the "replica" as-of this stream position, chunked on key buckets
+        replica = cdc_apply(base, feed.where(F.col("ord") <= hi_ord), "c_custkey", _CUST_COLS)
+        _write_piece(
+            dump_chunk(replica, "c_custkey", _CUST_COLS, 16 * i, 16 * i + 15, dump_id=i),
+            2 * i + 1,
+        )
+        lo_ord = hi_ord
+
+    schema = spark.read.parquet(feed_dir).schema
+    state = SnapshotState(spark, f"{d}/state")
+    query = apply_stream(
+        read_feed_stream(spark, feed_dir, schema, max_files_per_trigger=1),
+        state,
+        base.where("1=0"),
+        "c_custkey",
+        _CUST_COLS,
+        f"{d}/ckpt",
+    )
+    query.awaitTermination(300)
+    return state.read()
