@@ -389,3 +389,83 @@ def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rank",
         )
     )
+
+
+# --------------------------------------------------------- string gauntlet
+
+# string-function surface with identical cross-engine semantics (levenshtein,
+# reverse/repeat, split_part, instr/left/right, trim family) — complements the
+# date/math scalar_gauntlet.
+_STRGAUNTLET_BODY = """
+SELECT doc_id,
+       levenshtein(substring(lower(text), 1, 12), 'data analysis') AS lev12,
+       reverse(lang) AS lang_rev,
+       repeat(lang, 3) AS lang3,
+       split_part(source, 'rc', 2) AS src_num,
+       instr(lower(text), 'the') AS first_the,
+       left(text, 5) AS head5,
+       right(text, 5) AS tail5,
+       length(ltrim(' ' || text)) AS len_lt,
+       length(rtrim(text || ' ')) AS len_rt,
+       lower(substring(text, 3, 7)) AS low37,
+       replace(lang, 'e', '3') AS leet
+FROM documents
+WHERE doc_id % 5 = 2
+"""
+
+
+@q(
+    "text_string_gauntlet",
+    _STRGAUNTLET_BODY,
+    "§2.7: string scalar surface — levenshtein, reverse/repeat, split_part,"
+    " instr, left/right, trim family, replace (one projection, no shuffle).",
+)
+def text_string_gauntlet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, ("documents",))
+    return spark.sql(_STRGAUNTLET_BODY)
+
+
+# ---------------------------------------------------------- array gauntlet
+
+# higher-order / array surface: distinct+sort, intersect (sorted — engines
+# differ on result order), flatten, contains/position, slice, fold. One scan,
+# all per-row.
+_ARR_SPARK_TPL = """
+WITH t AS (SELECT doc_id, {tok} AS tokens FROM documents WHERE doc_id % 7 = 3)
+SELECT doc_id,
+       array_sort(array_distinct(tokens)) AS uniq_sorted,
+       array_sort(array_intersect(tokens, array('the', 'data', 'row'))) AS marker_hits,
+       size(flatten(array(slice(tokens, 1, 2), slice(tokens, 3, 2)))) AS flat4,
+       array_contains(tokens, 'the') AS has_the,
+       array_position(tokens, 'the') AS pos_the,
+       element_at(tokens, 1) AS first_tok,
+       aggregate(slice(tokens, 1, 10), 0L, (acc, t) -> acc + length(t)) AS len10
+FROM t
+"""
+
+_ARR_DUCK = f"""
+WITH t AS (SELECT doc_id, {{duck_tokens}} AS tokens FROM documents WHERE doc_id % 7 = 3)
+SELECT doc_id,
+       list_sort(list_distinct(tokens)) AS uniq_sorted,
+       list_sort(list_intersect(tokens, ['the', 'data', 'row'])) AS marker_hits,
+       len(flatten([tokens[1:2], tokens[3:4]])) AS flat4,
+       list_contains(tokens, 'the') AS has_the,
+       coalesce(list_position(tokens, 'the'), 0) AS pos_the,
+       tokens[1] AS first_tok,
+       list_sum(list_transform(tokens[1:10], t -> length(t))) AS len10
+FROM t
+"""
+
+
+@q(
+    "text_array_gauntlet",
+    _ARR_DUCK.format(duck_tokens=_DUCK_TOKENS),
+    "§2.7: array / higher-order-function surface — distinct, sorted intersect,"
+    " flatten, contains/position, element_at, slice-fold — per-row, fused into"
+    " the scan.",
+)
+def text_array_gauntlet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, ("documents",))
+    from pgcapture_spark.operators.textstats import TOKENS_EXPR
+
+    return spark.sql(_ARR_SPARK_TPL.format(tok=TOKENS_EXPR))
