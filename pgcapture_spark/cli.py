@@ -1,0 +1,141 @@
+"""Operational entry points — the engine's analog of the reference's commands
+(`cmd/pg2pulsar.go`, `cmd/pulsar2pg.go`, `cmd/controller.go` + gateway/agent):
+
+  capture   feed parquet dir → durable ordered event-log segments      (E1)
+  apply     event log → snapshot state via the streaming pipeline      (E2)
+  backfill  snapshot + event log → converged state with dump chunks    (E3/B4)
+  lag       replication-lag report over an applied state               (A9)
+
+Each subcommand is a thin wrapper over the library operators; everything
+testable without a cluster (`local[N]` session from session.py).
+
+Usage:
+  python -m pgcapture_spark.cli capture --feed-dir IN --log-dir OUT [--segments 8]
+  python -m pgcapture_spark.cli apply --log-dir IN --snapshot S --state-dir D \
+      --key K --cols a,b,c [--checkpoint C]
+  python -m pgcapture_spark.cli backfill --snapshot S --log-dir IN --state-dir D \
+      --key K --cols a,b,c
+  python -m pgcapture_spark.cli lag --state-dir D --ts-col commit_ts
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import tempfile
+
+from pgcapture_spark.session import get_spark
+
+
+def _cmd_capture(args) -> int:
+    from pgcapture_spark.sources.feed import materialize_feed
+
+    spark = get_spark(app="pgcs-capture")
+    feed = spark.read.parquet(args.feed_dir)
+    materialize_feed(feed, args.log_dir, n_segments=args.segments, order_col=args.order_col)
+    n = spark.read.parquet(args.log_dir).count()
+    print(f"captured {n} events into {args.log_dir} ({args.segments} segments)")
+    return 0
+
+
+def _cmd_apply(args) -> int:
+    from pgcapture_spark.sources.feed import read_feed_stream
+    from pgcapture_spark.streaming.pipeline import apply_stream
+    from pgcapture_spark.streaming.state import SnapshotState
+
+    spark = get_spark(app="pgcs-apply")
+    snapshot = spark.read.parquet(args.snapshot)
+    schema = spark.read.parquet(args.log_dir).schema
+    ckpt = args.checkpoint or tempfile.mkdtemp(prefix="pgcs_cli_ckpt_")
+    state = SnapshotState(spark, args.state_dir)
+    query = apply_stream(
+        read_feed_stream(spark, args.log_dir, schema, args.max_files_per_trigger),
+        state,
+        snapshot,
+        args.key,
+        args.cols.split(","),
+        ckpt,
+    )
+    query.awaitTermination(args.timeout)
+    out = state.read()
+    print(f"applied; state rows = {out.count()} at {args.state_dir}")
+    return 0
+
+
+def _cmd_backfill(args) -> int:
+    from pgcapture_spark.operators.apply import cdc_apply
+    from pgcapture_spark.operators.backfill import backfill_union, dump_chunk
+
+    spark = get_spark(app="pgcs-backfill")
+    snapshot = spark.read.parquet(args.snapshot)
+    changes = spark.read.parquet(args.log_dir)
+    cols = args.cols.split(",")
+    dumps = dump_chunk(snapshot, args.key, cols, 0, args.buckets - 1, dump_id=1,
+                       n_buckets=args.buckets)
+    merged = backfill_union(changes, dumps)
+    out = cdc_apply(snapshot.where("1=0"), merged, args.key, cols)
+    out.write.mode("overwrite").parquet(args.state_dir)
+    print(f"backfilled; state rows = {spark.read.parquet(args.state_dir).count()}")
+    return 0
+
+
+def _cmd_lag(args) -> int:
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from pgcapture_spark.streaming.pipeline import replication_lag_seconds
+
+    spark = get_spark(app="pgcs-lag")
+    state = spark.read.parquet(args.state_dir)
+    last = state.agg(F.max(args.ts_col)).collect()[0][0]
+    lag = replication_lag_seconds(last, datetime.datetime.now(datetime.timezone.utc))
+    print(f"last applied {args.ts_col} = {last}; replication lag = {lag:.1f}s")
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="pgcapture_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    c = sub.add_parser("capture", help="feed → ordered event-log segments (E1)")
+    c.add_argument("--feed-dir", required=True)
+    c.add_argument("--log-dir", required=True)
+    c.add_argument("--segments", type=int, default=8)
+    c.add_argument("--order-col", default="ord")
+    c.set_defaults(fn=_cmd_capture)
+
+    a = sub.add_parser("apply", help="event log → snapshot state (E2)")
+    a.add_argument("--log-dir", required=True)
+    a.add_argument("--snapshot", required=True)
+    a.add_argument("--state-dir", required=True)
+    a.add_argument("--key", required=True)
+    a.add_argument("--cols", required=True, help="comma-separated non-key columns")
+    a.add_argument("--checkpoint")
+    a.add_argument("--max-files-per-trigger", type=int, default=2)
+    a.add_argument("--timeout", type=int, default=600)
+    a.set_defaults(fn=_cmd_apply)
+
+    b = sub.add_parser("backfill", help="snapshot ∪ log → converged state (B4)")
+    b.add_argument("--snapshot", required=True)
+    b.add_argument("--log-dir", required=True)
+    b.add_argument("--state-dir", required=True)
+    b.add_argument("--key", required=True)
+    b.add_argument("--cols", required=True)
+    b.add_argument("--buckets", type=int, default=64)
+    b.set_defaults(fn=_cmd_backfill)
+
+    lg = sub.add_parser("lag", help="replication-lag report (A9)")
+    lg.add_argument("--state-dir", required=True)
+    lg.add_argument("--ts-col", default="commit_ts")
+    lg.set_defaults(fn=_cmd_lag)
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

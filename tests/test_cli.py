@@ -1,0 +1,61 @@
+"""CLI smoke: the capture → apply pipeline driven through the command surface
+(the engine's pg2pulsar / pulsar2pg analog) must converge to the batch apply."""
+
+from __future__ import annotations
+
+import tempfile
+
+from pgcapture_spark.catalog import CDC_COLS
+from pgcapture_spark.cli import main
+from pgcapture_spark.operators.apply import cdc_apply
+from pgcapture_spark.queries import _feed
+from tests.conftest import SF_SMALL
+
+
+def test_cli_capture_then_apply(spark):
+    d = tempfile.mkdtemp(prefix="pgcs_cli_test_")
+    feed = _feed(spark, SF_SMALL, "customer")
+    feed.write.mode("overwrite").parquet(f"{d}/feed_in")
+    snapshot = spark.read.parquet(f"{SF_SMALL}/customer.parquet")
+    snapshot.write.mode("overwrite").parquet(f"{d}/snapshot")
+
+    assert main([
+        "capture", "--feed-dir", f"{d}/feed_in", "--log-dir", f"{d}/log",
+        "--segments", "4",
+    ]) == 0
+    assert main([
+        "apply", "--log-dir", f"{d}/log", "--snapshot", f"{d}/snapshot",
+        "--state-dir", f"{d}/state", "--key", "c_custkey",
+        "--cols", ",".join(CDC_COLS["customer"]),
+    ]) == 0
+
+    from pgcapture_spark.streaming.state import SnapshotState
+
+    got = {
+        r["c_custkey"]: (r["c_name"], r["c_acctbal"])
+        for r in SnapshotState(spark, f"{d}/state").read().collect()
+    }
+    want = {
+        r["c_custkey"]: (r["c_name"], r["c_acctbal"])
+        for r in cdc_apply(snapshot, feed, "c_custkey", CDC_COLS["customer"]).collect()
+    }
+    assert got == want
+
+
+def test_cli_backfill(spark):
+    d = tempfile.mkdtemp(prefix="pgcs_cli_bf_")
+    feed = _feed(spark, SF_SMALL, "customer")
+    feed.write.mode("overwrite").parquet(f"{d}/log")
+    snapshot = spark.read.parquet(f"{SF_SMALL}/customer.parquet")
+    snapshot.write.mode("overwrite").parquet(f"{d}/snapshot")
+
+    assert main([
+        "backfill", "--snapshot", f"{d}/snapshot", "--log-dir", f"{d}/log",
+        "--state-dir", f"{d}/state", "--key", "c_custkey",
+        "--cols", ",".join(CDC_COLS["customer"]),
+    ]) == 0
+
+    got = spark.read.parquet(f"{d}/state")
+    want = cdc_apply(snapshot, feed, "c_custkey", CDC_COLS["customer"])
+    assert got.count() == want.count()
+    assert got.exceptAll(want).count() == 0
