@@ -1,0 +1,95 @@
+"""Incremental aggregate maintenance over a CDC feed — materialized-view delta
+maintenance, the downstream consumer pattern the reference's debounced handlers
+feed (SURVEY.md §2 C1-C2: per-table handlers reacting to row changes; the
+classic use is keeping an aggregate in sync without rescanning the base table).
+
+Semantics: given a maintained GROUP BY aggregate ``base`` over ``snapshot`` and
+a change feed, produce the aggregate of the *applied* snapshot by combining
+``base`` with a delta computed ONLY from the touched keys:
+
+    delta(g) = agg(new image of touched keys) - agg(old image of touched keys)
+    final(g) = base(g) + delta(g),  groups with count 0 dropped
+
+Scale design (100 TB): the base aggregate is a tiny maintained table (one row
+per group) that at scale would be read, not recomputed — ``incremental_agg``
+takes it as a DataFrame so callers pass the stored MV. The delta path is
+O(touched keys): a semi-join prunes the snapshot to touched keys (broadcastable
+when the change set is small — AQE decides), one ``cdc_apply`` fold, and a
+union-aggregate with map-side partial combine. No full-table rescan; count and
+sum are the delta-maintainable aggregates (min/max are not — they need a rescan
+on delete, which is exactly why MVs restrict themselves to abelian aggregates).
+
+Determinism contract: monetary sums are exact integer cents
+(``floor(x * 100 + 0.5)`` — identical IEEE double ops in Spark and DuckDB), so
+the incremental result hash-matches a from-scratch oracle bit-for-bit; NULL
+values count as 0 cents in both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from pgcapture_spark.operators.apply import cdc_apply
+
+
+def cents(col: str) -> Column:
+    """Exact integer cents of a double column; NULL → 0 (both engines)."""
+    return F.expr(f"CAST(floor(coalesce({col}, 0.0) * 100 + 0.5) AS BIGINT)")
+
+
+def group_agg(df: DataFrame, group_col: str, val_col: str) -> DataFrame:
+    """The maintained aggregate shape: count + exact-cents sum per group."""
+    return df.groupBy(group_col).agg(
+        F.count("*").alias("n_rows"), F.sum(cents(val_col)).alias("bal_cents")
+    )
+
+
+def incremental_agg(
+    base: DataFrame,
+    snapshot: DataFrame,
+    changes: DataFrame,
+    key: str,
+    group_col: str,
+    val_col: str,
+    cols: list[str],
+) -> DataFrame:
+    """Maintain ``base = group_agg(snapshot)`` under ``changes`` without a full
+    rescan: old/new images of the touched keys only."""
+    touched = changes.select(key).distinct()
+    old_part = snapshot.join(touched, key, "left_semi")
+    new_part = cdc_apply(old_part, changes, key, cols)
+    contrib = old_part.select(
+        F.col(group_col),
+        F.lit(-1).cast("long").alias("dn"),
+        (-cents(val_col)).alias("dc"),
+    ).unionByName(
+        new_part.select(
+            F.col(group_col),
+            F.lit(1).cast("long").alias("dn"),
+            cents(val_col).alias("dc"),
+        )
+    )
+    delta = contrib.groupBy(group_col).agg(
+        F.sum("dn").alias("dn"), F.sum("dc").alias("dc")
+    )
+    merged = base.alias("b").join(delta.alias("d"), on=group_col, how="full_outer")
+    return merged.select(
+        F.col(group_col),
+        (F.coalesce("b.n_rows", F.lit(0)) + F.coalesce("d.dn", F.lit(0))).alias("n_rows"),
+        (F.coalesce("b.bal_cents", F.lit(0)) + F.coalesce("d.dc", F.lit(0))).alias(
+            "bal_cents"
+        ),
+    ).where(F.col("n_rows") > 0)
+
+
+def incremental_agg_oracle_sql(applied_sql: str, group_col: str, val_col: str) -> str:
+    """Oracle: the same aggregate computed FROM SCRATCH over the applied
+    snapshot — incremental maintenance must be indistinguishable from it."""
+    return f"""
+WITH applied AS ({applied_sql})
+SELECT {group_col}, count(*) AS n_rows,
+       sum(CAST(floor(coalesce({val_col}, 0.0) * 100 + 0.5) AS BIGINT)) AS bal_cents
+FROM applied
+GROUP BY {group_col}
+"""

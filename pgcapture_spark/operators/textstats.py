@@ -176,6 +176,58 @@ def quality_score(docs: DataFrame) -> DataFrame:
     )
 
 
+# 2-gram variant of SHINGLES_EXPR (same constant-reference zip_with shape)
+BIGRAMS_EXPR = (
+    "CASE WHEN size(tokens) >= 2 THEN "
+    "zip_with(slice(tokens, 1, size(tokens) - 1), slice(tokens, 2, size(tokens) - 1), "
+    "(a, b) -> concat(a, ' ', b)) "
+    "ELSE CAST(array() AS ARRAY<STRING>) END"
+)
+
+
+def repetition_signals(docs: DataFrame) -> DataFrame:
+    """Gopher-style repetition quality signals per document: duplicate-token
+    fraction (1 − distinct/total) and top-bigram fraction (occurrences of the
+    most frequent bigram / total bigrams) — high values flag boilerplate and
+    degenerate repetition for pre-training filtering.
+
+    Shape: per-row token stats fused into the scan; the bigram mode needs a
+    (doc_id, bigram) count — explode + two-level groupBy with map-side combine,
+    then a doc_id join back (shares the doc_id exchange). Linear in corpus
+    size, two shuffles on doc_id — the 100 TB shape."""
+    base = with_tokens(docs).select(
+        "doc_id",
+        F.size("tokens").alias("n_tokens"),
+        F.expr("size(array_distinct(tokens))").alias("_n_distinct"),
+        F.expr(BIGRAMS_EXPR).alias("_bigrams"),
+    )
+    bg_cnt = (
+        base.select("doc_id", F.explode("_bigrams").alias("bigram"))
+        .groupBy("doc_id", "bigram")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.sum("c").alias("n_bigrams"), F.max("c").alias("top_bigram_cnt"))
+    )
+    return (
+        base.drop("_bigrams")
+        .join(bg_cnt, on="doc_id", how="left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            (
+                F.lit(1.0)
+                - F.col("_n_distinct").cast("double") / F.greatest("n_tokens", F.lit(1))
+            ).alias("dup_token_frac"),
+            F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+            F.coalesce("top_bigram_cnt", F.lit(0)).alias("top_bigram_cnt"),
+            (
+                F.coalesce("top_bigram_cnt", F.lit(0)).cast("double")
+                / F.greatest(F.coalesce("n_bigrams", F.lit(0)), F.lit(1))
+            ).alias("top_bigram_frac"),
+        )
+    )
+
+
 def fingerprint(docs: DataFrame, k: int = 4) -> DataFrame:
     """Document fingerprint: k-min sketch over shingle hashes (winnowing-lite —
     the k lexicographically-smallest md5s of the 3-gram shingles, joined).

@@ -52,9 +52,11 @@ from pgcapture_spark.querydefs import (  # noqa: E402,F401
     backfill as _qd_backfill,
     core as _qd_core,
     extras as _qd_extras,
+    maintenance as _qd_maintenance,
     media as _qd_media,
     pipeline as _qd_pipeline,
     relational as _qd_relational,
+    sketches as _qd_sketches,
     skewq as _qd_skewq,
     streamq as _qd_streamq,
     surface as _qd_surface,

@@ -1,0 +1,100 @@
+"""Maintained-derivative operators: incremental aggregate (materialized-view
+delta maintenance over the CDC feed), time-series gap-fill/LOCF rollup, and
+repetition quality signals — SURVEY §2 C1-C2 consumer patterns + north-star
+time-series/text additions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from pgcapture_spark.catalog import CDC_COLS, register_views
+from pgcapture_spark.fixtures.cdc_feed import DUCKDB, cdc_customer_sql
+from pgcapture_spark.operators.apply import apply_oracle_sql
+from pgcapture_spark.operators.gapfill import gapfill_locf, gapfill_oracle_sql
+from pgcapture_spark.operators.incremental import (
+    group_agg,
+    incremental_agg,
+    incremental_agg_oracle_sql,
+)
+from pgcapture_spark.operators.textstats import repetition_signals
+from pgcapture_spark.queries import _feed, q
+
+_APPLIED_CUSTOMER = apply_oracle_sql(
+    cdc_customer_sql(DUCKDB), "customer", "c_custkey", CDC_COLS["customer"]
+)
+
+
+@q(
+    "cdc_incremental_agg",
+    incremental_agg_oracle_sql(_APPLIED_CUSTOMER, "c_nationkey", "c_acctbal"),
+    "C1-C2 consumer pattern: incremental maintenance of a GROUP BY aggregate"
+    " under the change feed — base MV + O(touched-keys) delta, verified against"
+    " a from-scratch aggregate of the applied snapshot (exact integer cents).",
+)
+def cdc_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, ("customer",))
+    snap = spark.table("customer")
+    base = group_agg(snap, "c_nationkey", "c_acctbal")
+    return incremental_agg(
+        base,
+        snap,
+        _feed(spark, sf_dir, "customer"),
+        "c_custkey",
+        "c_nationkey",
+        "c_acctbal",
+        CDC_COLS["customer"],
+    )
+
+
+_GF_WHERE = "user_id % 20 = 3"
+
+
+@q(
+    "ts_gapfill_locf",
+    gapfill_oracle_sql(_GF_WHERE),
+    "North-star time-series: hourly rollup with dense gap-filled bucket spine"
+    " and last-observation-carried-forward — hypertable continuous-aggregate"
+    " shape, one shuffle key (entity) reused by agg, spine join, and window.",
+)
+def ts_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, ("events",))
+    return gapfill_locf(spark.table("events").where(_GF_WHERE))
+
+
+_DUCK_REPETITION = r"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS tokens
+  FROM documents
+),
+base AS (
+  SELECT doc_id, len(tokens) AS n_tokens, len(list_distinct(tokens)) AS n_distinct,
+         CASE WHEN len(tokens) >= 2
+              THEN list_transform(range(1, len(tokens)), i -> tokens[i] || ' ' || tokens[i + 1])
+              ELSE CAST([] AS VARCHAR[]) END AS bigrams
+  FROM t
+),
+bgr AS (SELECT doc_id, unnest(bigrams) AS bigram FROM base),
+cnt AS (SELECT doc_id, bigram, count(*) AS c FROM bgr GROUP BY 1, 2),
+agg AS (SELECT doc_id, sum(c) AS n_bigrams, max(c) AS top_bigram_cnt FROM cnt GROUP BY 1)
+SELECT b.doc_id, b.n_tokens,
+       1.0 - CAST(b.n_distinct AS DOUBLE) / greatest(b.n_tokens, 1) AS dup_token_frac,
+       coalesce(a.n_bigrams, 0) AS n_bigrams,
+       coalesce(a.top_bigram_cnt, 0) AS top_bigram_cnt,
+       CAST(coalesce(a.top_bigram_cnt, 0) AS DOUBLE)
+         / greatest(coalesce(a.n_bigrams, 0), 1) AS top_bigram_frac
+FROM base b LEFT JOIN agg a USING (doc_id)
+"""
+
+
+@q(
+    "text_repetition_signals",
+    _DUCK_REPETITION,
+    "North-star text quality: Gopher-style repetition signals — duplicate-token"
+    " fraction and top-bigram fraction per document (boilerplate/degeneracy"
+    " filter for pre-training corpora).",
+)
+def text_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, ("documents",))
+    return repetition_signals(spark.table("documents"))

@@ -1,0 +1,54 @@
+"""Mergeable-sketch aggregation — the 100 TB distinct-counting pattern: build
+per-partition (event_type × day) Datasketches-HLL sketches once, then answer
+any rollup by MERGING sketches instead of rescanning raw data. At scale the
+daily sketch table is a few KB per group; re-aggregation over arbitrary date
+ranges is O(groups), not O(events).
+
+Cross-engine contract (same pattern as ``agg_approx_distinct``): sketch bytes
+differ across engines, so the oracle asserts the exact distinct count and the
+Spark side asserts its merged-sketch estimate lands within the sketch's
+accuracy bound of that exact count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pgcapture_spark.catalog import register_views
+from pgcapture_spark.queries import q
+
+_HLL_SQL_DUCK = """
+SELECT event_type, count(DISTINCT user_id) AS n_exact,
+       count(DISTINCT date_trunc('day', ts)) AS n_days,
+       true AS merged_within_5pct
+FROM events GROUP BY event_type
+"""
+
+
+@q(
+    "agg_hll_sketch_merge",
+    _HLL_SQL_DUCK,
+    "§2.7 scale path: two-level HLL — per-(type, day) sketches merged with"
+    " hll_union_agg, estimate contract-checked against the exact distinct"
+    " count (the store-sketches, merge-on-query rollup pattern).",
+)
+def agg_hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, ("events",))
+    ev = spark.table("events")
+    daily = ev.groupBy("event_type", F.date_trunc("day", "ts").alias("day")).agg(
+        F.hll_sketch_agg("user_id", F.lit(14)).alias("sk")
+    )
+    merged = daily.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("_n_est"),
+        F.count("*").alias("n_days"),
+    )
+    exact = ev.groupBy("event_type").agg(F.countDistinct("user_id").alias("n_exact"))
+    return merged.join(exact, on="event_type").select(
+        "event_type",
+        "n_exact",
+        "n_days",
+        (F.abs(F.col("_n_est") - F.col("n_exact")) <= 0.05 * F.col("n_exact")).alias(
+            "merged_within_5pct"
+        ),
+    )

@@ -391,6 +391,58 @@ def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------------------- PII scrubbing
+
+# Deterministic synthetic PII is appended per doc (same expression both
+# engines) so the scrub path is exercised on every row; patterns use the
+# regex-dialect intersection (character classes, bounded quantifiers) that
+# Java regex and RE2 interpret identically. Pure per-row string ops — fused
+# into the scan, no shuffle, the 100 TB shape.
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PHONE_RE = r"\+?[0-9][0-9\-]{6,}[0-9]"
+
+_PII_AUG = (
+    "text || ' Contact user' || CAST(doc_id AS {str_t}) || '@example.com'"
+    " || ' or +1-555-' || CAST(1000 + doc_id % 9000 AS {str_t}) || ' now.'"
+)
+
+# Spark SQL string literals process backslash escapes; DuckDB's do not —
+# double the backslashes for the Spark rendering only.
+_EMAIL_RE_SP = _EMAIL_RE.replace("\\", "\\\\")
+_PHONE_RE_SP = _PHONE_RE.replace("\\", "\\\\")
+
+_PII_SPARK = f"""
+WITH aug AS (SELECT doc_id, {_PII_AUG.format(str_t='STRING')} AS t FROM documents)
+SELECT doc_id,
+       regexp_count(t, '{_EMAIL_RE_SP}') AS n_emails,
+       regexp_count(t, '{_PHONE_RE_SP}') AS n_phones,
+       regexp_replace(regexp_replace(t, '{_EMAIL_RE_SP}', '<EMAIL>'),
+                      '{_PHONE_RE_SP}', '<PHONE>') AS scrubbed
+FROM aug
+"""
+
+_PII_DUCK = f"""
+WITH aug AS (SELECT doc_id, {_PII_AUG.format(str_t='VARCHAR')} AS t FROM documents)
+SELECT doc_id,
+       len(regexp_extract_all(t, '{_EMAIL_RE}')) AS n_emails,
+       len(regexp_extract_all(t, '{_PHONE_RE}')) AS n_phones,
+       regexp_replace(regexp_replace(t, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                      '{_PHONE_RE}', '<PHONE>', 'g') AS scrubbed
+FROM aug
+"""
+
+
+@q(
+    "text_scrub_pii",
+    _PII_DUCK,
+    "North-star text hygiene: PII scrub — email/phone detection counts +"
+    " redaction via dialect-intersection regexes; per-row, shuffle-free.",
+)
+def text_scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, ("documents",))
+    return spark.sql(_PII_SPARK)
+
+
 # --------------------------------------------------------- string gauntlet
 
 # string-function surface with identical cross-engine semantics (levenshtein,

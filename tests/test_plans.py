@@ -160,6 +160,35 @@ def test_q18_semi_join_before_wide_join(spark):
     assert "TakeOrderedAndProject" in tree  # top-100 never fully sorts
 
 
+def test_incremental_agg_touched_key_pruning(spark):
+    # the delta path must prune the snapshot to touched keys with a (broadcast)
+    # semi-join — never rescan-and-join the full table, never a cartesian
+    tree = plan_tree(spark, "cdc_incremental_agg")
+    assert "LeftSemi" in tree
+    assert "CartesianProduct" not in tree
+    assert "BroadcastNestedLoopJoin" not in tree
+
+
+def test_gapfill_reuses_entity_partitioning(spark):
+    # spine generation is a distributed explode(sequence(...)), the LOCF window
+    # streams per entity; no nested-loop join anywhere
+    plan = plan_str(spark, "ts_gapfill_locf", mode="simple")
+    assert "Generate explode(sequence" in plan
+    assert "Window" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_repetition_signals_partial_agg(spark):
+    # both aggregation levels (doc_id×bigram counts, per-doc sum/max) must get
+    # map-side partial combine: 2 exchanges, 2 partial+final pairs + the
+    # two-level fold
+    plan = plan_str(spark, "text_repetition_signals", mode="simple")
+    assert plan.count("hashpartitioning") == 2
+    assert plan.count("partial_") >= 2
+    assert "SortMergeJoin" not in plan  # doc_id join back is broadcast
+
+
 def test_q21_correlated_exists_decorrelate(spark):
     # EXISTS → LeftSemi, NOT EXISTS → LeftAnti, both against the fact —
     # no nested-loop fallback
