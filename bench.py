@@ -25,6 +25,7 @@ HEADLINE = [
     "backfill_union_merge",
     "cdc_debounce_events",
     "cdc_json_marshal",
+    "cdc_incremental_agg",
     # relational surface
     "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority",
@@ -37,10 +38,16 @@ HEADLINE = [
     "events_sessionize",
     "events_window_gauntlet",
     "events_asof_join",
+    "ts_gapfill_locf",
+    "agg_hll_sketch_merge",
     # training-data operators
     "text_quality_score",
     "text_fingerprint",
     "text_tfidf_topterms",
+    "text_repetition_signals",
+    "text_scrub_pii",
+    "text_chunk_split",
+    "sim_quantize_int8",
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",

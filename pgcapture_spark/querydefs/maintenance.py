@@ -47,6 +47,42 @@ def cdc_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "cdc_incremental_agg_streamed",
+    incremental_agg_oracle_sql(_APPLIED_CUSTOMER, "c_nationkey", "c_acctbal"),
+    "C1-C2 streaming form: the MV maintained micro-batch by micro-batch in"
+    " foreachBatch — snapshot + aggregate advance under ONE atomically-swung"
+    " manifest (PairedState), replayed batches are no-ops; converges to the"
+    " same from-scratch oracle as the batch form.",
+)
+def cdc_incremental_agg_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from pgcapture_spark.sources.feed import materialize_feed, read_feed_stream
+    from pgcapture_spark.streaming.mv import PairedState, incremental_agg_stream
+
+    register_views(spark, sf_dir, ("customer",))
+    snapshot = spark.table("customer")
+    feed = _feed(spark, sf_dir, "customer")
+    d = tempfile.mkdtemp(prefix="pgcs_q_mv_")
+    feed_dir = f"{d}/feed"
+    materialize_feed(feed, feed_dir, n_segments=5)
+    schema = spark.read.parquet(feed_dir).schema
+    state = PairedState(spark, f"{d}/state")
+    query = incremental_agg_stream(
+        read_feed_stream(spark, feed_dir, schema, max_files_per_trigger=2),
+        state,
+        snapshot,
+        "c_custkey",
+        "c_nationkey",
+        "c_acctbal",
+        CDC_COLS["customer"],
+        f"{d}/ckpt",
+    )
+    query.awaitTermination(300)
+    return state.read()[1]
+
+
 _GF_WHERE = "user_id % 20 = 3"
 
 

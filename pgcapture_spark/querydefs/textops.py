@@ -391,6 +391,49 @@ def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------------- document chunking
+
+# fixed-size overlapping token windows (chunk 64, overlap 16 → stride 48) —
+# the context-window splitting step of a training-data pipeline. Per-row:
+# explode the stride-spaced chunk starts, slice the token array per start;
+# fused into the scan, no shuffle. Tail fragments are kept (standard practice).
+_CHUNK, _STRIDE = 64, 48
+
+_CHUNK_SPARK_TPL = f"""
+WITH t AS (SELECT doc_id, {{tok}} AS tokens FROM documents),
+s AS (SELECT doc_id, tokens, explode(sequence(1, size(tokens), {_STRIDE})) AS st
+      FROM t WHERE size(tokens) >= 1)
+SELECT doc_id, CAST((st - 1) DIV {_STRIDE} AS INT) AS chunk_idx, st AS chunk_start,
+       size(slice(tokens, st, {_CHUNK})) AS n_chunk_tokens,
+       concat_ws(' ', slice(tokens, st, {_CHUNK})) AS chunk_text
+FROM s
+"""
+
+_CHUNK_DUCK = f"""
+WITH t AS (SELECT doc_id, {_DUCK_TOKENS} AS tokens FROM documents),
+s AS (SELECT doc_id, tokens, unnest(range(1, len(tokens) + 1, {_STRIDE})) AS st
+      FROM t WHERE len(tokens) >= 1)
+SELECT doc_id, CAST((st - 1) // {_STRIDE} AS INT) AS chunk_idx, st AS chunk_start,
+       len(tokens[st : st + {_CHUNK} - 1]) AS n_chunk_tokens,
+       array_to_string(tokens[st : st + {_CHUNK} - 1], ' ') AS chunk_text
+FROM s
+"""
+
+
+@q(
+    "text_chunk_split",
+    _CHUNK_DUCK,
+    "North-star dataset build: overlapping fixed-token-window chunking"
+    " (chunk 64 / stride 48) — per-row explode of stride starts + array"
+    " slices, shuffle-free.",
+)
+def text_chunk_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pgcapture_spark.operators.textstats import TOKENS_EXPR
+
+    register_views(spark, sf_dir, ("documents",))
+    return spark.sql(_CHUNK_SPARK_TPL.format(tok=TOKENS_EXPR))
+
+
 # ------------------------------------------------------------- PII scrubbing
 
 # Deterministic synthetic PII is appended per doc (same expression both

@@ -405,3 +405,50 @@ def sim_pq_adc_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = W.partitionBy("query_id").orderBy("approx_d2q", "neighbor_id")
     return adc.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= 3)
+
+
+# ------------------------------------------------------- int8 quantization
+
+# symmetric per-vector int8 quantization — the memory-compression step before
+# ANN at scale (4x smaller corpus, integer distance kernels). scale =
+# 127 / max|x|; both engines run the identical double-precision expression, so
+# values (and therefore the driver's hash) match bit-for-bit. Per-row, fused
+# into the scan — no shuffle.
+_QUANT_DUCK = """
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+m AS (SELECT vec_id, v,
+             greatest(list_max(list_transform(v, x -> abs(x))), 1e-30) AS mx
+      FROM e),
+qq AS (SELECT vec_id, 127.0 / mx AS scale,
+              list_transform(v, x -> CAST(round(x * (127.0 / mx)) AS INT)) AS qv
+       FROM m)
+SELECT vec_id, scale, qv, list_sum(list_transform(qv, x -> abs(x))) AS l1_q
+FROM qq
+"""
+
+_QUANT_SPARK = """
+WITH e AS (SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+m AS (SELECT vec_id, v,
+             greatest(aggregate(v, CAST(0.0 AS DOUBLE), (a, x) -> greatest(a, abs(x))),
+                      CAST(1e-30 AS DOUBLE)) AS mx
+      FROM e),
+qq AS (SELECT vec_id, 127.0 / mx AS scale,
+              transform(v, x -> CAST(round(x * (127.0 / mx)) AS INT)) AS qv
+       FROM m)
+SELECT vec_id, scale, qv, aggregate(qv, 0L, (a, x) -> a + abs(x)) AS l1_q
+FROM qq
+"""
+
+
+@q(
+    "sim_quantize_int8",
+    _QUANT_DUCK,
+    "North-star: symmetric int8 vector quantization (scale = 127/max|x|) —"
+    " the 4x corpus-compression step for integer-kernel ANN; per-row,"
+    " shuffle-free, bit-identical across engines.",
+)
+def sim_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, ("embeddings",))
+    return spark.sql(_QUANT_SPARK)
