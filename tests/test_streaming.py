@@ -238,3 +238,54 @@ def test_bucketed_apply_crash_resume_and_vacuum(spark, tmpdir):
     assert isinstance(removed, list)
     final2 = state.read().select(*expected.columns)
     assert final2.exceptAll(expected).count() == 0
+
+
+def test_paired_mv_converges_and_replay_is_noop(spark, tmpdir):
+    """PairedState MV: converges to the from-scratch aggregate of the applied
+    snapshot; a full replay with a fresh streaming checkpoint but the same
+    paired state changes nothing (no double retract/add)."""
+    from pgcapture_spark.operators.incremental import group_agg
+    from pgcapture_spark.streaming.mv import PairedState, incremental_agg_stream
+
+    register_views(spark, SF_SMALL, ("customer",))
+    snapshot = spark.table("customer")
+    feed = _feed(spark, SF_SMALL, "customer")
+    applied = cdc_apply(snapshot, feed, "c_custkey", CDC_COLS["customer"])
+    expected = group_agg(applied, "c_nationkey", "c_acctbal")
+
+    feed_dir = f"{tmpdir}/feed"
+    materialize_feed(feed, feed_dir, n_segments=5)
+    schema = spark.read.parquet(feed_dir).schema
+    state = PairedState(spark, f"{tmpdir}/state")
+    q = incremental_agg_stream(
+        read_feed_stream(spark, feed_dir, schema, max_files_per_trigger=2),
+        state,
+        snapshot,
+        "c_custkey",
+        "c_nationkey",
+        "c_acctbal",
+        CDC_COLS["customer"],
+        f"{tmpdir}/ckpt",
+    )
+    q.awaitTermination(120)
+    snap_f, agg_f = state.read()
+    assert agg_f.exceptAll(expected).count() == 0
+    assert expected.exceptAll(agg_f).count() == 0
+    # the co-versioned snapshot equals the batch apply too
+    assert snap_f.exceptAll(applied).count() == 0
+
+    last = state.last_batch()
+    q2 = incremental_agg_stream(
+        read_feed_stream(spark, feed_dir, schema, max_files_per_trigger=2),
+        state,
+        snapshot,
+        "c_custkey",
+        "c_nationkey",
+        "c_acctbal",
+        CDC_COLS["customer"],
+        f"{tmpdir}/ckpt2",
+    )
+    q2.awaitTermination(120)
+    assert state.last_batch() == last
+    _, agg2 = state.read()
+    assert agg2.exceptAll(expected).count() == 0
