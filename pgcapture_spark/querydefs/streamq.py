@@ -60,6 +60,47 @@ def cdc_apply_customer_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "cdc_apply_customer_feedsource",
+    apply_oracle_sql(cdc_customer_sql(DUCKDB), "customer", "c_custkey", CDC_COLS["customer"]),
+    "S1/E2 via the engine's own source format: spark.readStream"
+    ".format('pgcapture_feed') (Python Data Source, Arrow-batched, file-index"
+    " offsets = log position, maxFilesPerTrigger backpressure) driving the"
+    " apply pipeline — converges to the same oracle as the batch apply.",
+)
+def cdc_apply_customer_feedsource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pgcapture_spark.sources.feed_source import FeedDataSource
+
+    register_views(spark, sf_dir, ("customer",))
+    snapshot = spark.table("customer")
+    feed = _feed(spark, sf_dir, "customer")
+    d = tempfile.mkdtemp(prefix="pgcs_q_fsrc_")
+    feed_dir = f"{d}/feed"
+    materialize_feed(feed, feed_dir, n_segments=4)
+    spark.dataSource.register(FeedDataSource)
+    stream = (
+        spark.readStream.format("pgcapture_feed")
+        .option("path", feed_dir)
+        .option("maxFilesPerTrigger", "2")
+        .load()
+    )
+    state = SnapshotState(spark, f"{d}/state")
+    query = apply_stream(
+        stream,
+        state,
+        snapshot,
+        "c_custkey",
+        CDC_COLS["customer"],
+        f"{d}/ckpt",
+        available_now=False,
+    )
+    try:
+        query.processAllAvailable()
+    finally:
+        query.stop()
+    return state.read()
+
+
+@q(
     "cdc_debounce_stateful",
     debounce_expected_sql(),
     "C2 exact: the DebounceHandler ported to applyInPandasWithState — per-key"

@@ -40,6 +40,9 @@ def get_spark(
         .config("spark.sql.codegen.cache.maxEntries", "5000")
         # events.parquet stores TIMESTAMP(NANOS); read as long + convert in catalog.load
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # write micros, not INT96: Arrow/pyarrow readers (the pgcapture_feed
+        # source) map INT96 to unsupported nanoseconds, and INT96 is deprecated
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -33,12 +33,19 @@ def apply_stream(
     cols: list[str],
     checkpoint_dir: str,
     on_batch: Callable[[int, int], None] | None = None,
+    available_now: bool = True,
 ) -> StreamingQuery:
     """Start the apply pipeline; returns the StreamingQuery.
 
     Exactly-once: the streaming checkpoint gives at-least-once batch delivery;
     SnapshotState skips batch ids at-or-below its manifest — re-delivered
     batches are no-ops (idempotent apply, reference A1/A5 semantics).
+
+    ``available_now=False`` runs a continuous processing-time trigger instead —
+    required for sources whose ``latestOffset`` rate-limits (the
+    ``pgcapture_feed`` data source): availableNow snapshots the end offset
+    once, a processing-time trigger re-polls until the caller stops (drive with
+    ``query.processAllAvailable()``).
     """
 
     def _apply_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -52,12 +59,14 @@ def apply_stream(
         if on_batch is not None:
             on_batch(batch_id, batch_df.count())
 
-    return (
-        feed_stream.writeStream.foreachBatch(_apply_batch)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
+    writer = feed_stream.writeStream.foreachBatch(_apply_batch).option(
+        "checkpointLocation", checkpoint_dir
     )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime="0 seconds")
+    return writer.start()
 
 
 def debounce_stream(

@@ -1,0 +1,82 @@
+"""The ``pgcapture_feed`` Python Data Source: batch and streaming reads must
+deliver exactly the materialized log, in segment (= LSN-range) order per
+trigger, and the apply pipeline over it must converge to the batch apply."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+
+from pgcapture_spark.catalog import CDC_COLS, register_views
+from pgcapture_spark.operators.apply import cdc_apply
+from pgcapture_spark.queries import _feed
+from pgcapture_spark.sources.feed import materialize_feed
+from pgcapture_spark.sources.feed_source import FeedDataSource
+from tests.conftest import SF_SMALL
+
+
+@pytest.fixture()
+def tmpdir():
+    d = tempfile.mkdtemp(prefix="pgcs_fsrc_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+@pytest.fixture()
+def feed_dir(spark, tmpdir):
+    register_views(spark, SF_SMALL, ("customer",))
+    feed = _feed(spark, SF_SMALL, "customer")
+    d = f"{tmpdir}/feed"
+    materialize_feed(feed, d, n_segments=4)
+    spark.dataSource.register(FeedDataSource)
+    return d
+
+
+def test_batch_read_equals_parquet(spark, feed_dir):
+    via_source = spark.read.format("pgcapture_feed").option("path", feed_dir).load()
+    direct = spark.read.parquet(feed_dir)
+    # nullability flags may differ (arrow keeps parquet required-ness, Spark's
+    # native reader relaxes to nullable) — names and types must agree
+    assert [(f.name, f.dataType) for f in via_source.schema] == [
+        (f.name, f.dataType) for f in direct.schema
+    ]
+    assert via_source.exceptAll(direct).count() == 0
+    assert direct.exceptAll(via_source).count() == 0
+
+
+def test_stream_apply_over_source_converges(spark, feed_dir, tmpdir):
+    from pgcapture_spark.streaming.pipeline import apply_stream
+    from pgcapture_spark.streaming.state import SnapshotState
+
+    snapshot = spark.table("customer")
+    feed = _feed(spark, SF_SMALL, "customer")
+    expected = cdc_apply(snapshot, feed, "c_custkey", CDC_COLS["customer"])
+
+    stream = (
+        spark.readStream.format("pgcapture_feed")
+        .option("path", feed_dir)
+        .option("maxFilesPerTrigger", "2")
+        .load()
+    )
+    state = SnapshotState(spark, f"{tmpdir}/state")
+    batches: list[int] = []
+    q = apply_stream(
+        stream,
+        state,
+        snapshot,
+        "c_custkey",
+        CDC_COLS["customer"],
+        f"{tmpdir}/ckpt",
+        on_batch=lambda bid, n: batches.append(bid),
+        available_now=False,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert len(batches) >= 2, "maxFilesPerTrigger=2 over 4 segments -> >=2 batches"
+    final = state.read()
+    assert final.exceptAll(expected).count() == 0
+    assert expected.exceptAll(final).count() == 0
