@@ -101,6 +101,46 @@ def cdc_apply_customer_feedsource(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @q(
+    "cdc_log_sink_roundtrip",
+    cdc_customer_sql(DUCKDB),
+    "A1 via the engine's own sink format: writeStream.format('pgcapture_feed')"
+    " appends micro-batches to the segment log under staged-file + batch-"
+    "commit-marker exactly-once (replayed batches dropped — the consistent"
+    " gate); reading the written log back returns the feed bit-for-bit.",
+)
+def cdc_log_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pgcapture_spark.sources.feed_source import FeedDataSource
+
+    register_views(spark, sf_dir, ("customer",))
+    feed = _feed(spark, sf_dir, "customer")
+    d = tempfile.mkdtemp(prefix="pgcs_q_logsink_")
+    in_dir, out_dir = f"{d}/in", f"{d}/out"
+    materialize_feed(feed, in_dir, n_segments=4)
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+    spark.dataSource.register(FeedDataSource)
+    stream = (
+        spark.readStream.format("pgcapture_feed")
+        .option("path", in_dir)
+        .option("maxFilesPerTrigger", "2")
+        .load()
+    )
+    query = (
+        stream.writeStream.format("pgcapture_feed")
+        .option("path", out_dir)
+        .option("checkpointLocation", f"{d}/ckpt")
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        query.processAllAvailable()
+    finally:
+        query.stop()
+    return spark.read.format("pgcapture_feed").option("path", out_dir).load()
+
+
+@q(
     "cdc_debounce_stateful",
     debounce_expected_sql(),
     "C2 exact: the DebounceHandler ported to applyInPandasWithState — per-key"

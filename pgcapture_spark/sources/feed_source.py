@@ -34,8 +34,10 @@ from collections.abc import Iterator
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamArrowWriter,
     DataSourceStreamReader,
     InputPartition,
+    WriterCommitMessage,
 )
 
 
@@ -116,9 +118,74 @@ class _FeedBatchReader(DataSourceReader):
         return _read_arrow(partition.file_path)
 
 
+class _StagedFile(WriterCommitMessage):
+    def __init__(self, path: str, rows: int):
+        self.path = path
+        self.rows = rows
+
+
+class _FeedStreamWriter(DataSourceStreamArrowWriter):
+    """Append micro-batches to the segment log — the durable-log sink
+    (reference A1: PulsarSink.Apply, pkg/sink/pulsar.go:99-175). Exactly-once
+    recipe: executors write STAGED parquet files and return them as commit
+    messages; the driver's ``commit`` renames them to ordered segment names
+    ``part-b{batchId}-{task}`` and drops a ``_commit_{batchId}`` marker. A
+    replayed batch (marker already present) discards its staging files — the
+    ≤-previous-checkpoint drop of the reference's ``consistent`` gate.
+    ``abort`` deletes the staged files, so readers never see partial output.
+    """
+
+    def __init__(self, path: str):
+        self.path = path
+        os.makedirs(os.path.join(path, ".staging"), exist_ok=True)
+
+    def write(self, iterator) -> WriterCommitMessage:
+        import uuid
+
+        import pyarrow.parquet as pq
+
+        staged = os.path.join(self.path, ".staging", f"{uuid.uuid4().hex}.parquet")
+        writer, rows = None, 0
+        try:
+            for batch in iterator:
+                if writer is None:
+                    writer = pq.ParquetWriter(staged, batch.schema)
+                writer.write_batch(batch)
+                rows += batch.num_rows
+        finally:
+            if writer is not None:
+                writer.close()
+        if rows == 0:
+            if os.path.exists(staged):
+                os.remove(staged)
+            return _StagedFile("", 0)
+        return _StagedFile(staged, rows)
+
+    def _marker(self, batch_id: int) -> str:
+        return os.path.join(self.path, f"_commit_{batch_id:012d}")
+
+    def commit(self, messages, batchId: int) -> None:
+        staged = [m for m in messages if m is not None and m.rows > 0]
+        if os.path.exists(self._marker(batchId)):
+            for m in staged:  # replayed batch — consistent gate: drop it
+                if os.path.exists(m.path):
+                    os.remove(m.path)
+            return
+        for i, m in enumerate(staged):
+            final = os.path.join(self.path, f"part-b{batchId:012d}-{i:05d}.parquet")
+            os.replace(m.path, final)
+        with open(self._marker(batchId), "w") as f:
+            f.write(str(len(staged)))
+
+    def abort(self, messages, batchId: int) -> None:
+        for m in messages:
+            if m is not None and m.path and os.path.exists(m.path):
+                os.remove(m.path)
+
+
 class FeedDataSource(DataSource):
     """The ``pgcapture_feed`` source: batch and streaming reads over a
-    materialized ordered event log."""
+    materialized ordered event log, plus the streaming log-append sink."""
 
     @classmethod
     def name(cls) -> str:
@@ -155,3 +222,6 @@ class FeedDataSource(DataSource):
         return _FeedStreamReader(
             self._path(), int(self.options.get("maxfilespertrigger", "1"))
         )
+
+    def streamWriter(self, schema, overwrite: bool) -> _FeedStreamWriter:
+        return _FeedStreamWriter(self._path())

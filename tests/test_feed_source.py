@@ -80,3 +80,37 @@ def test_stream_apply_over_source_converges(spark, feed_dir, tmpdir):
     final = state.read()
     assert final.exceptAll(expected).count() == 0
     assert expected.exceptAll(final).count() == 0
+
+
+def test_stream_writer_log_append_round_trip(spark, feed_dir, tmpdir):
+    """readStream(pgcapture_feed) → writeStream(pgcapture_feed): the log-append
+    sink persists exactly the input segments' rows, with per-batch commit
+    markers (no partial/staged files visible)."""
+    import os
+
+    out_dir = f"{tmpdir}/log"
+    os.makedirs(out_dir, exist_ok=True)
+    stream = (
+        spark.readStream.format("pgcapture_feed")
+        .option("path", feed_dir)
+        .option("maxFilesPerTrigger", "2")
+        .load()
+    )
+    q = (
+        stream.writeStream.format("pgcapture_feed")
+        .option("path", out_dir)
+        .option("checkpointLocation", f"{tmpdir}/wckpt")
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    markers = [f for f in os.listdir(out_dir) if f.startswith("_commit_")]
+    assert len(markers) >= 2, "expected >=2 committed micro-batches"
+    assert not os.listdir(os.path.join(out_dir, ".staging")), "staging must drain"
+    written = spark.read.format("pgcapture_feed").option("path", out_dir).load()
+    direct = spark.read.parquet(feed_dir)
+    assert written.exceptAll(direct).count() == 0
+    assert direct.exceptAll(written).count() == 0
