@@ -41,7 +41,8 @@ KEYS: dict[str, str] = {
     "embeddings": "vec_id",
 }
 
-# non-key columns of the two CDC-mutated tables (FIXTURES.md T2)
+# non-key columns of the CDC-mutated tables (FIXTURES.md T2); lineitem is the
+# composite-replica-identity case — key (l_orderkey, l_linenumber)
 CDC_COLS: dict[str, list[str]] = {
     "customer": ["c_name", "c_nationkey", "c_acctbal", "c_mktsegment"],
     "orders": [
@@ -50,6 +51,17 @@ CDC_COLS: dict[str, list[str]] = {
         "o_totalprice",
         "o_orderdate",
         "o_orderpriority",
+    ],
+    "lineitem": [
+        "l_partkey",
+        "l_suppkey",
+        "l_quantity",
+        "l_extendedprice",
+        "l_discount",
+        "l_tax",
+        "l_returnflag",
+        "l_linestatus",
+        "l_shipdate",
     ],
 }
 

@@ -171,6 +171,82 @@ FROM __ord WHERE cls = 4
 """
 
 
+def cdc_lineitem_sql(dialect: str) -> str:
+    """Change feed over ``lineitem`` — COMPOSITE key (l_orderkey,
+    l_linenumber), the replica-identity-is-several-columns case the reference
+    supports via its identity cache (pkg/decode/schema.go:161-191, key/set
+    split pkg/sink/postgres.go:507-547).
+
+    Class scheme (cls = h % 10, h hashed from BOTH key parts):
+      0-2 → 1-3 UPDATEs in one tx: l_quantity/l_extendedprice set;
+            l_extendedprice TOAST-omitted when (h+j) % 11 = 0;
+            l_returnflag explicitly NULLed when (h+j) % 7 = 0;
+            every other column inherited (never in ``present``)
+      3   → DELETE (old composite key image)
+      4   → INSERT of a brand-new composite key (l_orderkey + 10^7, same
+            linenumber)
+    """
+    ts = _commit_ts(dialect)
+    return f"""
+WITH __li AS (
+  SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity,
+         l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate,
+         ((l_orderkey * 7 + l_linenumber + 1) * 2654435761) % 4294967296 AS h,
+         (((l_orderkey * 7 + l_linenumber + 1) * 2654435761) % 4294967296) % 10 AS cls,
+         1 + ((((l_orderkey * 7 + l_linenumber + 1) * 2654435761) % 4294967296) % 3) AS nev
+  FROM lineitem
+),
+__upd AS (
+  SELECT *, 1 AS j FROM __li WHERE cls <= 2
+  UNION ALL SELECT *, 2 AS j FROM __li WHERE cls <= 2 AND nev >= 2
+  UNION ALL SELECT *, 3 AS j FROM __li WHERE cls <= 2 AND nev >= 3
+)
+SELECT h AS lsn, j AS seq, h * 100 + j AS ord, {ts} AS commit_ts, 'UPDATE' AS op,
+       l_orderkey, l_linenumber,
+       CAST(NULL AS BIGINT) AS l_partkey,
+       CAST(NULL AS BIGINT) AS l_suppkey,
+       CAST(h % 50 AS DOUBLE) + j AS l_quantity,
+       CASE WHEN (h + j) % 11 = 0 THEN CAST(NULL AS DOUBLE)
+            ELSE CAST(h % 10000000 AS DOUBLE) / 100.0 + j END AS l_extendedprice,
+       CAST(NULL AS DOUBLE) AS l_discount,
+       CAST(NULL AS DOUBLE) AS l_tax,
+       CASE WHEN (h + j) % 7 = 0 THEN CAST(NULL AS STRING)
+            ELSE substring('ARN', CAST((h + j) % 3 AS INT) + 1, 1) END AS l_returnflag,
+       CAST(NULL AS STRING) AS l_linestatus,
+       CAST(NULL AS TIMESTAMP) AS l_shipdate,
+       CAST(NULL AS BIGINT) AS old_l_orderkey,
+       CAST(NULL AS INT) AS old_l_linenumber,
+       CASE WHEN (h + j) % 11 = 0
+            THEN 'l_orderkey,l_linenumber,l_quantity,l_returnflag'
+            ELSE 'l_orderkey,l_linenumber,l_quantity,l_extendedprice,l_returnflag'
+            END AS present
+FROM __upd
+UNION ALL
+SELECT h, 1, h * 100 + 1, {ts}, 'DELETE',
+       l_orderkey, l_linenumber,
+       CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
+       CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+       CAST(NULL AS STRING), CAST(NULL AS STRING), CAST(NULL AS TIMESTAMP),
+       l_orderkey, l_linenumber, ''
+FROM __li WHERE cls = 3
+UNION ALL
+SELECT h, 1, h * 100 + 1, {ts}, 'INSERT',
+       l_orderkey + 10000000, l_linenumber,
+       h % 20000 + 1, h % 1000 + 1,
+       CAST(h % 50 AS DOUBLE),
+       CAST(h % 10000000 AS DOUBLE) / 100.0,
+       CAST(h % 10 AS DOUBLE) / 100.0,
+       CAST(h % 8 AS DOUBLE) / 100.0,
+       substring('ARN', CAST(h % 3 AS INT) + 1, 1),
+       'O',
+       {_ts_micros(f"{_EPOCH_2024_US} + (h % 31536000) * 1000000", dialect)},
+       CAST(NULL AS BIGINT), CAST(NULL AS INT),
+       'l_orderkey,l_linenumber,l_partkey,l_suppkey,l_quantity,l_extendedprice,'
+         || 'l_discount,l_tax,l_returnflag,l_linestatus,l_shipdate'
+FROM __li WHERE cls = 4
+"""
+
+
 def generic_feed_sql(dialect: str) -> str:
     """FIXTURES.md T1-shaped generic stream: customer+orders change events
     flattened to metadata columns, PLUS Begin/Commit frame rows per
@@ -310,6 +386,11 @@ FROM __c WHERE cls IN (6, 7)
 FEEDS = {
     "customer": cdc_customer_sql,
     "orders": cdc_orders_sql,
+    "lineitem": cdc_lineitem_sql,
 }
 
-FEED_KEYS = {"customer": "c_custkey", "orders": "o_orderkey"}
+FEED_KEYS = {
+    "customer": "c_custkey",
+    "orders": "o_orderkey",
+    "lineitem": ["l_orderkey", "l_linenumber"],
+}

@@ -35,7 +35,16 @@ def present_contains(col: str) -> Column:
     return F.instr(F.concat(F.lit(","), F.col("present"), F.lit(",")), f",{col},") > 0
 
 
-def last_image(changes: DataFrame, key: str, cols: list[str], order_col: str = "ord") -> DataFrame:
+def _keys(key: str | list[str]) -> list[str]:
+    """Key columns as a list — the reference's replica identity may be any
+    column set (pkg/decode/schema.go:161-191), so every operator here accepts
+    a single name or a composite key."""
+    return [key] if isinstance(key, str) else list(key)
+
+
+def last_image(
+    changes: DataFrame, key: str | list[str], cols: list[str], order_col: str = "ord"
+) -> DataFrame:
     """Reduce a change feed to one row per key: the final operation plus, for
     every column, the LAST value that was actually present in an event image
     (struct-wrapped so an explicit NULL set is distinguishable from "never
@@ -51,10 +60,12 @@ def last_image(changes: DataFrame, key: str, cols: list[str], order_col: str = "
                 f"FILTER (WHERE instr(',' || present || ',', ',{c},') > 0)"
             ).alias(f"_set_{c}")
         )
-    return changes.groupBy(key).agg(*aggs)
+    return changes.groupBy(*_keys(key)).agg(*aggs)
 
 
-def merge_images(snapshot: DataFrame, img: DataFrame, key: str, cols: list[str]) -> DataFrame:
+def merge_images(
+    snapshot: DataFrame, img: DataFrame, key: str | list[str], cols: list[str]
+) -> DataFrame:
     """Merge pre-folded per-key final images into a snapshot (the join half of
     ``cdc_apply``). Full outer: snapshot-only rows pass through, image-only
     rows are inserts, matches resolve per column; DELETE images drop the row.
@@ -64,9 +75,9 @@ def merge_images(snapshot: DataFrame, img: DataFrame, key: str, cols: list[str])
     keys. For incremental apply at 100 TB use BucketedSnapshotState
     (streaming/state.py), which confines the join to the key-buckets the
     micro-batch actually touches."""
-    joined = snapshot.alias("s").join(img.alias("i"), on=key, how="full_outer")
+    joined = snapshot.alias("s").join(img.alias("i"), on=_keys(key), how="full_outer")
     alive = joined.where(F.col("_last_op").isNull() | (F.col("_last_op") != "DELETE"))
-    out = [F.col(key)]
+    out = [F.col(k) for k in _keys(key)]
     for c in cols:
         out.append(
             F.when(F.col(f"_set_{c}").isNotNull(), F.col(f"_set_{c}.v"))
@@ -76,7 +87,9 @@ def merge_images(snapshot: DataFrame, img: DataFrame, key: str, cols: list[str])
     return alive.select(*out)
 
 
-def cdc_apply(snapshot: DataFrame, changes: DataFrame, key: str, cols: list[str]) -> DataFrame:
+def cdc_apply(
+    snapshot: DataFrame, changes: DataFrame, key: str | list[str], cols: list[str]
+) -> DataFrame:
     """Apply ``changes`` (schema: ord/op/present + key + cols) to ``snapshot``.
 
     Returns the new snapshot with columns ``[key, *cols]``: deleted keys
@@ -86,21 +99,24 @@ def cdc_apply(snapshot: DataFrame, changes: DataFrame, key: str, cols: list[str]
     return merge_images(snapshot, last_image(changes, key, cols), key, cols)
 
 
-def last_image_window(changes: DataFrame, key: str, order_col: str = "ord") -> DataFrame:
+def last_image_window(
+    changes: DataFrame, key: str | list[str], order_col: str = "ord"
+) -> DataFrame:
     """Window-based variant: the raw last EVENT per key (no per-column fold) —
     the shape used by the apply pipeline's per-batch reduction (SURVEY §3 E2)
     and by consumers that only want the newest row event."""
     from pyspark.sql import Window as W
 
-    w = W.partitionBy(key).orderBy(F.col(order_col).desc())
+    w = W.partitionBy(*_keys(key)).orderBy(F.col(order_col).desc())
     return (
         changes.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1).drop("_rn")
     )
 
 
-def apply_oracle_sql(feed_sql: str, table: str, key: str, cols: list[str]) -> str:
+def apply_oracle_sql(feed_sql: str, table: str, key: str | list[str], cols: list[str]) -> str:
     """DuckDB oracle for ``cdc_apply`` over the portable feed SQL — the same
     fold expressed in ANSI-ish SQL (arg_max + FILTER + struct wrap)."""
+    keys = _keys(key)
     set_aggs = ",\n         ".join(
         f"arg_max(CASE WHEN instr(',' || present || ',', ',{c},') > 0 "
         f"THEN {{'v': {c}}} END, ord) "
@@ -110,16 +126,19 @@ def apply_oracle_sql(feed_sql: str, table: str, key: str, cols: list[str]) -> st
     finals = ",\n       ".join(
         f"CASE WHEN i.set_{c} IS NOT NULL THEN (i.set_{c}).v ELSE s.{c} END AS {c}" for c in cols
     )
+    key_list = ", ".join(keys)
+    key_out = ",\n       ".join(f"COALESCE(s.{k}, i.{k}) AS {k}" for k in keys)
+    key_on = " AND ".join(f"s.{k} = i.{k}" for k in keys)
     return f"""
 WITH feed AS ({feed_sql}),
 img AS (
-  SELECT {key},
+  SELECT {key_list},
          arg_max(op, ord) AS last_op,
          {set_aggs}
-  FROM feed GROUP BY {key}
+  FROM feed GROUP BY {key_list}
 )
-SELECT COALESCE(s.{key}, i.{key}) AS {key},
+SELECT {key_out},
        {finals}
-FROM {table} s FULL OUTER JOIN img i ON s.{key} = i.{key}
+FROM {table} s FULL OUTER JOIN img i ON {key_on}
 WHERE i.last_op IS NULL OR i.last_op <> 'DELETE'
 """

@@ -17,7 +17,12 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 
 from pgcapture_spark.catalog import register_views
-from pgcapture_spark.fixtures.cdc_feed import SPARK, cdc_customer_sql, cdc_orders_sql
+from pgcapture_spark.fixtures.cdc_feed import (
+    SPARK,
+    cdc_customer_sql,
+    cdc_lineitem_sql,
+    cdc_orders_sql,
+)
 
 
 @dataclass
@@ -42,7 +47,11 @@ def q(name: str, oracle: str | None, doc: str = ""):
 
 def _feed(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     register_views(spark, sf_dir, (table,))
-    sql = {"customer": cdc_customer_sql, "orders": cdc_orders_sql}[table](SPARK)
+    sql = {
+        "customer": cdc_customer_sql,
+        "orders": cdc_orders_sql,
+        "lineitem": cdc_lineitem_sql,
+    }[table](SPARK)
     return spark.sql(sql)
 
 

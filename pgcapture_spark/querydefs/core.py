@@ -6,7 +6,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from pgcapture_spark.catalog import CDC_COLS, register_views
-from pgcapture_spark.fixtures.cdc_feed import DUCKDB, cdc_customer_sql, cdc_orders_sql
+from pgcapture_spark.fixtures.cdc_feed import (
+    DUCKDB,
+    cdc_customer_sql,
+    cdc_lineitem_sql,
+    cdc_orders_sql,
+)
 from pgcapture_spark.operators.apply import apply_oracle_sql, cdc_apply, last_image_window
 from pgcapture_spark.queries import _feed, q
 
@@ -24,6 +29,15 @@ def cdc_feed_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
 @q("cdc_feed_orders", cdc_orders_sql(DUCKDB), "S2 (orders variant).")
 def cdc_feed_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _feed(spark, sf_dir, "orders")
+
+
+@q(
+    "cdc_feed_lineitem",
+    cdc_lineitem_sql(DUCKDB),
+    "S2 (lineitem variant — composite-key events, old key image on DELETE).",
+)
+def cdc_feed_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _feed(spark, sf_dir, "lineitem")
 
 
 @q(
@@ -55,6 +69,28 @@ def cdc_apply_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         _feed(spark, sf_dir, "orders"),
         "o_orderkey",
         CDC_COLS["orders"],
+    )
+
+
+@q(
+    "cdc_apply_lineitem_composite",
+    apply_oracle_sql(
+        cdc_lineitem_sql(DUCKDB),
+        "lineitem",
+        ["l_orderkey", "l_linenumber"],
+        CDC_COLS["lineitem"],
+    ),
+    "A3-A5/T7 with a COMPOSITE replica identity: apply the lineitem feed keyed"
+    " on (l_orderkey, l_linenumber) — the multi-column key/set split of"
+    " pkg/sink/postgres.go:507-547 / identity cache pkg/decode/schema.go:161-191.",
+)
+def cdc_apply_lineitem_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, ("lineitem",))
+    return cdc_apply(
+        spark.table("lineitem"),
+        _feed(spark, sf_dir, "lineitem"),
+        ["l_orderkey", "l_linenumber"],
+        CDC_COLS["lineitem"],
     )
 
 
