@@ -22,6 +22,7 @@ HEADLINE = [
     # CDC engine core
     "cdc_apply_customer",
     "cdc_apply_orders",
+    "cdc_apply_lineitem_composite",
     "backfill_union_merge",
     "cdc_debounce_events",
     "cdc_json_marshal",

@@ -61,3 +61,23 @@ def drop_generated(changes: DataFrame, generated_cols: list[str]) -> DataFrame:
     pkg/sink/postgres.go:401-404 with ColumnInfo.Filter,
     pkg/decode/schema.go:80-98) — catalog-driven projection."""
     return changes.drop(*generated_cols)
+
+
+VALID_OPS = ("INSERT", "UPDATE", "DELETE", "BEGIN", "COMMIT", "KEEPALIVE", "DDL")
+
+
+def dead_letter_split(
+    stream: DataFrame, op_col: str = "op", valid_ops: tuple[str, ...] = VALID_OPS
+) -> tuple[DataFrame, DataFrame]:
+    """Route malformed messages to a dead-letter side output with a reason —
+    the engine form of the reference's per-record Requeue(reason) / redelivery
+    path (pkg/dblog/gateway.go:82-107, pkg/source/pulsar.go:276-280): a record
+    the consumer cannot process must not poison the stream NOR be silently
+    dropped. Returns ``(good, dlq)``; dlq rows carry ``reason``. Both branches
+    are single pushdown-friendly filters over the same scan."""
+    is_valid = F.col(op_col).isin(*valid_ops)
+    good = stream.where(is_valid)
+    dlq = stream.where(~is_valid).withColumn(
+        "reason", F.concat(F.lit("unknown_op:"), F.col(op_col))
+    )
+    return good, dlq

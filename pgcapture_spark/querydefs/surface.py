@@ -364,3 +364,42 @@ def cdc_json_unmarshal(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.get_json_object("payload", "$.c_mktsegment").alias("c_mktsegment"),
         F.array_join(F.json_object_keys("payload"), ",").alias("present_keys"),
     )
+
+
+# ------------------------------------------------------------- C4 dead letter
+
+# a deterministic subset of the generic feed is corrupted (op relabeled) to
+# exercise the dead-letter path; the split must neither poison the stream nor
+# silently drop the bad records (reference: Requeue(reason) + redelivery,
+# pkg/dblog/gateway.go:82-107)
+_DLQ_DUCK = f"""
+WITH g AS ({generic_feed_sql(DUCKDB)}),
+mutated AS (
+  SELECT lsn, seq, ord,
+         CASE WHEN ord % 97 = 0 THEN 'OP_' || CAST(ord % 7 AS VARCHAR) ELSE op END AS op,
+         schema_name, table_name, key_str
+  FROM g
+)
+SELECT lsn, seq, ord, op, schema_name, table_name, key_str,
+       'unknown_op:' || op AS reason
+FROM mutated
+WHERE op NOT IN ('INSERT', 'UPDATE', 'DELETE', 'BEGIN', 'COMMIT', 'KEEPALIVE', 'DDL')
+"""
+
+
+@q(
+    "cdc_dead_letter_split",
+    _DLQ_DUCK,
+    "C4: dead-letter routing — malformed messages side-output with a reason"
+    " instead of poisoning the stream or vanishing (Requeue(reason) analog,"
+    " pkg/dblog/gateway.go:82-107).",
+)
+def cdc_dead_letter_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pgcapture_spark.operators.filters import dead_letter_split
+
+    g = _generic(spark, sf_dir).withColumn(
+        "op",
+        F.expr("CASE WHEN ord % 97 = 0 THEN 'OP_' || CAST(ord % 7 AS STRING) ELSE op END"),
+    )
+    _good, dlq = dead_letter_split(g)
+    return dlq.select(*_GENERIC_COLS.split(", "), "reason")
