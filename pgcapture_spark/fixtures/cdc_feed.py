@@ -247,6 +247,31 @@ FROM __li WHERE cls = 4
 """
 
 
+def multi_feed_sql(dialect: str) -> str:
+    """TYPED multi-table feed: customer and orders change events in ONE
+    ordered stream (table-tagged, disjoint payload columns NULL-padded) — the
+    wire shape of the reference's single replication stream carrying every
+    table's changes (pb/pgcapture.proto:40-51). The apply side splits by
+    ``table_name`` and folds each table with its own key/columns, advancing
+    all snapshots atomically per micro-batch."""
+    return f"""
+WITH __fc AS ({cdc_customer_sql(dialect)}),
+__fo AS ({cdc_orders_sql(dialect)})
+SELECT lsn, seq, ord, commit_ts, op, 'customer' AS table_name,
+       c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment, present,
+       CAST(NULL AS BIGINT) AS o_orderkey, CAST(NULL AS BIGINT) AS o_custkey,
+       CAST(NULL AS STRING) AS o_orderstatus, CAST(NULL AS DOUBLE) AS o_totalprice,
+       CAST(NULL AS TIMESTAMP) AS o_orderdate, CAST(NULL AS STRING) AS o_orderpriority
+FROM __fc
+UNION ALL
+SELECT lsn, seq, ord, commit_ts, op, 'orders',
+       CAST(NULL AS BIGINT), CAST(NULL AS STRING), CAST(NULL AS INT),
+       CAST(NULL AS DOUBLE), CAST(NULL AS STRING), present,
+       o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+FROM __fo
+"""
+
+
 def generic_feed_sql(dialect: str) -> str:
     """FIXTURES.md T1-shaped generic stream: customer+orders change events
     flattened to metadata columns, PLUS Begin/Commit frame rows per

@@ -101,6 +101,39 @@ def cdc_apply_customer_feedsource(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @q(
+    "cdc_apply_multi_streamed",
+    apply_oracle_sql(cdc_customer_sql(DUCKDB), "customer", "c_custkey", CDC_COLS["customer"]),
+    "A5 cross-table: ONE typed stream carrying customer+orders changes applied"
+    " per micro-batch with ALL table snapshots advancing under one atomic"
+    " manifest (MultiTableState) — micro-batch-granular cross-table atomicity,"
+    " the Spark relaxation of the reference's per-tx pipeline"
+    " (pkg/sink/postgres.go:599-645). Returns the customer side; the orders"
+    " side is asserted in tests/test_streaming.py.",
+)
+def cdc_apply_multi_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pgcapture_spark.fixtures.cdc_feed import SPARK, multi_feed_sql
+    from pgcapture_spark.streaming.multi import MultiTableState, apply_stream_multi_table
+
+    register_views(spark, sf_dir, ("customer", "orders"))
+    feed = spark.sql(multi_feed_sql(SPARK))
+    d = tempfile.mkdtemp(prefix="pgcs_q_multi_")
+    feed_dir = f"{d}/feed"
+    materialize_feed(feed, feed_dir, n_segments=5)
+    schema = spark.read.parquet(feed_dir).schema
+    state = MultiTableState(spark, f"{d}/state", ["customer", "orders"])
+    query = apply_stream_multi_table(
+        read_feed_stream(spark, feed_dir, schema, max_files_per_trigger=2),
+        state,
+        {"customer": spark.table("customer"), "orders": spark.table("orders")},
+        {"customer": "c_custkey", "orders": "o_orderkey"},
+        {"customer": CDC_COLS["customer"], "orders": CDC_COLS["orders"]},
+        f"{d}/ckpt",
+    )
+    query.awaitTermination(300)
+    return state.read()["customer"]
+
+
+@q(
     "cdc_log_sink_roundtrip",
     cdc_customer_sql(DUCKDB),
     "A1 via the engine's own sink format: writeStream.format('pgcapture_feed')"

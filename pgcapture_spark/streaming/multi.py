@@ -1,0 +1,104 @@
+"""Multi-table streaming apply with cross-table batch atomicity.
+
+The reference applies each transaction — which may touch MANY tables — in one
+pgconn pipeline, so downstream never observes half a transaction
+(pkg/sink/postgres.go:207-278, 599-645). The Spark form relaxes tx granularity
+to micro-batch granularity (SURVEY §7 "genuinely hard" #1), but the CROSS-TABLE
+guarantee is kept: every table's snapshot advances under ONE manifest swung by
+one atomic rename per batch. A crash between per-table writes leaves the
+manifest on the previous batch — readers never see customer applied but orders
+not.
+
+Scale: per batch each table's subset folds independently (same O(touched)
+shapes as the single-table pipeline); tables could be bucketed individually.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming import StreamingQuery
+
+from pgcapture_spark.operators.apply import cdc_apply
+
+
+class MultiTableState:
+    """N co-versioned named tables under one manifest (the PairedState recipe
+    generalized)."""
+
+    def __init__(self, spark: SparkSession, root: str, tables: list[str]):
+        self.spark = spark
+        self.root = root
+        self.tables = list(tables)
+        os.makedirs(root, exist_ok=True)
+
+    @property
+    def _manifest(self) -> str:
+        return os.path.join(self.root, "MANIFEST.json")
+
+    def last_batch(self) -> int:
+        if not os.path.exists(self._manifest):
+            return -1
+        with open(self._manifest) as f:
+            return json.load(f)["batch_id"]
+
+    def read(self) -> dict[str, DataFrame] | None:
+        if not os.path.exists(self._manifest):
+            return None
+        with open(self._manifest) as f:
+            version = json.load(f)["version"]
+        base = os.path.join(self.root, version)
+        return {
+            t: self.spark.read.parquet(os.path.join(base, t)) for t in self.tables
+        }
+
+    def commit(self, snapshots: dict[str, DataFrame], batch_id: int) -> None:
+        version = f"v{batch_id:012d}"
+        base = os.path.join(self.root, version)
+        for t in self.tables:
+            snapshots[t].write.mode("overwrite").parquet(os.path.join(base, t))
+        fd, tmp = tempfile.mkstemp(dir=self.root, suffix=".manifest")
+        with os.fdopen(fd, "w") as f:
+            json.dump({"version": version, "batch_id": batch_id}, f)
+        os.replace(tmp, self._manifest)
+
+
+def apply_stream_multi_table(
+    feed_stream: DataFrame,
+    state: MultiTableState,
+    initial_snapshots: dict[str, DataFrame],
+    keys: dict[str, str | list[str]],
+    cols: dict[str, list[str]],
+    checkpoint_dir: str,
+    table_col: str = "table_name",
+) -> StreamingQuery:
+    """foreachBatch: split the typed multi-table feed by table, fold each
+    table's events onto its snapshot, commit ALL tables atomically."""
+
+    def _key_cols(t: str) -> list[str]:
+        k = keys[t]
+        return [k] if isinstance(k, str) else list(k)
+
+    def _batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id <= state.last_batch():
+            return  # replayed batch — every table already advanced together
+        current = state.read()
+        if current is None:
+            current = initial_snapshots
+        new = {}
+        for t in state.tables:
+            sub = batch_df.where(f"{table_col} = '{t}'").select(
+                "ord", "op", "present", *_key_cols(t), *cols[t]
+            )
+            new[t] = cdc_apply(current[t], sub, keys[t], cols[t])
+        state.commit(new, batch_id)
+
+    return (
+        feed_stream.writeStream.foreachBatch(_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

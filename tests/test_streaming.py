@@ -289,3 +289,52 @@ def test_paired_mv_converges_and_replay_is_noop(spark, tmpdir):
     assert state.last_batch() == last
     _, agg2 = state.read()
     assert agg2.exceptAll(expected).count() == 0
+
+
+def test_multi_table_stream_atomic_convergence(spark, tmpdir):
+    """Both tables converge to their batch applies; the manifest advances once
+    per batch for ALL tables (no torn cross-table state on replay)."""
+    from pgcapture_spark.fixtures.cdc_feed import SPARK, multi_feed_sql
+    from pgcapture_spark.streaming.multi import MultiTableState, apply_stream_multi_table
+
+    register_views(spark, SF_SMALL, ("customer", "orders"))
+    feed = spark.sql(multi_feed_sql(SPARK))
+    cust_feed = _feed(spark, SF_SMALL, "customer")
+    ord_feed = _feed(spark, SF_SMALL, "orders")
+    expected_c = cdc_apply(
+        spark.table("customer"), cust_feed, "c_custkey", CDC_COLS["customer"]
+    )
+    expected_o = cdc_apply(
+        spark.table("orders"), ord_feed, "o_orderkey", CDC_COLS["orders"]
+    )
+
+    feed_dir = f"{tmpdir}/feed"
+    materialize_feed(feed, feed_dir, n_segments=4)
+    schema = spark.read.parquet(feed_dir).schema
+    state = MultiTableState(spark, f"{tmpdir}/state", ["customer", "orders"])
+    q = apply_stream_multi_table(
+        read_feed_stream(spark, feed_dir, schema, max_files_per_trigger=2),
+        state,
+        {"customer": spark.table("customer"), "orders": spark.table("orders")},
+        {"customer": "c_custkey", "orders": "o_orderkey"},
+        {"customer": CDC_COLS["customer"], "orders": CDC_COLS["orders"]},
+        f"{tmpdir}/ckpt",
+    )
+    q.awaitTermination(120)
+    final = state.read()
+    for df, exp in ((final["customer"], expected_c), (final["orders"], expected_o)):
+        assert df.exceptAll(exp).count() == 0
+        assert exp.exceptAll(df).count() == 0
+
+    # replay with fresh checkpoint: batch ids all at-or-below manifest → no-op
+    last = state.last_batch()
+    q2 = apply_stream_multi_table(
+        read_feed_stream(spark, feed_dir, schema, max_files_per_trigger=2),
+        state,
+        {"customer": spark.table("customer"), "orders": spark.table("orders")},
+        {"customer": "c_custkey", "orders": "o_orderkey"},
+        {"customer": CDC_COLS["customer"], "orders": CDC_COLS["orders"]},
+        f"{tmpdir}/ckpt2",
+    )
+    q2.awaitTermination(120)
+    assert state.last_batch() == last
