@@ -43,6 +43,8 @@ def get_spark(
         # write micros, not INT96: Arrow/pyarrow readers (the pgcapture_feed
         # source) map INT96 to unsupported nanoseconds, and INT96 is deprecated
         .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+        # let the pgcapture_feed Python source receive pushed filters
+        .config("spark.sql.python.filterPushdown.enabled", "true")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

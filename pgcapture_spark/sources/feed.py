@@ -47,6 +47,38 @@ def materialize_feed(
         os.utime(os.path.join(out_dir, name), (ts, ts))
 
 
+def compact_log(
+    spark: SparkSession,
+    log_dir: str,
+    n_segments: int = 4,
+    key_cols: tuple[str, ...] = ("lsn", "seq"),
+    order_col: str = "ord",
+) -> tuple[int, int]:
+    """Offline log compaction by checkpoint key — the engine's Pulsar
+    topic-compaction analog (message key = LSN|seq, pkg/sink/pulsar.go:143):
+    re-delivered events collapse to one record per ``(lsn, seq)`` and the
+    segment files are rewritten fewer and ordered. Single-writer maintenance
+    (the reference's compaction also runs broker-side, not under concurrent
+    appends). Returns (rows_before, rows_after)."""
+    import shutil
+
+    df = spark.read.parquet(log_dir)
+    before = df.count()
+    compacted = df.dropDuplicates(list(key_cols))
+    tmp = log_dir.rstrip("/") + ".compacting"
+    materialize_feed(compacted, tmp, n_segments=n_segments, order_col=order_col)
+    after = spark.read.parquet(tmp).count()
+    for name in os.listdir(log_dir):
+        p = os.path.join(log_dir, name)
+        if name.startswith(("part-", "_commit_", "_SUCCESS")) and os.path.isfile(p):
+            os.remove(p)
+    for name in sorted(os.listdir(tmp)):
+        if name.startswith("part-"):
+            os.replace(os.path.join(tmp, name), os.path.join(log_dir, name))
+    shutil.rmtree(tmp, ignore_errors=True)
+    return before, after
+
+
 def read_feed_stream(
     spark: SparkSession, feed_dir: str, schema, max_files_per_trigger: int = 1
 ) -> DataFrame:

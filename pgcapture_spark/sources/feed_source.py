@@ -108,14 +108,72 @@ class _FeedStreamReader(DataSourceStreamReader):
 
 
 class _FeedBatchReader(DataSourceReader):
+    """Batch reads with comparison-filter pushdown: supported filters become
+    pyarrow parquet predicates, so row groups whose min/max statistics exclude
+    the predicate are never read — the reference's partition-pruned snapshot
+    scan (TID ranges, pkg/dblog/dumper.go:112-143) generalized to any stats
+    column (e.g. ``lsn > resume`` prunes whole segments of the log)."""
+
     def __init__(self, path: str):
         self.path = path
+        self.pushed: list = []
+
+    def pushFilters(self, filters):
+        from pyspark.sql.datasource import (
+            EqualTo,
+            GreaterThan,
+            GreaterThanOrEqual,
+            IsNotNull,
+            LessThan,
+            LessThanOrEqual,
+        )
+
+        supported = (EqualTo, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual)
+        for f in filters:
+            if isinstance(f, supported) and len(f.attribute) == 1:
+                self.pushed.append(f)
+                # fully handled at the scan — but keeping Spark's residual
+                # evaluation is free and guards stats-only pruning
+                yield f
+            elif isinstance(f, IsNotNull):
+                yield f  # implied by any pushed comparison; let Spark keep it
+            else:
+                yield f
+
+    def _arrow_filter(self):
+        if not self.pushed:
+            return None
+        import pyarrow.compute as pc
+        from pyspark.sql.datasource import (
+            EqualTo,
+            GreaterThan,
+            GreaterThanOrEqual,
+            LessThan,
+            LessThanOrEqual,
+        )
+
+        ops = {
+            EqualTo: lambda f, v: f == v,
+            GreaterThan: lambda f, v: f > v,
+            GreaterThanOrEqual: lambda f, v: f >= v,
+            LessThan: lambda f, v: f < v,
+            LessThanOrEqual: lambda f, v: f <= v,
+        }
+        expr = None
+        for flt in self.pushed:
+            e = ops[type(flt)](pc.field(flt.attribute[0]), flt.value)
+            expr = e if expr is None else expr & e
+        return expr
 
     def partitions(self) -> list[InputPartition]:
         return [_SegmentPartition(f) for f in _segments(self.path)]
 
     def read(self, partition: _SegmentPartition) -> Iterator:
-        return _read_arrow(partition.file_path)
+        import pyarrow.parquet as pq
+
+        flt = self._arrow_filter()
+        table = pq.read_table(partition.file_path, filters=flt)
+        yield from _as_micros(table).to_batches()
 
 
 class _StagedFile(WriterCommitMessage):
@@ -136,7 +194,17 @@ class _FeedStreamWriter(DataSourceStreamArrowWriter):
     """
 
     def __init__(self, path: str):
+        import uuid
+
         self.path = path
+        # markers are scoped per WRITER RUN (one instance per streaming query
+        # start): replays within a run are dropped exactly-once; a different
+        # producer lineage (or a restart) appends — duplicates across
+        # lineages are collapsed by key compaction (compact_log) and by the
+        # consumer-side resume filter, the reference's own three-layer model
+        # (producer resend + topic compaction + consistent gate,
+        # pkg/sink/pulsar.go:116-143, pkg/source/pulsar.go:98-127)
+        self.run_id = uuid.uuid4().hex[:12]
         os.makedirs(os.path.join(path, ".staging"), exist_ok=True)
 
     def write(self, iterator) -> WriterCommitMessage:
@@ -162,7 +230,7 @@ class _FeedStreamWriter(DataSourceStreamArrowWriter):
         return _StagedFile(staged, rows)
 
     def _marker(self, batch_id: int) -> str:
-        return os.path.join(self.path, f"_commit_{batch_id:012d}")
+        return os.path.join(self.path, f"_commit_{self.run_id}_{batch_id:012d}")
 
     def commit(self, messages, batchId: int) -> None:
         staged = [m for m in messages if m is not None and m.rows > 0]
@@ -172,7 +240,9 @@ class _FeedStreamWriter(DataSourceStreamArrowWriter):
                     os.remove(m.path)
             return
         for i, m in enumerate(staged):
-            final = os.path.join(self.path, f"part-b{batchId:012d}-{i:05d}.parquet")
+            final = os.path.join(
+                self.path, f"part-b{self.run_id}-{batchId:012d}-{i:05d}.parquet"
+            )
             os.replace(m.path, final)
         with open(self._marker(batchId), "w") as f:
             f.write(str(len(staged)))

@@ -114,3 +114,54 @@ def test_stream_writer_log_append_round_trip(spark, feed_dir, tmpdir):
     direct = spark.read.parquet(feed_dir)
     assert written.exceptAll(direct).count() == 0
     assert direct.exceptAll(written).count() == 0
+
+
+def test_batch_read_filter_pushdown(spark, feed_dir):
+    """Comparison predicates reach the pyarrow scan (row-group pruning) and
+    results stay correct — the resume-filter shape `lsn > X` (S4)."""
+    direct = spark.read.parquet(feed_dir)
+    cut = direct.selectExpr("percentile_disc(0.5) WITHIN GROUP (ORDER BY lsn)").first()[0]
+    via = (
+        spark.read.format("pgcapture_feed")
+        .option("path", feed_dir)
+        .load()
+        .where(f"lsn > {cut} AND op = 'UPDATE'")
+    )
+    exp = direct.where(f"lsn > {cut} AND op = 'UPDATE'")
+    assert via.count() == exp.count() > 0
+    assert via.exceptAll(exp).count() == 0
+
+
+def test_log_compaction_collapses_redelivery(spark, feed_dir, tmpdir):
+    """Two independent sink runs (distinct checkpoints = redelivery) double
+    the log; compaction collapses it back to one record per (lsn, seq)."""
+    import os
+
+    from pgcapture_spark.sources.feed import compact_log
+
+    out_dir = f"{tmpdir}/log"
+    os.makedirs(out_dir, exist_ok=True)
+    for i in range(2):
+        q = (
+            spark.readStream.format("pgcapture_feed")
+            .option("path", feed_dir)
+            .option("maxFilesPerTrigger", "4")
+            .load()
+            .writeStream.format("pgcapture_feed")
+            .option("path", out_dir)
+            .option("checkpointLocation", f"{tmpdir}/ck{i}")
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    feed = spark.read.parquet(feed_dir)
+    n = feed.count()
+    assert spark.read.parquet(out_dir).count() == 2 * n
+    before, after = compact_log(spark, out_dir)
+    assert (before, after) == (2 * n, n)
+    compacted = spark.read.format("pgcapture_feed").option("path", out_dir).load()
+    assert compacted.count() == n
+    assert compacted.select("lsn", "seq").distinct().count() == n
