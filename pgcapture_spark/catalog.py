@@ -69,6 +69,12 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    # Session-agnostic reads (the driver builds its own vanilla session):
+    # nanosAsLong guards against TIMESTAMP(NANOS) parquet vintages, and a UTC
+    # session tz makes any NTZ→LTZ cast downstream deterministic. Both are
+    # runtime-settable.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
     # TIMESTAMP(NANOS) parquet columns arrive as long (nanosAsLong); normalize
     # to microsecond timestamps, matching what DuckDB presents for the oracle.

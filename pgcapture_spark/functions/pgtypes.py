@@ -242,6 +242,48 @@ def pg_decode_udf(oid: int):
     return _udf
 
 
+# ---- encoders (fixture edge) ----------------------------------------------
+# Inverse codecs for building binary-passthrough feeds in tests/fixtures; the
+# real producer is Postgres itself (the reference re-sends these bytes without
+# decoding, pkg/decode/decoder.go:70-79, pkg/sink/postgres.go:422-434).
+
+def enc_int2(v: int) -> bytes:
+    return struct.pack(">h", int(v))
+
+
+def enc_int4(v: int) -> bytes:
+    return struct.pack(">i", int(v))
+
+
+def enc_int8(v: int) -> bytes:
+    return struct.pack(">q", int(v))
+
+
+def enc_float4(v: float) -> bytes:
+    return struct.pack(">f", float(v))
+
+
+def enc_float8(v: float) -> bytes:
+    return struct.pack(">d", float(v))
+
+
+def enc_text(v: str) -> bytes:
+    return str(v).encode("utf-8")
+
+
+ENCODERS: dict[int, Callable[[object], bytes]] = {
+    16: lambda v: b"\x01" if v else b"\x00",
+    20: enc_int8,
+    21: enc_int2,
+    23: enc_int4,
+    25: enc_text,
+    700: enc_float4,
+    701: enc_float8,
+    1042: enc_text,
+    1043: enc_text,
+}
+
+
 def pg_decode_json_udf():
     """Generic (oid, binary) → canonical JSON string — for heterogeneous golden
     tables (FIXTURES.md T4)."""

@@ -104,6 +104,82 @@ def evolve_snapshot(
     return out, new_cols
 
 
+# PG type name → wire OID (the subset the decode registry supports,
+# python/pgcapture/decoders.py:157-225)
+_PG_TO_OID = {
+    "bool": 16,
+    "boolean": 16,
+    "bytea": 17,
+    "int8": 20,
+    "bigint": 20,
+    "int2": 21,
+    "smallint": 21,
+    "int4": 23,
+    "int": 23,
+    "integer": 23,
+    "text": 25,
+    "json": 114,
+    "float4": 700,
+    "real": 700,
+    "float8": 701,
+    "double precision": 701,
+    "bpchar": 1042,
+    "varchar": 1043,
+    "character varying": 1043,
+    "date": 1082,
+    "timestamp": 1114,
+    "timestamptz": 1184,
+    "uuid": 2950,
+    "jsonb": 3802,
+}
+
+_CREATE_RE = re.compile(
+    r"^\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?(?:(\w+)\.)?(\w+)\s*\((.*)\)\s*$",
+    re.I | re.S,
+)
+_PK_RE = re.compile(r"^PRIMARY\s+KEY\s*\(([^)]+)\)$", re.I)
+
+
+@dataclass
+class CreateTable:
+    """A learned relation: the in-stream Relation-message role
+    (pkg/decode/schema.go:114-159 — PGXSchemaLoader refresh)."""
+
+    schema: str | None
+    table: str
+    fields: list[tuple[str, int]] = field(default_factory=list)  # (col, oid)
+    key: list[str] = field(default_factory=list)
+
+
+def parse_create(query: str) -> CreateTable | None:
+    """Parse ``CREATE TABLE [schema.]t (col type [PRIMARY KEY], ...,
+    [PRIMARY KEY (a, b)])`` into a relation descriptor with wire OIDs."""
+    m = _CREATE_RE.match(query.strip().rstrip(";"))
+    if not m:
+        return None
+    out = CreateTable(schema=m.group(1), table=m.group(2))
+    for item in re.split(r",(?![^()]*\))", m.group(3)):
+        item = item.strip()
+        if pk := _PK_RE.match(item):
+            out.key = [c.strip() for c in pk.group(1).split(",")]
+            continue
+        toks = item.split()
+        if len(toks) < 2:
+            continue
+        name = toks[0]
+        inline_pk = "primary" in (t.lower() for t in toks)
+        type_toks = []
+        for t in toks[1:]:
+            if t.lower() in ("primary", "key", "not", "null", "unique", "default"):
+                break
+            type_toks.append(t.lower())
+        pg_type = " ".join(type_toks)
+        out.fields.append((name, _PG_TO_OID.get(pg_type, 25)))
+        if inline_pk:
+            out.key.append(name)
+    return out if out.fields else None
+
+
 def ddl_skip_filter(
     changes: DataFrame,
     ddl_touched: DataFrame,

@@ -31,7 +31,13 @@ from pyspark.sql import functions as F
 # equal-microsecond events. Fits int64 for ~285 years of horizon; collisions
 # require the same microsecond AND the same event_id mod 1024.
 _BASE_US = 1_704_067_200_000_000
-ORD_SPARK = f"(unix_micros(ts) - {_BASE_US}) * 1024 + event_id % 1024"
+# timestampdiff (not unix_micros) so the expression works on TIMESTAMP_NTZ —
+# the parquet ts column is MICROS/isAdjustedToUTC=false, which Spark 4 reads
+# as NTZ; unix_micros rejects NTZ, and a cast to LTZ would depend on session tz.
+ORD_SPARK = (
+    f"(timestampdiff(MICROSECOND, TIMESTAMP_NTZ'2024-01-01 00:00:00', ts)) * 1024"
+    " + event_id % 1024"
+)
 ORD_DUCK = f"(epoch_us(ts) - {_BASE_US}) * 1024 + event_id % 1024"
 
 

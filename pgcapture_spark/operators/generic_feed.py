@@ -1,0 +1,142 @@
+"""Binary-passthrough generic feed — the reference's actual wire shape.
+
+The reference never materializes typed rows in flight: every change carries
+``[]*pb.Field{name, oid, value-bytes}`` (pb/pgcapture.proto:53-60) in PG binary
+wire format, producers re-send the bytes untouched (pkg/decode/decoder.go:70-79)
+and the sink binds them as binary params without decoding
+(pkg/sink/postgres.go:422-434). Decode happens only at a consuming edge, driven
+by the OID registry (python/pgcapture/decoders.py:157-225).
+
+This module re-expresses that contract Spark-first:
+
+- ``to_binary_feed``: typed feed → ``fields array<struct<name,oid,bin>>``
+  (fixture edge — one Arrow-batched pandas UDF; the real producer is Postgres).
+  TOAST-omitted columns are ABSENT from the array; explicit NULLs are present
+  with ``bin IS NULL`` — exactly the reference's presence model
+  (pkg/decode/decoder.go:106-114).
+- ``decode_binary_feed``: generic feed → typed view with LAZY per-column
+  decode: each output column extracts its own field and runs its own
+  fixed-OID codec UDF, so Catalyst column pruning skips the Python decode
+  for untouched columns entirely (SURVEY §4 "binary passthrough") — at
+  100 TB a query touching 2 of 40 columns pays 2 codecs, not 40.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pgcapture_spark.functions.pgtypes import ENCODERS, pg_decode_udf
+
+# (column, oid) schema of the generic customer feed — the Relation-message
+# role (pkg/decode/schema.go:114-159)
+CUSTOMER_FIELD_OIDS: list[tuple[str, int]] = [
+    ("c_custkey", 20),
+    ("c_name", 25),
+    ("c_nationkey", 23),
+    ("c_acctbal", 701),
+    ("c_mktsegment", 1043),
+]
+
+_FIELDS_TYPE = "array<struct<name:string,oid:int,bin:binary>>"
+
+
+def _encode_fields_udf(field_oids: list[tuple[str, int]]):
+    """(present, *values) → wire fields array. Present-list order is kept;
+    a present column with a NULL value encodes as bin NULL."""
+    names = [n for n, _ in field_oids]
+    oids = dict(field_oids)
+
+    @F.pandas_udf(_FIELDS_TYPE)
+    def _udf(present: pd.Series, *cols: pd.Series) -> pd.Series:
+        out = []
+        for i in range(len(present)):
+            pset = set(p for p in (present.iloc[i] or "").split(",") if p)
+            row = []
+            for j, name in enumerate(names):
+                if name not in pset:
+                    continue  # unchanged TOAST: field absent from the message
+                v = cols[j].iloc[i]
+                is_null = v is None or (isinstance(v, float) and pd.isna(v))
+                row.append(
+                    {
+                        "name": name,
+                        "oid": oids[name],
+                        "bin": None if is_null else ENCODERS[oids[name]](v),
+                    }
+                )
+            out.append(row)
+        return pd.Series(out)
+
+    return _udf
+
+
+def to_binary_feed(
+    typed: DataFrame,
+    field_oids: list[tuple[str, int]],
+    old_key: tuple[str, str, int] | None = None,
+) -> DataFrame:
+    """Typed feed → generic binary feed: metadata columns + ``fields`` (new
+    image) + ``old_fields`` (DELETE/key-change old image, one key field)."""
+    enc = _encode_fields_udf(field_oids)
+    cols = [name for name, _ in field_oids]
+    out = typed.select(
+        "lsn",
+        "seq",
+        "ord",
+        "commit_ts",
+        "op",
+        enc(F.col("present"), *[F.col(c) for c in cols]).alias("fields"),
+        *([F.col(old_key[0])] if old_key else []),
+    )
+    if old_key:
+        src, name, oid = old_key
+        enc_old = _encode_fields_udf([(name, oid)])
+        out = out.withColumn(
+            "old_fields",
+            F.when(
+                F.col(src).isNotNull(),
+                enc_old(F.lit(name), F.col(src)),
+            ).otherwise(F.lit(None).cast(_FIELDS_TYPE)),
+        ).drop(src)
+    return out
+
+
+def decode_binary_feed(
+    generic: DataFrame,
+    field_oids: list[tuple[str, int]],
+    old_key: tuple[str, str, int] | None = None,
+) -> DataFrame:
+    """Generic binary feed → typed view, decode-at-the-edge.
+
+    Per column: extract its field struct (``filter(fields, ...)`` — pure
+    Catalyst), then decode the binary with the column's fixed-OID codec UDF.
+    The rebuilt ``present`` list preserves wire field order, so the typed view
+    is drop-in for the same ``cdc_apply`` fold as the typed feed."""
+    out = generic.select(
+        "lsn",
+        "seq",
+        "ord",
+        "commit_ts",
+        "op",
+        *[
+            pg_decode_udf(oid)(
+                F.try_element_at(F.expr(f"filter(fields, f -> f.name = '{name}')"), F.lit(1))["bin"]
+            ).alias(name)
+            for name, oid in field_oids
+        ],
+        *(
+            [
+                pg_decode_udf(old_key[2])(
+                    F.try_element_at(
+                        F.expr(f"filter(old_fields, f -> f.name = '{old_key[1]}')"), F.lit(1)
+                    )["bin"]
+                ).alias(old_key[0])
+            ]
+            if old_key
+            else []
+        ),
+        F.expr("concat_ws(',', transform(fields, f -> f.name))").alias("present"),
+    )
+    return out

@@ -145,7 +145,7 @@ def incremental_agg_oracle_sql(applied_sql: str, group_col: str, val_col: str) -
     return f"""
 WITH applied AS ({applied_sql})
 SELECT {group_col}, count(*) AS n_rows,
-       sum(CAST(floor(coalesce({val_col}, 0.0) * 100 + 0.5) AS BIGINT)) AS bal_cents
+       CAST(sum(CAST(floor(coalesce({val_col}, 0.0) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS bal_cents
 FROM applied
 GROUP BY {group_col}
 """

@@ -11,6 +11,8 @@ whole-stage codegen. A 100 TB corpus maps straight through.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -48,10 +50,29 @@ LANG_ORDER = ("en", "es", "de", "fr", "zh")  # tie-break priority
 def ensure_parallelism(df: DataFrame) -> DataFrame:
     """CPU-heavy per-row operators need one task per core. A 100 TB corpus has
     thousands of input splits; a small local file has one — repartition only
-    when the scan under-splits, so no shuffle is added at scale."""
+    when the scan under-splits, so no shuffle is added at scale.
+
+    The probe is plan-free (file list + byte sizes, no ``df.rdd`` conversion —
+    that would force an RDD translation of the plan on every invocation): scan
+    parallelism is estimated as max(#files, bytes/128MB), the same quantities
+    Spark's own file-split planner uses."""
     spark = df.sparkSession
     target = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    try:
+        files = df.inputFiles()
+    except Exception:  # non-file source — leave the plan alone
+        return df
+    if not files:
+        return df
+    total = 0
+    for f in files:
+        p = f.removeprefix("file:")
+        try:
+            total += os.path.getsize(p)
+        except OSError:
+            return df  # remote/unstattable storage: assume well-split
+    est_splits = max(len(files), total // (128 * 1024 * 1024))
+    if est_splits < target:
         return df.repartition(target)
     return df
 
@@ -197,7 +218,7 @@ def repetition_signals(docs: DataFrame) -> DataFrame:
     size, two shuffles on doc_id — the 100 TB shape."""
     base = with_tokens(docs).select(
         "doc_id",
-        F.size("tokens").alias("n_tokens"),
+        F.size("tokens").cast("long").alias("n_tokens"),
         F.expr("size(array_distinct(tokens))").alias("_n_distinct"),
         F.expr(BIGRAMS_EXPR).alias("_bigrams"),
     )

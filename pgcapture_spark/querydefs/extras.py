@@ -119,10 +119,42 @@ def pg_binary_typed_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-from pgcapture_spark.catalog import register_views  # noqa: E402
+from pgcapture_spark.catalog import CDC_COLS, register_views  # noqa: E402
 from pgcapture_spark.fixtures.cdc_feed import ddl_feed_sql  # noqa: E402
 from pgcapture_spark.operators.apply import apply_oracle_sql, cdc_apply  # noqa: E402
 from pgcapture_spark.operators.ddl import evolve_snapshot, parse_alter  # noqa: E402
+from pgcapture_spark.operators.generic_feed import (  # noqa: E402
+    CUSTOMER_FIELD_OIDS,
+    decode_binary_feed,
+    to_binary_feed,
+)
+
+
+@q(
+    "cdc_apply_from_binary_feed",
+    apply_oracle_sql(cdc_customer_sql(DUCKDB), "customer", "c_custkey", CDC_COLS["customer"]),
+    "D7/T2 end-to-end binary passthrough: the typed feed is encoded to the"
+    " reference's wire shape (fields array<struct<name,oid,binary>>,"
+    " pb/pgcapture.proto:53-60), carried OPAQUE, decoded lazily per-column at"
+    " the consuming edge (pkg/decode/decoder.go:70-79), and applied — the"
+    " result must be indistinguishable from applying the typed feed (same"
+    " oracle as cdc_apply_customer).",
+)
+def cdc_apply_from_binary_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, ("customer",))
+    typed = _feed(spark, sf_dir, "customer")
+    wire = to_binary_feed(typed, CUSTOMER_FIELD_OIDS, old_key=("old_c_custkey", "c_custkey", 20))
+    decoded = decode_binary_feed(
+        wire, CUSTOMER_FIELD_OIDS, old_key=("old_c_custkey", "c_custkey", 20)
+    )
+    # DELETE messages carry only the old key image — recover the apply key
+    # from it, the reference's key/set split (pkg/sink/postgres.go:507-547)
+    decoded = decoded.withColumn(
+        "c_custkey", F.coalesce(F.col("c_custkey"), F.col("old_c_custkey"))
+    )
+    return cdc_apply(
+        spark.table("customer"), decoded, "c_custkey", CDC_COLS["customer"]
+    )
 
 
 @q(

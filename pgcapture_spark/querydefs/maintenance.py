@@ -116,8 +116,8 @@ cnt AS (SELECT doc_id, bigram, count(*) AS c FROM bgr GROUP BY 1, 2),
 agg AS (SELECT doc_id, sum(c) AS n_bigrams, max(c) AS top_bigram_cnt FROM cnt GROUP BY 1)
 SELECT b.doc_id, b.n_tokens,
        1.0 - CAST(b.n_distinct AS DOUBLE) / greatest(b.n_tokens, 1) AS dup_token_frac,
-       coalesce(a.n_bigrams, 0) AS n_bigrams,
-       coalesce(a.top_bigram_cnt, 0) AS top_bigram_cnt,
+       CAST(coalesce(a.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       CAST(coalesce(a.top_bigram_cnt, 0) AS BIGINT) AS top_bigram_cnt,
        CAST(coalesce(a.top_bigram_cnt, 0) AS DOUBLE)
          / greatest(coalesce(a.n_bigrams, 0), 1) AS top_bigram_frac
 FROM base b LEFT JOIN agg a USING (doc_id)

@@ -57,14 +57,17 @@ FROM documents
 
 # DuckDB's sha256 takes VARCHAR (hashes its utf-8 bytes) — identical input to
 # the Python stub's sha256 over the utf-8 payload.
+# the feature vector is serialized to a canonical string (8-decimal fixed
+# format — i/256 is exactly representable, so no cross-engine rounding): the
+# driver's row canonicalizer cannot hash top-level arrays.
 _DUCK_FEATURES = f"""
 WITH m AS ({_DUCK_MEDIA})
 SELECT media_id, modality,
        octet_length(encode(text)) AS n_bytes,
        substr(sha256(text), 1, 16) AS digest,
-       list_transform(range(0, 8),
-         i -> CAST(('0x' || substr(sha256(text), 2 * i + 1, 2))::INT / 256.0 AS FLOAT))
-         AS feature,
+       array_to_string(list_transform(range(0, 8),
+         i -> printf('%.8f', ('0x' || substr(sha256(text), 2 * i + 1, 2))::INT / 256.0)),
+         ',') AS feature,
        true AS decode_ok
 FROM m
 """
@@ -79,7 +82,16 @@ FROM m
 )
 def media_features_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats = extract_features(media_view(spark, sf_dir))
-    return feats.select("media_id", "modality", "n_bytes", "digest", "feature", "decode_ok")
+    return feats.select(
+        "media_id",
+        "modality",
+        F.col("n_bytes").cast("long").alias("n_bytes"),
+        "digest",
+        F.expr(
+            "concat_ws(',', transform(feature, x -> format_string('%.8f', CAST(x AS DOUBLE))))"
+        ).alias("feature"),
+        "decode_ok",
+    )
 
 
 _DUCK_FRAME_PLAN = f"""

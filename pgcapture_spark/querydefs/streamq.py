@@ -68,7 +68,7 @@ def cdc_apply_customer_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     " apply pipeline — converges to the same oracle as the batch apply.",
 )
 def cdc_apply_customer_feedsource(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pgcapture_spark.sources.feed_source import FeedDataSource
+    from pgcapture_spark.sources.feed_source import register_feed_source
 
     register_views(spark, sf_dir, ("customer",))
     snapshot = spark.table("customer")
@@ -76,7 +76,7 @@ def cdc_apply_customer_feedsource(spark: SparkSession, sf_dir: str) -> DataFrame
     d = tempfile.mkdtemp(prefix="pgcs_q_fsrc_")
     feed_dir = f"{d}/feed"
     materialize_feed(feed, feed_dir, n_segments=4)
-    spark.dataSource.register(FeedDataSource)
+    register_feed_source(spark)
     stream = (
         spark.readStream.format("pgcapture_feed")
         .option("path", feed_dir)
@@ -142,7 +142,7 @@ def cdc_apply_multi_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     " gate); reading the written log back returns the feed bit-for-bit.",
 )
 def cdc_log_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pgcapture_spark.sources.feed_source import FeedDataSource
+    from pgcapture_spark.sources.feed_source import register_feed_source
 
     register_views(spark, sf_dir, ("customer",))
     feed = _feed(spark, sf_dir, "customer")
@@ -152,7 +152,7 @@ def cdc_log_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 
     os.makedirs(out_dir, exist_ok=True)
-    spark.dataSource.register(FeedDataSource)
+    register_feed_source(spark)
     stream = (
         spark.readStream.format("pgcapture_feed")
         .option("path", in_dir)
@@ -228,7 +228,9 @@ def events_stream_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from pgcapture_spark.catalog import load
 
-    events = load(spark, sf_dir, "events")
+    # watermarks require TIMESTAMP (LTZ); the parquet ts column reads as NTZ.
+    # catalog.load pinned the session tz to UTC, so the cast is deterministic.
+    events = load(spark, sf_dir, "events").withColumn("ts", F.col("ts").cast("timestamp"))
     d = tempfile.mkdtemp(prefix="pgcs_q_window_")
     feed_dir = f"{d}/feed"
     materialize_feed(events, feed_dir, n_segments=4, order_col="ts")
@@ -301,7 +303,7 @@ def events_stream_sessionized(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from pgcapture_spark.catalog import load
 
-    events = load(spark, sf_dir, "events")
+    events = load(spark, sf_dir, "events").withColumn("ts", F.col("ts").cast("timestamp"))
     d = tempfile.mkdtemp(prefix="pgcs_q_session_")
     feed_dir = f"{d}/feed"
     materialize_feed(events, feed_dir, n_segments=4, order_col="ts")
@@ -392,7 +394,7 @@ def events_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from pgcapture_spark.catalog import load
 
-    events = load(spark, sf_dir, "events")
+    events = load(spark, sf_dir, "events").withColumn("ts", F.col("ts").cast("timestamp"))
     d = tempfile.mkdtemp(prefix="pgcs_q_ssjoin_")
     feed_dir = f"{d}/feed"
     materialize_feed(events, feed_dir, n_segments=4, order_col="ts")

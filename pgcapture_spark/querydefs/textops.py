@@ -525,12 +525,17 @@ def text_string_gauntlet(spark: SparkSession, sf_dir: str) -> DataFrame:
 # higher-order / array surface: distinct+sort, intersect (sorted — engines
 # differ on result order), flatten, contains/position, slice, fold. One scan,
 # all per-row.
+# array columns are serialized to canonical strings (space-joined; tokens are
+# whitespace-split so the delimiter cannot collide) — the driver's row
+# canonicalizer cannot hash top-level arrays.
 _ARR_SPARK_TPL = """
 WITH t AS (SELECT doc_id, {tok} AS tokens FROM documents WHERE doc_id % 7 = 3)
 SELECT doc_id,
-       array_sort(array_distinct(tokens)) AS uniq_sorted,
-       array_sort(array_intersect(tokens, array('the', 'data', 'row'))) AS marker_hits,
-       size(flatten(array(slice(tokens, 1, 2), slice(tokens, 3, 2)))) AS flat4,
+       concat_ws(' ', array_sort(array_distinct(tokens))) AS uniq_sorted,
+       concat_ws(' ', array_sort(array_intersect(tokens, array('the', 'data', 'row'))))
+         AS marker_hits,
+       CAST(size(flatten(array(slice(tokens, 1, 2), slice(tokens, 3, 2)))) AS BIGINT)
+         AS flat4,
        array_contains(tokens, 'the') AS has_the,
        array_position(tokens, 'the') AS pos_the,
        element_at(tokens, 1) AS first_tok,
@@ -541,13 +546,15 @@ FROM t
 _ARR_DUCK = f"""
 WITH t AS (SELECT doc_id, {{duck_tokens}} AS tokens FROM documents WHERE doc_id % 7 = 3)
 SELECT doc_id,
-       list_sort(list_distinct(tokens)) AS uniq_sorted,
-       list_sort(list_intersect(tokens, ['the', 'data', 'row'])) AS marker_hits,
-       len(flatten([tokens[1:2], tokens[3:4]])) AS flat4,
+       coalesce(array_to_string(list_sort(list_distinct(tokens)), ' '), '') AS uniq_sorted,
+       coalesce(array_to_string(list_sort(list_intersect(tokens, ['the', 'data', 'row'])), ' '),
+                '') AS marker_hits,
+       CAST(len(flatten([tokens[1:2], tokens[3:4]])) AS BIGINT) AS flat4,
        list_contains(tokens, 'the') AS has_the,
-       coalesce(list_position(tokens, 'the'), 0) AS pos_the,
+       CAST(coalesce(list_position(tokens, 'the'), 0) AS BIGINT) AS pos_the,
        tokens[1] AS first_tok,
-       list_sum(list_transform(tokens[1:10], t -> length(t))) AS len10
+       CAST(coalesce(list_sum(list_transform(tokens[1:10], t -> length(t))), 0) AS BIGINT)
+         AS len10
 FROM t
 """
 

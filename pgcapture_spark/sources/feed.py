@@ -62,20 +62,35 @@ def compact_log(
     appends). Returns (rows_before, rows_after)."""
     import shutil
 
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
     df = spark.read.parquet(log_dir)
     before = df.count()
-    compacted = df.dropDuplicates(list(key_cols))
+    # keep the LATEST record per key (row_number over ord desc), matching topic
+    # compaction semantics — dropDuplicates would keep an arbitrary one
+    w = Window.partitionBy(*key_cols).orderBy(F.col(order_col).desc())
+    compacted = (
+        df.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1).drop("_rn")
+    )
     tmp = log_dir.rstrip("/") + ".compacting"
     materialize_feed(compacted, tmp, n_segments=n_segments, order_col=order_col)
     after = spark.read.parquet(tmp).count()
+    # crash-safe swap: park the live segments in a backup subdir (rename, not
+    # delete), install the compacted files, then drop the backup — a crash
+    # mid-swap leaves every record recoverable from backup + tmp
+    backup = log_dir.rstrip("/") + ".precompact"
+    shutil.rmtree(backup, ignore_errors=True)
+    os.makedirs(backup)
     for name in os.listdir(log_dir):
         p = os.path.join(log_dir, name)
         if name.startswith(("part-", "_commit_", "_SUCCESS")) and os.path.isfile(p):
-            os.remove(p)
+            os.replace(p, os.path.join(backup, name))
     for name in sorted(os.listdir(tmp)):
         if name.startswith("part-"):
             os.replace(os.path.join(tmp, name), os.path.join(log_dir, name))
     shutil.rmtree(tmp, ignore_errors=True)
+    shutil.rmtree(backup, ignore_errors=True)
     return before, after
 
 

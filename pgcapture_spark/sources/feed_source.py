@@ -87,14 +87,24 @@ class _FeedStreamReader(DataSourceStreamReader):
 
     def latestOffset(self) -> dict:
         # admit at most max_files new segments per micro-batch (backpressure);
-        # the segment list only grows, so the index is a monotone offset
+        # the segment list only grows, so the index is a monotone offset.
+        # self._last starts at 0 in a fresh reader instance, so on restart it
+        # must be floored by every offset Spark hands back (partitions/commit
+        # below) — otherwise the offset log would regress below the
+        # checkpointed position and replay the whole log as duplicates.
         n = len(_segments(self.path))
         cur = getattr(self, "_last", 0)
-        nxt = min(n, cur + self.max_files)
+        nxt = min(n, max(cur, cur + self.max_files))
         self._last = nxt
         return {"index": nxt}
 
+    def _floor(self, off: dict) -> None:
+        # recover the admission cursor from checkpointed offsets (restart path)
+        self._last = max(getattr(self, "_last", 0), off["index"])
+
     def partitions(self, start: dict, end: dict) -> list[InputPartition]:
+        self._floor(start)
+        self._floor(end)
         files = _segments(self.path)[start["index"] : end["index"]]
         return [_SegmentPartition(f) for f in files]
 
@@ -103,8 +113,9 @@ class _FeedStreamReader(DataSourceStreamReader):
 
     def commit(self, end: dict) -> None:
         # segments are immutable; nothing to ack upstream (the checkpoint dir
-        # already persisted `end` — the reference's sources-table role)
-        pass
+        # already persisted `end` — the reference's sources-table role). Still
+        # floor the cursor so a restart that replays commit() cannot regress.
+        self._floor(end)
 
 
 class _FeedBatchReader(DataSourceReader):
@@ -187,24 +198,22 @@ class _FeedStreamWriter(DataSourceStreamArrowWriter):
     (reference A1: PulsarSink.Apply, pkg/sink/pulsar.go:99-175). Exactly-once
     recipe: executors write STAGED parquet files and return them as commit
     messages; the driver's ``commit`` renames them to ordered segment names
-    ``part-b{batchId}-{task}`` and drops a ``_commit_{batchId}`` marker. A
-    replayed batch (marker already present) discards its staging files — the
-    ≤-previous-checkpoint drop of the reference's ``consistent`` gate.
-    ``abort`` deletes the staged files, so readers never see partial output.
+    ``part-s{batchId}-{task}`` and drops a ``_commit_{batchId}`` marker.
+
+    Exactly-once across restarts: both the segment names and the marker are
+    keyed by batchId ALONE (the checkpoint dir makes batchId unique and
+    monotone per query lineage — the reference's Pulsar producer derives its
+    dedup sequence-id from the LSN for the same reason, pkg/sink/pulsar.go).
+    A replayed batch either sees its marker (drop staged files), or re-renames
+    onto the SAME final names (idempotent) if the previous attempt crashed
+    between rename and marker. ``abort`` deletes the staged files, so readers
+    never see partial output. One writer lineage per log dir (the A8
+    single-writer lock analog); ``part-s…`` sorts after any compacted
+    ``part-0…`` Spark names, so lexicographic order stays append order.
     """
 
     def __init__(self, path: str):
-        import uuid
-
         self.path = path
-        # markers are scoped per WRITER RUN (one instance per streaming query
-        # start): replays within a run are dropped exactly-once; a different
-        # producer lineage (or a restart) appends — duplicates across
-        # lineages are collapsed by key compaction (compact_log) and by the
-        # consumer-side resume filter, the reference's own three-layer model
-        # (producer resend + topic compaction + consistent gate,
-        # pkg/sink/pulsar.go:116-143, pkg/source/pulsar.go:98-127)
-        self.run_id = uuid.uuid4().hex[:12]
         os.makedirs(os.path.join(path, ".staging"), exist_ok=True)
 
     def write(self, iterator) -> WriterCommitMessage:
@@ -230,7 +239,7 @@ class _FeedStreamWriter(DataSourceStreamArrowWriter):
         return _StagedFile(staged, rows)
 
     def _marker(self, batch_id: int) -> str:
-        return os.path.join(self.path, f"_commit_{self.run_id}_{batch_id:012d}")
+        return os.path.join(self.path, f"_commit_{batch_id:012d}")
 
     def commit(self, messages, batchId: int) -> None:
         staged = [m for m in messages if m is not None and m.rows > 0]
@@ -240,10 +249,8 @@ class _FeedStreamWriter(DataSourceStreamArrowWriter):
                     os.remove(m.path)
             return
         for i, m in enumerate(staged):
-            final = os.path.join(
-                self.path, f"part-b{self.run_id}-{batchId:012d}-{i:05d}.parquet"
-            )
-            os.replace(m.path, final)
+            final = os.path.join(self.path, f"part-s{batchId:012d}-{i:05d}.parquet")
+            os.replace(m.path, final)  # deterministic names → replay-idempotent
         with open(self._marker(batchId), "w") as f:
             f.write(str(len(staged)))
 
@@ -251,6 +258,14 @@ class _FeedStreamWriter(DataSourceStreamArrowWriter):
         for m in messages:
             if m is not None and m.path and os.path.exists(m.path):
                 os.remove(m.path)
+
+
+def register_feed_source(spark) -> None:
+    """Register the source AND enable Python-source filter pushdown (off by
+    default in a vanilla session; without it Spark refuses to initialize a
+    reader that implements pushFilters). Runtime-settable."""
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(FeedDataSource)
 
 
 class FeedDataSource(DataSource):

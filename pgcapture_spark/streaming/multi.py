@@ -20,6 +20,7 @@ import os
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from pgcapture_spark.operators.apply import cdc_apply
@@ -90,10 +91,110 @@ def apply_stream_multi_table(
             current = initial_snapshots
         new = {}
         for t in state.tables:
-            sub = batch_df.where(f"{table_col} = '{t}'").select(
+            sub = batch_df.where(F.col(table_col) == F.lit(t)).select(
                 "ord", "op", "present", *_key_cols(t), *cols[t]
             )
             new[t] = cdc_apply(current[t], sub, keys[t], cols[t])
+        state.commit(new, batch_id)
+
+    return (
+        feed_stream.writeStream.foreachBatch(_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+class DynamicMultiTableState(MultiTableState):
+    """MultiTableState whose table set GROWS mid-stream: the manifest also
+    persists the relation registry, so a restart rehydrates learned tables
+    without re-observing their CREATE TABLE events (which live in already-
+    committed, skipped batches)."""
+
+    def __init__(self, spark: SparkSession, root: str, registry):
+        super().__init__(spark, root, registry.tables())
+        self.registry = registry
+        self._rehydrate()
+
+    def _rehydrate(self) -> None:
+        from pgcapture_spark.streaming.registry import RelationRegistry
+
+        if os.path.exists(self._manifest):
+            with open(self._manifest) as f:
+                m = json.load(f)
+            if "registry" in m:
+                self.registry = RelationRegistry.from_dict(m["registry"])
+                self.tables = m["tables"]
+
+    def commit(self, snapshots: dict[str, DataFrame], batch_id: int) -> None:
+        self.tables = self.registry.tables()
+        version = f"v{batch_id:012d}"
+        base = os.path.join(self.root, version)
+        for t in self.tables:
+            snapshots[t].write.mode("overwrite").parquet(os.path.join(base, t))
+        fd, tmp = tempfile.mkstemp(dir=self.root, suffix=".manifest")
+        with os.fdopen(fd, "w") as f:
+            json.dump(
+                {
+                    "version": version,
+                    "batch_id": batch_id,
+                    "tables": self.tables,
+                    "registry": self.registry.to_dict(),
+                },
+                f,
+            )
+        os.replace(tmp, self._manifest)
+
+
+def apply_stream_dynamic(
+    feed_stream: DataFrame,
+    state: DynamicMultiTableState,
+    initial_snapshots: dict[str, DataFrame],
+    checkpoint_dir: str,
+) -> StreamingQuery:
+    """Multi-table apply over the GENERIC binary feed with in-stream relation
+    learning: a CREATE TABLE event mid-stream materializes a new table (empty
+    snapshot with the parsed wire schema) and its subsequent row events decode
+    and apply — the PGXSchemaLoader-refresh behavior (pkg/decode/schema.go:
+    114-159) on Spark.
+
+    Feed schema: lsn, seq, ord, commit_ts, op, table_name, query,
+    fields array<struct<name,oid,bin>>, old_fields (DELETE old key image).
+    Single-column keys (the composite path stays on the typed pipeline)."""
+    from pgcapture_spark.operators.generic_feed import decode_binary_feed
+
+    reg = state.registry
+
+    def _batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id <= state.last_batch():
+            return
+        current = state.read()
+        if current is None:
+            current = dict(initial_snapshots)
+        spark = batch_df.sparkSession
+        # 1) relation learning — the DDL subset is tiny (driver-side, ordered)
+        ddl = (
+            batch_df.where(F.col("op") == "DDL")
+            .select("ord", "query")
+            .orderBy("ord")
+            .collect()
+        )
+        for row in ddl:
+            new_table = reg.learn_ddl(row["query"])
+            if new_table is not None and new_table not in current:
+                current[new_table] = reg.empty_snapshot(spark, new_table)
+        # 2) per-table decode + fold (same O(touched) shape as the typed path)
+        new = {}
+        for t in reg.tables():
+            key = reg.key(t)[0]
+            _, key_oid = next(f for f in reg.fields(t) if f[0] == key)
+            sub = batch_df.where(
+                (F.col("table_name") == F.lit(t)) & (F.col("op") != F.lit("DDL"))
+            )
+            typed = decode_binary_feed(
+                sub, reg.fields(t), old_key=(f"old_{key}", key, key_oid)
+            ).withColumn(key, F.coalesce(F.col(key), F.col(f"old_{key}")))
+            new[t] = cdc_apply(current[t], typed, key, reg.value_cols(t))
         state.commit(new, batch_id)
 
     return (

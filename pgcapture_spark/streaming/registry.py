@@ -1,0 +1,75 @@
+"""Dynamic relation registry — in-stream schema learning.
+
+The reference's ``PGXSchemaLoader`` refreshes its type/identity caches when
+relation-changing events arrive, so a table never seen at startup still
+decodes and applies (pkg/decode/schema.go:114-159; Relation messages
+pkg/decode/pgoutput.go). The Spark analog: a registry of
+``table → (key cols, [(col, oid)])`` seeded from the static catalog and
+extended mid-stream by CREATE TABLE DDL events; it serializes into the
+multi-table state manifest so a restart rehydrates the learned relations
+(replayed batches are skipped, so the DDL would not be re-observed).
+"""
+
+from __future__ import annotations
+
+from pgcapture_spark.functions.pgtypes import spark_type_for_oid
+from pgcapture_spark.operators.ddl import CreateTable, parse_create
+
+
+class RelationRegistry:
+    def __init__(self) -> None:
+        # table → {"key": [...], "fields": [(name, oid), ...]}
+        self._rel: dict[str, dict] = {}
+
+    # -- learning ------------------------------------------------------------
+    def learn_static(self, table: str, key: list[str], fields: list[tuple[str, int]]) -> None:
+        self._rel[table] = {"key": list(key), "fields": [list(f) for f in fields]}
+
+    def learn_create(self, create: CreateTable) -> bool:
+        """Register a relation from a CREATE TABLE event; idempotent (the
+        reference's refresh also overwrites the cache entry). Returns True if
+        the table is new."""
+        new = create.table not in self._rel
+        self.learn_static(create.table, create.key, create.fields)
+        return new
+
+    def learn_ddl(self, query: str) -> str | None:
+        """Feed one DDL statement; returns the table name if a NEW relation
+        materialized, else None."""
+        ct = parse_create(query)
+        if ct is None:
+            return None
+        return ct.table if self.learn_create(ct) else None
+
+    # -- lookup --------------------------------------------------------------
+    def tables(self) -> list[str]:
+        return list(self._rel)
+
+    def key(self, table: str) -> list[str]:
+        return list(self._rel[table]["key"])
+
+    def fields(self, table: str) -> list[tuple[str, int]]:
+        return [tuple(f) for f in self._rel[table]["fields"]]
+
+    def value_cols(self, table: str) -> list[str]:
+        k = set(self.key(table))
+        return [n for n, _ in self.fields(table) if n not in k]
+
+    def spark_schema(self, table: str) -> str:
+        return ", ".join(
+            f"{name} {spark_type_for_oid(oid)}" for name, oid in self.fields(table)
+        )
+
+    def empty_snapshot(self, spark, table: str):
+        return spark.createDataFrame([], self.spark_schema(table))
+
+    # -- persistence (manifest round-trip) ------------------------------------
+    def to_dict(self) -> dict:
+        return {t: {"key": r["key"], "fields": r["fields"]} for t, r in self._rel.items()}
+
+    @classmethod
+    def from_dict(cls, d: dict) -> RelationRegistry:
+        reg = cls()
+        for t, r in d.items():
+            reg.learn_static(t, r["key"], [tuple(f) for f in r["fields"]])
+        return reg

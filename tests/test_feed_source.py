@@ -132,12 +132,12 @@ def test_batch_read_filter_pushdown(spark, feed_dir):
     assert via.exceptAll(exp).count() == 0
 
 
-def test_log_compaction_collapses_redelivery(spark, feed_dir, tmpdir):
-    """Two independent sink runs (distinct checkpoints = redelivery) double
-    the log; compaction collapses it back to one record per (lsn, seq)."""
+def test_sink_dedupes_across_writer_lineages(spark, feed_dir, tmpdir):
+    """Two independent sink runs re-deliver the same batchIds; the batch-keyed
+    commit markers drop the second run entirely — producer dedup persists
+    across restarts (the Pulsar LSN-derived sequence-id model,
+    pkg/sink/pulsar.go), so the log is NOT doubled."""
     import os
-
-    from pgcapture_spark.sources.feed import compact_log
 
     out_dir = f"{tmpdir}/log"
     os.makedirs(out_dir, exist_ok=True)
@@ -157,6 +157,29 @@ def test_log_compaction_collapses_redelivery(spark, feed_dir, tmpdir):
             q.processAllAvailable()
         finally:
             q.stop()
+    feed = spark.read.parquet(feed_dir)
+    n = feed.count()
+    assert spark.read.parquet(out_dir).count() == n
+    assert not os.listdir(os.path.join(out_dir, ".staging")), "staging must drain"
+
+
+def test_log_compaction_collapses_redelivery(spark, feed_dir, tmpdir):
+    """A log holding duplicated records (e.g. upstream re-sent below the sink's
+    marker horizon) compacts back to ONE record per (lsn, seq), keeping the
+    LATEST per key — topic-compaction semantics (pkg/sink/pulsar.go:143)."""
+    import os
+    import shutil
+
+    from pgcapture_spark.sources.feed import compact_log
+
+    out_dir = f"{tmpdir}/log"
+    os.makedirs(out_dir, exist_ok=True)
+    # double the log directly: same segments under two name epochs
+    for i, f in enumerate(sorted(os.listdir(feed_dir))):
+        if not f.startswith("part-"):
+            continue
+        shutil.copy(f"{feed_dir}/{f}", f"{out_dir}/part-s{i:012d}-00000.parquet")
+        shutil.copy(f"{feed_dir}/{f}", f"{out_dir}/part-s{1000 + i:012d}-00000.parquet")
     feed = spark.read.parquet(feed_dir)
     n = feed.count()
     assert spark.read.parquet(out_dir).count() == 2 * n

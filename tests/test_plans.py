@@ -109,6 +109,21 @@ def test_per_row_text_ops_have_no_shuffle(spark):
         assert "SortMergeJoin" not in plan, name
 
 
+def test_text_ops_never_convert_to_rdd(spark, monkeypatch):
+    # ensure_parallelism must stay plan-free: a DataFrame.rdd access forces an
+    # RDD translation of the whole plan on every text-op invocation
+    from pyspark.sql import DataFrame
+
+    def _boom(self):
+        raise AssertionError("text op accessed DataFrame.rdd")
+
+    monkeypatch.setattr(DataFrame, "rdd", property(_boom))
+    from pgcapture_spark.queries import REGISTRY
+
+    df = REGISTRY["text_fingerprint"].fn(spark, SF_SMALL)
+    assert df.columns  # plan built without touching .rdd
+
+
 def test_brute_force_topk_broadcasts_queries(spark):
     plan = plan_str(spark, "sim_cosine_topk")
     assert "Broadcast" in plan  # query set is broadcast, corpus is streamed
