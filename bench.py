@@ -41,6 +41,11 @@ HEADLINE = [
     "events_asof_join",
     "ts_gapfill_locf",
     "agg_hll_sketch_merge",
+    # r2 additions (newly driver-unblocked events queries + binary passthrough)
+    "events_mad_outliers",
+    "events_range_band_join",
+    "sample_stratified",
+    "cdc_apply_from_binary_feed",
     # training-data operators
     "text_quality_score",
     "text_fingerprint",

@@ -221,7 +221,9 @@ def connected_components(nodes: DataFrame, edges: DataFrame, max_iters: int = 25
 
     Each round is one shuffle (neighbor-min groupBy) + one join; labels are
     monotonically non-increasing ints, so the label SUM is a convergence
-    certificate costing one scalar action per round. Rounds needed = graph
+    certificate — checked every SECOND round (labels only shrink, so a
+    skipped check can never miss convergence, it just runs one extra cheap
+    round; halves the scalar-action job count). Rounds needed = graph
     diameter — near-dup clusters are shallow (chains of a few docs), so this
     converges in a handful of rounds; an adversarially deep graph would call
     for large-star/small-star halving instead. localCheckpoint truncates the
@@ -231,12 +233,13 @@ def connected_components(nodes: DataFrame, edges: DataFrame, max_iters: int = 25
     )
     labels = nodes.select(F.col("doc_id"), F.col("doc_id").alias("lbl"))
     prev_sum = None
-    for _ in range(max_iters):
+    for i in range(max_iters):
         labels = labels.localCheckpoint(eager=True)
-        cur_sum = labels.agg(F.sum("lbl")).first()[0]
-        if cur_sum == prev_sum:
-            break
-        prev_sum = cur_sum
+        if i % 2 == 0:
+            cur_sum = labels.agg(F.sum("lbl")).first()[0]
+            if cur_sum == prev_sum:
+                break
+            prev_sum = cur_sum
         nbr_min = (
             sym.join(labels, sym.src == labels.doc_id)
             .groupBy("dst")

@@ -206,9 +206,11 @@ FROM d JOIN m2 USING (user_id)
 @q(
     "events_mad_outliers",
     _MAD_DUCK,
-    "North-star / §2.7 custom agg: per-key robust outlier flags via grouped"
-    " applyInPandas (nested medians — inexpressible in one native pass);"
-    " integer-cents input keeps the interpolated medians exact cross-engine.",
+    "North-star / §2.7 custom agg: per-key robust outlier flags (median/MAD)"
+    " — native exact percentile aggregates, one reused key exchange, fully"
+    " JVM-side; integer-cents input keeps the interpolated medians exact"
+    " cross-engine. Grouped applyInPandas variant kept as the no-native-"
+    "expression template (operators/outliers.py).",
 )
 def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pgcapture_spark.operators.outliers import mad_outliers

@@ -429,7 +429,7 @@ SELECT o_orderkey,
        date_trunc('month', o_orderdate) AS month_start,
        o_orderdate + INTERVAL '7' DAY AS plus_week,
        abs(o_totalprice - 100000.0) AS abs_diff,
-       floor(o_totalprice / 1000.0) AS price_k,
+       CAST(floor(o_totalprice / 1000.0) AS BIGINT) AS price_k,
        CAST(floor(sqrt(o_totalprice) * 1000 + 0.5) AS BIGINT) AS sqrt_q,
        CAST(floor(ln(o_totalprice + 1.0) * 1000 + 0.5) AS BIGINT) AS ln_q,
        pmod(o_orderkey, 7) AS key_mod7,
@@ -451,7 +451,7 @@ SELECT o_orderkey,
        CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
        o_orderdate + INTERVAL 7 DAY AS plus_week,
        abs(o_totalprice - 100000.0) AS abs_diff,
-       floor(o_totalprice / 1000.0) AS price_k,
+       CAST(floor(o_totalprice / 1000.0) AS BIGINT) AS price_k,
        CAST(floor(sqrt(o_totalprice) * 1000 + 0.5) AS BIGINT) AS sqrt_q,
        CAST(floor(ln(o_totalprice + 1.0) * 1000 + 0.5) AS BIGINT) AS ln_q,
        o_orderkey % 7 AS key_mod7,

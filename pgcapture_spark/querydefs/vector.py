@@ -225,9 +225,9 @@ q AS (SELECT user_id AS q_user, vals AS q_vals FROM series
       WHERE user_id = (SELECT min(user_id) FROM series)),
 dists AS (
   SELECT s.user_id, q.q_user,
-         list_sum(list_transform(range(1, 33),
+         CAST(list_sum(list_transform(range(1, 33),
                   i -> (s.vals[i] - q.q_vals[i]) * (s.vals[i] - q.q_vals[i])))
-           AS dist2
+           AS BIGINT) AS dist2
   FROM series s CROSS JOIN q
   WHERE s.user_id <> q.q_user
 )
@@ -333,7 +333,7 @@ qd AS (
   FROM sub_d WHERE vec_id % 25 = 1
 ),
 adc AS (
-  SELECT qd.query_id, v.vec_id AS neighbor_id, sum(qd.d2q) AS approx_d2q
+  SELECT qd.query_id, v.vec_id AS neighbor_id, CAST(sum(qd.d2q) AS BIGINT) AS approx_d2q
   FROM codes v JOIN qd ON qd.m = v.m AND qd.c_label = v.code
   WHERE v.vec_id <> qd.query_id
   GROUP BY 1, 2
@@ -423,7 +423,9 @@ m AS (SELECT vec_id, v,
 qq AS (SELECT vec_id, 127.0 / mx AS scale,
               list_transform(v, x -> CAST(round(x * (127.0 / mx)) AS INT)) AS qv
        FROM m)
-SELECT vec_id, scale, qv, list_sum(list_transform(qv, x -> abs(x))) AS l1_q
+SELECT vec_id, scale,
+       array_to_string(list_transform(qv, x -> CAST(x AS VARCHAR)), ',') AS qv,
+       CAST(list_sum(list_transform(qv, x -> abs(x))) AS BIGINT) AS l1_q
 FROM qq
 """
 
@@ -437,7 +439,9 @@ m AS (SELECT vec_id, v,
 qq AS (SELECT vec_id, 127.0 / mx AS scale,
               transform(v, x -> CAST(round(x * (127.0 / mx)) AS INT)) AS qv
        FROM m)
-SELECT vec_id, scale, qv, aggregate(qv, 0L, (a, x) -> a + abs(x)) AS l1_q
+SELECT vec_id, scale,
+       concat_ws(',', transform(qv, x -> CAST(x AS STRING))) AS qv,
+       aggregate(qv, 0L, (a, x) -> a + abs(x)) AS l1_q
 FROM qq
 """
 
