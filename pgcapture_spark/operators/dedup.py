@@ -294,3 +294,77 @@ def simhash(docs: DataFrame, bits: int = 32) -> DataFrame:
         term = F.when(F.col(f"v_{b}") >= 0, F.lit(1 << b).cast("bigint")).otherwise(F.lit(0))
         value = term if value is None else (value + term)
     return agg.select("doc_id", value.alias("simhash"))
+
+
+def connected_components_star(
+    nodes: DataFrame, edges: DataFrame, max_rounds: int = 30
+) -> DataFrame:
+    """Alternating large-star / small-star connected components (Kiveris et
+    al., "Connected Components in MapReduce and Beyond", SoCC'14) — the
+    depth-robust alternative to min-label propagation: rounds needed are
+    O(log n) on ANY graph, where propagation needs graph-diameter rounds
+    (a 200-deep chain converges here in ~6 rounds vs 200).
+
+    Spark shape: each half-round is ONE min-aggregate on the node key plus
+    one join back — no collect_set, so a high-degree node never materializes
+    its neighbor list on a single executor; edges stay (hi, lo)-normalized
+    and distinct. Convergence certificate = (edge count, hash sum), one
+    scalar action per round; localCheckpoint truncates lineage.
+
+    Returns (doc_id, canonical_id) with canonical = component minimum;
+    singletons map to themselves."""
+    e = (
+        edges.selectExpr("a_id AS a", "b_id AS b")
+        .where("a <> b")
+        .selectExpr("greatest(a, b) AS hi", "least(a, b) AS lo")
+        .distinct()
+    )
+    prev_cert = None
+    for _ in range(max_rounds):
+        e = e.localCheckpoint(eager=True)
+        row = e.agg(
+            F.count("*").alias("n"),
+            F.coalesce(F.sum(F.hash("hi", "lo").cast("long")), F.lit(0)).alias("h"),
+        ).first()
+        cert = (row["n"], row["h"])
+        if cert == prev_cert:
+            break
+        prev_cert = cert
+        # large-star: connect every strictly-larger neighbor of u to
+        # min(N(u) ∪ {u})
+        sym = e.selectExpr("hi AS u", "lo AS v").unionAll(
+            e.selectExpr("lo AS u", "hi AS v")
+        )
+        lm = (
+            sym.groupBy("u")
+            .agg(F.min("v").alias("mv"))
+            .select("u", F.least("mv", F.col("u")).alias("m"))
+        )
+        e1 = (
+            sym.where("v > u")
+            .join(lm, on="u")
+            .selectExpr("v AS hi", "m AS lo")  # m <= u < v, already normalized
+            .where("hi <> lo")
+            .distinct()
+        )
+        # small-star: connect every smaller-or-equal neighbor of u (and u
+        # itself) to min(N<=(u) ∪ {u})
+        sm = (
+            e1.groupBy("hi")
+            .agg(F.min("lo").alias("ml"))
+            .select("hi", F.least("ml", F.col("hi")).alias("m"))
+        )
+        small = e1.join(sm, on="hi").selectExpr("lo AS a", "m AS b").unionAll(
+            sm.selectExpr("hi AS a", "m AS b")
+        )
+        e = (
+            small.where("a <> b")
+            .selectExpr("greatest(a, b) AS hi", "least(a, b) AS lo")
+            .distinct()
+        )
+    else:
+        raise RuntimeError(f"connected_components_star: no convergence in {max_rounds}")
+    roots = e.selectExpr("hi AS doc_id", "lo AS _root")
+    return nodes.select("doc_id").join(roots, on="doc_id", how="left").select(
+        "doc_id", F.coalesce("_root", "doc_id").alias("canonical_id")
+    )

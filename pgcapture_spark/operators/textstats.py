@@ -259,3 +259,36 @@ def fingerprint(docs: DataFrame, k: int = 4) -> DataFrame:
             f"concat_ws('-', slice(array_sort(transform(shingles, s -> md5(s))), 1, {k}))"
         ).alias("fingerprint"),
     )
+
+
+# 5-token contamination grams: same constant-reference slice shape as
+# SHINGLES_EXPR/BIGRAMS_EXPR, one per starting position
+GRAMS5_EXPR = (
+    "CASE WHEN size(tokens) >= 5 THEN "
+    "transform(sequence(1, size(tokens) - 4), i -> concat_ws(' ', slice(tokens, i, 5))) "
+    "ELSE CAST(array() AS ARRAY<STRING>) END"
+)
+
+
+def decontaminate(docs: DataFrame, eval_pred: str = "doc_id % 97 = 5") -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any 5-token
+    n-gram with the evaluation set — the train/test-overlap scrub every
+    pre-training pipeline runs before training.
+
+    Shape: per-row gram arrays fused into the scan, deduped PER ROW with
+    array_distinct (so (doc_id, gram) is unique with NO corpus-wide shuffle);
+    the eval-set gram list is DISTINCT-ed and BROADCAST (a benchmark suite is
+    tiny next to the corpus — at 100 TB the eval grams are megabytes); the
+    train side equi-joins on gram map-side, then one doc_id count. The only
+    corpus-wide shuffle is the final per-doc aggregate of matching rows
+    (already tiny)."""
+    grams = with_tokens(docs).select(
+        "doc_id", F.explode(F.expr(f"array_distinct({GRAMS5_EXPR})")).alias("gram")
+    )
+    eval_grams = grams.where(eval_pred).select("gram").distinct()
+    train = grams.where(f"NOT ({eval_pred})")
+    return (
+        train.join(F.broadcast(eval_grams), on="gram")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shared_grams"))
+    )

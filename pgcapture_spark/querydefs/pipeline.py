@@ -53,6 +53,29 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return near_dup_clusters(spark.table("documents"), threshold=0.1)
 
 
+@q(
+    "dedup_clusters_star",
+    _DUCK_CLUSTERS,
+    "North-star: the same cluster resolution via alternating large-star/"
+    "small-star (Kiveris et al.) — O(log n) rounds on ANY graph depth where"
+    " label propagation needs diameter rounds; same recursive-CTE oracle.",
+)
+def dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pgcapture_spark.operators.dedup import (
+        connected_components_star,
+        minhash_lsh_pairs,
+    )
+
+    register_views(spark, sf_dir, ("documents",))
+    docs = spark.table("documents")
+    pairs = minhash_lsh_pairs(docs, threshold=0.1)
+    comp = connected_components_star(docs.select("doc_id"), pairs)
+    sizes = comp.groupBy("canonical_id").agg(F.count("*").alias("cluster_size"))
+    return comp.join(sizes, on="canonical_id").select(
+        "doc_id", "canonical_id", "cluster_size"
+    )
+
+
 # ------------------------------------------------------- sequence packing
 
 _PACK_BUDGET = 4096

@@ -571,3 +571,36 @@ def text_array_gauntlet(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pgcapture_spark.operators.textstats import TOKENS_EXPR
 
     return spark.sql(_ARR_SPARK_TPL.format(tok=TOKENS_EXPR))
+
+
+# ------------------------------------------------------- decontamination
+
+_DUCK_DECONT = f"""
+WITH t AS (SELECT doc_id, {_DUCK_TOKENS} AS tokens FROM documents),
+g AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(range(1, len(tokens) - 3),
+                i -> array_to_string(tokens[i:i + 4], ' ')))) AS gram
+  FROM t WHERE len(tokens) >= 5
+),
+eval_g AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 5),
+train AS (SELECT doc_id, gram FROM g WHERE doc_id % 97 <> 5)
+SELECT tr.doc_id, CAST(count(*) AS BIGINT) AS n_shared_grams
+FROM train tr JOIN eval_g e USING (gram)
+GROUP BY tr.doc_id
+"""
+
+
+@q(
+    "text_decontaminate",
+    _DUCK_DECONT,
+    "North-star: benchmark decontamination — training documents sharing any"
+    " 5-token n-gram with the eval set (doc_id % 97 = 5), the train/test-"
+    "overlap scrub before pre-training; eval grams broadcast, per-row gram"
+    " construction fused into the scan.",
+)
+def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pgcapture_spark.operators.textstats import decontaminate
+
+    register_views(spark, sf_dir, ("documents",))
+    return decontaminate(spark.table("documents"))

@@ -456,3 +456,62 @@ FROM qq
 def sim_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir, ("embeddings",))
     return spark.sql(_QUANT_SPARK)
+
+
+# ------------------------------------------------------- ANN quality (recall)
+
+_DUCK_RECALL = f"""
+WITH normed AS ({_DUCK_NORMED}),
+queries AS (SELECT vec_id AS query_id, e AS qe, norm AS qn, {_duck_bucket()} AS q_bucket
+            FROM normed WHERE vec_id % 25 = 0),
+exact AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.query_id, n.vec_id AS neighbor_id,
+           row_number() OVER (PARTITION BY q.query_id ORDER BY
+             list_sum(list_transform(range(1, 65), i -> q.qe[i] * n.e[i]))
+               / (q.qn * n.norm) DESC, n.vec_id) AS rank
+    FROM queries q JOIN normed n ON n.vec_id <> q.query_id
+  ) WHERE rank <= 3
+),
+bucketed AS (SELECT vec_id, e, norm, {_duck_bucket()} AS bucket FROM normed),
+ann AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.query_id, n.vec_id AS neighbor_id,
+           row_number() OVER (PARTITION BY q.query_id ORDER BY
+             list_sum(list_transform(range(1, 65), i -> q.qe[i] * n.e[i]))
+               / (q.qn * n.norm) DESC, n.vec_id) AS rank
+    FROM queries q JOIN bucketed n
+      ON n.bucket = q.q_bucket AND n.vec_id <> q.query_id
+  ) WHERE rank <= 3
+)
+SELECT e.query_id, CAST(count(a.neighbor_id) AS BIGINT) AS n_hits,
+       count(a.neighbor_id) / 3.0 AS recall_at_3
+FROM exact e LEFT JOIN ann a
+  ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+GROUP BY e.query_id
+"""
+
+
+@q(
+    "sim_ann_recall",
+    _DUCK_RECALL,
+    "North-star: ANN quality evaluation — recall@3 of the sign-LSH bucketed"
+    " search against the exact brute-force top-3 per query; the measurement"
+    " loop every production ANN deployment runs before trusting its index.",
+)
+def sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, ("embeddings",))
+    emb = spark.table("embeddings")
+    exact = cosine_topk(emb, "vec_id % 25 = 0", k=3).select("query_id", "neighbor_id")
+    ann = signlsh_topk(emb, "vec_id % 25 = 0", k=3, nbits=8).select(
+        "query_id", F.col("neighbor_id").alias("a_neighbor")
+    )
+    j = exact.join(
+        ann,
+        (exact.query_id == ann.query_id) & (exact.neighbor_id == ann.a_neighbor),
+        "left",
+    ).select(exact.query_id, "a_neighbor")
+    return j.groupBy("query_id").agg(
+        F.count("a_neighbor").alias("n_hits"),
+        (F.count("a_neighbor") / 3.0).alias("recall_at_3"),
+    )

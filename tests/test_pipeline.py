@@ -60,3 +60,37 @@ def test_stratified_sample_deterministic_and_rate(spark):
     assert got1 == got2  # partitioning-independent
     assert all(u % 2 == 0 for u in got1)  # stratum b dropped
     assert 0.2 < len(got1) / 1000 < 0.4  # ~30% of stratum a
+
+
+def test_star_components_deep_chain(spark):
+    """A 200-node path graph: min-label propagation would need ~200 rounds
+    (far beyond its max_iters), large-star/small-star halves depth each
+    round — everything must collapse to canonical 0 within the round cap."""
+    from pgcapture_spark.operators.dedup import connected_components_star
+
+    n = 200
+    nodes = spark.range(n).selectExpr("id AS doc_id")
+    edges = spark.range(n - 1).selectExpr("id AS a_id", "id + 1 AS b_id")
+    out = connected_components_star(nodes, edges)
+    got = {r.doc_id: r.canonical_id for r in out.collect()}
+    assert got == {i: 0 for i in range(n)}
+
+
+def test_star_components_match_propagation(spark):
+    """On the real LSH near-dup graph both component algorithms must produce
+    identical (doc, canonical) labelings."""
+    from pgcapture_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+        minhash_lsh_pairs,
+    )
+    from pgcapture_spark.catalog import register_views
+    from tests.conftest import SF_SMALL
+
+    register_views(spark, SF_SMALL, ("documents",))
+    docs = spark.table("documents")
+    pairs = minhash_lsh_pairs(docs, threshold=0.1)
+    nodes = docs.select("doc_id")
+    a = connected_components(nodes, pairs)
+    b = connected_components_star(nodes, pairs)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
