@@ -46,6 +46,7 @@ HEADLINE = [
     "events_range_band_join",
     "sample_stratified",
     "cdc_apply_from_binary_feed",
+    "cdc_apply_from_binary_feed_composite",
     # training-data operators
     "text_quality_score",
     "text_fingerprint",

@@ -271,6 +271,19 @@ def enc_text(v: str) -> bytes:
     return str(v).encode("utf-8")
 
 
+def enc_timestamp(v) -> bytes:
+    """datetime/pd.Timestamp → int64 µs since 2000-01-01 (UTC wall clock)."""
+    ts = pd.Timestamp(v)
+    if ts.tz is not None:
+        ts = ts.tz_convert("UTC").tz_localize(None)
+    return struct.pack(">q", ts.value // 1000 - MICROS_Y2K_SHIFT)
+
+
+def enc_date(v) -> bytes:
+    d = v.date() if isinstance(v, dt.datetime) else v
+    return struct.pack(">i", (d - PG_EPOCH_DATE).days)
+
+
 ENCODERS: dict[int, Callable[[object], bytes]] = {
     16: lambda v: b"\x01" if v else b"\x00",
     20: enc_int8,
@@ -281,6 +294,9 @@ ENCODERS: dict[int, Callable[[object], bytes]] = {
     701: enc_float8,
     1042: enc_text,
     1043: enc_text,
+    1082: enc_date,
+    1114: enc_timestamp,
+    1184: enc_timestamp,
 }
 
 

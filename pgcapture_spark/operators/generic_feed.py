@@ -58,7 +58,7 @@ def _encode_fields_udf(field_oids: list[tuple[str, int]]):
                 if name not in pset:
                     continue  # unchanged TOAST: field absent from the message
                 v = cols[j].iloc[i]
-                is_null = v is None or (isinstance(v, float) and pd.isna(v))
+                is_null = v is None or (not isinstance(v, (list, bytes)) and pd.isna(v))
                 row.append(
                     {
                         "name": name,
@@ -72,15 +72,27 @@ def _encode_fields_udf(field_oids: list[tuple[str, int]]):
     return _udf
 
 
+def _norm_old_keys(
+    old_key: tuple[str, str, int] | list[tuple[str, str, int]] | None,
+) -> list[tuple[str, str, int]]:
+    if old_key is None:
+        return []
+    if isinstance(old_key, tuple):
+        return [old_key]
+    return list(old_key)
+
+
 def to_binary_feed(
     typed: DataFrame,
     field_oids: list[tuple[str, int]],
-    old_key: tuple[str, str, int] | None = None,
+    old_key: tuple[str, str, int] | list[tuple[str, str, int]] | None = None,
 ) -> DataFrame:
     """Typed feed → generic binary feed: metadata columns + ``fields`` (new
-    image) + ``old_fields`` (DELETE/key-change old image, one key field)."""
+    image) + ``old_fields`` (DELETE/key-change old image; one entry per
+    replica-identity column — composite identities carry several)."""
     enc = _encode_fields_udf(field_oids)
     cols = [name for name, _ in field_oids]
+    old_keys = _norm_old_keys(old_key)
     out = typed.select(
         "lsn",
         "seq",
@@ -88,25 +100,29 @@ def to_binary_feed(
         "commit_ts",
         "op",
         enc(F.col("present"), *[F.col(c) for c in cols]).alias("fields"),
-        *([F.col(old_key[0])] if old_key else []),
+        *[F.col(src) for src, _, _ in old_keys],
     )
-    if old_key:
-        src, name, oid = old_key
-        enc_old = _encode_fields_udf([(name, oid)])
+    if old_keys:
+        names = ",".join(name for _, name, _ in old_keys)
+        enc_old = _encode_fields_udf([(name, oid) for _, name, oid in old_keys])
+        any_old = None
+        for src, _, _ in old_keys:
+            c = F.col(src).isNotNull()
+            any_old = c if any_old is None else (any_old | c)
         out = out.withColumn(
             "old_fields",
             F.when(
-                F.col(src).isNotNull(),
-                enc_old(F.lit(name), F.col(src)),
+                any_old,
+                enc_old(F.lit(names), *[F.col(src) for src, _, _ in old_keys]),
             ).otherwise(F.lit(None).cast(_FIELDS_TYPE)),
-        ).drop(src)
+        ).drop(*[src for src, _, _ in old_keys])
     return out
 
 
 def decode_binary_feed(
     generic: DataFrame,
     field_oids: list[tuple[str, int]],
-    old_key: tuple[str, str, int] | None = None,
+    old_key: tuple[str, str, int] | list[tuple[str, str, int]] | None = None,
 ) -> DataFrame:
     """Generic binary feed → typed view, decode-at-the-edge.
 
@@ -114,6 +130,7 @@ def decode_binary_feed(
     Catalyst), then decode the binary with the column's fixed-OID codec UDF.
     The rebuilt ``present`` list preserves wire field order, so the typed view
     is drop-in for the same ``cdc_apply`` fold as the typed feed."""
+    old_keys = _norm_old_keys(old_key)
     out = generic.select(
         "lsn",
         "seq",
@@ -126,17 +143,14 @@ def decode_binary_feed(
             ).alias(name)
             for name, oid in field_oids
         ],
-        *(
-            [
-                pg_decode_udf(old_key[2])(
-                    F.try_element_at(
-                        F.expr(f"filter(old_fields, f -> f.name = '{old_key[1]}')"), F.lit(1)
-                    )["bin"]
-                ).alias(old_key[0])
-            ]
-            if old_key
-            else []
-        ),
+        *[
+            pg_decode_udf(oid)(
+                F.try_element_at(
+                    F.expr(f"filter(old_fields, f -> f.name = '{name}')"), F.lit(1)
+                )["bin"]
+            ).alias(src)
+            for src, name, oid in old_keys
+        ],
         F.expr("concat_ws(',', transform(fields, f -> f.name))").alias("present"),
     )
     return out

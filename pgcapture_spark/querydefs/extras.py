@@ -9,7 +9,7 @@ import struct
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from pgcapture_spark.fixtures.cdc_feed import DUCKDB, cdc_customer_sql
+from pgcapture_spark.fixtures.cdc_feed import DUCKDB, cdc_customer_sql, cdc_lineitem_sql
 from pgcapture_spark.functions.pgtypes import pg_decode_udf
 from pgcapture_spark.queries import _feed, q
 
@@ -157,6 +157,60 @@ def cdc_apply_from_binary_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# (column, oid) wire schema for the lineitem feed — COMPOSITE replica
+# identity (l_orderkey, l_linenumber), the multi-column identity cache case
+# (pkg/decode/schema.go:161-191)
+LINEITEM_FIELD_OIDS: list[tuple[str, int]] = [
+    ("l_orderkey", 20),
+    ("l_linenumber", 20),
+    ("l_partkey", 20),
+    ("l_suppkey", 20),
+    ("l_quantity", 701),
+    ("l_extendedprice", 701),
+    ("l_discount", 701),
+    ("l_tax", 701),
+    ("l_returnflag", 25),
+    ("l_linestatus", 25),
+    ("l_shipdate", 1114),
+]
+
+_LI_OLD_KEYS = [
+    ("old_l_orderkey", "l_orderkey", 20),
+    ("old_l_linenumber", "l_linenumber", 20),
+]
+
+
+@q(
+    "cdc_apply_from_binary_feed_composite",
+    apply_oracle_sql(
+        cdc_lineitem_sql(DUCKDB),
+        "lineitem",
+        ["l_orderkey", "l_linenumber"],
+        CDC_COLS["lineitem"],
+    ),
+    "D7/T7 binary passthrough with a COMPOSITE replica identity: the lineitem"
+    " feed (timestamps included) encoded to wire fields, the DELETE old image"
+    " carrying BOTH key columns, decoded lazily and applied keyed on"
+    " (l_orderkey, l_linenumber) — same oracle as the typed composite apply.",
+)
+def cdc_apply_from_binary_feed_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, ("lineitem",))
+    typed = _feed(spark, sf_dir, "lineitem")
+    wire = to_binary_feed(typed, LINEITEM_FIELD_OIDS, old_key=_LI_OLD_KEYS)
+    decoded = decode_binary_feed(wire, LINEITEM_FIELD_OIDS, old_key=_LI_OLD_KEYS)
+    decoded = decoded.withColumn(
+        "l_orderkey", F.coalesce(F.col("l_orderkey"), F.col("old_l_orderkey"))
+    ).withColumn(
+        "l_linenumber", F.coalesce(F.col("l_linenumber"), F.col("old_l_linenumber"))
+    )
+    return cdc_apply(
+        spark.table("lineitem"),
+        decoded,
+        ["l_orderkey", "l_linenumber"],
+        CDC_COLS["lineitem"],
+    )
+
+
 @q(
     "cdc_apply_ddl_evolution",
     apply_oracle_sql(
@@ -219,29 +273,3 @@ def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mad_outliers(spark.table("events"))
 
 
-_LATERAL_SPARK = """
-SELECT c.c_custkey, c.c_mktsegment, t.o_orderkey, t.totalprice_cents
-FROM customer c,
-LATERAL (
-  SELECT o_orderkey,
-         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS totalprice_cents
-  FROM orders
-  WHERE o_custkey = c.c_custkey
-  ORDER BY totalprice_cents DESC, o_orderkey
-  LIMIT 2
-) t
-WHERE c.c_custkey % 10 = 4
-"""
-
-_LATERAL_DUCK = _LATERAL_SPARK  # identical syntax in DuckDB
-
-
-@q(
-    "join_lateral_topn",
-    _LATERAL_DUCK,
-    "§2.7: correlated LATERAL subquery — top-2 orders per customer, the"
-    " decorrelated-apply join shape (Catalyst rewrites to a ranked join).",
-)
-def join_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    register_views(spark, sf_dir, ("customer", "orders"))
-    return spark.sql(_LATERAL_SPARK)

@@ -472,3 +472,33 @@ WHERE o_orderkey % 37 = 0
 def scalar_gauntlet(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir, ("orders",))
     return spark.sql(_SCALARS_SPARK)
+
+
+# (moved from extras: relational LATERAL shape; driver-verified green in r1)
+
+_LATERAL_SPARK = """
+SELECT c.c_custkey, c.c_mktsegment, t.o_orderkey, t.totalprice_cents
+FROM customer c,
+LATERAL (
+  SELECT o_orderkey,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS totalprice_cents
+  FROM orders
+  WHERE o_custkey = c.c_custkey
+  ORDER BY totalprice_cents DESC, o_orderkey
+  LIMIT 2
+) t
+WHERE c.c_custkey % 10 = 4
+"""
+
+_LATERAL_DUCK = _LATERAL_SPARK  # identical syntax in DuckDB
+
+
+@q(
+    "join_lateral_topn",
+    _LATERAL_DUCK,
+    "§2.7: correlated LATERAL subquery — top-2 orders per customer, the"
+    " decorrelated-apply join shape (Catalyst rewrites to a ranked join).",
+)
+def join_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, ("customer", "orders"))
+    return spark.sql(_LATERAL_SPARK)

@@ -104,3 +104,69 @@ def test_generic_json_udf(spark):
     df = spark.createDataFrame(rows, "oid int, raw binary")
     out = df.select(pg_decode_json_udf()(F.col("oid"), F.col("raw")).alias("j")).collect()
     assert [r.j for r in out] == ["true", "7", '["x",null]']
+
+
+# ---------------------------------------------------------------- round trips
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from pgcapture_spark.functions.pgtypes import (
+    ENCODERS,
+    SCALAR_DECODERS,
+    enc_date,
+    enc_timestamp,
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.integers(min_value=-(2**63), max_value=2**63 - 1))
+def test_roundtrip_int8(v):
+    assert SCALAR_DECODERS[20](ENCODERS[20](v)) == v
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.integers(min_value=-(2**31), max_value=2**31 - 1))
+def test_roundtrip_int4(v):
+    assert SCALAR_DECODERS[23](ENCODERS[23](v)) == v
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.integers(min_value=-(2**15), max_value=2**15 - 1))
+def test_roundtrip_int2(v):
+    assert SCALAR_DECODERS[21](ENCODERS[21](v)) == v
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.floats(allow_nan=False, width=64))
+def test_roundtrip_float8(v):
+    assert SCALAR_DECODERS[701](ENCODERS[701](v)) == v
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(max_size=200))
+def test_roundtrip_text(v):
+    assert SCALAR_DECODERS[25](ENCODERS[25](v)) == v
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.booleans())
+def test_roundtrip_bool(v):
+    assert SCALAR_DECODERS[16](ENCODERS[16](v)) is v
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.datetimes(
+        min_value=dt.datetime(1900, 1, 1),
+        max_value=dt.datetime(2200, 1, 1),
+    ).map(lambda d: d.replace(microsecond=(d.microsecond // 1) ))
+)
+def test_roundtrip_timestamp(v):
+    assert SCALAR_DECODERS[1114](enc_timestamp(v)) == v
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.dates(min_value=dt.date(1900, 1, 1), max_value=dt.date(2200, 1, 1)))
+def test_roundtrip_date(v):
+    assert SCALAR_DECODERS[1082](enc_date(v)) == v
