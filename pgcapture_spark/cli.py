@@ -5,6 +5,7 @@
   apply     event log → snapshot state via the streaming pipeline      (E2)
   backfill  snapshot + event log → converged state with dump chunks    (E3/B4)
   lag       replication-lag report over an applied state               (A9)
+  compact   log compaction by checkpoint key (latest per (lsn, seq))   (A1)
 
 Each subcommand is a thin wrapper over the library operators; everything
 testable without a cluster (`local[N]` session from session.py).
@@ -94,6 +95,21 @@ def _cmd_lag(args) -> int:
     return 0
 
 
+def _cmd_compact(args) -> int:
+    from pgcapture_spark.sources.feed import compact_log
+
+    spark = get_spark(app="pgcs-compact")
+    before, after = compact_log(
+        spark,
+        args.log_dir,
+        n_segments=args.segments,
+        key_cols=tuple(args.key_cols.split(",")),
+        order_col=args.order_col,
+    )
+    print(f"compacted {args.log_dir}: {before} -> {after} records")
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="pgcapture_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -129,6 +145,13 @@ def build_parser() -> argparse.ArgumentParser:
     lg.add_argument("--state-dir", required=True)
     lg.add_argument("--ts-col", default="commit_ts")
     lg.set_defaults(fn=_cmd_lag)
+
+    cp = sub.add_parser("compact", help="log compaction by checkpoint key (A1)")
+    cp.add_argument("--log-dir", required=True)
+    cp.add_argument("--segments", type=int, default=4)
+    cp.add_argument("--key-cols", default="lsn,seq")
+    cp.add_argument("--order-col", default="ord")
+    cp.set_defaults(fn=_cmd_compact)
     return p
 
 

@@ -59,3 +59,34 @@ def test_cli_backfill(spark):
     want = cdc_apply(snapshot, feed, "c_custkey", CDC_COLS["customer"])
     assert got.count() == want.count()
     assert got.exceptAll(want).count() == 0
+
+
+def test_cli_compact(spark, tmp_path=None):
+    import os
+    import shutil
+    import tempfile
+
+    from pgcapture_spark.catalog import register_views
+    from pgcapture_spark.cli import main
+    from pgcapture_spark.queries import _feed
+    from pgcapture_spark.sources.feed import materialize_feed
+    from tests.conftest import SF_SMALL
+
+    d = tempfile.mkdtemp(prefix="pgcs_cli_compact_")
+    try:
+        register_views(spark, SF_SMALL, ("customer",))
+        feed = _feed(spark, SF_SMALL, "customer")
+        src = f"{d}/src"
+        materialize_feed(feed, src, n_segments=3)
+        log = f"{d}/log"
+        os.makedirs(log)
+        for i, f in enumerate(sorted(os.listdir(src))):
+            if f.startswith("part-"):
+                shutil.copy(f"{src}/{f}", f"{log}/part-s{i:012d}-00000.parquet")
+                shutil.copy(f"{src}/{f}", f"{log}/part-s{100 + i:012d}-00000.parquet")
+        n = feed.count()
+        assert spark.read.parquet(log).count() == 2 * n
+        assert main(["compact", "--log-dir", log]) == 0
+        assert spark.read.parquet(log).count() == n
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

@@ -211,3 +211,11 @@ def test_q21_correlated_exists_decorrelate(spark):
     assert "LeftSemi" in tree and "LeftAnti" in tree
     assert "BroadcastNestedLoopJoin" not in tree
     assert "CartesianProduct" not in tree
+
+
+def test_decontaminate_broadcasts_eval_grams(spark):
+    # eval-set grams must ride as a broadcast; the corpus side must never
+    # sort-merge or shuffle for the join
+    plan = plan_str(spark, "text_decontaminate", mode="simple")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

@@ -338,3 +338,108 @@ def test_multi_table_stream_atomic_convergence(spark, tmpdir):
     )
     q2.awaitTermination(120)
     assert state.last_batch() == last
+
+
+def test_tws_debounce_matches_golden_spec(spark, tmpdir):
+    """The transformWithStateInPandas form of the exact debounce must emit
+    exactly the golden expected set (same spec as the applyInPandasWithState
+    form) when the feed is drained with no timer."""
+    pytest.importorskip(
+        "google.protobuf.descriptor",
+        reason="transformWithState's Python worker requires protobuf",
+    )
+    from pgcapture_spark.fixtures.cdc_feed import debounce_expected_sql, debounce_feed_sql
+    from pgcapture_spark.catalog import register_views
+    from pgcapture_spark.sources.feed import materialize_feed, read_feed_stream
+    from pgcapture_spark.streaming.debounce_tws import stateful_debounce_tws
+    from tests.conftest import SF_SMALL
+
+    register_views(spark, SF_SMALL, ("customer",))
+    feed = spark.sql(debounce_feed_sql())
+    feed_dir = f"{tmpdir}/feed"
+    materialize_feed(feed, feed_dir, n_segments=5, order_col="arr")
+    schema = spark.read.parquet(feed_dir).schema
+    stream = read_feed_stream(spark, feed_dir, schema, max_files_per_trigger=1)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        q = (
+            stateful_debounce_tws(stream, "key")
+            .writeStream.format("parquet")
+            .option("path", f"{tmpdir}/out")
+            .option("checkpointLocation", f"{tmpdir}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    finally:
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    got = spark.read.schema(
+        "key bigint, lsn bigint, seq int, arr bigint, op string, flush_kind string"
+    ).parquet(f"{tmpdir}/out")
+    exp = spark.sql(debounce_expected_sql())
+    assert got.count() == exp.count()
+    assert got.exceptAll(exp).count() == 0
+    assert exp.exceptAll(got).count() == 0
+
+
+def test_tws_debounce_kernel_rules_no_spark():
+    """Drive the transformWithState processor directly with a fake state
+    handle — the rule kernel (flush-by-insert/delete, dump-latest, equal
+    flush-then-store, older-drop) is exercised without the protobuf worker
+    the full API needs."""
+    import pandas as pd
+
+    from pgcapture_spark.streaming.debounce_tws import DebounceProcessor
+
+    class _FakeValueState:
+        def __init__(self):
+            self.v = None
+
+        def exists(self):
+            return self.v is not None
+
+        def get(self):
+            return self.v
+
+        def update(self, v):
+            self.v = tuple(v)
+
+        def clear(self):
+            self.v = None
+
+    class _FakeHandle:
+        def getValueState(self, name, schema):
+            return _FakeValueState()
+
+    p = DebounceProcessor()
+    p.init(_FakeHandle())
+
+    def run(rows):
+        pdf = pd.DataFrame(rows, columns=["lsn", "seq", "arr", "op"])
+        out = list(p.handleInputRows((7,), iter([pdf]), None))
+        return [tuple(r) for r in out[0].itertuples(index=False)] if out else []
+
+    # UPDATE buffers; newer replaces; older drops; DELETE flushes newest
+    got = run([(5, 1, 1, "UPDATE"), (5, 2, 2, "UPDATE"), (5, 1, 3, "UPDATE"),
+               (5, 9, 4, "DELETE")])
+    assert got == [
+        (7, 5, 2, 2, "UPDATE", "flush_by_delete"),
+        (7, 5, 9, 4, "DELETE", "immediate"),
+    ]
+    # dump (lsn=0) always replaces, INSERT flushes it
+    got = run([(6, 1, 1, "UPDATE"), (0, 7, 2, "UPDATE"), (6, 9, 3, "INSERT")])
+    assert got == [
+        (7, 0, 7, 2, "UPDATE", "flush_by_insert"),
+        (7, 6, 9, 3, "INSERT", "immediate"),
+    ]
+    # equal checkpoint: flush-then-store; buffer survives across batches
+    got = run([(8, 3, 1, "UPDATE"), (8, 3, 2, "UPDATE")])
+    assert got == [(7, 8, 3, 1, "UPDATE", "flush_by_equal")]
+    got = run([(8, 9, 9, "DELETE")])
+    assert got == [
+        (7, 8, 3, 2, "UPDATE", "flush_by_delete"),
+        (7, 8, 9, 9, "DELETE", "immediate"),
+    ]
