@@ -207,3 +207,22 @@ def dedupe_consecutive_ddl(ddl: DataFrame) -> DataFrame:
         .where(F.col("_prev").isNull() | (F.col("_prev") != F.col("query")))
         .drop("_prev")
     )
+
+
+def parse_alter_oids(query: str) -> tuple[str, list[tuple[str, int]], list[str]] | None:
+    """ALTER TABLE parsed to wire OIDs (for the dynamic relation registry):
+    returns (table, added [(col, oid)], dropped [col]) or None."""
+    m = _ALTER_RE.match(query.strip().rstrip(";"))
+    if not m:
+        return None
+    table = m.group(2)
+    add: list[tuple[str, int]] = []
+    drop: list[str] = []
+    for action in re.split(r",(?![^()]*\))", m.group(3)):
+        action = action.strip()
+        if am := _ADD_RE.match(action):
+            pg_type = am.group(2).strip().lower()
+            add.append((am.group(1), _PG_TO_OID.get(pg_type, 25)))
+        elif dm := _DROP_RE.match(action):
+            drop.append(dm.group(1))
+    return (table, add, drop) if (add or drop) else None

@@ -183,9 +183,21 @@ def apply_stream_dynamic(
             new_table = reg.learn_ddl(row["query"])
             if new_table is not None and new_table not in current:
                 current[new_table] = reg.empty_snapshot(spark, new_table)
-        # 2) per-table decode + fold (same O(touched) shape as the typed path)
+        # 2) per-table decode + fold (same O(touched) shape as the typed path);
+        # snapshots are first aligned to the (possibly ALTER-evolved) relation
+        # shape: added columns appear NULL-filled, dropped ones disappear —
+        # the reference's post-DDL column-cache refresh
+        from pgcapture_spark.functions.pgtypes import spark_type_for_oid
+
         new = {}
         for t in reg.tables():
+            snap_cols = set(current[t].columns)
+            for name, oid in reg.fields(t):
+                if name not in snap_cols:
+                    current[t] = current[t].withColumn(
+                        name, F.lit(None).cast(spark_type_for_oid(oid))
+                    )
+            current[t] = current[t].select(*[n for n, _ in reg.fields(t)])
             key = reg.key(t)[0]
             _, key_oid = next(f for f in reg.fields(t) if f[0] == key)
             sub = batch_df.where(

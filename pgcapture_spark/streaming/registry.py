@@ -13,7 +13,7 @@ multi-table state manifest so a restart rehydrates the learned relations
 from __future__ import annotations
 
 from pgcapture_spark.functions.pgtypes import spark_type_for_oid
-from pgcapture_spark.operators.ddl import CreateTable, parse_create
+from pgcapture_spark.operators.ddl import CreateTable, parse_alter_oids, parse_create
 
 
 class RelationRegistry:
@@ -35,11 +35,23 @@ class RelationRegistry:
 
     def learn_ddl(self, query: str) -> str | None:
         """Feed one DDL statement; returns the table name if a NEW relation
-        materialized, else None."""
+        materialized, else None. ALTER TABLE against a KNOWN relation evolves
+        its field list in place (the cache-refresh path,
+        pkg/decode/schema.go:114-159 / pkg/sink/postgres.go:357-393)."""
         ct = parse_create(query)
-        if ct is None:
-            return None
-        return ct.table if self.learn_create(ct) else None
+        if ct is not None:
+            return ct.table if self.learn_create(ct) else None
+        alt = parse_alter_oids(query)
+        if alt is not None and alt[0] in self._rel:
+            table, add, drop = alt
+            rel = self._rel[table]
+            known = {n for n, _ in rel["fields"]}
+            for name, oid in add:
+                if name not in known:
+                    rel["fields"].append([name, oid])
+            dropset = set(drop) - set(rel["key"])  # identity columns never drop
+            rel["fields"] = [f for f in rel["fields"] if f[0] not in dropset]
+        return None
 
     # -- lookup --------------------------------------------------------------
     def tables(self) -> list[str]:

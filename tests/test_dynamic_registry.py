@@ -170,3 +170,93 @@ def test_create_table_mid_stream_materializes_and_applies(spark, tmpdir):
     assert "sidecar" in state2.registry.tables()
     assert state2.registry.key("sidecar") == ["s_id"]
     assert set(state2.read()) == {"customer", "sidecar"}
+
+
+_ALTER_SIDECAR = "ALTER TABLE public.sidecar ADD COLUMN s_tag text"
+
+
+def test_alter_table_mid_stream_evolves_relation(spark, tmpdir):
+    """CREATE TABLE, a wave of INSERTs, then an in-stream ALTER ADD COLUMN,
+    then UPDATEs setting only the new column: the registry refreshes the
+    relation shape mid-stream, snapshots align (new column NULL-filled), and
+    the fold inherits untouched columns across the DDL boundary."""
+    meta = "lsn bigint, seq int, ord bigint, commit_ts timestamp, op string," \
+           " table_name string, query string"
+    fields_t = "array<struct<name:string,oid:int,bin:binary>>"
+
+    def ddl_row(ord_, query):
+        return spark.createDataFrame(
+            [(ord_, 1, ord_, None, "DDL", "sidecar", query)], meta
+        ).select(
+            "*",
+            F.expr(f"CAST(NULL AS {fields_t})").alias("fields"),
+            F.expr(f"CAST(NULL AS {fields_t})").alias("old_fields"),
+        )
+
+    wave1 = spark.sql(
+        """
+        SELECT id + 10 AS lsn, 1 AS seq, 100 + id AS ord,
+               CAST(NULL AS TIMESTAMP) AS commit_ts, 'INSERT' AS op,
+               id AS s_id, 'note-' || id AS s_note, id / 2.0 AS s_score,
+               CAST(NULL AS BIGINT) AS old_s_id,
+               's_id,s_note,s_score' AS present
+        FROM range(10) t(id)
+        """
+    )
+    w1 = (
+        to_binary_feed(
+            wave1,
+            [("s_id", 20), ("s_note", 25), ("s_score", 701)],
+            old_key=("old_s_id", "s_id", 20),
+        )
+        .withColumn("table_name", F.lit("sidecar"))
+        .withColumn("query", F.lit(None).cast("string"))
+        .select(*_FEED_META, "fields", "old_fields")
+    )
+    wave2 = spark.sql(
+        """
+        SELECT id + 50 AS lsn, 1 AS seq, 300 + id AS ord,
+               CAST(NULL AS TIMESTAMP) AS commit_ts, 'UPDATE' AS op,
+               id AS s_id, 'tag-' || id AS s_tag,
+               CAST(NULL AS BIGINT) AS old_s_id,
+               's_id,s_tag' AS present
+        FROM range(10) t(id) WHERE id % 2 = 0
+        """
+    )
+    w2 = (
+        to_binary_feed(
+            wave2, [("s_id", 20), ("s_tag", 25)], old_key=("old_s_id", "s_id", 20)
+        )
+        .withColumn("table_name", F.lit("sidecar"))
+        .withColumn("query", F.lit(None).cast("string"))
+        .select(*_FEED_META, "fields", "old_fields")
+    )
+    feed = (
+        ddl_row(1, _CREATE_SIDECAR)
+        .unionAll(w1)
+        .unionAll(ddl_row(200, _ALTER_SIDECAR))
+        .unionAll(w2)
+    )
+    feed_dir = f"{tmpdir}/feed"
+    materialize_feed(feed, feed_dir, n_segments=4, order_col="ord")
+    schema = spark.read.parquet(feed_dir).schema
+
+    reg = RelationRegistry()
+    state = DynamicMultiTableState(spark, f"{tmpdir}/state", reg)
+    q = apply_stream_dynamic(
+        read_feed_stream(spark, feed_dir, schema, max_files_per_trigger=1),
+        state,
+        {},
+        f"{tmpdir}/ckpt",
+    )
+    q.awaitTermination(300)
+
+    assert state.registry.fields("sidecar") == [
+        ("s_id", 20), ("s_note", 25), ("s_score", 701), ("s_tag", 25),
+    ]
+    side = {r.s_id: r for r in state.read()["sidecar"].collect()}
+    assert set(side) == set(range(10))
+    for i in range(10):
+        assert side[i].s_note == f"note-{i}"  # inherited across the ALTER
+        assert side[i].s_score == pytest.approx(i / 2.0)
+        assert side[i].s_tag == (f"tag-{i}" if i % 2 == 0 else None)
