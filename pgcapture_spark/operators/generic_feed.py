@@ -42,31 +42,70 @@ CUSTOMER_FIELD_OIDS: list[tuple[str, int]] = [
 _FIELDS_TYPE = "array<struct<name:string,oid:int,bin:binary>>"
 
 
+_FIXED_WIDTH = {20: ">i8", 23: ">i4", 21: ">i2", 700: ">f4", 701: ">f8"}
+_TEXT_OIDS = (25, 1042, 1043)
+
+
+def _enc_column(oid: int, s: pd.Series) -> list:
+    """Vectorized per-column PG-binary encode (numpy big-endian cast for
+    fixed-width types, pandas str encode for text); per-row codec fallback
+    for everything else. Returns a list of bytes-or-None."""
+    import numpy as np
+
+    if oid in _FIXED_WIDTH:
+        vals = pd.to_numeric(s, errors="coerce")
+        mask = vals.isna().to_numpy()
+        arr = vals.fillna(0).to_numpy().astype(_FIXED_WIDTH[oid])
+        raw, w = arr.tobytes(), arr.dtype.itemsize
+        return [
+            None if mask[i] else raw[i * w : (i + 1) * w] for i in range(len(mask))
+        ]
+    if oid in _TEXT_OIDS:
+        return [None if pd.isna(v) else str(v).encode("utf-8") for v in s]
+    if oid in (1114, 1184):
+        dt = pd.to_datetime(s, utc=True, errors="coerce")
+        try:
+            dt = dt.dt.tz_localize(None)
+        except (AttributeError, TypeError):
+            pass
+        ns = dt.astype("int64", copy=False).to_numpy()
+        mask = dt.isna().to_numpy()
+        raw = (ns // 1000 - 946_684_800_000_000).astype(">i8").tobytes()
+        return [None if mask[i] else raw[i * 8 : (i + 1) * 8] for i in range(len(mask))]
+    return [
+        None
+        if (v is None or (not isinstance(v, (list, bytes)) and pd.isna(v)))
+        else ENCODERS[oid](v)
+        for v in s
+    ]
+
+
 def _encode_fields_udf(field_oids: list[tuple[str, int]]):
     """(present, *values) → wire fields array. Present-list order is kept;
-    a present column with a NULL value encodes as bin NULL."""
+    a present column with a NULL value encodes as bin NULL. Encoding is
+    vectorized per column; only row assembly loops in Python."""
     names = [n for n, _ in field_oids]
     oids = dict(field_oids)
 
     @F.pandas_udf(_FIELDS_TYPE)
     def _udf(present: pd.Series, *cols: pd.Series) -> pd.Series:
+        encoded = [_enc_column(oids[name], cols[j]) for j, name in enumerate(names)]
+        # feeds carry a handful of distinct present-lists — resolve each
+        # variant to its field-index list once, not per row
+        idx_cache: dict[str, list[int]] = {}
         out = []
-        for i in range(len(present)):
-            pset = set(p for p in (present.iloc[i] or "").split(",") if p)
-            row = []
-            for j, name in enumerate(names):
-                if name not in pset:
-                    continue  # unchanged TOAST: field absent from the message
-                v = cols[j].iloc[i]
-                is_null = v is None or (not isinstance(v, (list, bytes)) and pd.isna(v))
-                row.append(
-                    {
-                        "name": name,
-                        "oid": oids[name],
-                        "bin": None if is_null else ENCODERS[oids[name]](v),
-                    }
-                )
-            out.append(row)
+        plist = present.tolist()
+        for i, p in enumerate(plist):
+            p = p or ""
+            idx = idx_cache.get(p)
+            if idx is None:
+                pset = set(x for x in p.split(",") if x)
+                # absent from present = unchanged TOAST: field omitted
+                idx = [j for j, name in enumerate(names) if name in pset]
+                idx_cache[p] = idx
+            out.append(
+                [{"name": names[j], "oid": oids[names[j]], "bin": encoded[j][i]} for j in idx]
+            )
         return pd.Series(out)
 
     return _udf
