@@ -604,3 +604,64 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir, ("documents",))
     return decontaminate(spark.table("documents"))
+
+
+# ------------------------------------------------------- unigram surprisal
+
+# per-token surprisal is quantized to integer 1e-4 nats BEFORE summing, so the
+# per-doc mean is an exact integer sum (order-independent) divided at the end —
+# the same float policy as the TPC-H cents sums.
+_DUCK_SURPRISAL = f"""
+WITH t AS (SELECT doc_id, {_DUCK_TOKENS} AS tokens FROM documents),
+tok AS (SELECT doc_id, unnest(tokens) AS token FROM t),
+tot AS (SELECT count(*) AS n_total FROM tok),
+freq AS (SELECT token, count(*) AS cnt FROM tok GROUP BY token),
+scored AS (
+  SELECT tok.doc_id,
+         CAST(floor(-ln(CAST(freq.cnt AS DOUBLE) / tot.n_total) * 10000 + 0.5)
+              AS BIGINT) AS q_nats
+  FROM tok JOIN freq USING (token) CROSS JOIN tot
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(q_nats) AS BIGINT) AS total_q_nats,
+       CAST(sum(q_nats) AS DOUBLE) / 10000.0 / count(*) AS mean_surprisal_nats
+FROM scored GROUP BY doc_id
+"""
+
+
+@q(
+    "text_unigram_surprisal",
+    _DUCK_SURPRISAL,
+    "North-star: unigram surprisal quality signal — per-doc mean -ln p(token)"
+    " under the corpus unigram model (the importance/quality weighting used in"
+    " data-selection pipelines); token surprisal quantized to integer 1e-4"
+    " nats so the aggregate is order-independent and hash-exact.",
+)
+def text_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pgcapture_spark.operators.textstats import token_rows
+
+    register_views(spark, sf_dir, ("documents",))
+    tok = token_rows(spark.table("documents")).select("doc_id", "token")
+    total = tok.agg(F.count("*").alias("n_total"))
+    freq = (
+        tok.groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+        .join(F.broadcast(total))
+        .select(
+            "token",
+            F.expr(
+                "CAST(floor(-ln(CAST(cnt AS DOUBLE) / n_total) * 10000 + 0.5) AS BIGINT)"
+            ).alias("q_nats"),
+        )
+    )
+    return (
+        tok.join(freq, on="token")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum("q_nats").alias("total_q_nats"),
+            (F.sum("q_nats").cast("double") / 10000.0 / F.count("*")).alias(
+                "mean_surprisal_nats"
+            ),
+        )
+    )
