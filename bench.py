@@ -47,6 +47,10 @@ HEADLINE = [
     "sample_stratified",
     "cdc_apply_from_binary_feed",
     "cdc_apply_from_binary_feed_composite",
+    # r3 additions (newly windowed heavy queries, per VERDICT r2 item 8)
+    "agg_cube",
+    "dedup_clusters_star",
+    "text_decontaminate",
     # training-data operators
     "text_quality_score",
     "text_fingerprint",

@@ -272,6 +272,33 @@ FROM __fo
 """
 
 
+def metrics_feed_sql() -> str:
+    """Change feed for a table that exists NOWHERE at startup — the schema
+    arrives in-band as a Relation ('R') message (no DDL text), so this feed
+    exercises the reference's relation-message refresh path
+    (pkg/decode/pgoutput.go:93-117). Key m_id (20 keys × 3 events), presence
+    model fully exercised: TOAST-absent m_note (id%3=0), explicit-NULL m_note
+    (id%4=2), DELETE as old-key-only (id%7=6). Pure integer arithmetic — the
+    same text runs on Spark SQL and DuckDB."""
+    return """
+WITH __ev AS (SELECT id FROM range(60) t(id))
+SELECT id + 1 AS lsn, 1 AS seq, CAST(id AS BIGINT) AS ord,
+       CAST(NULL AS TIMESTAMP) AS commit_ts,
+       CASE WHEN id % 7 = 6 THEN 'DELETE'
+            WHEN id < 20 THEN 'INSERT' ELSE 'UPDATE' END AS op,
+       id % 20 AS m_id,
+       CASE WHEN id % 7 = 6 THEN CAST(NULL AS DOUBLE)
+            ELSE CAST(id AS DOUBLE) / 2 END AS m_value,
+       CASE WHEN id % 7 = 6 OR id % 4 = 2 THEN CAST(NULL AS STRING)
+            ELSE 'n-' || CAST(id AS STRING) END AS m_note,
+       CASE WHEN id % 7 = 6 THEN id % 20 ELSE CAST(NULL AS BIGINT) END AS old_m_id,
+       CASE WHEN id % 7 = 6 THEN ''
+            WHEN id % 3 = 0 THEN 'm_id,m_value'
+            ELSE 'm_id,m_value,m_note' END AS present
+FROM __ev
+"""
+
+
 def generic_feed_sql(dialect: str) -> str:
     """FIXTURES.md T1-shaped generic stream: customer+orders change events
     flattened to metadata columns, PLUS Begin/Commit frame rows per

@@ -231,57 +231,47 @@ _NP_FIXED: dict[int, tuple[str, str, str]] = {
 }
 
 
-def pg_decode_udf(oid: int):
-    """Vectorized decoder for a fixed-OID binary column. Arrow-batched, and
-    for fixed-width types fully vectorized: the batch's non-null payloads are
-    concatenated and decoded with one ``np.frombuffer`` byte-order cast —
-    zero per-row Python in the hot decode path. Variable-width/object types
-    fall back to the per-row codec (still Arrow-batched transfer)."""
-    out_type = spark_type_for_oid(oid)
+def decode_series(oid: int, s: pd.Series) -> pd.Series:
+    """Vectorized batch decode of one PG-binary column (pandas in → pandas
+    out). Fixed-width types concatenate the batch's non-null payloads and
+    decode with one ``np.frombuffer`` byte-order cast — zero per-row Python
+    in the hot path; timestamps build datetime64[us] directly (never ns, so
+    PG timestamps outside pandas' 1677–2262 ns range decode fine);
+    variable-width/object types fall back to the per-row codec."""
+    import numpy as np
 
     if oid in _NP_FIXED:
         be, native, nullable = _NP_FIXED[oid]
-
-        @F.pandas_udf(out_type)
-        def _udf(s: pd.Series) -> pd.Series:
-            import numpy as np
-
-            notnull = s.notna().to_numpy()
-            joined = b"".join(v for v, ok in zip(s, notnull) if ok)
-            vals = np.frombuffer(joined, dtype=be).astype(native)
-            out = np.zeros(len(s), dtype=native)
-            out[notnull] = vals
-            return pd.Series(pd.array(out, dtype=nullable)).mask(~notnull)
-
-        return _udf
+        notnull = s.notna().to_numpy()
+        joined = b"".join(v for v, ok in zip(s, notnull) if ok)
+        vals = np.frombuffer(joined, dtype=be).astype(native)
+        out = np.zeros(len(s), dtype=native)
+        out[notnull] = vals
+        return pd.Series(pd.array(out, dtype=nullable)).mask(~notnull)
 
     if oid in (1114, 1184):
-
-        @F.pandas_udf(out_type)
-        def _udf(s: pd.Series) -> pd.Series:
-            import numpy as np
-
-            notnull = s.notna().to_numpy()
-            joined = b"".join(v for v, ok in zip(s, notnull) if ok)
-            us = np.frombuffer(joined, dtype=">i8").astype("int64")
-            out = np.zeros(len(s), dtype="int64")
-            out[notnull] = us + MICROS_Y2K_SHIFT
-            ts = pd.Series(pd.to_datetime(out, unit="us"))
-            return ts.mask(~notnull)
-
-        return _udf
+        notnull = s.notna().to_numpy()
+        joined = b"".join(v for v, ok in zip(s, notnull) if ok)
+        us = np.frombuffer(joined, dtype=">i8").astype("int64")
+        out = np.zeros(len(s), dtype="int64")
+        out[notnull] = us + MICROS_Y2K_SHIFT
+        return pd.Series(out.astype("datetime64[us]")).mask(~notnull)
 
     if oid in (25, 1042, 1043, 114):
+        return pd.Series([None if b is None else bytes(b).decode("utf-8") for b in s])
 
-        @F.pandas_udf(out_type)
-        def _udf(s: pd.Series) -> pd.Series:
-            return pd.Series([None if b is None else bytes(b).decode("utf-8") for b in s])
+    return pd.Series([decode_value(oid, b) for b in s], dtype="object")
 
-        return _udf
+
+def pg_decode_udf(oid: int):
+    """Arrow-batched decoder UDF for a fixed-OID binary column (one UDF per
+    column — the lazy, Catalyst-prunable path; see
+    operators/generic_feed.decode_binary_feed for the fused variant)."""
+    out_type = spark_type_for_oid(oid)
 
     @F.pandas_udf(out_type)
     def _udf(s: pd.Series) -> pd.Series:
-        return pd.Series([decode_value(oid, b) for b in s], dtype="object")
+        return decode_series(oid, s)
 
     return _udf
 

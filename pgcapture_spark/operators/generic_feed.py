@@ -14,11 +14,19 @@ This module re-expresses that contract Spark-first:
   TOAST-omitted columns are ABSENT from the array; explicit NULLs are present
   with ``bin IS NULL`` — exactly the reference's presence model
   (pkg/decode/decoder.go:106-114).
-- ``decode_binary_feed``: generic feed → typed view with LAZY per-column
-  decode: each output column extracts its own field and runs its own
-  fixed-OID codec UDF, so Catalyst column pruning skips the Python decode
-  for untouched columns entirely (SURVEY §4 "binary passthrough") — at
-  100 TB a query touching 2 of 40 columns pays 2 codecs, not 40.
+- ``decode_binary_feed``: generic feed → typed view, two decode strategies:
+
+  * LAZY per-column (default for narrow schemas): each output column
+    extracts its own field and runs its own fixed-OID codec UDF, so Catalyst
+    column pruning skips the Python decode for untouched columns entirely
+    (SURVEY §4 "binary passthrough") — at 100 TB a query touching 2 of 40
+    columns pays 2 codecs, not 40.
+  * FUSED (default for wide requests): ONE Arrow-batched UDF decodes every
+    requested column into a struct — one Python boundary crossing instead of
+    N. Field extraction stays in Catalyst either way; only the codec work
+    crosses. A full-width apply over an 11-column feed pays 1 crossing, not
+    11. Catalyst cannot prune inside the struct, so narrow consumers of a
+    wide feed should pass the narrow field list (or ``fused=False``).
 """
 
 from __future__ import annotations
@@ -27,7 +35,12 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from pgcapture_spark.functions.pgtypes import ENCODERS, pg_decode_udf
+from pgcapture_spark.functions.pgtypes import (
+    ENCODERS,
+    decode_series,
+    pg_decode_udf,
+    spark_type_for_oid,
+)
 
 # (column, oid) schema of the generic customer feed — the Relation-message
 # role (pkg/decode/schema.go:114-159)
@@ -158,38 +171,76 @@ def to_binary_feed(
     return out
 
 
+# width at which one fused boundary crossing beats N prunable ones: the apply
+# paths request the full schema anyway, and per-UDF invocation overhead
+# dominates past a handful of columns
+FUSE_THRESHOLD = 8
+
+
+def _decode_struct_udf(cols: list[tuple[str, int]]):
+    """ONE Arrow-batched UDF decoding every (out_name, oid) binary column into
+    a struct — a single Python boundary crossing for the whole width."""
+    ddl = ", ".join(f"{n} {spark_type_for_oid(o)}" for n, o in cols)
+
+    @F.pandas_udf(ddl)
+    def _udf(*bins: pd.Series) -> pd.DataFrame:
+        return pd.DataFrame(
+            {n: decode_series(o, bins[j]) for j, (n, o) in enumerate(cols)}
+        )
+
+    return _udf
+
+
+def _extract_bin(arr_col: str, name: str):
+    """Pull one field's value bytes out of the wire array — pure Catalyst."""
+    return F.try_element_at(
+        F.expr(f"filter({arr_col}, f -> f.name = '{name}')"), F.lit(1)
+    )["bin"]
+
+
 def decode_binary_feed(
     generic: DataFrame,
     field_oids: list[tuple[str, int]],
     old_key: tuple[str, str, int] | list[tuple[str, str, int]] | None = None,
+    fused: bool | None = None,
 ) -> DataFrame:
     """Generic binary feed → typed view, decode-at-the-edge.
 
-    Per column: extract its field struct (``filter(fields, ...)`` — pure
-    Catalyst), then decode the binary with the column's fixed-OID codec UDF.
-    The rebuilt ``present`` list preserves wire field order, so the typed view
-    is drop-in for the same ``cdc_apply`` fold as the typed feed."""
+    Field extraction (``filter(fields, ...)``) is pure Catalyst either way;
+    the codec work crosses the Python boundary once per column (lazy — each
+    column prunable independently) or once per batch (fused — one UDF
+    returning a struct of all requested columns). ``fused=None`` picks fused
+    when the requested width ≥ FUSE_THRESHOLD: a caller asking for most of a
+    wide schema (the apply paths) wants one crossing, a narrow projection
+    over a wide feed wants prunability. The rebuilt ``present`` list
+    preserves wire field order, so the typed view is drop-in for the same
+    ``cdc_apply`` fold as the typed feed."""
     old_keys = _norm_old_keys(old_key)
-    out = generic.select(
-        "lsn",
-        "seq",
-        "ord",
-        "commit_ts",
-        "op",
+    meta = ("lsn", "seq", "ord", "commit_ts", "op")
+    present = F.expr("concat_ws(',', transform(fields, f -> f.name))").alias("present")
+    width = len(field_oids) + len(old_keys)
+    if fused is None:
+        fused = width >= FUSE_THRESHOLD
+    if fused:
+        cols = [(name, oid) for name, oid in field_oids] + [
+            (src, oid) for src, _, oid in old_keys
+        ]
+        bins = [_extract_bin("fields", name) for name, _ in field_oids] + [
+            _extract_bin("old_fields", name) for _, name, oid in old_keys
+        ]
+        dec = _decode_struct_udf(cols)
+        return generic.select(*meta, dec(*bins).alias("_dec"), present).select(
+            *meta, "_dec.*", "present"
+        )
+    return generic.select(
+        *meta,
         *[
-            pg_decode_udf(oid)(
-                F.try_element_at(F.expr(f"filter(fields, f -> f.name = '{name}')"), F.lit(1))["bin"]
-            ).alias(name)
+            pg_decode_udf(oid)(_extract_bin("fields", name)).alias(name)
             for name, oid in field_oids
         ],
         *[
-            pg_decode_udf(oid)(
-                F.try_element_at(
-                    F.expr(f"filter(old_fields, f -> f.name = '{name}')"), F.lit(1)
-                )["bin"]
-            ).alias(src)
+            pg_decode_udf(oid)(_extract_bin("old_fields", name)).alias(src)
             for src, name, oid in old_keys
         ],
-        F.expr("concat_ws(',', transform(fields, f -> f.name))").alias("present"),
+        present,
     )
-    return out

@@ -190,10 +190,12 @@ def ivf_topk(
     query_pred: str,
     k: int = 3,
     quant: int = 1_000_000,
+    nprobe: int = 1,
 ) -> DataFrame:
     """IVF-style approximate NN: assign every vector to its nearest centroid
     cell (coarse quantizer = label centroids, deterministic — a k-means would
-    slot in identically); queries probe their own cell (nprobe=1).
+    slot in identically); queries probe their ``nprobe`` nearest cells (the
+    recall/cost dial — probing more cells widens the candidate set).
 
     Plan shape: the coarse quantizer is tiny by construction (√N cells even at
     100 TB), so it rides along as ONE broadcast row of array<struct> and the
@@ -225,12 +227,35 @@ def ivf_topk(
         .withColumn("cell", argmin_cell)
         .drop("cents")
     )
-    queries = cells.where(query_pred).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("emb_d").alias("q_emb"),
-        F.col("norm").alias("q_norm"),
-        F.col("cell").alias("q_cell"),
-    )
+    if nprobe == 1:
+        queries = cells.where(query_pred).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("emb_d").alias("q_emb"),
+            F.col("norm").alias("q_norm"),
+            F.col("cell").alias("q_cell"),
+        )
+    else:
+        # nprobe nearest cells per query, exploded to (query, probe_cell)
+        # rows so the candidate restriction stays an equi hash join; queries
+        # are few and broadcast, so the ×nprobe fan-out is driver-trivial.
+        # Each corpus vector lives in exactly ONE cell — probes are disjoint,
+        # no candidate dedupe needed.
+        probe_cells = F.expr(
+            "slice(transform(array_sort(transform(cents, c -> "
+            f"struct({DIST2_EXPR.format(a='emb_d', b='c.c_e')} AS d2,"
+            " c.c_label AS lbl))), s -> s.lbl),"
+            f" 1, {int(nprobe)})"
+        )
+        queries = (
+            normed.join(F.broadcast(cents_row))
+            .where(query_pred)
+            .select(
+                F.col("vec_id").alias("query_id"),
+                F.col("emb_d").alias("q_emb"),
+                F.col("norm").alias("q_norm"),
+                F.explode(probe_cells).alias("q_cell"),
+            )
+        )
     cand = cells.join(
         F.broadcast(queries),
         (F.col("cell") == F.col("q_cell")) & (F.col("vec_id") != F.col("query_id")),
@@ -267,3 +292,70 @@ def label_centroids(embeddings: DataFrame, dims: int = 64) -> DataFrame:
         (F.sum(scaled).cast("double") / 1000000000.0 / F.count("*")).alias("mean_val"),
         F.count("*").alias("n_vecs"),
     )
+
+
+def pq_adc_topk(
+    embeddings: DataFrame,
+    query_pred: str,
+    k: int = 3,
+    m: int = 8,
+) -> DataFrame:
+    """Product-quantization ANN with asymmetric distance computation.
+
+    64 dims → ``m`` subspaces × 64/m dims; the per-subspace codebook is the
+    label-centroid slice (deterministic — a trained k-means would slot in
+    identically). Corpus vectors compress to ``m`` small codes; each query
+    builds an m×cells integer distance table and scores candidates by table
+    lookups only (ADC) — at 100 TB the corpus scan reads CODES (m bytes per
+    vector), not raw vectors, and the tables ride along in one broadcast.
+    ``m`` is the accuracy/compression dial: more subspaces, finer distances,
+    bigger codes. Per-subspace distances are quantized to integers before
+    summing, so ranking is exact cross-engine.
+
+    Output: (query_id, neighbor_id, approx_d2q, rank)."""
+    sd = 64 // m
+    subd2 = (
+        f"aggregate(zip_with(slice(emb_d, m * {sd} + 1, {sd}),"
+        f" slice(c.c_e, m * {sd} + 1, {sd}),"
+        " (x, y) -> (x - y) * (x - y)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    normed = with_norm(embeddings).select("vec_id", "emb_d")
+    cent_rows = centroid_vectors(embeddings).collect()
+    cents_local = sorted(
+        (int(r["c_label"]), [float(v) for v in r["c_e"]]) for r in cent_rows
+    )
+    cents_row = embeddings.sparkSession.createDataFrame(
+        [(cents_local,)], "cents array<struct<c_label:int,c_e:array<double>>>"
+    )
+    with_cents = normed.join(F.broadcast(cents_row))
+    # corpus → m codes (argmin per subspace; cents sorted by label, so
+    # element_at index = label + 1 on the query side)
+    corpus = with_cents.select(
+        "vec_id",
+        F.expr(
+            f"transform(sequence(0, {m - 1}), m -> array_min(transform(cents, c ->"
+            f" struct({subd2} AS d2, c.c_label AS lbl))).lbl)"
+        ).alias("codes"),
+    )
+    queries = with_cents.where(query_pred).select(
+        F.col("vec_id").alias("query_id"),
+        F.expr(
+            f"transform(sequence(0, {m - 1}), m -> transform(cents, c ->"
+            f" CAST(floor({subd2} * 1000000 + 0.5) AS BIGINT)))"
+        ).alias("dtab"),
+    )
+    adc = (
+        corpus.join(F.broadcast(queries))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.expr(
+                f"aggregate(sequence(0, {m - 1}), 0L, (acc, m) -> acc +"
+                " element_at(element_at(dtab, m + 1),"
+                " element_at(codes, m + 1) + 1))"
+            ).alias("approx_d2q"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy("approx_d2q", "neighbor_id")
+    return adc.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)

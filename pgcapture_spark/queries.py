@@ -55,14 +55,8 @@ def _feed(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     return spark.sql(sql)
 
 
-# populate the registry (import order = insertion order = the order the driver
-# evaluates; it verifies the FIRST ~50). The reference's raison d'être surface
-# — CDC applies (incl. both binary-passthrough forms), backfill, the consumer
-# ops, and ALL streaming queries — fills that window exactly; modules the
-# driver already verified green in round 1 (CORRECTNESS_r01: TPC-H heads,
-# textops, media, pipeline) rotate out so verified coverage accumulates across
-# rounds rather than re-checking. CORRECTNESS_LOCAL_r02.json carries the
-# strict local gate for the full registry either way.
+# populate the registry (import populates REGISTRY; the explicit _WINDOW
+# reorder below — not import order — decides what the driver verifies first).
 from pgcapture_spark.querydefs import (  # noqa: E402,F401
     asofq as _qd_asofq,
     backfill as _qd_backfill,
@@ -81,3 +75,89 @@ from pgcapture_spark.querydefs import (  # noqa: E402,F401
     media as _qd_media,
     vector as _qd_vector,
 )
+
+# The driver verifies the FIRST ~50 registry entries each round. Rounds 1+2
+# drove 73/119 queries green (CORRECTNESS_r01/r02); this round's window is the
+# 46 queries that have never received a driver-green row — all of tpch_more,
+# windows_more, sketches, skewq, every vector query, the relational/textops
+# tail, and the four round-1 failures whose fixes were only proven locally —
+# padded with the four most load-bearing already-green applies as canaries.
+# Verified coverage accumulates across rounds instead of re-checking greens.
+_WINDOW: tuple[str, ...] = (
+    # round-1 failures, fixed in r2 but rotated out before re-check
+    "events_running_window",
+    "sample_stratified",
+    "media_features_pandas",
+    "text_array_gauntlet",
+    # TPC-H tail (13) — never in a driver window
+    "tpch_q4_order_priority",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+    "tpch_q12_priority_lines",
+    "tpch_q13_customer_distribution",
+    "tpch_q14_promo_revenue",
+    "tpch_q16_supplier_cnt",
+    "tpch_q17_small_qty",
+    "tpch_q18_large_orders",
+    "tpch_q19_disjunctive",
+    "tpch_q21_waiting_supplier",
+    "tpch_q22_idle_customers",
+    # relational / setops / scalar tail
+    "events_topk_per_user",
+    "events_sessionize",
+    "events_json_extract",
+    "setops_union_agg",
+    "setops_except_intersect",
+    "agg_approx_distinct",
+    "agg_rollup",
+    "scalar_gauntlet",
+    # textops tail (new in r2)
+    "text_decontaminate",
+    "text_unigram_surprisal",
+    # sketches / skew
+    "agg_hll_sketch_merge",
+    "events_topk_salted",
+    "events_salted_join",
+    # windows_more
+    "events_window_gauntlet",
+    "events_range_frame",
+    "agg_cube",
+    "agg_grouping_sets",
+    "agg_percentile_contract",
+    "agg_pivot_counts",
+    # pipeline additions
+    "dedup_clusters_star",
+    # vector suite (12)
+    "sim_cosine_topk",
+    "sim_signlsh_ann",
+    "dedup_embed_cosine",
+    "sim_ivf_ann",
+    "sim_label_centroids",
+    "ts_similarity_topk",
+    "sim_pq_adc_ann",
+    "sim_quantize_int8",
+    "sim_ann_recall",
+    # new this round: in-band Relation-message schema learning (no DDL text)
+    # and the ANN recall tuning table
+    "cdc_relation_learn",
+    "sim_ann_tuning",
+    # already-green canaries: the reference's core surface stays exercised,
+    # incl. the composite binary apply whose decode path was fused this round
+    "cdc_apply_customer",
+    "cdc_apply_from_binary_feed_composite",
+)
+
+
+def _reorder(window: tuple[str, ...]) -> None:
+    missing = [n for n in window if n not in REGISTRY]
+    if missing:
+        raise KeyError(f"_WINDOW names not in REGISTRY: {missing}")
+    tail = {n: q for n, q in REGISTRY.items() if n not in set(window)}
+    ordered = {n: REGISTRY[n] for n in window}
+    ordered.update(tail)
+    REGISTRY.clear()
+    REGISTRY.update(ordered)
+
+
+_reorder(_WINDOW)

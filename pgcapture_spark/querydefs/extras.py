@@ -9,7 +9,12 @@ import struct
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from pgcapture_spark.fixtures.cdc_feed import DUCKDB, cdc_customer_sql, cdc_lineitem_sql
+from pgcapture_spark.fixtures.cdc_feed import (
+    DUCKDB,
+    cdc_customer_sql,
+    cdc_lineitem_sql,
+    metrics_feed_sql,
+)
 from pgcapture_spark.functions.pgtypes import pg_decode_udf
 from pgcapture_spark.queries import _feed, q
 
@@ -273,3 +278,76 @@ def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mad_outliers(spark.table("events"))
 
 
+
+
+@q(
+    "cdc_relation_learn",
+    apply_oracle_sql(
+        metrics_feed_sql(),
+        "(SELECT CAST(NULL AS BIGINT) AS m_id, CAST(NULL AS DOUBLE) AS m_value,"
+        " CAST(NULL AS STRING) AS m_note WHERE 1 = 0)",
+        "m_id",
+        ["m_value", "m_note"],
+    ),
+    "D3/S-side in-band schema learning WITHOUT DDL text: a Relation ('R')"
+    " message (pkg/decode/pgoutput.go:93-117 — oid/name/flagged column list"
+    " riding the wire `fields` array) materializes a never-before-seen table"
+    " mid-stream, and its binary row events decode and apply — the"
+    " PGXSchemaLoader relation-message refresh (pkg/decode/schema.go:114-159)."
+    " Oracle: the presence-aware last-image fold of the same typed feed onto"
+    " an empty snapshot.",
+)
+def cdc_relation_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from pgcapture_spark.fixtures.cdc_feed import metrics_feed_sql
+    from pgcapture_spark.operators.generic_feed import to_binary_feed
+    from pgcapture_spark.sources.feed import materialize_feed, read_feed_stream
+    from pgcapture_spark.streaming.multi import (
+        DynamicMultiTableState,
+        apply_stream_dynamic,
+    )
+    from pgcapture_spark.streaming.registry import RelationRegistry
+
+    meta = ("lsn", "seq", "ord", "commit_ts", "op", "table_name", "query")
+    typed = spark.sql(metrics_feed_sql())
+    wire = (
+        to_binary_feed(
+            typed,
+            [("m_id", 20), ("m_value", 701), ("m_note", 25)],
+            old_key=("old_m_id", "m_id", 20),
+        )
+        .withColumn("table_name", F.lit("metrics"))
+        .withColumn("query", F.lit(None).cast("string"))
+        .select(*meta, "fields", "old_fields")
+    )
+    # the Relation message: ord=-1 sorts before every row event; bin[0] is the
+    # per-column key flag (m_id is the replica identity)
+    rel = spark.createDataFrame(
+        [(0, 0, -1, None, "RELATION", "metrics", None)],
+        "lsn bigint, seq int, ord bigint, commit_ts timestamp, op string,"
+        " table_name string, query string",
+    ).select(
+        *meta,
+        F.expr(
+            "array(named_struct('name', 'm_id', 'oid', 20, 'bin', X'01'),"
+            " named_struct('name', 'm_value', 'oid', 701, 'bin', X'00'),"
+            " named_struct('name', 'm_note', 'oid', 25, 'bin', X'00'))"
+        ).alias("fields"),
+        F.expr("CAST(NULL AS array<struct<name:string,oid:int,bin:binary>>)").alias(
+            "old_fields"
+        ),
+    )
+    d = tempfile.mkdtemp(prefix="pgcs_q_rel_")
+    feed_dir = f"{d}/feed"
+    materialize_feed(rel.unionAll(wire), feed_dir, n_segments=4)
+    schema = spark.read.parquet(feed_dir).schema
+    state = DynamicMultiTableState(spark, f"{d}/state", RelationRegistry())
+    query = apply_stream_dynamic(
+        read_feed_stream(spark, feed_dir, schema, max_files_per_trigger=2),
+        state,
+        {},
+        f"{d}/ckpt",
+    )
+    query.awaitTermination(300)
+    return state.read()["metrics"]

@@ -345,12 +345,6 @@ FROM adc
 QUALIFY rank <= 3
 """
 
-_SUBD2 = (
-    "aggregate(zip_with(slice(emb_d, m * 8 + 1, 8), slice(c.c_e, m * 8 + 1, 8),"
-    " (x, y) -> (x - y) * (x - y)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
-)
-
-
 @q(
     "sim_pq_adc_ann",
     _DUCK_PQ,
@@ -359,52 +353,10 @@ _SUBD2 = (
     " 8×10 integer distance tables; exact integer ranking cross-engine.",
 )
 def sim_pq_adc_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window as W
-
-    from pgcapture_spark.operators.similarity import centroid_vectors, with_norm
+    from pgcapture_spark.operators.similarity import pq_adc_topk
 
     register_views(spark, sf_dir, ("embeddings",))
-    emb = spark.table("embeddings")
-    normed = with_norm(emb).select("vec_id", "emb_d")
-    cent_rows = centroid_vectors(emb).collect()
-    cents_local = sorted(
-        (int(r["c_label"]), [float(v) for v in r["c_e"]]) for r in cent_rows
-    )
-    cents_row = emb.sparkSession.createDataFrame(
-        [(cents_local,)], "cents array<struct<c_label:int,c_e:array<double>>>"
-    )
-    with_cents = normed.join(F.broadcast(cents_row))
-    # corpus → 8 codes (argmin per subspace; cents sorted by label, so
-    # element_at index = label + 1 on the query side)
-    corpus = with_cents.select(
-        "vec_id",
-        F.expr(
-            "transform(sequence(0, 7), m -> array_min(transform(cents, c ->"
-            f" struct({_SUBD2} AS d2, c.c_label AS lbl))).lbl)"
-        ).alias("codes"),
-    )
-    queries = with_cents.where("vec_id % 25 = 1").select(
-        F.col("vec_id").alias("query_id"),
-        F.expr(
-            "transform(sequence(0, 7), m -> transform(cents, c ->"
-            f" CAST(floor({_SUBD2} * 1000000 + 0.5) AS BIGINT)))"
-        ).alias("dtab"),
-    )
-    adc = (
-        corpus.join(F.broadcast(queries))
-        .where(F.col("vec_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            F.col("vec_id").alias("neighbor_id"),
-            F.expr(
-                "aggregate(sequence(0, 7), 0L, (acc, m) -> acc +"
-                " element_at(element_at(dtab, m + 1),"
-                " element_at(codes, m + 1) + 1))"
-            ).alias("approx_d2q"),
-        )
-    )
-    w = W.partitionBy("query_id").orderBy("approx_d2q", "neighbor_id")
-    return adc.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= 3)
+    return pq_adc_topk(spark.table("embeddings"), "vec_id % 25 = 1", k=3, m=8)
 
 
 # ------------------------------------------------------- int8 quantization
@@ -515,3 +467,201 @@ def sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("a_neighbor").alias("n_hits"),
         (F.count("a_neighbor") / 3.0).alias("recall_at_3"),
     )
+
+
+# ------------------------------------------------- ANN parameter tuning loop
+
+def _duck_pq_ann_cte(m: int, tag: str) -> str:
+    """DuckDB CTEs for PQ/ADC top-3 at M subspaces (queries vec_id%25=0)."""
+    sd = 64 // m
+    return f"""
+sub_d{tag} AS (
+  SELECT n.vec_id, mm.m, c.c_label,
+         list_sum(list_transform(range(1, {sd + 1}),
+                  i -> (n.e[mm.m * {sd} + i] - c.c_e[mm.m * {sd} + i])
+                     * (n.e[mm.m * {sd} + i] - c.c_e[mm.m * {sd} + i]))) AS d2
+  FROM normed n CROSS JOIN range(0, {m}) mm(m) CROSS JOIN cent c
+),
+codes{tag} AS (
+  SELECT vec_id, m, c_label AS code FROM (
+    SELECT vec_id, m, c_label,
+           row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, c_label) AS rn
+    FROM sub_d{tag}
+  ) WHERE rn = 1
+),
+qd{tag} AS (
+  SELECT vec_id AS query_id, m, c_label,
+         CAST(floor(d2 * 1000000 + 0.5) AS BIGINT) AS d2q
+  FROM sub_d{tag} WHERE vec_id % 25 = 0
+),
+adc{tag} AS (
+  SELECT qd.query_id, v.vec_id AS neighbor_id, CAST(sum(qd.d2q) AS BIGINT) AS approx
+  FROM codes{tag} v JOIN qd{tag} qd ON qd.m = v.m AND qd.c_label = v.code
+  WHERE v.vec_id <> qd.query_id
+  GROUP BY 1, 2
+),
+ann{tag} AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY approx, neighbor_id) AS rank
+    FROM adc{tag}
+  ) WHERE rank <= 3
+)"""
+
+
+def _duck_lsh_ann_cte(nbits: int, tag: str) -> str:
+    return f"""
+ann{tag} AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.query_id, n.vec_id AS neighbor_id,
+           row_number() OVER (PARTITION BY q.query_id ORDER BY
+             list_sum(list_transform(range(1, 65), i -> q.qe[i] * n.e[i]))
+               / (q.qn * n.norm) DESC, n.vec_id) AS rank
+    FROM (SELECT *, {_duck_bucket(nbits)} AS qb FROM normed WHERE vec_id % 25 = 0)
+         q(query_id, qe, qn, qb)
+    JOIN (SELECT *, {_duck_bucket(nbits)} AS bucket FROM normed) n
+      ON n.bucket = q.qb AND n.vec_id <> q.query_id
+  ) WHERE rank <= 3
+)"""
+
+
+def _duck_ivf_ann_cte(nprobe: int, tag: str) -> str:
+    return f"""
+ann{tag} AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.query_id, n.vec_id AS neighbor_id,
+           row_number() OVER (PARTITION BY q.query_id ORDER BY
+             list_sum(list_transform(range(1, 65), i -> q.qe[i] * n.e[i]))
+               / (q.qn * n.norm) DESC, n.vec_id) AS rank
+    FROM probes p
+    JOIN tune_queries q ON q.query_id = p.query_id
+    JOIN ivf_cells n ON n.cell = p.p_cell AND n.vec_id <> q.query_id
+    WHERE p.rn <= {nprobe}
+  ) WHERE rank <= 3
+)"""
+
+
+def _duck_recall_row(method: str, param: str, tag: str) -> str:
+    return f"""
+SELECT '{method}' AS method, '{param}' AS param,
+       CAST(count(DISTINCT e.query_id) AS BIGINT) AS n_queries,
+       CAST(count(a.neighbor_id) AS BIGINT) AS total_hits,
+       count(a.neighbor_id) / (3.0 * count(DISTINCT e.query_id)) AS recall_at_3
+FROM exact e LEFT JOIN ann{tag} a
+  ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id"""
+
+
+_DUCK_TUNING = f"""
+WITH normed AS ({_DUCK_NORMED}),
+tune_queries AS (SELECT vec_id AS query_id, e AS qe, norm AS qn FROM normed
+                 WHERE vec_id % 25 = 0),
+exact AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.query_id, n.vec_id AS neighbor_id,
+           row_number() OVER (PARTITION BY q.query_id ORDER BY
+             list_sum(list_transform(range(1, 65), i -> q.qe[i] * n.e[i]))
+               / (q.qn * n.norm) DESC, n.vec_id) AS rank
+    FROM tune_queries q JOIN normed n ON n.vec_id <> q.query_id
+  ) WHERE rank <= 3
+),
+ex AS (
+  SELECT label, i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS val
+  FROM embeddings, range(1, 65) t(i)
+),
+centd AS (
+  SELECT label, dim,
+         CAST(sum(CAST(floor(val * 1000000000 + 0.5) AS BIGINT)) AS DOUBLE)
+           / 1000000000.0 / count(*) AS mean_val
+  FROM ex GROUP BY label, dim
+),
+cent AS (SELECT label AS c_label, list(mean_val ORDER BY dim) AS c_e
+         FROM centd GROUP BY label),
+ivf_dists AS (
+  SELECT n.vec_id, c.c_label,
+         list_sum(list_transform(range(1, 65),
+                  i -> (n.e[i] - c.c_e[i]) * (n.e[i] - c.c_e[i]))) AS dist2
+  FROM normed n CROSS JOIN cent c
+),
+assign AS (SELECT vec_id, c_label AS cell FROM (
+             SELECT vec_id, c_label,
+                    row_number() OVER (PARTITION BY vec_id ORDER BY dist2, c_label) AS rn
+             FROM ivf_dists) WHERE rn = 1),
+ivf_cells AS (SELECT n.vec_id, n.e, n.norm, a.cell
+              FROM normed n JOIN assign a USING (vec_id)),
+probes AS (SELECT vec_id AS query_id, c_label AS p_cell, rn FROM (
+             SELECT vec_id, c_label,
+                    row_number() OVER (PARTITION BY vec_id ORDER BY dist2, c_label) AS rn
+             FROM ivf_dists WHERE vec_id % 25 = 0) WHERE rn <= 2),
+{_duck_lsh_ann_cte(4, "_lsh4")[1:]},
+{_duck_lsh_ann_cte(6, "_lsh6")[1:]},
+{_duck_lsh_ann_cte(8, "_lsh8")[1:]},
+{_duck_ivf_ann_cte(1, "_ivf1")[1:]},
+{_duck_ivf_ann_cte(2, "_ivf2")[1:]},
+{_duck_pq_ann_cte(4, "_pq4")[1:]},
+{_duck_pq_ann_cte(8, "_pq8")[1:]}
+{_duck_recall_row("signlsh", "nbits=4", "_lsh4")}
+UNION ALL {_duck_recall_row("signlsh", "nbits=6", "_lsh6")}
+UNION ALL {_duck_recall_row("signlsh", "nbits=8", "_lsh8")}
+UNION ALL {_duck_recall_row("ivf", "nprobe=1", "_ivf1")}
+UNION ALL {_duck_recall_row("ivf", "nprobe=2", "_ivf2")}
+UNION ALL {_duck_recall_row("pq", "m=4", "_pq4")}
+UNION ALL {_duck_recall_row("pq", "m=8", "_pq8")}
+"""
+
+
+@q(
+    "sim_ann_tuning",
+    _DUCK_TUNING,
+    "North-star: the ANN tuning loop — recall@3 vs the exact top-3 for every"
+    " index family at multiple parameter points (sign-LSH nbits 4/6/8, IVF"
+    " nprobe 1/2, PQ subspaces 4/8), ONE table a pipeline owner reads before"
+    " picking the production index. Parameters sweep the recall/cost dial:"
+    " fewer LSH bits / more probes / more subspaces → higher recall, more"
+    " candidates scored.",
+)
+def sim_ann_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pgcapture_spark.operators.similarity import pq_adc_topk
+
+    register_views(spark, sf_dir, ("embeddings",))
+    emb = spark.table("embeddings")
+    pred = "vec_id % 25 = 0"
+    exact = (
+        cosine_topk(emb, pred, k=3).select("query_id", "neighbor_id").persist()
+    )
+    configs = [
+        ("signlsh", "nbits=4", signlsh_topk(emb, pred, k=3, nbits=4)),
+        ("signlsh", "nbits=6", signlsh_topk(emb, pred, k=3, nbits=6)),
+        ("signlsh", "nbits=8", signlsh_topk(emb, pred, k=3, nbits=8)),
+        ("ivf", "nprobe=1", ivf_topk(emb, pred, k=3, nprobe=1)),
+        ("ivf", "nprobe=2", ivf_topk(emb, pred, k=3, nprobe=2)),
+        ("pq", "m=4", pq_adc_topk(emb, pred, k=3, m=4)),
+        ("pq", "m=8", pq_adc_topk(emb, pred, k=3, m=8)),
+    ]
+    rows = []
+    for method, param, ann in configs:
+        e = exact.alias("e")
+        a = ann.select(
+            F.col("query_id").alias("a_query"), F.col("neighbor_id").alias("a_neighbor")
+        ).alias("a")
+        j = e.join(
+            a,
+            (F.col("e.query_id") == F.col("a.a_query"))
+            & (F.col("e.neighbor_id") == F.col("a.a_neighbor")),
+            "left",
+        )
+        rows.append(
+            j.agg(
+                F.count_distinct(F.col("e.query_id")).alias("n_queries"),
+                F.count(F.col("a.a_neighbor")).alias("total_hits"),
+            ).select(
+                F.lit(method).alias("method"),
+                F.lit(param).alias("param"),
+                "n_queries",
+                "total_hits",
+                (F.col("total_hits") / (3.0 * F.col("n_queries"))).alias("recall_at_3"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionAll(r)
+    return out

@@ -78,13 +78,16 @@ def compact_log(
     after = spark.read.parquet(tmp).count()
     # crash-safe swap: park the live segments in a backup subdir (rename, not
     # delete), install the compacted files, then drop the backup — a crash
-    # mid-swap leaves every record recoverable from backup + tmp
+    # mid-swap leaves every record recoverable from backup + tmp.
+    # _commit_* markers stay in place: they are the stream writer's replay
+    # gate, and removing them would let an in-flight batch replay re-append
+    # rows that were just compacted (duplicates until the next compaction).
     backup = log_dir.rstrip("/") + ".precompact"
     shutil.rmtree(backup, ignore_errors=True)
     os.makedirs(backup)
     for name in os.listdir(log_dir):
         p = os.path.join(log_dir, name)
-        if name.startswith(("part-", "_commit_", "_SUCCESS")) and os.path.isfile(p):
+        if name.startswith(("part-", "_SUCCESS")) and os.path.isfile(p):
             os.replace(p, os.path.join(backup, name))
     for name in sorted(os.listdir(tmp)):
         if name.startswith("part-"):

@@ -201,15 +201,24 @@ class _FeedStreamWriter(DataSourceStreamArrowWriter):
     ``part-s{batchId}-{task}`` and drops a ``_commit_{batchId}`` marker.
 
     Exactly-once across restarts: both the segment names and the marker are
-    keyed by batchId ALONE (the checkpoint dir makes batchId unique and
-    monotone per query lineage — the reference's Pulsar producer derives its
-    dedup sequence-id from the LSN for the same reason, pkg/sink/pulsar.go).
-    A replayed batch either sees its marker (drop staged files), or re-renames
-    onto the SAME final names (idempotent) if the previous attempt crashed
-    between rename and marker. ``abort`` deletes the staged files, so readers
-    never see partial output. One writer lineage per log dir (the A8
-    single-writer lock analog); ``part-s…`` sorts after any compacted
+    keyed by batchId (the checkpoint dir makes batchId unique and monotone per
+    query lineage — the reference's Pulsar producer derives its dedup
+    sequence-id from the LSN for the same reason, pkg/sink/pulsar.go). A
+    replayed batch either sees its marker (verify + drop staged files), or
+    re-renames onto the SAME final names (idempotent) if the previous attempt
+    crashed between rename and marker. ``abort`` deletes the staged files, so
+    readers never see partial output. ``part-s…`` sorts after any compacted
     ``part-0…`` Spark names, so lexicographic order stays append order.
+
+    Lineage guard: batchId alone is NOT content-derived, so a *different*
+    writer lineage on the same log dir (operator deletes the checkpoint to
+    reprocess → batchIds restart at 0) would silently collide with the old
+    markers. The marker therefore records a content fingerprint (file count +
+    per-file row counts); a marker hit with a MATCHING fingerprint is a replay
+    of the same data (drop — identical output either way), a mismatch is a
+    foreign lineage and commit fails loudly instead of silently discarding
+    data. Recovery: point the new lineage at a fresh log dir, or clear the
+    ``_commit_*`` markers after confirming the old log is disposable.
     """
 
     def __init__(self, path: str):
@@ -242,17 +251,43 @@ class _FeedStreamWriter(DataSourceStreamArrowWriter):
         return os.path.join(self.path, f"_commit_{batch_id:012d}")
 
     def commit(self, messages, batchId: int) -> None:
+        import json
+
         staged = [m for m in messages if m is not None and m.rows > 0]
-        if os.path.exists(self._marker(batchId)):
-            for m in staged:  # replayed batch — consistent gate: drop it
+        fingerprint = {
+            "files": len(staged),
+            "rows": sorted(m.rows for m in staged),
+        }
+        marker = self._marker(batchId)
+        if os.path.exists(marker):
+            with open(marker) as f:
+                raw = f.read().strip()
+            try:
+                recorded = json.loads(raw)
+            except ValueError:  # pre-fingerprint marker: bare file count
+                recorded = {"files": int(raw), "rows": None}
+            same = recorded["files"] == fingerprint["files"] and (
+                recorded.get("rows") is None or recorded["rows"] == fingerprint["rows"]
+            )
+            if not same:
+                raise RuntimeError(
+                    f"pgcapture_feed sink: batch {batchId} already committed to "
+                    f"{self.path} with a different content fingerprint "
+                    f"({recorded} vs {fingerprint}). This log dir belongs to "
+                    "another writer lineage (e.g. its checkpoint was deleted and "
+                    "batchIds restarted). Refusing to silently drop data — use a "
+                    "fresh log dir, or clear _commit_* markers if the old log is "
+                    "disposable."
+                )
+            for m in staged:  # replayed batch, same content — drop staged copies
                 if os.path.exists(m.path):
                     os.remove(m.path)
             return
         for i, m in enumerate(staged):
             final = os.path.join(self.path, f"part-s{batchId:012d}-{i:05d}.parquet")
             os.replace(m.path, final)  # deterministic names → replay-idempotent
-        with open(self._marker(batchId), "w") as f:
-            f.write(str(len(staged)))
+        with open(marker, "w") as f:
+            json.dump(fingerprint, f)
 
     def abort(self, messages, batchId: int) -> None:
         for m in messages:

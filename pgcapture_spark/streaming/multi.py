@@ -16,6 +16,7 @@ shapes as the single-table pipeline); tables could be bucketed individually.
 from __future__ import annotations
 
 import json
+import logging
 import os
 import tempfile
 
@@ -24,6 +25,8 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from pgcapture_spark.operators.apply import cdc_apply
+
+_LOG = logging.getLogger(__name__)
 
 
 class MultiTableState:
@@ -172,15 +175,28 @@ def apply_stream_dynamic(
         if current is None:
             current = dict(initial_snapshots)
         spark = batch_df.sparkSession
-        # 1) relation learning — the DDL subset is tiny (driver-side, ordered)
-        ddl = (
-            batch_df.where(F.col("op") == "DDL")
-            .select("ord", "query")
+        # 1) relation learning — the schema subset is tiny (driver-side,
+        # ordered). Two in-band forms, exactly the reference's two refresh
+        # triggers: DDL text (parse CREATE/ALTER) and Relation ('R') messages
+        # (pkg/decode/pgoutput.go:93-117) whose column list rides in the
+        # `fields` array (name, type oid, bin[0]=key flag) with NO DDL text.
+        schema_events = (
+            batch_df.where(F.col("op").isin("DDL", "RELATION"))
+            .select("ord", "op", "table_name", "query", "fields")
             .orderBy("ord")
             .collect()
         )
-        for row in ddl:
-            new_table = reg.learn_ddl(row["query"])
+        for row in schema_events:
+            if row["op"] == "RELATION":
+                cols = [
+                    (f["name"], f["oid"], bool(f["bin"] and f["bin"][0]))
+                    for f in (row["fields"] or [])
+                ]
+                new_table = (
+                    row["table_name"] if reg.learn_relation(row["table_name"], cols) else None
+                )
+            else:
+                new_table = reg.learn_ddl(row["query"])
             if new_table is not None and new_table not in current:
                 current[new_table] = reg.empty_snapshot(spark, new_table)
         # 2) per-table decode + fold (same O(touched) shape as the typed path);
@@ -198,10 +214,28 @@ def apply_stream_dynamic(
                         name, F.lit(None).cast(spark_type_for_oid(oid))
                     )
             current[t] = current[t].select(*[n for n, _ in reg.fields(t)])
-            key = reg.key(t)[0]
+            key_cols = reg.key(t)
+            if len(key_cols) != 1:
+                # quarantine, don't crash: a mid-stream CREATE with no PRIMARY
+                # KEY (key=[]) or a composite PK can't take the single-key
+                # dynamic path — applying on key_cols[0] alone would merge
+                # wrongly, and an IndexError here would kill the whole
+                # multi-table query. Carry the snapshot forward untouched and
+                # log; composite keys stay on the typed pipeline (cdc_apply
+                # with composite key columns).
+                _LOG.warning(
+                    "apply_stream_dynamic: skipping relation %r (key=%r; "
+                    "single-column keys only on the dynamic path)",
+                    t,
+                    key_cols,
+                )
+                new[t] = current[t]
+                continue
+            key = key_cols[0]
             _, key_oid = next(f for f in reg.fields(t) if f[0] == key)
             sub = batch_df.where(
-                (F.col("table_name") == F.lit(t)) & (F.col("op") != F.lit("DDL"))
+                (F.col("table_name") == F.lit(t))
+                & ~F.col("op").isin("DDL", "RELATION")
             )
             typed = decode_binary_feed(
                 sub, reg.fields(t), old_key=(f"old_{key}", key, key_oid)

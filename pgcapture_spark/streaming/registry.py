@@ -33,6 +33,26 @@ class RelationRegistry:
         self.learn_static(create.table, create.key, create.fields)
         return new
 
+    def learn_relation(
+        self, table: str, columns: list[tuple[str, int, bool]]
+    ) -> bool:
+        """In-band Relation ('R') message: the column list arrives as stream
+        data with per-column key flags — no DDL text involved, mirroring the
+        pgoutput Relation message (pkg/decode/pgoutput.go:93-117: oid,
+        namespace, name, replica identity, flagged column list) that refreshes
+        the reference's schema cache independently of any DDL
+        (pkg/decode/schema.go:114-159). ``columns`` is
+        ``[(name, type_oid, is_key)]``; idempotent — a re-sent Relation
+        message overwrites the cache entry. Returns True if the table is
+        new."""
+        new = table not in self._rel
+        self.learn_static(
+            table,
+            [n for n, _, is_key in columns if is_key],
+            [(n, oid) for n, oid, _ in columns],
+        )
+        return new
+
     def learn_ddl(self, query: str) -> str | None:
         """Feed one DDL statement; returns the table name if a NEW relation
         materialized, else None. ALTER TABLE against a KNOWN relation evolves

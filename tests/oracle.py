@@ -3,10 +3,14 @@ and its DuckDB oracle on the same parquet dir, then compare row count, column
 names, order-insensitive values, AND pandas-level dtypes.
 
 The driver canonicalizes both results as pandas frames (sort columns by name,
-sort rows, hash values) — its hash proved dtype-sensitive in round 1 (DuckDB
-HUGEINT vs Spark BIGINT, Spark INT vs DuckDB BIGINT all hash-mismatched with
-bit-identical values) and its row sort dies on top-level array cells. This
-harness mirrors both strictures so the class is caught locally first.
+sort rows, hash values). Round-1 evidence on its dtype sensitivity: DuckDB
+HUGEINT (→ python-object/float column) vs Spark BIGINT hash-MISMATCHED
+(cdc_incremental_agg r1 fail, fixed by CAST AS BIGINT), while plain integer
+*widths* hash EQUAL — cdc_seq_rederive was green with Spark int32
+(row_number) against DuckDB int64. _dtype_token therefore collapses all
+numpy integer widths to one token but keeps python-object ints ("pyint",
+the HUGEINT shape) distinct. The row sort also dies on top-level array
+cells; both strictures are mirrored here so the class is caught locally.
 """
 
 from __future__ import annotations

@@ -260,3 +260,75 @@ def test_alter_table_mid_stream_evolves_relation(spark, tmpdir):
         assert side[i].s_note == f"note-{i}"  # inherited across the ALTER
         assert side[i].s_score == pytest.approx(i / 2.0)
         assert side[i].s_tag == (f"tag-{i}" if i % 2 == 0 else None)
+
+
+_CREATE_NOPK = "CREATE TABLE public.keyless (k_a bigint, k_b text)"
+_CREATE_COMPOSITE = (
+    "CREATE TABLE public.duo (d_a bigint, d_b bigint, d_v text, PRIMARY KEY (d_a, d_b))"
+)
+
+
+def test_dynamic_apply_quarantines_non_single_key_relations(spark, tmpdir):
+    """A mid-stream CREATE with no PRIMARY KEY (key=[]) or a composite PK must
+    NOT crash the multi-table query (the old code indexed reg.key(t)[0]) and
+    must NOT mis-apply on the first key column: such relations are
+    quarantined — snapshot carried forward untouched — while single-key
+    tables keep applying."""
+    meta = "lsn bigint, seq int, ord bigint, commit_ts timestamp, op string," \
+           " table_name string, query string"
+    fields_t = "array<struct<name:string,oid:int,bin:binary>>"
+
+    def ddl_row(ord_, table, query):
+        return spark.createDataFrame(
+            [(ord_, 1, ord_, None, "DDL", table, query)], meta
+        ).select(
+            "*",
+            F.expr(f"CAST(NULL AS {fields_t})").alias("fields"),
+            F.expr(f"CAST(NULL AS {fields_t})").alias("old_fields"),
+        )
+
+    wave = spark.sql(
+        """
+        SELECT id + 10 AS lsn, 1 AS seq, 100 + id AS ord,
+               CAST(NULL AS TIMESTAMP) AS commit_ts, 'INSERT' AS op,
+               id AS s_id, 'note-' || id AS s_note, id / 2.0 AS s_score,
+               CAST(NULL AS BIGINT) AS old_s_id,
+               's_id,s_note,s_score' AS present
+        FROM range(8) t(id)
+        """
+    )
+    w = (
+        to_binary_feed(
+            wave,
+            [("s_id", 20), ("s_note", 25), ("s_score", 701)],
+            old_key=("old_s_id", "s_id", 20),
+        )
+        .withColumn("table_name", F.lit("sidecar"))
+        .withColumn("query", F.lit(None).cast("string"))
+        .select(*_FEED_META, "fields", "old_fields")
+    )
+    feed = (
+        ddl_row(1, "sidecar", _CREATE_SIDECAR)
+        .unionAll(ddl_row(2, "keyless", _CREATE_NOPK))
+        .unionAll(ddl_row(3, "duo", _CREATE_COMPOSITE))
+        .unionAll(w)
+    )
+    feed_dir = f"{tmpdir}/feed"
+    materialize_feed(feed, feed_dir, n_segments=2, order_col="ord")
+    schema = spark.read.parquet(feed_dir).schema
+
+    reg = RelationRegistry()
+    state = DynamicMultiTableState(spark, f"{tmpdir}/state", reg)
+    q = apply_stream_dynamic(
+        read_feed_stream(spark, feed_dir, schema, max_files_per_trigger=1),
+        state,
+        {},
+        f"{tmpdir}/ckpt",
+    )
+    q.awaitTermination(300)  # would raise StreamingQueryException pre-guard
+
+    snaps = state.read()
+    assert set(snaps) == {"sidecar", "keyless", "duo"}
+    assert snaps["keyless"].count() == 0  # quarantined, carried forward empty
+    assert snaps["duo"].count() == 0
+    assert {r.s_id for r in snaps["sidecar"].collect()} == set(range(8))

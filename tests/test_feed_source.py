@@ -133,10 +133,12 @@ def test_batch_read_filter_pushdown(spark, feed_dir):
 
 
 def test_sink_dedupes_across_writer_lineages(spark, feed_dir, tmpdir):
-    """Two independent sink runs re-deliver the same batchIds; the batch-keyed
-    commit markers drop the second run entirely — producer dedup persists
-    across restarts (the Pulsar LSN-derived sequence-id model,
-    pkg/sink/pulsar.go), so the log is NOT doubled."""
+    """Two independent sink runs re-deliver the same batchIds with IDENTICAL
+    content; the fingerprinted commit markers recognize the replay and drop
+    the second run — producer dedup persists across restarts (the Pulsar
+    LSN-derived sequence-id model, pkg/sink/pulsar.go), so the log is NOT
+    doubled. (A second lineage with different content fails loudly instead —
+    see test_sink_foreign_lineage_fails_loudly.)"""
     import os
 
     out_dir = f"{tmpdir}/log"
@@ -161,6 +163,48 @@ def test_sink_dedupes_across_writer_lineages(spark, feed_dir, tmpdir):
     n = feed.count()
     assert spark.read.parquet(out_dir).count() == n
     assert not os.listdir(os.path.join(out_dir, ".staging")), "staging must drain"
+
+
+def test_sink_foreign_lineage_fails_loudly(spark, feed_dir, tmpdir):
+    """A DIFFERENT writer lineage on the same log dir (fresh checkpoint →
+    batchIds restart at 0) delivering DIFFERENT content must fail loudly at
+    commit, not be silently discarded by the first lineage's markers — a
+    common ops mistake (deleting the checkpoint to reprocess) should surface
+    as an error, not data loss."""
+    import os
+
+    from pyspark.errors import StreamingQueryException
+
+    out_dir = f"{tmpdir}/log"
+    os.makedirs(out_dir, exist_ok=True)
+
+    def run(ckpt: str, transform):
+        src = (
+            spark.readStream.format("pgcapture_feed")
+            .option("path", feed_dir)
+            .option("maxFilesPerTrigger", "4")
+            .load()
+        )
+        q = (
+            transform(src)
+            .writeStream.format("pgcapture_feed")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    run(f"{tmpdir}/ck0", lambda df: df)
+    n = spark.read.parquet(feed_dir).count()
+    assert spark.read.parquet(out_dir).count() == n
+    with pytest.raises(StreamingQueryException, match="different content fingerprint"):
+        run(f"{tmpdir}/ck1", lambda df: df.where("op = 'UPDATE'"))
+    # the foreign lineage must not have corrupted the log
+    assert spark.read.parquet(out_dir).count() == n
 
 
 def test_log_compaction_collapses_redelivery(spark, feed_dir, tmpdir):
@@ -188,6 +232,40 @@ def test_log_compaction_collapses_redelivery(spark, feed_dir, tmpdir):
     compacted = spark.read.format("pgcapture_feed").option("path", out_dir).load()
     assert compacted.count() == n
     assert compacted.select("lsn", "seq").distinct().count() == n
+
+
+def test_compaction_preserves_commit_markers(spark, feed_dir, tmpdir):
+    """compact_log rewrites part-* segments but must LEAVE the _commit_*
+    markers: they are the stream writer's replay gate, and dropping them would
+    let an in-flight batch replay re-append rows that were just compacted."""
+    import os
+
+    from pgcapture_spark.sources.feed import compact_log
+
+    out_dir = f"{tmpdir}/log"
+    os.makedirs(out_dir, exist_ok=True)
+    q = (
+        spark.readStream.format("pgcapture_feed")
+        .option("path", feed_dir)
+        .option("maxFilesPerTrigger", "2")
+        .load()
+        .writeStream.format("pgcapture_feed")
+        .option("path", out_dir)
+        .option("checkpointLocation", f"{tmpdir}/ck")
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    markers_before = sorted(f for f in os.listdir(out_dir) if f.startswith("_commit_"))
+    assert markers_before
+    n = spark.read.parquet(feed_dir).count()
+    before, after = compact_log(spark, out_dir)
+    assert after == n
+    markers_after = sorted(f for f in os.listdir(out_dir) if f.startswith("_commit_"))
+    assert markers_after == markers_before, "compaction must not touch the replay gate"
 
 
 def test_stream_restart_from_checkpoint_no_duplicates(spark, feed_dir, tmpdir):

@@ -95,6 +95,23 @@ def test_udf_decode_int_and_timestamp(spark):
     assert r.ts == dt.datetime(2000, 1, 2, 0, 0, 0)
 
 
+def test_udf_decode_timestamp_outside_ns_range(spark):
+    """PG timestamps outside pandas' ns range (1677–2262) must decode — the
+    vectorized path builds datetime64[us] directly, never ns (a
+    pd.to_datetime(unit='us') detour would raise OutOfBoundsDatetime)."""
+    y3000 = dt.datetime(3000, 1, 1)
+    y1500 = dt.datetime(1500, 6, 15, 12, 30)
+    y2k = dt.datetime(2000, 1, 1)
+    rows = [
+        (1, struct.pack(">q", int((y3000 - y2k).total_seconds()) * 1_000_000)),
+        (2, struct.pack(">q", int((y1500 - y2k).total_seconds()) * 1_000_000)),
+        (3, None),
+    ]
+    df = spark.createDataFrame(rows, "id int, raw binary")
+    out = {r.id: r.ts for r in df.select("id", pg_decode_udf(1114)("raw").alias("ts")).collect()}
+    assert out == {1: y3000, 2: y1500, 3: None}
+
+
 def test_generic_json_udf(spark):
     rows = [
         (16, b"\x01"),

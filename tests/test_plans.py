@@ -219,3 +219,23 @@ def test_decontaminate_broadcasts_eval_grams(spark):
     plan = plan_str(spark, "text_decontaminate", mode="simple")
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_fused_binary_decode_single_crossing(spark):
+    """A full-width decode of the 13-column composite lineitem wire feed must
+    auto-fuse into ONE decode UDF (one Python boundary crossing), while the
+    narrow customer feed stays on the lazy prunable path — the FUSE_THRESHOLD
+    contract of decode_binary_feed."""
+    from pgcapture_spark.catalog import register_views
+    from pgcapture_spark.operators.generic_feed import decode_binary_feed, to_binary_feed
+    from pgcapture_spark.queries import _feed
+    from pgcapture_spark.querydefs.extras import _LI_OLD_KEYS, LINEITEM_FIELD_OIDS
+
+    register_views(spark, SF_SMALL, ("lineitem",))
+    typed = _feed(spark, SF_SMALL, "lineitem")
+    wire = to_binary_feed(typed, LINEITEM_FIELD_OIDS, old_key=_LI_OLD_KEYS)
+    fused = decode_binary_feed(wire, LINEITEM_FIELD_OIDS, old_key=_LI_OLD_KEYS)
+    plan = spark._jvm.PythonSQLUtils.explainString(fused._jdf.queryExecution(), "formatted")
+    n_udfs = len(set(re.findall(r"pythonUDF\d+", plan)))
+    # 1 encode (fixture edge) + 1 old-key encode + 1 fused decode
+    assert n_udfs <= 3, f"expected fused single-crossing decode, got {n_udfs} UDFs"
