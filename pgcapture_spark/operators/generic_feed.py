@@ -116,9 +116,9 @@ def _encode_fields_udf(field_oids: list[tuple[str, int]]):
                 # absent from present = unchanged TOAST: field omitted
                 idx = [j for j, name in enumerate(names) if name in pset]
                 idx_cache[p] = idx
-            out.append(
-                [{"name": names[j], "oid": oids[names[j]], "bin": encoded[j][i]} for j in idx]
-            )
+            # positional tuples, not dicts — Arrow struct conversion accepts
+            # both, and tuple assembly is ~30% cheaper at 600k rows × 11 fields
+            out.append([(names[j], oids[names[j]], encoded[j][i]) for j in idx])
         return pd.Series(out)
 
     return _udf

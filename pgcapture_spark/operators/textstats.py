@@ -126,10 +126,9 @@ def lang_scores(docs: DataFrame) -> DataFrame:
     return df
 
 
-def lang_id(docs: DataFrame) -> DataFrame:
-    """Heuristic n-gram language ID: argmax of marker-token hit counts with a
-    fixed tie-break order."""
-    df = lang_scores(docs)
+def predicted_lang_col() -> Column:
+    """argmax of the ``score_<lang>`` columns with the fixed LANG_ORDER
+    tie-break — requires the score columns to already be in scope."""
     pred = None
     for lang in LANG_ORDER:
         cond = None
@@ -139,7 +138,14 @@ def lang_id(docs: DataFrame) -> DataFrame:
             c = F.col(f"score_{lang}") >= F.col(f"score_{other}")
             cond = c if cond is None else (cond & c)
         pred = F.when(cond, F.lit(lang)) if pred is None else pred.when(cond, F.lit(lang))
-    df = df.withColumn("predicted_lang", pred.otherwise(F.lit(LANG_ORDER[0])))
+    return pred.otherwise(F.lit(LANG_ORDER[0]))
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """Heuristic n-gram language ID: argmax of marker-token hit counts with a
+    fixed tie-break order."""
+    df = lang_scores(docs)
+    df = df.withColumn("predicted_lang", predicted_lang_col())
     return df.select(
         "doc_id",
         "lang",
@@ -195,6 +201,75 @@ def quality_score(docs: DataFrame) -> DataFrame:
             " + 0.1 * (1.0 - digit_ratio)"
         ),
     )
+
+
+def corpus_select(
+    docs: DataFrame,
+    min_quality: float = 0.5,
+    min_tokens: int = 20,
+    langs: tuple[str, ...] = ("en", "de"),
+) -> DataFrame:
+    """One-pass training-corpus selection: exact dedup (keep the lowest doc_id
+    per md5(text)), then quality scoring and language-ID gating — the
+    end-to-end document-selection step every pre-training data pipeline runs
+    before tokenization.
+
+    Scale shape: ONE hash-partition shuffle total (the dedup window on the
+    text hash). Every metric after it — token stats, stopword/digit ratios,
+    all five language marker counts — folds in a SINGLE ``aggregate`` pass
+    over one tokenization per surviving row (an 8-field accumulator struct),
+    fused into the same stage. No joins, no second scan, no re-split.
+
+    Output: (doc_id, n_tokens, quality, predicted_lang) for selected docs."""
+    from pyspark.sql import Window as W
+
+    init = ["'n', 0L", "'sumlen', 0L", "'stop', 0L"] + [
+        f"'{la}', 0L" for la in LANG_ORDER
+    ]
+    upd = [
+        "'n', acc.n + 1L",
+        "'sumlen', acc.sumlen + length(t)",
+        "'stop', acc.stop + CASE WHEN t IN ('the', 'a', 'of') THEN 1L ELSE 0L END",
+    ]
+    for la in LANG_ORDER:
+        toks = ", ".join(f"'{m}'" for m in LANG_MARKERS[la])
+        upd.append(f"'{la}', acc.{la} + CASE WHEN t IN ({toks}) THEN 1L ELSE 0L END")
+    agg = (
+        f"aggregate({TOKENS_EXPR}, named_struct({', '.join(init)}),"
+        f" (acc, t) -> named_struct({', '.join(upd)}))"
+    )
+    surv = (
+        ensure_parallelism(docs)
+        .withColumn(
+            "_rn",
+            F.row_number().over(W.partitionBy(F.md5("text")).orderBy("doc_id")),
+        )
+        .where(F.col("_rn") == 1)
+    )
+    df = surv.select(
+        "doc_id",
+        F.expr(agg).alias("_st"),
+        F.length("text").alias("_nc"),
+        (
+            F.length("text") - F.length(F.expr("translate(text, '0123456789', '')"))
+        ).alias("_nd"),
+    ).select(
+        "doc_id",
+        F.col("_st.n").alias("n_tokens"),
+        F.expr(
+            "0.4 * least(CAST(_st.n AS DOUBLE) / 100.0, 1.0)"
+            " + 0.3 * (1.0 - CAST(_st.stop AS DOUBLE) / greatest(_st.n, 1L))"
+            " + 0.2 * least(CAST(_st.sumlen AS DOUBLE) / greatest(_st.n, 1L) / 8.0, 1.0)"
+            " + 0.1 * (1.0 - CAST(_nd AS DOUBLE) / greatest(_nc, 1))"
+        ).alias("quality"),
+        *[F.col(f"_st.{la}").alias(f"score_{la}") for la in LANG_ORDER],
+    )
+    df = df.withColumn("predicted_lang", predicted_lang_col())
+    return df.where(
+        (F.col("quality") >= min_quality)
+        & (F.col("n_tokens") >= min_tokens)
+        & F.col("predicted_lang").isin(*langs)
+    ).select("doc_id", "n_tokens", "quality", "predicted_lang")
 
 
 # 2-gram variant of SHINGLES_EXPR (same constant-reference zip_with shape)

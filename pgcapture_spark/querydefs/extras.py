@@ -149,8 +149,10 @@ def cdc_apply_from_binary_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir, ("customer",))
     typed = _feed(spark, sf_dir, "customer")
     wire = to_binary_feed(typed, CUSTOMER_FIELD_OIDS, old_key=("old_c_custkey", "c_custkey", 20))
+    # the apply consumes every column, so one fused decode crossing beats the
+    # lazy prunable path regardless of width
     decoded = decode_binary_feed(
-        wire, CUSTOMER_FIELD_OIDS, old_key=("old_c_custkey", "c_custkey", 20)
+        wire, CUSTOMER_FIELD_OIDS, old_key=("old_c_custkey", "c_custkey", 20), fused=True
     )
     # DELETE messages carry only the old key image — recover the apply key
     # from it, the reference's key/set split (pkg/sink/postgres.go:507-547)

@@ -52,3 +52,36 @@ def agg_hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             "merged_within_5pct"
         ),
     )
+
+
+_HH_DUCK = r"""
+WITH tok AS (
+  SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                            t -> len(t) > 0)) AS token
+  FROM documents
+),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM tok)
+SELECT token, CAST(count(*) AS BIGINT) AS cnt
+FROM tok GROUP BY token
+HAVING count(*) >= 0.002 * (SELECT n FROM tot)
+"""
+
+
+@q(
+    "agg_heavy_hitters",
+    _HH_DUCK,
+    "§2.7 scale path / novel sketch: EXACT frequent tokens via two-pass"
+    " Misra-Gries — bounded-memory per-partition summaries (one vectorized"
+    " value_counts per Arrow batch, k-bounded decrement merge) produce a"
+    " guaranteed-superset candidate set (≤ partitions × capacity rows,"
+    " broadcast), then one exact recount of candidates only. Identical"
+    " output to the naive full-vocabulary groupBy the oracle runs, without"
+    " shuffling the whole key space at 100 TB.",
+)
+def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pgcapture_spark.operators.heavyhitters import heavy_hitters
+    from pgcapture_spark.operators.textstats import token_rows
+
+    register_views(spark, sf_dir, ("documents",))
+    toks = token_rows(spark.table("documents")).select("token")
+    return heavy_hitters(toks, "token", threshold_frac=0.002, capacity=1000)

@@ -665,3 +665,74 @@ def text_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ------------------------------------------------------- corpus selection
+
+def _duck_corpus_select_sql(
+    min_quality: float = 0.5, min_tokens: int = 20, langs: tuple[str, ...] = ("en", "de")
+) -> str:
+    score_cols = []
+    for lang in LANG_ORDER:
+        toks = ", ".join(f"'{t}'" for t in LANG_MARKERS[lang])
+        score_cols.append(
+            f"len(list_filter(tokens, x -> x in ({toks}))) AS score_{lang}"
+        )
+    whens = []
+    for lang in LANG_ORDER:
+        conds = " AND ".join(
+            f"score_{lang} >= score_{o}" for o in LANG_ORDER if o != lang
+        )
+        whens.append(f"WHEN {conds} THEN '{lang}'")
+    case = "CASE " + " ".join(whens) + f" ELSE '{LANG_ORDER[0]}' END"
+    in_list = ", ".join(f"'{la}'" for la in langs)
+    return f"""
+WITH surv AS (
+  SELECT doc_id, text FROM (
+    SELECT doc_id, text,
+           row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+    FROM documents) WHERE rn = 1
+),
+t AS (SELECT doc_id, text, {_DUCK_TOKENS} AS tokens FROM surv),
+m AS (
+  SELECT doc_id,
+         len(tokens) AS n_tokens,
+         length(text) AS n_chars,
+         coalesce(list_sum(list_transform(tokens, x -> length(x))), 0) AS sumlen,
+         len(list_filter(tokens, x -> x in ('the', 'a', 'of'))) AS stop,
+         length(regexp_replace(text, '[^0-9]', '', 'g')) AS nd,
+         {", ".join(score_cols)}
+  FROM t
+),
+p AS (
+  SELECT doc_id, n_tokens,
+         0.4 * least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
+         + 0.3 * (1.0 - CAST(stop AS DOUBLE) / greatest(n_tokens, 1))
+         + 0.2 * least(CAST(sumlen AS DOUBLE) / greatest(n_tokens, 1) / 8.0, 1.0)
+         + 0.1 * (1.0 - CAST(nd AS DOUBLE) / greatest(n_chars, 1)) AS quality,
+         {case} AS predicted_lang
+  FROM m
+)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, quality, predicted_lang
+FROM p WHERE quality >= {min_quality} AND n_tokens >= {min_tokens}
+  AND predicted_lang IN ({in_list})
+"""
+
+
+@q(
+    "corpus_select_pipeline",
+    _duck_corpus_select_sql(),
+    "North-star: the end-to-end training-corpus SELECTION pipeline — exact"
+    " dedup (keep lowest doc_id per md5(text)), composite quality gate, and"
+    " language-ID gate in ONE pass: a single hash-partition shuffle (the"
+    " dedup window), then all metrics (token stats + every language's marker"
+    " counts) fold in one aggregate over one tokenization per surviving row."
+    " No joins, no second scan — the shape that holds at 100 TB.",
+)
+def corpus_select_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pgcapture_spark.operators.textstats import corpus_select
+
+    register_views(spark, sf_dir, ("documents",))
+    return corpus_select(
+        spark.table("documents"), min_quality=0.5, min_tokens=20, langs=("en", "de")
+    )

@@ -238,7 +238,10 @@ def apply_stream_dynamic(
                 & ~F.col("op").isin("DDL", "RELATION")
             )
             typed = decode_binary_feed(
-                sub, reg.fields(t), old_key=(f"old_{key}", key, key_oid)
+                sub,
+                reg.fields(t),
+                old_key=(f"old_{key}", key, key_oid),
+                fused=True,  # the apply consumes every column of the relation
             ).withColumn(key, F.coalesce(F.col(key), F.col(f"old_{key}")))
             new[t] = cdc_apply(current[t], typed, key, reg.value_cols(t))
         state.commit(new, batch_id)

@@ -1,0 +1,61 @@
+"""Misra-Gries two-pass heavy hitters: EXACT equality with the naive global
+groupBy (the whole point — bounded-memory candidates must be a superset of
+every true heavy hitter, then the recount is exact), independent of
+partitioning and at the tightest legal capacity."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pgcapture_spark.operators.heavyhitters import heavy_hitters, threshold
+
+
+def _skewed(spark, n_parts):
+    # zipf-ish: token t_k appears ~ n/k times; plus a long unique tail
+    return spark.sql(
+        """
+        SELECT concat('t', CAST(k AS STRING)) AS token
+        FROM (SELECT id, explode(sequence(1, 20)) AS k FROM range(500))
+        WHERE id % k = 0
+        UNION ALL
+        SELECT concat('u', CAST(id AS STRING)) FROM range(3000)
+        """
+    ).repartition(n_parts)
+
+
+def _exact(rows, frac):
+    total = rows.count()
+    return (
+        rows.groupBy("token")
+        .count()
+        .withColumnRenamed("count", "cnt")
+        .where(F.col("cnt") >= threshold(total, frac))
+    )
+
+
+@pytest.mark.parametrize("n_parts", [1, 7])
+@pytest.mark.parametrize("capacity", [51, 1000])
+def test_equals_naive_groupby(spark, n_parts, capacity):
+    rows = _skewed(spark, n_parts)
+    frac = 0.02  # requires capacity > 49
+    got = heavy_hitters(rows, "token", threshold_frac=frac, capacity=capacity)
+    exp = _exact(rows, frac)
+    assert got.count() == exp.count() > 0
+    assert got.exceptAll(exp).count() == 0
+    assert exp.exceptAll(got).count() == 0
+
+
+def test_capacity_guard():
+    # frac at or below 1/(capacity+1) voids the superset guarantee → must raise
+    with pytest.raises(ValueError, match="superset guarantee"):
+        heavy_hitters(None, "token", threshold_frac=0.0001, capacity=100)
+
+
+def test_pass2_is_broadcast_semi_join(spark):
+    rows = _skewed(spark, 4)
+    got = heavy_hitters(rows, "token", threshold_frac=0.02, capacity=100)
+    plan = spark._jvm.PythonSQLUtils.explainString(got._jdf.queryExecution(), "formatted")
+    tree = plan.split("\n\n")[0]
+    assert "BroadcastHashJoin" in tree and "LeftSemi" in tree, tree
+    assert "SortMergeJoin" not in tree

@@ -239,3 +239,15 @@ def test_fused_binary_decode_single_crossing(spark):
     n_udfs = len(set(re.findall(r"pythonUDF\d+", plan)))
     # 1 encode (fixture edge) + 1 old-key encode + 1 fused decode
     assert n_udfs <= 3, f"expected fused single-crossing decode, got {n_udfs} UDFs"
+
+
+def test_corpus_select_single_shuffle(spark):
+    """corpus_select_pipeline must plan exactly ONE hash-partition Exchange
+    (the dedup window) — quality + language metrics fuse into the post-window
+    stage as per-row expressions, no joins, no second pass. (The extra
+    RoundRobin exchange is ensure_parallelism's under-split-local-file
+    repartition, absent on a well-split 100 TB scan.)"""
+    simple = plan_str(spark, "corpus_select_pipeline", "simple")
+    assert simple.count("Exchange hashpartitioning") == 1, simple
+    tree = plan_tree(spark, "corpus_select_pipeline")
+    assert "Join" not in tree, tree
