@@ -51,6 +51,10 @@ HEADLINE = [
     "agg_cube",
     "dedup_clusters_star",
     "text_decontaminate",
+    # r3 new first-class ops
+    "corpus_select_pipeline",
+    "corpus_select_neardup",
+    "agg_heavy_hitters",
     # training-data operators
     "text_quality_score",
     "text_fingerprint",

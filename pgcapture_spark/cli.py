@@ -6,6 +6,8 @@
   backfill  snapshot + event log → converged state with dump chunks    (E3/B4)
   lag       replication-lag report over an applied state               (A9)
   compact   log compaction by checkpoint key (latest per (lsn, seq))   (A1)
+  select    training-corpus selection (dedup + quality + language)
+  ann-tune  ANN recall@3 tuning table (sign-LSH / IVF / PQ sweeps)
 
 Each subcommand is a thin wrapper over the library operators; everything
 testable without a cluster (`local[N]` session from session.py).
@@ -110,6 +112,47 @@ def _cmd_compact(args) -> int:
     return 0
 
 
+def _cmd_select(args) -> int:
+    from pgcapture_spark.operators.textstats import corpus_select, corpus_select_neardup
+
+    spark = get_spark(app="pgcs-select")
+    docs = spark.read.parquet(args.docs)
+    langs = tuple(args.langs.split(","))
+    if args.neardup:
+        out = corpus_select_neardup(
+            docs,
+            threshold=args.threshold,
+            min_quality=args.min_quality,
+            min_tokens=args.min_tokens,
+            langs=langs,
+        )
+    else:
+        out = corpus_select(
+            docs, min_quality=args.min_quality, min_tokens=args.min_tokens, langs=langs
+        )
+    out.write.mode("overwrite").parquet(args.out_dir)
+    n_in = docs.count()
+    n_out = spark.read.parquet(args.out_dir).count()
+    mode = "near-dup" if args.neardup else "exact-dedup"
+    print(f"selected {n_out}/{n_in} docs ({mode}) into {args.out_dir}")
+    return 0
+
+
+def _cmd_ann_tune(args) -> int:
+    from pgcapture_spark.queries import REGISTRY
+
+    spark = get_spark(app="pgcs-ann-tune")
+    sf_dir = args.sf_dir
+    rows = REGISTRY["sim_ann_tuning"].fn(spark, sf_dir).orderBy("method", "param").collect()
+    print(f"{'method':8} {'param':10} {'queries':>7} {'hits':>5} recall@3")
+    for r in rows:
+        print(
+            f"{r.method:8} {r.param:10} {r.n_queries:7d} {r.total_hits:5d} "
+            f"{r.recall_at_3:.4f}"
+        )
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="pgcapture_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -152,6 +195,20 @@ def build_parser() -> argparse.ArgumentParser:
     cp.add_argument("--key-cols", default="lsn,seq")
     cp.add_argument("--order-col", default="ord")
     cp.set_defaults(fn=_cmd_compact)
+
+    se = sub.add_parser("select", help="training-corpus selection pipeline")
+    se.add_argument("--docs", required=True, help="documents parquet path")
+    se.add_argument("--out-dir", required=True)
+    se.add_argument("--neardup", action="store_true", help="MinHash+LSH near-dup dedup")
+    se.add_argument("--threshold", type=float, default=0.1)
+    se.add_argument("--min-quality", type=float, default=0.5)
+    se.add_argument("--min-tokens", type=int, default=20)
+    se.add_argument("--langs", default="en,de")
+    se.set_defaults(fn=_cmd_select)
+
+    at = sub.add_parser("ann-tune", help="ANN recall@3 tuning table")
+    at.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    at.set_defaults(fn=_cmd_ann_tune)
     return p
 
 

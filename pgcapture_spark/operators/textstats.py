@@ -203,26 +203,18 @@ def quality_score(docs: DataFrame) -> DataFrame:
     )
 
 
-def corpus_select(
-    docs: DataFrame,
+def select_gate(
+    surv: DataFrame,
     min_quality: float = 0.5,
     min_tokens: int = 20,
     langs: tuple[str, ...] = ("en", "de"),
 ) -> DataFrame:
-    """One-pass training-corpus selection: exact dedup (keep the lowest doc_id
-    per md5(text)), then quality scoring and language-ID gating — the
-    end-to-end document-selection step every pre-training data pipeline runs
-    before tokenization.
-
-    Scale shape: ONE hash-partition shuffle total (the dedup window on the
-    text hash). Every metric after it — token stats, stopword/digit ratios,
-    all five language marker counts — folds in a SINGLE ``aggregate`` pass
-    over one tokenization per surviving row (an 8-field accumulator struct),
-    fused into the same stage. No joins, no second scan, no re-split.
-
-    Output: (doc_id, n_tokens, quality, predicted_lang) for selected docs."""
-    from pyspark.sql import Window as W
-
+    """The fused quality + language selection gate over already-deduped docs:
+    token stats, stopword/digit ratios, and ALL language marker counts fold
+    in a SINGLE ``aggregate`` pass over one tokenization per row (an 8-field
+    accumulator struct) — per-row expressions only, fused into the caller's
+    stage. Output: (doc_id, n_tokens, quality, predicted_lang), selected rows
+    only."""
     init = ["'n', 0L", "'sumlen', 0L", "'stop', 0L"] + [
         f"'{la}', 0L" for la in LANG_ORDER
     ]
@@ -237,14 +229,6 @@ def corpus_select(
     agg = (
         f"aggregate({TOKENS_EXPR}, named_struct({', '.join(init)}),"
         f" (acc, t) -> named_struct({', '.join(upd)}))"
-    )
-    surv = (
-        ensure_parallelism(docs)
-        .withColumn(
-            "_rn",
-            F.row_number().over(W.partitionBy(F.md5("text")).orderBy("doc_id")),
-        )
-        .where(F.col("_rn") == 1)
     )
     df = surv.select(
         "doc_id",
@@ -270,6 +254,63 @@ def corpus_select(
         & (F.col("n_tokens") >= min_tokens)
         & F.col("predicted_lang").isin(*langs)
     ).select("doc_id", "n_tokens", "quality", "predicted_lang")
+
+
+def corpus_select(
+    docs: DataFrame,
+    min_quality: float = 0.5,
+    min_tokens: int = 20,
+    langs: tuple[str, ...] = ("en", "de"),
+) -> DataFrame:
+    """One-pass training-corpus selection: EXACT dedup (keep the lowest
+    doc_id per md5(text)), then the fused quality + language gate — the
+    end-to-end document-selection step every pre-training data pipeline runs
+    before tokenization.
+
+    Scale shape: ONE hash-partition shuffle total (the dedup window on the
+    text hash); every metric after it is per-row and fuses into the same
+    stage. No joins, no second scan, no re-split."""
+    from pyspark.sql import Window as W
+
+    surv = (
+        ensure_parallelism(docs)
+        .withColumn(
+            "_rn",
+            F.row_number().over(W.partitionBy(F.md5("text")).orderBy("doc_id")),
+        )
+        .where(F.col("_rn") == 1)
+    )
+    return select_gate(surv, min_quality, min_tokens, langs)
+
+
+def corpus_select_neardup(
+    docs: DataFrame,
+    threshold: float = 0.1,
+    min_quality: float = 0.5,
+    min_tokens: int = 20,
+    langs: tuple[str, ...] = ("en", "de"),
+) -> DataFrame:
+    """NEAR-dup corpus selection: MinHash+LSH pairs → large-star/small-star
+    connected components (O(log n) rounds) → keep each cluster's canonical
+    document (min doc_id; singletons keep themselves) → fused quality +
+    language gate. The full near-duplicate member of the selection family —
+    what production pre-training dedup actually runs (exact dedup misses
+    boilerplate-variant copies).
+
+    Scale shape: the LSH band bucket-join and the log-rounds star iterations
+    are the only key-space shuffles (both bounded — no all-pairs); canonical
+    filtering is a doc_id-co-partitioned semi join; the gate is per-row."""
+    from pgcapture_spark.operators.dedup import (
+        connected_components_star,
+        minhash_lsh_pairs,
+    )
+
+    comp = connected_components_star(
+        docs.select("doc_id"), minhash_lsh_pairs(docs, threshold=threshold)
+    )
+    reps = comp.where(F.col("doc_id") == F.col("canonical_id")).select("doc_id")
+    surv = ensure_parallelism(docs).join(reps, "doc_id", "left_semi")
+    return select_gate(surv, min_quality, min_tokens, langs)
 
 
 # 2-gram variant of SHINGLES_EXPR (same constant-reference zip_with shape)

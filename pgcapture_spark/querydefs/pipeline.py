@@ -141,3 +141,42 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.table("events"), stratum_col="event_type", key_col="user_id", rates_pct=_RATES
     )
     return out.select("event_id", "user_id", "event_type", "value")
+
+
+# --------------------------------------------- near-dup corpus selection
+
+from pgcapture_spark.querydefs.textops import duck_gate_tail  # noqa: E402
+
+_DUCK_SELECT_NEARDUP = f"""
+WITH RECURSIVE
+pairs AS ({_duck_minhash_sql()}),
+edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+          UNION ALL
+          SELECT b_id AS src, a_id AS dst FROM pairs),
+cc(node, lbl) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.dst, c.lbl FROM cc c JOIN edges e ON e.src = c.node
+),
+comp AS (SELECT node AS doc_id, min(lbl) AS canonical_id FROM cc GROUP BY node),
+surv AS (
+  SELECT doc_id, text FROM documents
+  WHERE doc_id IN (SELECT doc_id FROM comp WHERE doc_id = canonical_id)
+){duck_gate_tail()}"""
+
+
+@q(
+    "corpus_select_neardup",
+    _DUCK_SELECT_NEARDUP,
+    "North-star: NEAR-dup corpus selection — MinHash+LSH pairs →"
+    " large-star/small-star connected components (O(log n) rounds) → keep"
+    " each cluster's canonical doc (min doc_id) → the fused quality +"
+    " language gate. What production pre-training dedup actually runs:"
+    " exact dedup misses boilerplate-variant copies. Oracle: recursive-CTE"
+    " components + the shared gate tail.",
+)
+def corpus_select_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pgcapture_spark.operators.textstats import corpus_select_neardup as _op
+
+    register_views(spark, sf_dir, ("documents",))
+    return _op(spark.table("documents"), threshold=0.1)

@@ -669,9 +669,11 @@ def text_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ------------------------------------------------------- corpus selection
 
-def _duck_corpus_select_sql(
+def duck_gate_tail(
     min_quality: float = 0.5, min_tokens: int = 20, langs: tuple[str, ...] = ("en", "de")
 ) -> str:
+    """The quality + language gate CTE tail, appended after a ``surv``
+    (doc_id, text) CTE — shared by every corpus-selection oracle."""
     score_cols = []
     for lang in LANG_ORDER:
         toks = ", ".join(f"'{t}'" for t in LANG_MARKERS[lang])
@@ -686,13 +688,7 @@ def _duck_corpus_select_sql(
         whens.append(f"WHEN {conds} THEN '{lang}'")
     case = "CASE " + " ".join(whens) + f" ELSE '{LANG_ORDER[0]}' END"
     in_list = ", ".join(f"'{la}'" for la in langs)
-    return f"""
-WITH surv AS (
-  SELECT doc_id, text FROM (
-    SELECT doc_id, text,
-           row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
-    FROM documents) WHERE rn = 1
-),
+    return f""",
 t AS (SELECT doc_id, text, {_DUCK_TOKENS} AS tokens FROM surv),
 m AS (
   SELECT doc_id,
@@ -717,6 +713,18 @@ SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, quality, predicted_lang
 FROM p WHERE quality >= {min_quality} AND n_tokens >= {min_tokens}
   AND predicted_lang IN ({in_list})
 """
+
+
+def _duck_corpus_select_sql(
+    min_quality: float = 0.5, min_tokens: int = 20, langs: tuple[str, ...] = ("en", "de")
+) -> str:
+    return f"""
+WITH surv AS (
+  SELECT doc_id, text FROM (
+    SELECT doc_id, text,
+           row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+    FROM documents) WHERE rn = 1
+){duck_gate_tail(min_quality, min_tokens, langs)}"""
 
 
 @q(

@@ -90,3 +90,29 @@ def test_cli_compact(spark, tmp_path=None):
         assert spark.read.parquet(log).count() == n
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_cli_select(spark, capsys):
+    d = tempfile.mkdtemp(prefix="pgcs_cli_sel_")
+    from pgcapture_spark.operators.textstats import corpus_select
+
+    docs_path = f"{SF_SMALL}/documents.parquet"
+    assert main([
+        "select", "--docs", docs_path, "--out-dir", f"{d}/sel",
+        "--min-quality", "0.5", "--min-tokens", "20", "--langs", "en,de",
+    ]) == 0
+    got = spark.read.parquet(f"{d}/sel")
+    want = corpus_select(spark.read.parquet(docs_path))
+    assert got.count() == want.count() > 0
+    assert got.select("doc_id").exceptAll(want.select("doc_id")).count() == 0
+    out = capsys.readouterr().out
+    assert "selected" in out and "exact-dedup" in out
+
+
+def test_cli_ann_tune(capsys):
+    assert main(["ann-tune", "--sf-dir", SF_SMALL]) == 0
+    out = capsys.readouterr().out
+    assert "recall@3" in out
+    # all three families at their parameter points
+    for frag in ("signlsh", "nbits=4", "ivf", "nprobe=2", "pq", "m=8"):
+        assert frag in out, out
