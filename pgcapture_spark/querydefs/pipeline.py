@@ -180,3 +180,68 @@ def corpus_select_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir, ("documents",))
     return _op(spark.table("documents"), threshold=0.1)
+
+
+from pgcapture_spark.querydefs.textops import _duck_corpus_select_sql  # noqa: E402
+
+
+@q(
+    "corpus_select_streamed",
+    _duck_corpus_select_sql(),
+    "North-star: the corpus-selection pipeline run INCREMENTALLY — document"
+    " segments consumed as a stream (doc_id-range-ordered, a few per"
+    " micro-batch); per batch: min-doc-per-hash, anti-join against the"
+    " seen-hash state (range order makes the first arrival the global"
+    " minimum), the fused quality+language gate on the truly-new docs only,"
+    " append to the selected table. Converges to EXACTLY the batch"
+    " corpus_select_pipeline result (same oracle) — new data costs"
+    " O(batch), not a corpus rescan.",
+)
+def corpus_select_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from pyspark.sql import Window as W
+
+    from pgcapture_spark.operators.textstats import select_gate
+    from pgcapture_spark.sources.feed import materialize_feed
+
+    register_views(spark, sf_dir, ("documents",))
+    d = tempfile.mkdtemp(prefix="pgcs_q_selstream_")
+    docs = spark.table("documents").select("doc_id", "text")
+    materialize_feed(docs, f"{d}/segs", n_segments=4, order_col="doc_id")
+    schema = spark.read.parquet(f"{d}/segs").schema
+    sel_dir, seen_dir = f"{d}/selected", f"{d}/seen"
+    os.makedirs(sel_dir)
+    os.makedirs(seen_dir)
+
+    def _batch(bdf: DataFrame, bid: int) -> None:
+        sp = bdf.sparkSession
+        cand = (
+            bdf.withColumn("h", F.md5("text"))
+            .withColumn(
+                "_rn", F.row_number().over(W.partitionBy("h").orderBy("doc_id"))
+            )
+            .where("_rn = 1")
+            .drop("_rn")
+        )
+        if any(f.endswith(".parquet") for f in os.listdir(seen_dir)):
+            new = cand.join(sp.read.parquet(seen_dir), "h", "left_anti")
+        else:  # first batch — no seen state yet
+            new = cand
+        # persist before double-use (gate + seen append) to avoid recompute
+        new = new.select("doc_id", "text", "h").localCheckpoint(eager=True)
+        select_gate(new).write.mode("append").parquet(sel_dir)
+        new.select("h").write.mode("append").parquet(seen_dir)
+
+    query = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "2")
+        .parquet(f"{d}/segs")
+        .writeStream.foreachBatch(_batch)
+        .option("checkpointLocation", f"{d}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(300)
+    return spark.read.parquet(sel_dir)

@@ -85,3 +85,44 @@ def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir, ("documents",))
     toks = token_rows(spark.table("documents")).select("token")
     return heavy_hitters(toks, "token", threshold_frac=0.002, capacity=1000)
+
+
+_BPE_DUCK = r"""
+WITH tok AS (
+  SELECT list_filter(string_split_regex(lower(text), '\s+'), t -> len(t) > 0)
+    AS tokens
+  FROM documents
+),
+bg AS (
+  SELECT unnest(CASE WHEN len(tokens) >= 2
+                THEN list_transform(range(1, len(tokens)),
+                                    i -> tokens[i] || ' ' || tokens[i + 1])
+                ELSE CAST([] AS VARCHAR[]) END) AS bigram
+  FROM tok
+),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM bg)
+SELECT bigram, CAST(count(*) AS BIGINT) AS cnt
+FROM bg GROUP BY bigram
+HAVING count(*) >= 0.0005 * (SELECT n FROM tot)
+"""
+
+
+@q(
+    "bpe_merge_candidates",
+    _BPE_DUCK,
+    "North-star: BPE-style merge-candidate mining — the frequent adjacent"
+    " token pairs a tokenizer trainer merges first, computed EXACTLY by the"
+    " same two-pass Misra-Gries harness as agg_heavy_hitters (bounded-memory"
+    " candidates, broadcast-semi-join recount) over the exploded bigram"
+    " stream. One operator, any key space.",
+)
+def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pgcapture_spark.operators.heavyhitters import heavy_hitters
+    from pgcapture_spark.operators.textstats import BIGRAMS_EXPR, with_tokens
+
+    register_views(spark, sf_dir, ("documents",))
+    bigrams = (
+        with_tokens(spark.table("documents"))
+        .select(F.explode(F.expr(BIGRAMS_EXPR)).alias("bigram"))
+    )
+    return heavy_hitters(bigrams, "bigram", threshold_frac=0.0005, capacity=4000)

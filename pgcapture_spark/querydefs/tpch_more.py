@@ -5,17 +5,23 @@ commit/receipt dates and shipmode; customer lacks phone) — each query below
 keeps the CLASSIC PLAN SHAPE of its TPC-H counterpart while adapting the
 predicates to the available columns:
 
+  q2  — correlated scalar-subquery MIN               (min-cost supplier, lineitem
+                                                      unit price as ps_supplycost)
   q4  — semi-join EXISTS into an aggregate           (late-shipped orders)
   q7  — nation-pair volume, two broadcast dims       (year extraction + agg)
   q8  — market-share ratio of conditional sums       (region-filtered star)
   q9  — profit by nation/year with part filter       (margin proxy, no ps_cost)
+  q11 — value fraction vs scalar-subquery total      (important stock, lineitem
+                                                      value as partsupp value)
   q12 — conditional two-way counts by line status    (CASE aggregation)
   q13 — outer-join distribution-of-counts            (two-level aggregation)
   q14 — promo revenue share                          (ratio of filtered sums)
+  q15 — view + scalar MAX join-back                  (top supplier by quarter)
   q16 — distinct-supplier count per part group       (distinct agg + NOT IN dim)
   q17 — small-quantity correlated average            (exact cross-multiplied avg)
   q18 — large-volume orders via HAVING semi-join     (group-filter-join-back)
   q19 — disjunctive multi-column predicate pushdown  (OR-of-ANDs join filter)
+  q20 — nested IN with correlated share threshold    (dominant-share suppliers)
   q21 — multi-supplier wait chain (EXISTS/NOT EXISTS double correlated)
   q22 — above-average idle customers                 (anti-join + scalar avg)
 
@@ -450,3 +456,150 @@ GROUP BY c_nationkey
 def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir, ("customer", "orders"))
     return spark.sql(_Q22_SQL)
+
+
+# ------------------------------------------------------------- Q2 shape
+
+# partsupp does not exist in the reduced schema; the observed unit price per
+# (part, supplier) from lineitem plays ps_supplycost — the classic Q2 plan
+# shape survives: region-filtered dims, correlated scalar-subquery MIN over
+# the same derived relation, equality on the minimum.
+_Q2_SQL = """
+WITH cost AS (
+  SELECT l_partkey, l_suppkey,
+         min(CAST(floor(l_extendedprice / l_quantity * 10000 + 0.5) AS BIGINT))
+           AS unit_cost
+  FROM lineitem GROUP BY l_partkey, l_suppkey
+)
+SELECT s_acctbal, s_name, n_name, p_partkey, p_brand, c.unit_cost
+FROM part
+JOIN cost c     ON p_partkey = c.l_partkey
+JOIN supplier   ON s_suppkey = c.l_suppkey
+JOIN nation     ON s_nationkey = n_nationkey
+JOIN region     ON n_regionkey = r_regionkey
+WHERE r_name = 'EUROPE' AND p_size < 10
+  AND c.unit_cost = (
+    SELECT min(c2.unit_cost)
+    FROM cost c2
+    JOIN supplier s2 ON s2.s_suppkey = c2.l_suppkey
+    JOIN nation n2   ON s2.s_nationkey = n2.n_nationkey
+    JOIN region r2   ON n2.n_regionkey = r2.r_regionkey
+    WHERE c2.l_partkey = p_partkey AND r2.r_name = 'EUROPE'
+  )
+"""
+
+
+@q(
+    "tpch_q2_min_cost_supplier",
+    _Q2_SQL,
+    "§2.7: minimum-cost supplier (TPC-H Q2 shape) — correlated scalar-"
+    "subquery MIN over a shared derived relation, decorrelated by Catalyst"
+    " into an aggregate + join; region dims broadcast. Unit price from"
+    " lineitem stands in for ps_supplycost on the reduced schema; exact"
+    " ten-thousandths integers end-to-end.",
+)
+def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, ("part", "supplier", "lineitem", "nation", "region"))
+    return spark.sql(_Q2_SQL)
+
+
+# ------------------------------------------------------------- Q11 shape
+
+_Q11_SQL = f"""
+WITH value AS (
+  SELECT l_partkey, CAST(sum({_rev("l_extendedprice")}) AS BIGINT) AS val
+  FROM lineitem
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  WHERE n_name = 'NATION_5'
+  GROUP BY l_partkey
+)
+SELECT l_partkey AS p_partkey, val
+FROM value
+WHERE val > (SELECT sum(val) * 0.001 FROM value)
+"""
+
+
+@q(
+    "tpch_q11_important_stock",
+    _Q11_SQL,
+    "§2.7: important-stock identification (TPC-H Q11 shape) — grouped value"
+    " per part filtered against a scalar subquery over the SAME aggregate"
+    " (global-total fraction); one shuffle reused, the total a one-row"
+    " broadcast. Lineitem value stands in for partsupp on the reduced"
+    " schema.",
+)
+def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, ("lineitem", "supplier", "nation"))
+    return spark.sql(_Q11_SQL)
+
+
+# ------------------------------------------------------------- Q15 shape
+
+_Q15_SQL = f"""
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no, CAST(sum({_rev()}) AS BIGINT) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier JOIN revenue ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+"""
+
+
+@q(
+    "tpch_q15_top_supplier",
+    _Q15_SQL,
+    "§2.7: top supplier by quarterly revenue (TPC-H Q15 shape) — the"
+    " revenue view computed once, its MAX as a one-row scalar subquery,"
+    " equality join-back; exact integer cents so the max has no float"
+    " ties.",
+)
+def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, ("lineitem", "supplier"))
+    return spark.sql(_Q15_SQL)
+
+
+# ------------------------------------------------------------- Q20 shape
+
+# ps_availqty does not exist; "supplier shipped more than half of the part's
+# 1997 volume" keeps Q20's nested-IN + correlated-threshold plan shape.
+_Q20_SQL = """
+WITH pq AS (
+  SELECT l_partkey, l_suppkey,
+         CAST(sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS BIGINT) AS qty
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+  GROUP BY l_partkey, l_suppkey
+),
+tot AS (SELECT l_partkey, CAST(sum(qty) AS BIGINT) AS part_qty FROM pq GROUP BY l_partkey)
+SELECT s_suppkey, s_name, n_name
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name IN ('NATION_3', 'NATION_5', 'NATION_7')
+  AND s_suppkey IN (
+    SELECT pq.l_suppkey
+    FROM pq
+    JOIN tot  ON tot.l_partkey = pq.l_partkey
+    JOIN part ON p_partkey = pq.l_partkey
+    WHERE p_name LIKE '%red%' AND pq.qty * 2 > tot.part_qty
+  )
+"""
+
+
+@q(
+    "tpch_q20_excess_share_supplier",
+    _Q20_SQL,
+    "§2.7: dominant-share suppliers (TPC-H Q20 shape) — nested IN subquery"
+    " (→ left-semi join) whose inner relation compares a grouped quantity"
+    " against a correlated per-part total; name-pattern dim filter pushed to"
+    " the part scan. Shipped share stands in for ps_availqty on the reduced"
+    " schema.",
+)
+def tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, ("lineitem", "supplier", "nation", "part"))
+    return spark.sql(_Q20_SQL)
