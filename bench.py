@@ -55,6 +55,8 @@ HEADLINE = [
     "corpus_select_pipeline",
     "corpus_select_neardup",
     "agg_heavy_hitters",
+    "bpe_merge_candidates",
+    "tpch_q2_min_cost_supplier",
     # training-data operators
     "text_quality_score",
     "text_fingerprint",

@@ -332,3 +332,82 @@ def test_dynamic_apply_quarantines_non_single_key_relations(spark, tmpdir):
     assert snaps["keyless"].count() == 0  # quarantined, carried forward empty
     assert snaps["duo"].count() == 0
     assert {r.s_id for r in snaps["sidecar"].collect()} == set(range(8))
+
+
+def test_relation_message_resend_evolves_schema(spark, tmpdir):
+    """A re-sent Relation ('R') message for a KNOWN table with an extra
+    column overwrites the cache entry (the reference refreshes its schema
+    cache on every relation message, independent of DDL): the snapshot
+    aligns (new column NULL-filled) and later events populate it — the
+    R-message twin of the ALTER-TABLE evolution test."""
+    meta = "lsn bigint, seq int, ord bigint, commit_ts timestamp, op string," \
+           " table_name string, query string"
+
+    def rel_row(ord_, cols):
+        entries = ", ".join(
+            f"named_struct('name', '{n}', 'oid', {oid}, 'bin', {'X' + chr(39) + ('01' if k else '00') + chr(39)})"
+            for n, oid, k in cols
+        )
+        return spark.createDataFrame(
+            [(ord_, 1, ord_, None, "RELATION", "gauge", None)], meta
+        ).select(
+            "*",
+            F.expr(f"array({entries})").alias("fields"),
+            F.expr(
+                "CAST(NULL AS array<struct<name:string,oid:int,bin:binary>>)"
+            ).alias("old_fields"),
+        )
+
+    v1 = [("g_id", 20, True), ("g_val", 701, False)]
+    v2 = v1 + [("g_tag", 25, False)]
+    wave1 = spark.sql(
+        """
+        SELECT id + 10 AS lsn, 1 AS seq, 100 + id AS ord,
+               CAST(NULL AS TIMESTAMP) AS commit_ts, 'INSERT' AS op,
+               id AS g_id, id / 2.0 AS g_val,
+               CAST(NULL AS BIGINT) AS old_g_id, 'g_id,g_val' AS present
+        FROM range(6) t(id)
+        """
+    )
+    w1 = (
+        to_binary_feed(wave1, [("g_id", 20), ("g_val", 701)], old_key=("old_g_id", "g_id", 20))
+        .withColumn("table_name", F.lit("gauge"))
+        .withColumn("query", F.lit(None).cast("string"))
+        .select(*_FEED_META, "fields", "old_fields")
+    )
+    wave2 = spark.sql(
+        """
+        SELECT id + 50 AS lsn, 1 AS seq, 300 + id AS ord,
+               CAST(NULL AS TIMESTAMP) AS commit_ts, 'UPDATE' AS op,
+               id AS g_id, 'tag-' || id AS g_tag,
+               CAST(NULL AS BIGINT) AS old_g_id, 'g_id,g_tag' AS present
+        FROM range(6) t(id) WHERE id % 2 = 0
+        """
+    )
+    w2 = (
+        to_binary_feed(wave2, [("g_id", 20), ("g_tag", 25)], old_key=("old_g_id", "g_id", 20))
+        .withColumn("table_name", F.lit("gauge"))
+        .withColumn("query", F.lit(None).cast("string"))
+        .select(*_FEED_META, "fields", "old_fields")
+    )
+    feed = rel_row(1, v1).unionAll(w1).unionAll(rel_row(200, v2)).unionAll(w2)
+    feed_dir = f"{tmpdir}/feed"
+    materialize_feed(feed, feed_dir, n_segments=3, order_col="ord")
+    schema = spark.read.parquet(feed_dir).schema
+
+    reg = RelationRegistry()
+    state = DynamicMultiTableState(spark, f"{tmpdir}/state", reg)
+    q = apply_stream_dynamic(
+        read_feed_stream(spark, feed_dir, schema, max_files_per_trigger=1),
+        state,
+        {},
+        f"{tmpdir}/ckpt",
+    )
+    q.awaitTermination(300)
+
+    assert state.registry.fields("gauge") == [("g_id", 20), ("g_val", 701), ("g_tag", 25)]
+    rows = {r.g_id: r for r in state.read()["gauge"].collect()}
+    assert set(rows) == set(range(6))
+    for i in range(6):
+        assert rows[i].g_val == pytest.approx(i / 2.0)  # inherited across refresh
+        assert rows[i].g_tag == (f"tag-{i}" if i % 2 == 0 else None)

@@ -59,3 +59,26 @@ def test_pass2_is_broadcast_semi_join(spark):
     tree = plan.split("\n\n")[0]
     assert "BroadcastHashJoin" in tree and "LeftSemi" in tree, tree
     assert "SortMergeJoin" not in tree
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    data=st.lists(st.integers(min_value=0, max_value=30), min_size=1, max_size=400),
+    n_parts=st.integers(min_value=1, max_value=5),
+)
+def test_property_equals_exact(spark, data, n_parts):
+    """Any multiset, any partitioning: two-pass MG output == naive groupBy
+    (capacity at the legal bound for the chosen threshold)."""
+    rows = spark.createDataFrame(
+        [(f"t{v}",) for v in data], "token string"
+    ).repartition(n_parts)
+    frac = 0.05  # needs capacity > 19
+    got = heavy_hitters(rows, "token", threshold_frac=frac, capacity=21)
+    exp = _exact(rows, frac)
+    g = sorted(map(tuple, got.collect()))
+    e = sorted(map(tuple, exp.collect()))
+    assert g == e

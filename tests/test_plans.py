@@ -251,3 +251,21 @@ def test_corpus_select_single_shuffle(spark):
     assert simple.count("Exchange hashpartitioning") == 1, simple
     tree = plan_tree(spark, "corpus_select_pipeline")
     assert "Join" not in tree, tree
+
+
+def test_cube_single_expand_with_partial_agg(spark):
+    """agg_cube: all grouping-set combinations in ONE Expand pass with
+    map-side partial aggregation — not one scan per grouping set."""
+    tree = plan_tree(spark, "agg_cube")
+    assert tree.count("Expand") == 1, tree
+    assert tree.count("Scan parquet") == 1, tree
+    assert tree.count("HashAggregate") >= 2, tree  # partial + final
+
+
+def test_window_gauntlet_single_scan_single_sort(spark):
+    """events_window_gauntlet: every window function shares one scan and one
+    per-user exchange — frames differ, partitioning does not."""
+    simple = plan_str(spark, "events_window_gauntlet", "simple")
+    assert simple.count("Exchange hashpartitioning") == 1, simple
+    tree = plan_tree(spark, "events_window_gauntlet")
+    assert tree.count("Scan parquet") == 1, tree
