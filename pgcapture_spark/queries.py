@@ -144,13 +144,15 @@ _WINDOW: tuple[str, ...] = (
     "sim_pq_adc_ann",
     "sim_quantize_int8",
     "sim_ann_recall",
-    # new this round: in-band Relation-message schema learning (no DDL text)
-    # and the ANN recall tuning table
+    # new this round: in-band Relation-message schema learning (no DDL text),
+    # the ANN recall tuning table, and the pgoutput wire-framing end-to-end
+    # (a superset exercise of the typed customer apply, which the driver's
+    # entry() smoke still covers directly)
     "cdc_relation_learn",
     "sim_ann_tuning",
-    # already-green canaries: the reference's core surface stays exercised,
-    # incl. the composite binary apply whose decode path was fused this round
-    "cdc_apply_customer",
+    "cdc_apply_from_pgoutput",
+    # already-green canary: the composite binary apply whose decode path was
+    # fused this round
     "cdc_apply_from_binary_feed_composite",
 )
 
