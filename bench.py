@@ -57,6 +57,8 @@ HEADLINE = [
     "agg_heavy_hitters",
     "bpe_merge_candidates",
     "tpch_q2_min_cost_supplier",
+    "cdc_apply_from_pgoutput",
+    "cdc_apply_from_pglogical",
     # training-data operators
     "text_quality_score",
     "text_fingerprint",

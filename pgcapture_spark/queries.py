@@ -85,10 +85,11 @@ from pgcapture_spark.querydefs import (  # noqa: E402,F401
 # Verified coverage accumulates across rounds instead of re-checking greens.
 #
 # ROUND-4 ROTATION PLAN: if CORRECTNESS_r03 comes back green, the only
-# never-driver-verified queries left are the nine added after this window was
+# never-driver-verified queries left are the ones added after this window was
 # frozen — corpus_select_pipeline, corpus_select_neardup,
-# corpus_select_streamed, agg_heavy_hitters, bpe_merge_candidates, and
-# tpch_q2/q11/q15/q20 — put those first next round, pad with canaries.
+# corpus_select_streamed, agg_heavy_hitters, bpe_merge_candidates,
+# tpch_q2/q11/q15/q20, and cdc_apply_from_pglogical — put those first next
+# round, pad with canaries.
 _WINDOW: tuple[str, ...] = (
     # round-1 failures, fixed in r2 but rotated out before re-check
     "events_running_window",

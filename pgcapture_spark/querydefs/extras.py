@@ -370,17 +370,40 @@ def cdc_relation_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
     " cdc_apply_customer.",
 )
 def cdc_apply_from_pgoutput(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _apply_customer_from_frames(spark, sf_dir, dialect="pgoutput")
+
+
+@q(
+    "cdc_apply_from_pglogical",
+    apply_oracle_sql(cdc_customer_sql(DUCKDB), "customer", "c_custkey", CDC_COLS["customer"]),
+    "D5 — the reference's SECOND wire dialect end-to-end: the same feed as"
+    " pglogical_output frames (per-message flags byte, String8/String16"
+    " names, 'A'/'C'/'N' relation markers, 'T' tuple marker —"
+    " pkg/decode/pglogical.go:43-175). The R frame carries NO type OIDs, so"
+    " types and the identity key come from the schema registry (the"
+    " PGXSchemaLoader split of duties) while names/order come from the"
+    " wire; both dialects collapse to one downstream pipeline and the same"
+    " apply oracle.",
+)
+def cdc_apply_from_pglogical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _apply_customer_from_frames(spark, sf_dir, dialect="pglogical")
+
+
+def _apply_customer_from_frames(
+    spark: SparkSession, sf_dir: str, dialect: str
+) -> DataFrame:
+    """Shared frames→apply pipeline; ``dialect`` picks the wire codec and the
+    relation-metadata source (pgoutput: oids+key in-band; pglogical: names
+    in-band, types/key from the schema registry)."""
     from pyspark.sql import Window as W
 
-    from pgcapture_spark.functions.pgoutput import (
-        build_begin,
-        build_commit,
-        build_relation,
-        build_row_change,
-        parse_frames_udf,
-    )
+    from pgcapture_spark.functions import pglogical, pgoutput
     from pgcapture_spark.functions.pgtypes import ENCODERS, MICROS_Y2K_SHIFT
     from pgcapture_spark.operators.generic_feed import CUSTOMER_FIELD_OIDS
+
+    d = pgoutput if dialect == "pgoutput" else pglogical
+    build_begin, build_commit = d.build_begin, d.build_commit
+    build_row_change, parse_frames_udf = d.build_row_change, d.parse_frames_udf
 
     register_views(spark, sf_dir, ("customer",))
     typed = _feed(spark, sf_dir, "customer")
@@ -455,21 +478,35 @@ def cdc_apply_from_pgoutput(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ord",
         enc_frame("kind", "lsn", "cus").alias("data"),
     )
+    if dialect == "pgoutput":
+        rel_bytes = d.build_relation(
+            rel_oid, "public", "customer", "d",
+            [(n, o, n == "c_custkey") for n, o in cols],
+        )
+    else:
+        rel_bytes = d.build_relation(rel_oid, "public", "customer", [n for n, _ in cols])
     rel_frame = spark.createDataFrame(
-        [(0, 0, -1, build_relation(rel_oid, "public", "customer", "d",
-                                   [(n, o, n == "c_custkey") for n, o in cols]))],
-        "lsn bigint, seq int, ord bigint, data binary",
+        [(0, 0, -1, rel_bytes)], "lsn bigint, seq int, ord bigint, data binary"
     )
     frames = rel_frame.unionAll(rows).unionAll(frames_bc)
 
     # ---- consumer: ONE parse crossing, then pure Catalyst ----
     parsed = frames.select("lsn", "seq", "ord", parse_frames_udf()("data").alias("f"))
-    # in-band relation learning: the R frame (not a static config) names the
-    # columns, their type OIDs and the identity key
+    # in-band relation learning: the R frame names the columns (and, for
+    # pgoutput, their type OIDs and the identity key; pglogical's R carries
+    # names only, so types/key come from the schema registry — the
+    # PGXSchemaLoader split of duties)
     [rel] = parsed.where("f.op = 'RELATION'").select("f.rel_cols").collect()
-    learned = [(c["name"], c["oid"], bool(c["flag"] & 1)) for c in rel["rel_cols"]]
-    assert [(n, o) for n, o, _ in learned] == cols
-    [key] = [n for n, _, is_key in learned if is_key]
+    oid_of = dict(cols)
+    if dialect == "pgoutput":
+        learned = [(c["name"], c["oid"], bool(c["flag"] & 1)) for c in rel["rel_cols"]]
+        assert [(n, o) for n, o, _ in learned] == cols
+        [key] = [n for n, _, is_key in learned if is_key]
+    else:
+        learned = [(c["name"], oid_of[c["name"]], c["name"] == "c_custkey")
+                   for c in rel["rel_cols"]]
+        assert [n for n, _, _ in learned] == [n for n, _ in cols]
+        key = "c_custkey"
     cols_lit = "array(" + ", ".join(
         f"named_struct('name', '{n}', 'oid', {o})" for n, o, _ in learned
     ) + ")"

@@ -102,3 +102,46 @@ def test_parse_frames_udf_batch(spark):
     assert out[2].op == "INSERT" and out[2].rel_oid == 7
     assert [t.format for t in out[2].new_tuple] == ["b", "u"]
     assert out[3].op == "COMMIT" and out[3].end_lsn == 11
+
+
+# ---------------------------------------------------------- pglogical dialect
+
+from pgcapture_spark.functions import pglogical as pgl
+
+
+def test_pglogical_begin_commit_goldens():
+    b = pgl.build_begin(10, 999, 7)
+    assert len(b) == 22 and b[:2] == b"B\x00"  # the reference's length check
+    f = pgl.parse_frame(b)
+    assert (f["op"], f["final_lsn"], f["commit_us"], f["xid"]) == ("BEGIN", 10, 999, 7)
+    c = pgl.build_commit(10, 11, 999)
+    assert len(c) == 26
+    f = pgl.parse_frame(c)
+    assert (f["op"], f["commit_lsn"], f["end_lsn"]) == ("COMMIT", 10, 11)
+
+
+def test_pglogical_relation_markers_and_no_oids():
+    r = pgl.build_relation(16385, "public", "customer", ["c_custkey", "c_name"])
+    # 'A' attribute-list marker, per-column 'C' + flags + 'N' + String16 name
+    assert b"A\x00\x02C\x00N" in r
+    f = pgl.parse_frame(r)
+    assert f["op"] == "RELATION" and f["rel_nsp"] == "public"
+    assert [c["name"] for c in f["rel_cols"]] == ["c_custkey", "c_name"]
+    assert all(c["oid"] == 0 for c in f["rel_cols"])  # schema loader's job
+    # missing 'T' tuple marker must raise (the reference's guard)
+    bad = b"I\x00" + struct.pack(">I", 7) + b"N" + struct.pack(">h", 0)
+    try:
+        pgl.parse_frame(bad)
+        raise AssertionError("expected missing tuple marker to raise")
+    except ValueError as e:
+        assert "T" in str(e)
+
+
+def test_pglogical_row_change_roundtrip():
+    up = pgl.build_row_change(
+        "U", 9, [("b", b"\x01"), ("u", None)], [("b", b"\x02")], old_kind="K"
+    )
+    f = pgl.parse_frame(up)
+    assert f["op"] == "UPDATE" and f["rel_oid"] == 9
+    assert [t["format"] for t in f["new_tuple"]] == ["b", "u"]
+    assert f["old_tuple"][0]["bin"] == b"\x02"
