@@ -76,6 +76,13 @@ HEADLINE = [
     "sim_ivf_ann",
     "sim_pq_adc_ann",
     "media_features_pandas",
+    # r3 second-wave ops: rule gates, mixture sampling, dataset stats,
+    # edit-distance verify, semantic dedup
+    "text_quality_rules",
+    "corpus_mix_sample",
+    "corpus_stats",
+    "dedup_editdist_verify",
+    "dedup_semantic",
 ]
 
 

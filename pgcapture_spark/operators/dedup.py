@@ -368,3 +368,45 @@ def connected_components_star(
     return nodes.select("doc_id").join(roots, on="doc_id", how="left").select(
         "doc_id", F.coalesce("_root", "doc_id").alias("canonical_id")
     )
+
+
+def editdist_verified_pairs(
+    docs: DataFrame,
+    k: int = 8,
+    bands: int = 4,
+    jaccard_floor: float = 0.1,
+    prefix: int = 120,
+) -> DataFrame:
+    """Near-dup candidates (MinHash LSH banding) re-verified by EDIT DISTANCE:
+    the second-stage filter fuzzy-dedup pipelines run when token-set overlap
+    is too coarse (reorderings score high Jaccard but high edit distance).
+
+    Scale shape: candidate generation is the bounded LSH bucket join (never
+    all-pairs); the verify step pulls a fixed-length text PREFIX per side —
+    Levenshtein is O(prefix²) per pair, constant and cache-friendly, instead
+    of O(len²) on unbounded documents, and the join ships ``prefix`` chars
+    per row, not whole documents.
+
+    Output: (a_id, b_id, jaccard, lev, norm_lev, near_dup)."""
+    pairs = minhash_lsh_pairs(docs, k=k, bands=bands, threshold=jaccard_floor)
+    texts = docs.select("doc_id", F.expr(f"substring(text, 1, {prefix})").alias("_pfx"))
+    a_t = texts.select(F.col("doc_id").alias("a_id"), F.col("_pfx").alias("_pa"))
+    b_t = texts.select(F.col("doc_id").alias("b_id"), F.col("_pfx").alias("_pb"))
+    verified = (
+        pairs.join(a_t, "a_id")
+        .join(b_t, "b_id")
+        .withColumn("lev", F.levenshtein("_pa", "_pb").cast("long"))
+        .withColumn(
+            "norm_lev",
+            F.col("lev").cast("double")
+            / F.greatest(F.length("_pa"), F.length("_pb"), F.lit(1)),
+        )
+    )
+    return verified.select(
+        "a_id",
+        "b_id",
+        "jaccard",
+        "lev",
+        "norm_lev",
+        (F.col("norm_lev") <= 0.8).alias("near_dup"),
+    )

@@ -185,6 +185,84 @@ def centroid_vectors(embeddings: DataFrame) -> DataFrame:
     )
 
 
+def _local_quantizer(embeddings: DataFrame) -> DataFrame:
+    """The coarse quantizer materialized ONCE and re-injected as ONE local
+    row of array<struct> — left as a lazy plan it would recompute (explode +
+    two aggregations) in both branches of any self-join over the assigned
+    cells. It is ≤ #cells rows — IVF coarse quantizers are driver-resident in
+    any real ANN system, 100 TB included."""
+    cent_rows = centroid_vectors(embeddings).collect()
+    cents_local = sorted(
+        (int(r["c_label"]), [float(v) for v in r["c_e"]]) for r in cent_rows
+    )
+    return embeddings.sparkSession.createDataFrame(
+        [(cents_local,)], "cents array<struct<c_label:int,c_e:array<double>>>"
+    )
+
+
+def _argmin_cell_expr():
+    """Nearest-centroid cell id: struct ordering = (d2, lbl) lexicographic, so
+    array_min IS min_by(struct(dist2, label)) — one dist2 per centroid."""
+    return F.expr(
+        "array_min(transform(cents, c -> "
+        f"struct({DIST2_EXPR.format(a='emb_d', b='c.c_e')} AS d2, c.c_label AS lbl))).lbl"
+    )
+
+
+def semantic_dedup(
+    embeddings: DataFrame, threshold: float = 0.30, quant: int = 1_000_000
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (cf. Abbas et al. 2023,
+    "SemDeDup: Data-efficient learning at web-scale through semantic
+    deduplication"): assign every vector to its nearest-centroid cell
+    (deterministic coarse quantizer = decimal-exact label centroids, where a
+    trained k-means would slot in identically), then inside each cell drop any
+    vector whose cosine to a LOWER-id cell-mate is ≥ threshold, reporting the
+    lowest-id witness.
+
+    Plan shape for 100 TB: the quantizer broadcast + per-row argmin fuse into
+    the scan (zero shuffle), then ONE hash shuffle on cell co-locates each
+    cluster for the within-cell self-join — candidate pairs are bounded by the
+    cell size, never the corpus size (the reason SemDeDup clusters before
+    comparing at all). The witness pick is a per-vec_id min — folded into the
+    same aggregation.
+
+    Output: (vec_id, witness_id, cell, cosine) — one row per DROPPED vector.
+    """
+    normed = with_norm(embeddings).select("vec_id", "emb_d", "norm")
+    cents_row = _local_quantizer(embeddings)
+    cells = (
+        normed.join(F.broadcast(cents_row))
+        .withColumn("cell", _argmin_cell_expr())
+        .drop("cents")
+    )
+    a = cells.select(
+        F.col("vec_id").alias("witness_cand"),
+        F.col("emb_d").alias("a_emb"),
+        F.col("norm").alias("a_norm"),
+        F.col("cell"),
+    )
+    b = cells.select(
+        F.col("vec_id").alias("vec_id"),
+        F.col("emb_d").alias("b_emb"),
+        F.col("norm").alias("b_norm"),
+        F.col("cell"),
+    )
+    pairs = a.join(b, on="cell").where(F.col("witness_cand") < F.col("vec_id"))
+    scored = pairs.withColumn(
+        "raw",
+        F.expr(DOT_EXPR.format(a="a_emb", b="b_emb"))
+        / (F.col("a_norm") * F.col("b_norm")),
+    ).where(F.col("raw") >= threshold)
+    # lowest-id witness per dropped vector, its cosine carried by min_by
+    return scored.groupBy("vec_id", "cell").agg(
+        F.min("witness_cand").alias("witness_id"),
+        (
+            F.floor(F.expr("min_by(raw, witness_cand)") * quant + F.lit(0.5)) / quant
+        ).alias("cosine"),
+    ).select("vec_id", "witness_id", "cell", "cosine")
+
+
 def ivf_topk(
     embeddings: DataFrame,
     query_pred: str,
@@ -205,26 +283,10 @@ def ivf_topk(
     per-query rank window. Ties in the argmin are broken by label; exact
     distance ties are measure-zero on continuous data."""
     normed = with_norm(embeddings).select("vec_id", "emb_d", "norm")
-    # materialize the coarse quantizer ONCE and re-inject it as local data:
-    # left as a lazy plan it would recompute (explode + two aggregations) in
-    # BOTH branches of the self-join below. It is ≤ #cells rows — IVF coarse
-    # quantizers are driver-resident in any real ANN system, 100 TB included.
-    cent_rows = centroid_vectors(embeddings).collect()
-    cents_local = sorted(
-        (int(r["c_label"]), [float(v) for v in r["c_e"]]) for r in cent_rows
-    )
-    cents_row = embeddings.sparkSession.createDataFrame(
-        [(cents_local,)], "cents array<struct<c_label:int,c_e:array<double>>>"
-    )
-    # struct ordering = (d2, lbl) lexicographic, so array_min IS
-    # min_by(struct(dist2, label)) — one dist2 evaluation per centroid
-    argmin_cell = F.expr(
-        "array_min(transform(cents, c -> "
-        f"struct({DIST2_EXPR.format(a='emb_d', b='c.c_e')} AS d2, c.c_label AS lbl))).lbl"
-    )
+    cents_row = _local_quantizer(embeddings)
     cells = (
         normed.join(F.broadcast(cents_row))
-        .withColumn("cell", argmin_cell)
+        .withColumn("cell", _argmin_cell_expr())
         .drop("cents")
     )
     if nprobe == 1:

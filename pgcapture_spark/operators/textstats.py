@@ -408,3 +408,142 @@ def decontaminate(docs: DataFrame, eval_pred: str = "doc_id % 97 = 5") -> DataFr
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_shared_grams"))
     )
+
+
+# ---------------------------------------------------------- rule-based gates
+
+# Gopher/C4-style document quality rules (cf. Rae et al. 2021 "Scaling
+# Language Models: ... Gopher" table A1; Raffel et al. 2020 C4 heuristics).
+# Each rule is a boolean; `keep` is their conjunction. All metrics are pure
+# per-row expressions — one tokenize, no shuffle, fused into the scan.
+STOPWORDS = ("the", "a", "of", "value", "table")
+
+
+def quality_rules(docs: DataFrame) -> DataFrame:
+    """Per-document rule flags + keep decision.
+
+    Rules (metric → bound): token count in [20, 100000]; mean token length in
+    [2, 12]; fraction of tokens containing a letter >= 0.8; symbol ratio
+    ('#'/'…' per token) <= 0.1; distinct-token fraction >= 0.3 (the repetition
+    gate — word-soup spam collapses here); >= 2 distinct stopwords present.
+    """
+    stops = ", ".join(f"'{s}'" for s in STOPWORDS)
+    df = ensure_parallelism(docs).select(
+        "doc_id",
+        F.expr(TOKENS_EXPR).alias("tokens"),
+        F.length("text").alias("n_chars"),
+        (
+            F.length("text") - F.length(F.expr("translate(text, '#…', '')"))
+        ).alias("_n_sym"),
+    )
+    m = df.select(
+        "doc_id",
+        F.size("tokens").alias("n_tokens"),
+        (
+            F.expr("aggregate(tokens, 0L, (acc, t) -> acc + length(t))").cast("double")
+            / F.greatest(F.size("tokens"), F.lit(1))
+        ).alias("mean_token_len"),
+        (
+            F.expr("size(filter(tokens, t -> t rlike '[a-z]'))").cast("double")
+            / F.greatest(F.size("tokens"), F.lit(1))
+        ).alias("frac_alpha_tokens"),
+        (
+            F.col("_n_sym").cast("double") / F.greatest(F.size("tokens"), F.lit(1))
+        ).alias("symbol_ratio"),
+        (
+            F.expr("size(array_distinct(tokens))").cast("double")
+            / F.greatest(F.size("tokens"), F.lit(1))
+        ).alias("frac_distinct_tokens"),
+        F.expr(f"size(array_intersect(tokens, array({stops})))").alias(
+            "n_distinct_stopwords"
+        ),
+    )
+    rules = m.select(
+        "*",
+        ((F.col("n_tokens") >= 20) & (F.col("n_tokens") <= 100000)).alias("r_wordcount"),
+        ((F.col("mean_token_len") >= 2.0) & (F.col("mean_token_len") <= 12.0)).alias(
+            "r_meanlen"
+        ),
+        (F.col("frac_alpha_tokens") >= 0.8).alias("r_alpha"),
+        (F.col("symbol_ratio") <= 0.1).alias("r_symbols"),
+        (F.col("frac_distinct_tokens") >= 0.3).alias("r_distinct"),
+        (F.col("n_distinct_stopwords") >= 2).alias("r_stopwords"),
+    )
+    return rules.withColumn(
+        "keep",
+        F.col("r_wordcount")
+        & F.col("r_meanlen")
+        & F.col("r_alpha")
+        & F.col("r_symbols")
+        & F.col("r_distinct")
+        & F.col("r_stopwords"),
+    )
+
+
+def mix_sample(
+    docs: DataFrame, alpha: float = 0.5, target_frac: float = 0.5
+) -> DataFrame:
+    """Temperature-based domain-mixture sampling (the multilingual-corpus
+    rebalance: sample language l with probability ∝ n_l^alpha, cf. the
+    mBERT/XLM exponential-smoothing recipe). Deterministic: the per-doc coin
+    is md5(doc_id) mapped to [0,1), so the sample is reproducible across runs,
+    engines and cluster layouts.
+
+    Scale shape: ONE tiny groupBy(lang) builds the rate table (≤ #langs rows,
+    broadcast back); the keep decision is a per-row hash compare fused into
+    the scan — no corpus shuffle at all. Weights are quantized to integers
+    before the cross-language sum so the rate is bit-identical cross-engine.
+
+    Output: the sampled rows (doc_id, lang, rate) — rate floor-quantized."""
+    counts = docs.groupBy("lang").agg(F.count("*").alias("n_l"))
+    tot = counts.agg(
+        F.sum("n_l").alias("n_total"),
+        F.sum(F.expr(f"CAST(floor(pow(n_l, {alpha}) * 1000000 + 0.5) AS BIGINT)")).alias(
+            "w_total"
+        ),
+    )
+    rates = (
+        counts.join(F.broadcast(tot))
+        .withColumn(
+            "wq", F.expr(f"CAST(floor(pow(n_l, {alpha}) * 1000000 + 0.5) AS BIGINT)")
+        )
+        .withColumn(
+            "rate",
+            F.expr(
+                f"least(1.0, {target_frac} * CAST(wq AS DOUBLE) / w_total"
+                " * n_total / n_l)"
+            ),
+        )
+        .select("lang", "rate")
+    )
+    u = F.expr(
+        "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT)"
+        " / 4294967296.0"
+    )
+    return (
+        ensure_parallelism(docs)
+        .join(F.broadcast(rates), on="lang")
+        .where(u < F.col("rate"))
+        .select(
+            "doc_id",
+            "lang",
+            (F.floor(F.col("rate") * 1000000 + F.lit(0.5)) / 1000000).alias("rate"),
+        )
+    )
+
+
+def corpus_stats(docs: DataFrame) -> DataFrame:
+    """Per-(lang, source) dataset statistics: doc count, token totals, exact
+    token-count median/p90 — the dataset-card numbers a curation pipeline
+    reports. One tokenize + one groupBy; exact percentiles (interpolating
+    definition, identical formula cross-engine on integer inputs)."""
+    base = with_tokens(docs).select(
+        "lang", "source", F.size("tokens").alias("n_tokens"), F.length("text").alias("n_chars")
+    )
+    return base.groupBy("lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        (F.sum("n_chars").cast("double") / F.count("*")).alias("mean_chars"),
+        F.expr("percentile(n_tokens, 0.5D)").alias("median_tokens"),
+        F.expr("percentile(n_tokens, 0.9D)").alias("p90_tokens"),
+    )

@@ -744,3 +744,138 @@ def corpus_select_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_select(
         spark.table("documents"), min_quality=0.5, min_tokens=20, langs=("en", "de")
     )
+
+
+# ------------------------------------------------- rule gates / mix / stats
+
+_DUCK_RULES = f"""
+WITH t AS (SELECT doc_id, text, {_DUCK_TOKENS} AS tokens FROM documents),
+m AS (
+  SELECT doc_id,
+         len(tokens) AS n_tokens,
+         CAST(coalesce(list_sum(list_transform(tokens, x -> length(x))), 0) AS DOUBLE)
+           / greatest(len(tokens), 1) AS mean_token_len,
+         CAST(len(list_filter(tokens, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE)
+           / greatest(len(tokens), 1) AS frac_alpha_tokens,
+         CAST(length(text) - length(replace(replace(text, '#', ''), '…', '')) AS DOUBLE)
+           / greatest(len(tokens), 1) AS symbol_ratio,
+         CAST(len(list_distinct(tokens)) AS DOUBLE)
+           / greatest(len(tokens), 1) AS frac_distinct_tokens,
+         len(list_filter(['the', 'a', 'of', 'value', 'table'],
+                         s -> list_contains(tokens, s))) AS n_distinct_stopwords
+  FROM t)
+SELECT doc_id, n_tokens, mean_token_len, frac_alpha_tokens, symbol_ratio,
+       frac_distinct_tokens, n_distinct_stopwords,
+       (n_tokens BETWEEN 20 AND 100000) AS r_wordcount,
+       (mean_token_len BETWEEN 2.0 AND 12.0) AS r_meanlen,
+       (frac_alpha_tokens >= 0.8) AS r_alpha,
+       (symbol_ratio <= 0.1) AS r_symbols,
+       (frac_distinct_tokens >= 0.3) AS r_distinct,
+       (n_distinct_stopwords >= 2) AS r_stopwords,
+       ((n_tokens BETWEEN 20 AND 100000) AND (mean_token_len BETWEEN 2.0 AND 12.0)
+        AND frac_alpha_tokens >= 0.8 AND symbol_ratio <= 0.1
+        AND frac_distinct_tokens >= 0.3 AND n_distinct_stopwords >= 2) AS keep
+FROM m
+"""
+
+
+@q(
+    "text_quality_rules",
+    _DUCK_RULES,
+    "North-star: Gopher/C4-style rule-based quality gate — token-count bounds,"
+    " mean token length, alphabetic fraction, symbol ratio, distinct-token"
+    " (repetition) fraction, stopword presence; per-row expressions fused"
+    " into the scan, zero shuffles.",
+)
+def text_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pgcapture_spark.operators.textstats import quality_rules
+
+    register_views(spark, sf_dir, ("documents",))
+    out = quality_rules(spark.table("documents"))
+    return out.drop("tokens")
+
+
+_DUCK_MIX = """
+WITH counts AS (SELECT lang, count(*) AS n_l FROM documents GROUP BY lang),
+tot AS (SELECT CAST(sum(n_l) AS BIGINT) AS n_total,
+               CAST(sum(CAST(floor(pow(n_l, 0.5) * 1000000 + 0.5) AS BIGINT)) AS BIGINT)
+                 AS w_total
+        FROM counts),
+rates AS (
+  SELECT lang,
+         least(1.0, 0.5 * CAST(CAST(floor(pow(n_l, 0.5) * 1000000 + 0.5) AS BIGINT)
+                               AS DOUBLE) / w_total * n_total / n_l) AS rate
+  FROM counts CROSS JOIN tot)
+SELECT d.doc_id, d.lang, floor(r.rate * 1000000 + 0.5) / 1000000 AS rate
+FROM documents d JOIN rates r USING (lang)
+WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT / 4294967296.0
+      < r.rate
+"""
+
+
+@q(
+    "corpus_mix_sample",
+    _DUCK_MIX,
+    "North-star: temperature-based domain-mixture sampling (p_l ∝ n_l^0.5,"
+    " the multilingual rebalance) — deterministic md5(doc_id) coin, tiny"
+    " rate table broadcast back, keep decision fused into the scan.",
+)
+def corpus_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pgcapture_spark.operators.textstats import mix_sample
+
+    register_views(spark, sf_dir, ("documents",))
+    return mix_sample(spark.table("documents"), alpha=0.5, target_frac=0.5)
+
+
+_DUCK_STATS = f"""
+WITH t AS (SELECT lang, source, len({_DUCK_TOKENS}) AS n_tokens,
+                  length(text) AS n_chars FROM documents)
+SELECT lang, source, count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(sum(n_chars) AS DOUBLE) / count(*) AS mean_chars,
+       quantile_cont(n_tokens, 0.5) AS median_tokens,
+       quantile_cont(n_tokens, 0.9) AS p90_tokens
+FROM t GROUP BY lang, source
+"""
+
+
+@q(
+    "corpus_stats",
+    _DUCK_STATS,
+    "North-star: per-(lang, source) dataset-card statistics — counts, token"
+    " totals, exact interpolated median/p90 token counts; one tokenize, one"
+    " groupBy.",
+)
+def corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pgcapture_spark.operators.textstats import corpus_stats as _stats
+
+    register_views(spark, sf_dir, ("documents",))
+    return _stats(spark.table("documents"))
+
+
+_DUCK_EDITDIST = f"""
+WITH pairs AS (SELECT a_id, b_id, jaccard FROM ({_duck_minhash_sql()}) mh),
+t AS (SELECT doc_id, substr(text, 1, 120) AS pfx FROM documents)
+SELECT p.a_id, p.b_id, p.jaccard,
+       CAST(levenshtein(ta.pfx, tb.pfx) AS BIGINT) AS lev,
+       CAST(levenshtein(ta.pfx, tb.pfx) AS DOUBLE)
+         / greatest(length(ta.pfx), length(tb.pfx), 1) AS norm_lev,
+       (CAST(levenshtein(ta.pfx, tb.pfx) AS DOUBLE)
+         / greatest(length(ta.pfx), length(tb.pfx), 1) <= 0.8) AS near_dup
+FROM pairs p JOIN t ta ON ta.doc_id = p.a_id JOIN t tb ON tb.doc_id = p.b_id
+"""
+
+
+@q(
+    "dedup_editdist_verify",
+    _DUCK_EDITDIST,
+    "North-star: fuzzy dedup second stage — MinHash-LSH candidates re-verified"
+    " by Levenshtein over fixed 120-char prefixes (O(prefix²) per pair, never"
+    " O(len²) on unbounded docs); candidates stay LSH-bounded, never"
+    " all-pairs.",
+)
+def dedup_editdist_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pgcapture_spark.operators.dedup import editdist_verified_pairs
+
+    register_views(spark, sf_dir, ("documents",))
+    return editdist_verified_pairs(spark.table("documents"))

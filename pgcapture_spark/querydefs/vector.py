@@ -180,6 +180,59 @@ def sim_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(spark.table("embeddings"), "vec_id % 25 = 1", k=3)
 
 
+_DUCK_SEMDEDUP = f"""
+WITH normed AS ({_DUCK_NORMED}),
+ex AS (
+  SELECT label, i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS val
+  FROM embeddings, range(1, 65) t(i)
+),
+centd AS (
+  SELECT label, dim,
+         CAST(sum(CAST(floor(val * 1000000000 + 0.5) AS BIGINT)) AS DOUBLE)
+           / 1000000000.0 / count(*) AS mean_val
+  FROM ex GROUP BY label, dim
+),
+cent AS (SELECT label AS c_label, list(mean_val ORDER BY dim) AS c_e
+         FROM centd GROUP BY label),
+dists AS (
+  SELECT n.vec_id, c.c_label,
+         list_sum(list_transform(range(1, 65),
+                  i -> (n.e[i] - c.c_e[i]) * (n.e[i] - c.c_e[i]))) AS dist2
+  FROM normed n CROSS JOIN cent c
+),
+assign AS (SELECT vec_id, c_label AS cell FROM (
+             SELECT vec_id, c_label,
+                    row_number() OVER (PARTITION BY vec_id ORDER BY dist2, c_label) AS rn
+             FROM dists) WHERE rn = 1),
+cells AS (SELECT n.vec_id, n.e, n.norm, a.cell FROM normed n JOIN assign a USING (vec_id)),
+pairs AS (
+  SELECT b.vec_id, a.vec_id AS witness_cand, a.cell,
+         list_sum(list_transform(range(1, 65), i -> a.e[i] * b.e[i])) / (a.norm * b.norm)
+           AS raw
+  FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id < b.vec_id
+)
+SELECT vec_id, min(witness_cand) AS witness_id, cell,
+       floor(min_by(raw, witness_cand) * 1000000 + 0.5) / 1000000 AS cosine
+FROM pairs WHERE raw >= 0.30
+GROUP BY vec_id, cell
+"""
+
+
+@q(
+    "dedup_semantic",
+    _DUCK_SEMDEDUP,
+    "North-star: SemDeDup-style semantic deduplication — nearest-centroid"
+    " cluster assignment (deterministic coarse quantizer), within-cluster"
+    " cosine >= 0.30, drop the higher id, report the lowest-id witness."
+    " Candidate pairs bounded by the cluster, never the corpus.",
+)
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pgcapture_spark.operators.similarity import semantic_dedup
+
+    register_views(spark, sf_dir, ("embeddings",))
+    return semantic_dedup(spark.table("embeddings"), threshold=0.30)
+
+
 _DUCK_CENTROIDS = """
 WITH ex AS (
   SELECT label, i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS val
