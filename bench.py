@@ -83,6 +83,7 @@ HEADLINE = [
     "corpus_stats",
     "dedup_editdist_verify",
     "dedup_semantic",
+    "text_bpe_tokenize",
 ]
 
 

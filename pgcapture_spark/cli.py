@@ -138,6 +138,34 @@ def _cmd_select(args) -> int:
     return 0
 
 
+def _cmd_stats(args) -> int:
+    from pgcapture_spark.operators.textstats import corpus_stats
+
+    spark = get_spark(app="pgcs-stats")
+    docs = spark.read.parquet(args.docs)
+    rows = corpus_stats(docs).orderBy("lang", "source").collect()
+    print(f"{'lang':5} {'source':8} {'docs':>6} {'tokens':>9} {'mean_chars':>10} "
+          f"{'med_tok':>8} {'p90_tok':>8}")
+    for r in rows:
+        print(
+            f"{r.lang:5} {r.source:8} {r.n_docs:6d} {r.total_tokens:9d} "
+            f"{r.mean_chars:10.1f} {r.median_tokens:8.1f} {r.p90_tokens:8.1f}"
+        )
+    return 0
+
+
+def _cmd_mix(args) -> int:
+    from pgcapture_spark.operators.textstats import mix_sample
+
+    spark = get_spark(app="pgcs-mix")
+    docs = spark.read.parquet(args.docs)
+    out = mix_sample(docs, alpha=args.alpha, target_frac=args.target_frac)
+    out.write.mode("overwrite").parquet(args.out_dir)
+    n_in, n_out = docs.count(), spark.read.parquet(args.out_dir).count()
+    print(f"sampled {n_out}/{n_in} docs (alpha={args.alpha}) into {args.out_dir}")
+    return 0
+
+
 def _cmd_ann_tune(args) -> int:
     from pgcapture_spark.queries import REGISTRY
 
@@ -209,6 +237,17 @@ def build_parser() -> argparse.ArgumentParser:
     at = sub.add_parser("ann-tune", help="ANN recall@3 tuning table")
     at.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     at.set_defaults(fn=_cmd_ann_tune)
+
+    st = sub.add_parser("stats", help="per-(lang, source) dataset-card stats")
+    st.add_argument("--docs", required=True)
+    st.set_defaults(fn=_cmd_stats)
+
+    mx = sub.add_parser("mix", help="temperature domain-mixture sampling")
+    mx.add_argument("--docs", required=True)
+    mx.add_argument("--out-dir", required=True)
+    mx.add_argument("--alpha", type=float, default=0.5)
+    mx.add_argument("--target-frac", type=float, default=0.5)
+    mx.set_defaults(fn=_cmd_mix)
     return p
 
 

@@ -547,3 +547,69 @@ def corpus_stats(docs: DataFrame) -> DataFrame:
         F.expr("percentile(n_tokens, 0.5D)").alias("median_tokens"),
         F.expr("percentile(n_tokens, 0.9D)").alias("p90_tokens"),
     )
+
+
+def bpe_merge_table(docs: DataFrame, k: int = 12) -> list[tuple[str, str]]:
+    """Top-k character-pair merges by corpus frequency (rank = cnt DESC, pair
+    ASC) — the single-pass approximation of BPE training's first k merges
+    (true BPE recounts after each merge; rank-ordered application below is
+    the standard APPLY semantics given any merge table). k-bounded driver
+    collect: a tokenizer merge table is driver/broadcast-resident in any real
+    pipeline, 100 TB included."""
+    pairs = (
+        with_tokens(docs)
+        .select(F.explode("tokens").alias("token"))
+        .select(F.expr("split(token, '')").alias("ch"))
+        .where(F.size("ch") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "zip_with(slice(ch, 1, size(ch) - 1), slice(ch, 2, size(ch) - 1),"
+                    " (x, y) -> concat(x, ' ', y))"
+                )
+            ).alias("pair")
+        )
+        .groupBy("pair")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("pair"))
+        .limit(k)
+    )
+    return [(r["pair"], r["pair"].replace(" ", "")) for r in pairs.collect()]
+
+
+def bpe_tokenize(docs: DataFrame, k: int = 12) -> DataFrame:
+    """Apply the learned BPE merge table: each token becomes its spaced char
+    sequence, merges replace in rank order (left-to-right non-overlapping —
+    the BPE apply convention), and the doc reports its unit count plus the
+    first token's segmentation (so the hash check pins the actual merge
+    application, not just counts).
+
+    Scale shape: the merge table is a list of literal string replaces baked
+    into ONE per-row projection — whole-stage-codegen JVM string ops, zero
+    Python, zero shuffles beyond the tiny pair-count groupBy that trains the
+    table. Output: (doc_id, n_tokens, n_chars_tok, n_bpe_units, bpe_ratio,
+    first_token_bpe)."""
+    merges = bpe_merge_table(docs, k=k)
+    apply_expr = "trim(regexp_replace(t, '(.)', '$1 '))"
+    for pair, merged in merges:
+        apply_expr = f"replace({apply_expr}, '{pair}', '{merged}')"
+    df = with_tokens(ensure_parallelism(docs)).select(
+        "doc_id",
+        "tokens",
+        F.expr(f"transform(tokens, t -> {apply_expr})").alias("bpe_arr"),
+    )
+    return df.select(
+        "doc_id",
+        F.size("tokens").cast("long").alias("n_tokens"),
+        F.expr("aggregate(tokens, 0L, (acc, t) -> acc + length(t))").alias(
+            "n_chars_tok"
+        ),
+        F.expr(
+            "aggregate(bpe_arr, 0L, (acc, s) -> acc + size(split(s, ' ')))"
+        ).alias("n_bpe_units"),
+        F.expr(
+            "CAST(aggregate(bpe_arr, 0L, (acc, s) -> acc + size(split(s, ' '))) AS DOUBLE)"
+            " / greatest(aggregate(tokens, 0L, (acc, t) -> acc + length(t)), 1)"
+        ).alias("bpe_ratio"),
+        F.expr("coalesce(element_at(bpe_arr, 1), '')").alias("first_token_bpe"),
+    )

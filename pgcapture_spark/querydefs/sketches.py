@@ -126,3 +126,70 @@ def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.explode(F.expr(BIGRAMS_EXPR)).alias("bigram"))
     )
     return heavy_hitters(bigrams, "bigram", threshold_frac=0.0005, capacity=4000)
+
+
+def _duck_bpe_apply_sql(k: int = 12) -> str:
+    # rank-ordered nested replaces; ranks beyond the learned table collapse to
+    # identity via the chr(1) sentinel (never present in text)
+    expr = r"trim(regexp_replace(token, '(.)', '\1 ', 'g'))"
+    for r in range(1, k + 1):
+        expr = (
+            f"replace({expr}, coalesce((SELECT pair FROM merges WHERE rnk = {r}),"
+            f" chr(1)), coalesce((SELECT merged FROM merges WHERE rnk = {r}), chr(1)))"
+        )
+    return rf"""
+WITH tok AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+                             t -> len(t) > 0) AS tokens
+  FROM documents
+),
+tr AS (SELECT doc_id, unnest(tokens) AS token FROM tok),
+prs AS (
+  SELECT unnest(list_transform(range(1, len(ch)), i -> ch[i] || ' ' || ch[i + 1]))
+    AS pair
+  FROM (SELECT string_split(token, '') AS ch FROM tr) WHERE len(ch) >= 2
+),
+merges AS (
+  SELECT pair, replace(pair, ' ', '') AS merged,
+         row_number() OVER (ORDER BY count(*) DESC, pair) AS rnk
+  FROM prs GROUP BY pair QUALIFY rnk <= {k}
+),
+applied AS (
+  SELECT doc_id, token, row_number() OVER (PARTITION BY doc_id ORDER BY rowid)
+    AS tpos, {expr} AS bpe
+  FROM (SELECT doc_id, token, row_number() OVER () AS rowid FROM tr)
+),
+per_doc AS (
+  SELECT doc_id, count(*) AS n_tokens,
+         CAST(sum(length(token)) AS BIGINT) AS n_chars_tok,
+         CAST(sum(len(string_split(bpe, ' '))) AS BIGINT) AS n_bpe_units,
+         CAST(sum(len(string_split(bpe, ' '))) AS DOUBLE)
+           / greatest(sum(length(token)), 1) AS bpe_ratio,
+         coalesce(min_by(bpe, tpos), '') AS first_token_bpe
+  FROM applied GROUP BY doc_id
+)
+SELECT t.doc_id, coalesce(p.n_tokens, 0) AS n_tokens,
+       coalesce(p.n_chars_tok, 0) AS n_chars_tok,
+       coalesce(p.n_bpe_units, 0) AS n_bpe_units,
+       coalesce(p.bpe_ratio, 0.0) AS bpe_ratio,
+       coalesce(p.first_token_bpe, '') AS first_token_bpe
+FROM tok t LEFT JOIN per_doc p USING (doc_id)
+"""
+
+
+@q(
+    "text_bpe_tokenize",
+    _duck_bpe_apply_sql(),
+    "North-star: BPE tokenizer APPLY — the top-12 character-pair merges"
+    " (rank = corpus count DESC, pair ASC; single-pass approximation of BPE"
+    " training) applied in rank order as literal string replaces baked into"
+    " ONE per-row JVM projection. The merge table is k-bounded and"
+    " driver/broadcast-resident, as in any real tokenizer deployment; the"
+    " first token's segmentation rides along so the hash pins the actual"
+    " merge application.",
+)
+def text_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pgcapture_spark.operators.textstats import bpe_tokenize
+
+    register_views(spark, sf_dir, ("documents",))
+    return bpe_tokenize(spark.table("documents"), k=12)

@@ -116,3 +116,30 @@ def test_cli_ann_tune(capsys):
     # all three families at their parameter points
     for frag in ("signlsh", "nbits=4", "ivf", "nprobe=2", "pq", "m=8"):
         assert frag in out, out
+
+
+def test_cli_stats(capsys):
+    docs_path = f"{SF_SMALL}/documents.parquet"
+    assert main(["stats", "--docs", docs_path]) == 0
+    out = capsys.readouterr().out
+    assert "lang" in out and "med_tok" in out
+    assert any(line.startswith("en") for line in out.splitlines())
+
+
+def test_cli_mix(spark, capsys):
+    import shutil
+    import tempfile
+
+    from pgcapture_spark.operators.textstats import mix_sample
+
+    d = tempfile.mkdtemp(prefix="pgcs_cli_mix_")
+    try:
+        docs_path = f"{SF_SMALL}/documents.parquet"
+        assert main(["mix", "--docs", docs_path, "--out-dir", f"{d}/mix"]) == 0
+        got = spark.read.parquet(f"{d}/mix")
+        want = mix_sample(spark.read.parquet(docs_path))
+        assert got.count() == want.count() > 0
+        out = capsys.readouterr().out
+        assert "sampled" in out
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

@@ -117,6 +117,40 @@ class TestEditdistVerify:
         assert zero.count() >= 1
 
 
+class TestBpeTokenize:
+    def test_units_bounded_by_chars(self, spark):
+        from pgcapture_spark.operators.textstats import bpe_tokenize
+
+        out = bpe_tokenize(_docs(spark), k=12)
+        # merges only ever shrink: n_tokens <= units <= chars
+        bad = out.where(
+            (F.col("n_bpe_units") > F.col("n_chars_tok"))
+            | (F.col("n_bpe_units") < F.col("n_tokens"))
+        )
+        assert bad.count() == 0
+
+    def test_segmentation_joins_back_to_token(self, spark):
+        from pgcapture_spark.operators.textstats import bpe_tokenize
+        from pgcapture_spark.operators.textstats import with_tokens
+
+        out = bpe_tokenize(_docs(spark), k=12).select("doc_id", "first_token_bpe")
+        first = with_tokens(_docs(spark)).select(
+            "doc_id", F.expr("coalesce(element_at(tokens, 1), '')").alias("tok")
+        )
+        j = out.join(first, "doc_id").where(
+            F.expr("replace(first_token_bpe, ' ', '')") != F.col("tok")
+        )
+        assert j.count() == 0
+
+    def test_merge_table_ranked(self, spark):
+        from pgcapture_spark.operators.textstats import bpe_merge_table
+
+        merges = bpe_merge_table(_docs(spark), k=12)
+        assert 0 < len(merges) <= 12
+        for pair, merged in merges:
+            assert merged == pair.replace(" ", "")
+
+
 class TestSemanticDedup:
     def test_witness_below_dropped(self, spark):
         out = semantic_dedup(_embs(spark)).collect()

@@ -269,3 +269,35 @@ def test_window_gauntlet_single_scan_single_sort(spark):
     assert simple.count("Exchange hashpartitioning") == 1, simple
     tree = plan_tree(spark, "events_window_gauntlet")
     assert tree.count("Scan parquet") == 1, tree
+
+
+def test_quality_rules_zero_shuffle(spark):
+    """The rule gate is pure per-row expressions — no Exchange at all."""
+    tree = plan_tree(spark, "text_quality_rules")
+    assert tree.count("Exchange") <= 1  # at most the ensure_parallelism repartition
+    assert "SortMergeJoin" not in tree and "HashAggregate" not in tree
+
+
+def test_mix_sample_broadcasts_rate_table(spark):
+    """Rate table (≤ #langs rows) must broadcast; the corpus side must NOT
+    shuffle on lang."""
+    tree = plan_tree(spark, "corpus_mix_sample")
+    assert "BroadcastHashJoin" in tree
+    assert "SortMergeJoin" not in tree
+
+
+def test_semantic_dedup_single_cell_shuffle(spark):
+    """Quantizer broadcast + per-row argmin; the within-cell self-join is the
+    only corpus shuffle (plus the final group) — no SMJ on the full corpus
+    without co-location, no nested-loop blowup."""
+    tree = plan_tree(spark, "dedup_semantic")
+    assert "CartesianProduct" not in tree
+    assert "BroadcastNestedLoopJoin" in tree or "BroadcastHashJoin" in tree
+
+
+def test_bpe_tokenize_apply_is_single_projection(spark):
+    """The merge application is literal string replaces in ONE projection —
+    no Python eval, no join against a merge table."""
+    tree = plan_tree(spark, "text_bpe_tokenize")
+    assert "BatchEvalPython" not in tree and "ArrowEvalPython" not in tree
+    assert "Join" not in tree  # merge table baked in as literals
