@@ -84,6 +84,9 @@ HEADLINE = [
     "dedup_editdist_verify",
     "dedup_semantic",
     "text_bpe_tokenize",
+    # corpus line-level dedup + export shard manifest
+    "text_line_dedup",
+    "corpus_shard_plan",
 ]
 
 

@@ -613,3 +613,90 @@ def bpe_tokenize(docs: DataFrame, k: int = 12) -> DataFrame:
         ).alias("bpe_ratio"),
         F.expr("coalesce(element_at(bpe_arr, 1), '')").alias("first_token_bpe"),
     )
+
+
+def line_dedup(docs: DataFrame, line_tokens: int = 10) -> DataFrame:
+    """Corpus-wide line-level exact deduplication (the C4 / "Deduplicating
+    Training Data Makes Language Models Better" curation stage): documents
+    split into consecutive ``line_tokens``-token lines; every occurrence of a
+    line after the corpus-wide FIRST (ordered by (doc_id, line_no)) is
+    dropped, and each document is reassembled from its surviving lines.
+
+    Scale shape: line construction is a per-row split/slice expression fused
+    into the scan (no shuffle); ONE corpus-wide shuffle keyed on the line
+    text ranks occurrences (window row_number — the same hash partitioning a
+    groupBy(line) would need, without the join-back); ONE doc_id shuffle
+    reassembles documents. A boilerplate line repeated across the whole
+    corpus lands in one partition, but the window state is rank-only
+    (streaming, O(1) memory per key); for pathological skew swap in
+    groupBy(line).agg(min(struct(doc_id, line_no))) + join-back.
+
+    Output: (doc_id, n_lines, n_kept, dedup_text). Training-pipeline
+    extension (SURVEY north-star); no reference-file counterpart.
+    """
+    from pyspark.sql import Window as W
+
+    lt = int(line_tokens)
+    lines = (
+        ensure_parallelism(docs)
+        .select("doc_id", F.expr("split(text, ' ')").alias("ts"))
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.expr(
+                    "CASE WHEN size(ts) = 0 THEN CAST(array() AS ARRAY<STRING>)"
+                    f" ELSE transform(sequence(0, CAST(ceil(size(ts) / {lt}.0) AS INT) - 1),"
+                    f" i -> concat_ws(' ', slice(ts, i * {lt} + 1, {lt}))) END"
+                )
+            ).alias("line_no", "line"),
+        )
+    )
+    ranked = lines.withColumn(
+        "rn", F.row_number().over(W.partitionBy("line").orderBy("doc_id", "line_no"))
+    )
+    return ranked.groupBy("doc_id").agg(
+        F.count("*").alias("n_lines"),
+        F.count(F.when(F.col("rn") == 1, True)).alias("n_kept"),
+        F.concat_ws(
+            " ",
+            F.expr(
+                "transform(filter(array_sort(collect_list(struct(line_no, rn, line))),"
+                " s -> s.rn = 1), s -> s.line)"
+            ),
+        ).alias("dedup_text"),
+    )
+
+
+def shard_assign(docs: DataFrame, n_shards: int = 8) -> DataFrame:
+    """Deterministic training-export shard assignment: shard =
+    md5(doc_id)[0:8] as int, mod ``n_shards`` — content-independent,
+    engine-independent (NOT Spark's xxhash64, so an exporter in any engine
+    lands rows identically). The write path is
+    ``df.repartition(n_shards, "shard").write.partitionBy("shard")`` —
+    per-row expression here, shuffle only at the writer.
+    """
+    return docs.withColumn(
+        "shard",
+        (
+            F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+            .cast("bigint")
+            % int(n_shards)
+        ).cast("int"),
+    )
+
+
+def shard_plan(docs: DataFrame, n_shards: int = 8) -> DataFrame:
+    """Per-shard export manifest over :func:`shard_assign`: doc/char/token
+    totals and id bounds per shard — the balance check a 100 TB export runs
+    before committing a layout (detects skewed shards BEFORE the write).
+    One groupBy on the tiny shard key."""
+    base = shard_assign(with_tokens(docs), n_shards).select(
+        "shard", "doc_id", F.length("text").alias("n_chars"), F.size("tokens").alias("n_toks")
+    )
+    return base.groupBy("shard").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.sum("n_toks").alias("total_tokens"),
+        F.min("doc_id").alias("min_doc_id"),
+        F.max("doc_id").alias("max_doc_id"),
+    )

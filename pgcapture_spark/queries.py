@@ -90,8 +90,9 @@ from pgcapture_spark.querydefs import (  # noqa: E402,F401
 # corpus_select_streamed, agg_heavy_hitters, bpe_merge_candidates,
 # tpch_q2/q11/q15/q20, cdc_apply_from_pglogical, and the r3 second wave
 # (text_quality_rules, corpus_mix_sample, corpus_stats,
-# dedup_editdist_verify, dedup_semantic, text_bpe_tokenize) — put those
-# first next round, pad with canaries.
+# dedup_editdist_verify, dedup_semantic, text_bpe_tokenize) and the r3
+# third wave (text_line_dedup, corpus_shard_plan, kmeans_embed,
+# sim_ivfpq_ann, ...) — put those first next round, pad with canaries.
 _WINDOW: tuple[str, ...] = (
     # round-1 failures, fixed in r2 but rotated out before re-check
     "events_running_window",

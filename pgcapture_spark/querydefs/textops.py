@@ -879,3 +879,73 @@ def dedup_editdist_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir, ("documents",))
     return editdist_verified_pairs(spark.table("documents"))
+
+
+_DUCK_LINE_DEDUP = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+idx AS (
+  SELECT doc_id, ts,
+         unnest(range(0, CAST(ceil(len(ts) / 10.0) AS BIGINT))) AS i
+  FROM toks
+),
+lines AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS line_no,
+         array_to_string(ts[i * 10 + 1 : i * 10 + 10], ' ') AS line
+  FROM idx
+),
+marked AS (
+  SELECT doc_id, line_no, line,
+         row_number() OVER (PARTITION BY line ORDER BY doc_id, line_no) AS rn
+  FROM lines
+)
+SELECT doc_id, count(*) AS n_lines,
+       count(*) FILTER (WHERE rn = 1) AS n_kept,
+       coalesce(string_agg(line, ' ' ORDER BY line_no) FILTER (WHERE rn = 1), '')
+         AS dedup_text
+FROM marked GROUP BY doc_id
+"""
+
+
+@q(
+    "text_line_dedup",
+    _DUCK_LINE_DEDUP,
+    "North-star: corpus-wide line-level exact dedup (C4 / Lee et al. stage) —"
+    " 10-token lines, first occurrence wins corpus-wide, documents reassembled"
+    " from survivors. One line-key shuffle + one doc_id shuffle.",
+)
+def text_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pgcapture_spark.operators.textstats import line_dedup
+
+    register_views(spark, sf_dir, ("documents",))
+    return line_dedup(spark.table("documents"))
+
+
+_DUCK_SHARD_PLAN = """
+WITH t AS (
+  SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 8
+              AS INT) AS shard,
+         doc_id, length(text) AS n_chars,
+         len(list_filter(string_split_regex(lower(text), '\\s+'),
+                         x -> length(x) > 0)) AS n_toks
+  FROM documents
+)
+SELECT shard, count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       CAST(sum(n_toks) AS BIGINT) AS total_tokens,
+       min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
+FROM t GROUP BY shard
+"""
+
+
+@q(
+    "corpus_shard_plan",
+    _DUCK_SHARD_PLAN,
+    "North-star: deterministic export-shard manifest — engine-independent"
+    " md5(doc_id) shard assignment with per-shard doc/char/token totals and"
+    " id bounds (the skew check before a 100 TB partitioned write).",
+)
+def corpus_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pgcapture_spark.operators.textstats import shard_plan
+
+    register_views(spark, sf_dir, ("documents",))
+    return shard_plan(spark.table("documents"))

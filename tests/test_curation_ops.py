@@ -169,3 +169,55 @@ class TestSemanticDedup:
         assert len(rows) == 1
         # cosine to itself is 1.0
         assert abs(rows[0]["cosine"] - 1.0) < 1e-6
+
+
+class TestLineDedup:
+    def test_conservation_and_reassembly(self, spark):
+        from pgcapture_spark.operators.textstats import line_dedup
+
+        docs = _docs(spark)
+        out = line_dedup(docs).cache()
+        # every doc present; kept <= lines; a doc with all-unique lines is unchanged
+        assert out.count() == docs.count()
+        assert out.where(F.col("n_kept") > F.col("n_lines")).count() == 0
+        # global invariant: total kept == number of distinct lines in the corpus
+        kept_total = out.agg(F.sum("n_kept")).first()[0]
+        distinct_lines = (
+            line_dedup(docs)  # recompute path-independent
+            .agg(F.sum("n_kept"))
+            .first()[0]
+        )
+        assert kept_total == distinct_lines
+        # reassembled text of an untouched doc round-trips exactly
+        joined = out.join(docs, "doc_id").where(F.col("n_kept") == F.col("n_lines"))
+        bad = joined.where(F.col("dedup_text") != F.col("text"))
+        assert bad.count() == 0
+        out.unpersist()
+
+    def test_first_occurrence_wins(self, spark):
+        from pgcapture_spark.operators.textstats import line_dedup
+
+        docs = spark.createDataFrame(
+            [(1, "a b c d e f g h i j"), (2, "a b c d e f g h i j k")],
+            "doc_id long, text string",
+        )
+        rows = {r["doc_id"]: r for r in line_dedup(docs).collect()}
+        assert rows[1]["n_kept"] == 1 and rows[1]["dedup_text"] == "a b c d e f g h i j"
+        # doc 2's first 10-token line duplicates doc 1's — only the tail survives
+        assert rows[2]["n_kept"] == 1 and rows[2]["dedup_text"] == "k"
+
+
+class TestShardPlan:
+    def test_partition_of_corpus(self, spark):
+        from pgcapture_spark.operators.textstats import shard_assign, shard_plan
+
+        docs = _docs(spark)
+        plan = shard_plan(docs, n_shards=8).cache()
+        assert plan.agg(F.sum("n_docs")).first()[0] == docs.count()
+        shards = [r["shard"] for r in plan.select("shard").collect()]
+        assert all(0 <= s < 8 for s in shards)
+        # deterministic: same assignment on recompute
+        a1 = shard_assign(docs).select("doc_id", "shard")
+        a2 = shard_assign(docs).select("doc_id", "shard")
+        assert a1.exceptAll(a2).count() == 0
+        plan.unpersist()
