@@ -138,18 +138,27 @@ def to_binary_feed(
     typed: DataFrame,
     field_oids: list[tuple[str, int]],
     old_key: tuple[str, str, int] | list[tuple[str, str, int]] | None = None,
+    rebalance: bool | None = None,
 ) -> DataFrame:
     """Typed feed → generic binary feed: metadata columns + ``fields`` (new
     image) + ``old_fields`` (DELETE/key-change old image; one entry per
     replica-identity column — composite identities carry several).
 
     The encode UDF is the CPU-heavy step; when the source scan under-splits
-    (one local file → a handful of skewed tasks) rebalance first so the
-    codec runs one task per core — measured 2.2× on the composite feed at
-    sf0.1. On a well-split scan (100 TB) this adds nothing."""
+    (one local file → a handful of skewed tasks) rebalancing first runs the
+    codec one task per core — but the exchange itself costs a shuffle
+    barrier, so it only pays when the per-row codec work outweighs it.
+    Measured at sf0.1: 11-column lineitem 1.2× faster WITH the rebalance,
+    5-column customer 2× faster WITHOUT. ``rebalance=None`` auto-gates on
+    codec width (>= FUSE_THRESHOLD columns), the same wide/narrow split as
+    the fused decode. On a well-split scan (100 TB) the rebalance is a
+    no-op either way (``ensure_parallelism`` leaves the plan alone)."""
     from pgcapture_spark.operators.textstats import ensure_parallelism
 
-    typed = ensure_parallelism(typed)
+    if rebalance is None:
+        rebalance = len(field_oids) >= FUSE_THRESHOLD
+    if rebalance:
+        typed = ensure_parallelism(typed)
     enc = _encode_fields_udf(field_oids)
     cols = [name for name, _ in field_oids]
     old_keys = _norm_old_keys(old_key)

@@ -395,8 +395,6 @@ def _apply_customer_from_frames(
     """Shared frames→apply pipeline; ``dialect`` picks the wire codec and the
     relation-metadata source (pgoutput: oids+key in-band; pglogical: names
     in-band, types/key from the schema registry)."""
-    from pyspark.sql import Window as W
-
     from pgcapture_spark.functions import pglogical, pgoutput
     from pgcapture_spark.functions.pgtypes import ENCODERS, MICROS_Y2K_SHIFT
     from pgcapture_spark.operators.generic_feed import CUSTOMER_FIELD_OIDS
@@ -421,25 +419,35 @@ def _apply_customer_from_frames(
         v3: pd.Series,
         v4: pd.Series,
     ) -> pd.Series:
-        vals = (v0, v1, v2, v3, v4)
+        # batch-local numpy views (Series.iloc in the row loop is ~10× the
+        # cost of ndarray indexing) + one parsed present-set per DISTINCT
+        # present string — the feed has a handful of shapes, not one per row
+        ops = op.to_numpy()
+        olds = old_key.to_numpy()
+        varr = [v.to_numpy() for v in (v0, v1, v2, v3, v4)]
+        pres = present.to_numpy()
+        pset_cache: dict[str, set] = {}
         out = []
-        for i in range(len(op)):
-            o = op.iloc[i]
+        for i in range(len(ops)):
+            o = ops[i]
             if o == "DELETE":
                 oldt = [
-                    ("b", ENCODERS[20](int(old_key.iloc[i]))) if name == "c_custkey"
+                    ("b", ENCODERS[20](int(olds[i]))) if name == "c_custkey"
                     else ("n", None)
                     for name, _ in cols
                 ]
                 out.append(build_row_change("D", rel_oid, None, oldt))
                 continue
-            pset = {x for x in (present.iloc[i] or "").split(",") if x}
+            p = pres[i] or ""
+            pset = pset_cache.get(p)
+            if pset is None:
+                pset = pset_cache[p] = {x for x in p.split(",") if x}
             tup = []
             for j, (name, oid) in enumerate(cols):
                 if name not in pset:
                     tup.append(("u", None))
                 else:
-                    v = vals[j].iloc[i]
+                    v = varr[j][i]
                     if v is None or pd.isna(v):
                         tup.append(("n", None))
                     else:
@@ -495,8 +503,11 @@ def _apply_customer_from_frames(
     # in-band relation learning: the R frame names the columns (and, for
     # pgoutput, their type OIDs and the identity key; pglogical's R carries
     # names only, so types/key come from the schema registry — the
-    # PGXSchemaLoader split of duties)
-    [rel] = parsed.where("f.op = 'RELATION'").select("f.rel_cols").collect()
+    # PGXSchemaLoader split of duties). Learning parses ONLY the relation
+    # frames (the one-row local plan) — filtering the union on f.op would sit
+    # ABOVE the parse UDF and re-parse the entire stream to find one frame.
+    rel_learn = rel_frame.select(parse_frames_udf()("data").alias("f"))
+    [rel] = rel_learn.where("f.op = 'RELATION'").select("f.rel_cols").collect()
     oid_of = dict(cols)
     if dialect == "pgoutput":
         learned = [(c["name"], c["oid"], bool(c["flag"] & 1)) for c in rel["rel_cols"]]
@@ -511,14 +522,20 @@ def _apply_customer_from_frames(
         f"named_struct('name', '{n}', 'oid', {o})" for n, o, _ in learned
     ) + ")"
 
-    # tx assembly: row events inherit the Begin frame's commit time (B sorts
-    # first within its lsn by ord)
-    w = W.partitionBy("lsn").orderBy("ord")
-    stamped = parsed.withColumn(
+    # tx assembly: row events inherit their Begin frame's commit time. A
+    # window over lsn would shuffle the ENTIRE parsed payload (tuple bytes
+    # included) just to propagate one u64 per tx — instead parse ONLY the
+    # Begin frames (the frames_bc branch pre-union, so the filter is plain
+    # Catalyst, not above the UDF) and broadcast-join the per-tx timestamp
+    # onto the row events: tx METADATA moves, tuple payloads stay put.
+    begin_ts = (
+        frames_bc.where("seq = 0")
+        .select("lsn", parse_frames_udf()("data").alias("fb"))
+        .select("lsn", F.col("fb.commit_us").alias("_commit_us"))
+    )
+    stamped = parsed.join(F.broadcast(begin_ts), "lsn", "left").withColumn(
         "commit_ts",
-        F.timestamp_micros(
-            F.first("f.commit_us", ignorenulls=True).over(w) + F.lit(MICROS_Y2K_SHIFT)
-        ),
+        F.timestamp_micros(F.col("_commit_us") + F.lit(MICROS_Y2K_SHIFT)),
     )
     zip_tpl = (
         "transform(filter(zip_with(f.{side}, " + cols_lit + ", (t, c) ->"
