@@ -87,6 +87,9 @@ HEADLINE = [
     # corpus line-level dedup + export shard manifest
     "text_line_dedup",
     "corpus_shard_plan",
+    # clustering + production ANN shape
+    "kmeans_embed",
+    "sim_ivfpq_ann",
 ]
 
 

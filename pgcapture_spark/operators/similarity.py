@@ -421,3 +421,141 @@ def pq_adc_topk(
     )
     w = W.partitionBy("query_id").orderBy("approx_d2q", "neighbor_id")
     return adc.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def kmeans_assign(
+    embeddings: DataFrame, k: int = 8, iters: int = 2, quant: int = 1_000_000
+) -> DataFrame:
+    """Distributed Lloyd's k-means over the embedding column — the clustering
+    stage of data-mixing / SemDeDup-style curation pipelines.
+
+    Deterministic init: the ``k`` lowest-vec_id vectors are the starting
+    centroids (cluster j = j-th lowest). Each round then runs:
+
+    1. assignment — nearest-centroid argmin as a per-row expression over ONE
+       broadcast row of centroids, fused into the scan (no explode, no
+       shuffle, same shape as the IVF coarse quantizer);
+    2. update — decimal-exact per-(cluster, dim) means (one groupBy of
+       k x dims output rows; order-independent quantized integer sums, so
+       centroids are bit-identical across engines and cluster layouts).
+
+    The k-bounded collect between rounds is the synchronization barrier every
+    distributed k-means pays — centroids are driver/broadcast-resident at any
+    corpus scale, and each round is one full pass (iters passes total, the
+    textbook cost model).
+
+    Output: (vec_id, cluster, dist2q) after ``iters`` assignment rounds.
+    """
+    spark = embeddings.sparkSession
+    normed = _as_double(embeddings).select("vec_id", "emb_d")
+    init = normed.orderBy("vec_id").limit(k).collect()
+    cents_local = [(j, [float(v) for v in r["emb_d"]]) for j, r in enumerate(init)]
+
+    def _with_assign(cents):
+        cents_row = spark.createDataFrame(
+            [(cents,)], "cents array<struct<c_label:int,c_e:array<double>>>"
+        )
+        best = F.expr(
+            "array_min(transform(cents, c -> "
+            f"struct({DIST2_EXPR.format(a='emb_d', b='c.c_e')} AS d2, c.c_label AS lbl)))"
+        )
+        return (
+            normed.join(F.broadcast(cents_row))
+            .withColumn("_best", best)
+            .select(
+                "vec_id",
+                "emb_d",
+                F.col("_best.lbl").alias("cluster"),
+                F.col("_best.d2").alias("d2"),
+            )
+        )
+
+    scaled = F.expr("CAST(floor(val * 1000000000 + 0.5) AS BIGINT)")
+    for it in range(int(iters)):
+        assigned = _with_assign(cents_local)
+        if it == int(iters) - 1:
+            break
+        means = (
+            assigned.select("cluster", F.posexplode("emb_d").alias("dim", "val"))
+            .groupBy("cluster", "dim")
+            .agg(
+                (F.sum(scaled).cast("double") / 1000000000.0 / F.count("*")).alias(
+                    "mean_val"
+                )
+            )
+            .groupBy("cluster")
+            .agg(
+                F.expr(
+                    "transform(array_sort(collect_list(struct(dim, mean_val))),"
+                    " s -> s.mean_val)"
+                ).alias("c_e")
+            )
+            .collect()
+        )
+        cents_local = sorted((int(r["cluster"]), [float(v) for v in r["c_e"]]) for r in means)
+    return assigned.select(
+        "vec_id",
+        "cluster",
+        (F.floor(F.col("d2") * quant + F.lit(0.5)) / quant).alias("dist2q"),
+    )
+
+
+def ivfpq_topk(
+    embeddings: DataFrame,
+    query_pred: str,
+    k: int = 3,
+    m: int = 8,
+) -> DataFrame:
+    """IVF-PQ: coarse-quantizer cell restriction (IVF) composed with
+    product-quantization ADC scoring — the production ANN shape (FAISS
+    IVFPQ, non-residual variant: codes quantize the raw vector, cells only
+    bound the candidate set).
+
+    At 100 TB the corpus scan reads (cell, codes) — m+1 small ints per
+    vector, never raw vectors; the per-query distance tables and cell ids
+    ride in ONE broadcast; the only shuffle is the final per-query rank
+    window. Recall dial: nprobe on the IVF side (here 1), m on the PQ side.
+
+    Output: (query_id, neighbor_id, cell, approx_d2q, rank)."""
+    sd = 64 // m
+    subd2 = (
+        f"aggregate(zip_with(slice(emb_d, m * {sd} + 1, {sd}),"
+        f" slice(c.c_e, m * {sd} + 1, {sd}),"
+        " (x, y) -> (x - y) * (x - y)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    normed = with_norm(embeddings).select("vec_id", "emb_d")
+    cents_row = _local_quantizer(embeddings)
+    with_cents = normed.join(F.broadcast(cents_row))
+    codes_expr = F.expr(
+        f"transform(sequence(0, {m - 1}), m -> array_min(transform(cents, c ->"
+        f" struct({subd2} AS d2, c.c_label AS lbl))).lbl)"
+    )
+    corpus = with_cents.select(
+        "vec_id", _argmin_cell_expr().alias("cell"), codes_expr.alias("codes")
+    )
+    queries = with_cents.where(query_pred).select(
+        F.col("vec_id").alias("query_id"),
+        _argmin_cell_expr().alias("q_cell"),
+        F.expr(
+            f"transform(sequence(0, {m - 1}), m -> transform(cents, c ->"
+            f" CAST(floor({subd2} * 1000000 + 0.5) AS BIGINT)))"
+        ).alias("dtab"),
+    )
+    adc = (
+        corpus.join(
+            F.broadcast(queries),
+            (F.col("cell") == F.col("q_cell")) & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "cell",
+            F.expr(
+                f"aggregate(sequence(0, {m - 1}), 0L, (acc, m) -> acc +"
+                " element_at(element_at(dtab, m + 1),"
+                " element_at(codes, m + 1) + 1))"
+            ).alias("approx_d2q"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy("approx_d2q", "neighbor_id")
+    return adc.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)

@@ -718,3 +718,129 @@ def sim_ann_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in rows[1:]:
         out = out.unionAll(r)
     return out
+
+
+_DUCK_KMEANS = """
+WITH e AS (SELECT vec_id, list_transform(embedding, v -> CAST(v AS DOUBLE)) AS ed
+           FROM embeddings),
+init AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS c_label,
+                ed AS c_e
+         FROM e ORDER BY vec_id LIMIT 8),
+d1 AS (SELECT e.vec_id, e.ed, c.c_label,
+              list_sum(list_transform(range(1, 65),
+                       i -> (e.ed[i] - c.c_e[i]) * (e.ed[i] - c.c_e[i]))) AS d2
+       FROM e CROSS JOIN init c),
+a1 AS (SELECT vec_id, ed, c_label AS cluster FROM (
+         SELECT vec_id, ed, c_label,
+                row_number() OVER (PARTITION BY vec_id ORDER BY d2, c_label) AS rn
+         FROM d1) WHERE rn = 1),
+ex1 AS (SELECT cluster, i - 1 AS dim, ed[i] AS val FROM a1, range(1, 65) t(i)),
+cd1 AS (SELECT cluster, dim,
+               CAST(sum(CAST(floor(val * 1000000000 + 0.5) AS BIGINT)) AS DOUBLE)
+                 / 1000000000.0 / count(*) AS mean_val
+        FROM ex1 GROUP BY cluster, dim),
+c1 AS (SELECT cluster AS c_label, list(mean_val ORDER BY dim) AS c_e
+       FROM cd1 GROUP BY cluster),
+d2r AS (SELECT e.vec_id, c.c_label,
+               list_sum(list_transform(range(1, 65),
+                        i -> (e.ed[i] - c.c_e[i]) * (e.ed[i] - c.c_e[i]))) AS d2
+        FROM e CROSS JOIN c1 c)
+SELECT vec_id, cluster, floor(d2 * 1000000 + 0.5) / 1000000 AS dist2q FROM (
+  SELECT vec_id, c_label AS cluster, d2,
+         row_number() OVER (PARTITION BY vec_id ORDER BY d2, c_label) AS rn
+  FROM d2r) WHERE rn = 1
+"""
+
+
+@q(
+    "kmeans_embed",
+    _DUCK_KMEANS,
+    "North-star: distributed Lloyd's k-means (k=8, 2 assignment rounds,"
+    " deterministic lowest-vec_id init) — per-row broadcast argmin"
+    " assignment fused into the scan, decimal-exact centroid update, one"
+    " k-bounded collect between rounds; the clustering stage of data-mixing"
+    " / SemDeDup curation.",
+)
+def kmeans_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pgcapture_spark.operators.similarity import kmeans_assign
+
+    register_views(spark, sf_dir, ("embeddings",))
+    return kmeans_assign(spark.table("embeddings"), k=8, iters=2)
+
+
+# IVF-PQ: cell restriction from the coarse quantizer + PQ/ADC scoring — the
+# FAISS IVFPQ shape (non-residual). Queries: vec_id % 25 = 2.
+_DUCK_IVFPQ = f"""
+WITH normed AS ({_DUCK_NORMED}),
+ex AS (
+  SELECT label, i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS val
+  FROM embeddings, range(1, 65) t(i)
+),
+centd AS (
+  SELECT label, dim,
+         CAST(sum(CAST(floor(val * 1000000000 + 0.5) AS BIGINT)) AS DOUBLE)
+           / 1000000000.0 / count(*) AS mean_val
+  FROM ex GROUP BY label, dim
+),
+cent AS (SELECT label AS c_label, list(mean_val ORDER BY dim) AS c_e
+         FROM centd GROUP BY label),
+dists AS (
+  SELECT n.vec_id, c.c_label,
+         list_sum(list_transform(range(1, 65),
+                  i -> (n.e[i] - c.c_e[i]) * (n.e[i] - c.c_e[i]))) AS dist2
+  FROM normed n CROSS JOIN cent c
+),
+assign AS (SELECT vec_id, c_label AS cell FROM (
+             SELECT vec_id, c_label,
+                    row_number() OVER (PARTITION BY vec_id ORDER BY dist2, c_label) AS rn
+             FROM dists) WHERE rn = 1),
+sub_d AS (
+  SELECT n.vec_id, m.m, c.c_label,
+         list_sum(list_transform(range(1, 9),
+                  i -> (n.e[m.m * 8 + i] - c.c_e[m.m * 8 + i])
+                     * (n.e[m.m * 8 + i] - c.c_e[m.m * 8 + i]))) AS d2
+  FROM normed n CROSS JOIN range(0, 8) m(m) CROSS JOIN cent c
+),
+codes AS (
+  SELECT vec_id, m, c_label AS code FROM (
+    SELECT vec_id, m, c_label,
+           row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, c_label) AS rn
+    FROM sub_d
+  ) WHERE rn = 1
+),
+qd AS (
+  SELECT vec_id AS query_id, m, c_label,
+         CAST(floor(d2 * 1000000 + 0.5) AS BIGINT) AS d2q
+  FROM sub_d WHERE vec_id % 25 = 2
+),
+adc AS (
+  SELECT qd.query_id, v.vec_id AS neighbor_id, av.cell,
+         CAST(sum(qd.d2q) AS BIGINT) AS approx_d2q
+  FROM codes v
+  JOIN assign av ON av.vec_id = v.vec_id
+  JOIN assign aq ON aq.vec_id IS NOT NULL AND aq.cell = av.cell
+  JOIN qd ON qd.m = v.m AND qd.c_label = v.code AND qd.query_id = aq.vec_id
+  WHERE v.vec_id <> qd.query_id
+  GROUP BY 1, 2, 3
+)
+SELECT query_id, neighbor_id, cell, approx_d2q,
+       row_number() OVER (PARTITION BY query_id
+                          ORDER BY approx_d2q, neighbor_id) AS rank
+FROM adc
+QUALIFY rank <= 3
+"""
+
+
+@q(
+    "sim_ivfpq_ann",
+    _DUCK_IVFPQ,
+    "North-star: IVF-PQ — coarse-quantizer cell restriction composed with"
+    " PQ/ADC integer scoring (FAISS IVFPQ shape, non-residual); corpus scan"
+    " reads (cell, codes) only, distance tables broadcast, candidates"
+    " bounded by the query's cell.",
+)
+def sim_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pgcapture_spark.operators.similarity import ivfpq_topk
+
+    register_views(spark, sf_dir, ("embeddings",))
+    return ivfpq_topk(spark.table("embeddings"), "vec_id % 25 = 2", k=3, m=8)

@@ -301,3 +301,36 @@ def test_bpe_tokenize_apply_is_single_projection(spark):
     tree = plan_tree(spark, "text_bpe_tokenize")
     assert "BatchEvalPython" not in tree and "ArrowEvalPython" not in tree
     assert "Join" not in tree  # merge table baked in as literals
+
+
+def test_line_dedup_two_shuffles_no_python(spark):
+    """Line construction is per-row (fused into the scan); the only
+    exchanges are the line-key window and the doc_id reassembly group."""
+    tree = plan_tree(spark, "text_line_dedup")
+    assert "BatchEvalPython" not in tree and "ArrowEvalPython" not in tree
+    assert "CartesianProduct" not in tree
+    plan = plan_str(spark, "text_line_dedup", mode="simple")
+    assert plan.count("Exchange") <= 3  # window + partial/final agg pair
+
+
+def test_kmeans_assignment_broadcasts_centroids(spark):
+    """Assignment is a per-row argmin over ONE broadcast centroid row — the
+    corpus is never shuffled or exploded for assignment."""
+    from pgcapture_spark.operators.similarity import kmeans_assign
+
+    docs = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    df = kmeans_assign(docs, k=4, iters=1)
+    plan = spark._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+    tree = plan.split("\n\n")[0]
+    assert "Broadcast" in tree
+    assert "CartesianProduct" not in tree
+    assert "Exchange hashpartitioning" not in tree  # no corpus shuffle
+
+
+def test_ivfpq_corpus_reads_codes_not_vectors(spark):
+    """The ADC join streams the corpus against broadcast queries — no SMJ,
+    no cartesian; candidates bounded by the cell equi-key."""
+    tree = plan_tree(spark, "sim_ivfpq_ann")
+    assert "SortMergeJoin" not in tree
+    assert "CartesianProduct" not in tree
+    assert "BroadcastHashJoin" in tree or "BroadcastNestedLoopJoin" in tree
