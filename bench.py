@@ -90,6 +90,7 @@ HEADLINE = [
     # clustering + production ANN shape
     "kmeans_embed",
     "sim_ivfpq_ann",
+    "corpus_dsir_weights",
 ]
 
 

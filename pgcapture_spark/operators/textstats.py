@@ -700,3 +700,54 @@ def shard_plan(docs: DataFrame, n_shards: int = 8) -> DataFrame:
         F.min("doc_id").alias("min_doc_id"),
         F.max("doc_id").alias("max_doc_id"),
     )
+
+
+def dsir_weights(docs: DataFrame, target_pred: str = "lang = 'en'") -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, Data Selection via
+    Importance Resampling): per-document mean log p_target(w)/p_raw(w) under
+    add-1-smoothed unigram LMs — target = the ``target_pred`` subset, raw =
+    the whole corpus. Documents that look like the target domain score > 0
+    and get up-sampled by the selection stage.
+
+    Per-token log-ratios are quantized to integer 1e-4 nats BEFORE the
+    per-doc sum (order-independent integer aggregation → hash-exact across
+    engines and cluster layouts, the same contract as unigram surprisal).
+
+    Scale shape: two token-count aggregations (one filtered) build the LMs
+    — map-side combined, vocabulary-sized output; totals ride in one
+    broadcast row; scoring is ONE token-key join + ONE doc_id groupBy.
+
+    Output: (doc_id, n_tokens, total_q_nats, mean_logratio_nats, keep).
+    """
+    tok = with_tokens(docs).select(
+        "doc_id", F.expr(target_pred).alias("is_tgt"), F.explode("tokens").alias("token")
+    )
+    cnt = tok.groupBy("token").agg(
+        F.count("*").alias("cnt_r"),
+        F.count(F.when(F.col("is_tgt"), True)).alias("cnt_t"),
+    )
+    totals = cnt.agg(
+        F.sum("cnt_r").alias("n_r"),
+        F.sum("cnt_t").alias("n_t"),
+        F.count("*").alias("vocab"),
+    )
+    lm = cnt.join(F.broadcast(totals)).select(
+        "token",
+        F.expr(
+            "CAST(floor((ln((CAST(cnt_t AS DOUBLE) + 1.0) / (n_t + vocab))"
+            " - ln((CAST(cnt_r AS DOUBLE) + 1.0) / (n_r + vocab)))"
+            " * 10000 + 0.5) AS BIGINT)"
+        ).alias("q_ratio"),
+    )
+    return (
+        tok.join(lm, on="token")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum("q_ratio").alias("total_q_nats"),
+            (F.sum("q_ratio").cast("double") / 10000.0 / F.count("*")).alias(
+                "mean_logratio_nats"
+            ),
+        )
+        .withColumn("keep", F.col("total_q_nats") > 0)
+    )

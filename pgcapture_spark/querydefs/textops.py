@@ -949,3 +949,46 @@ def corpus_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir, ("documents",))
     return shard_plan(spark.table("documents"))
+
+
+_DUCK_DSIR = f"""
+WITH tok AS (
+  SELECT doc_id, lang = 'en' AS is_tgt, unnest({_DUCK_TOKENS}) AS token
+  FROM documents
+),
+cnt AS (
+  SELECT token, count(*) AS cnt_r,
+         count(*) FILTER (WHERE is_tgt) AS cnt_t
+  FROM tok GROUP BY token
+),
+tot AS (SELECT CAST(sum(cnt_r) AS BIGINT) AS n_r, CAST(sum(cnt_t) AS BIGINT) AS n_t,
+               count(*) AS vocab FROM cnt),
+lm AS (
+  SELECT token,
+         CAST(floor((ln((CAST(cnt_t AS DOUBLE) + 1.0) / (n_t + vocab))
+                   - ln((CAST(cnt_r AS DOUBLE) + 1.0) / (n_r + vocab)))
+                   * 10000 + 0.5) AS BIGINT) AS q_ratio
+  FROM cnt CROSS JOIN tot
+)
+SELECT t.doc_id, count(*) AS n_tokens,
+       CAST(sum(l.q_ratio) AS BIGINT) AS total_q_nats,
+       CAST(sum(l.q_ratio) AS DOUBLE) / 10000.0 / count(*) AS mean_logratio_nats,
+       CAST(sum(l.q_ratio) AS BIGINT) > 0 AS keep
+FROM tok t JOIN lm l USING (token)
+GROUP BY t.doc_id
+"""
+
+
+@q(
+    "corpus_dsir_weights",
+    _DUCK_DSIR,
+    "North-star: DSIR importance weights — per-doc mean log"
+    " p_target/p_raw under add-1 unigram LMs (target = lang 'en'),"
+    " integer-quantized per token so the aggregate is order-independent;"
+    " two LM aggs + one token join + one doc groupBy.",
+)
+def corpus_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pgcapture_spark.operators.textstats import dsir_weights
+
+    register_views(spark, sf_dir, ("documents",))
+    return dsir_weights(spark.table("documents"))
