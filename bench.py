@@ -91,6 +91,7 @@ HEADLINE = [
     "kmeans_embed",
     "sim_ivfpq_ann",
     "corpus_dsir_weights",
+    "cdc_apply_from_proto",
 ]
 
 

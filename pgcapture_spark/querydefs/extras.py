@@ -558,3 +558,124 @@ def _apply_customer_from_frames(
         generic, cols, old_key=(f"old_{key}", key, 20), fused=True
     ).withColumn(key, F.coalesce(F.col(key), F.col(f"old_{key}")))
     return cdc_apply(spark.table("customer"), decoded, key, CDC_COLS["customer"])
+
+
+@q(
+    "cdc_apply_from_proto",
+    apply_oracle_sql(cdc_customer_sql(DUCKDB), "customer", "c_custkey", CDC_COLS["customer"]),
+    "The reference's PRIMARY wire format end-to-end: the feed rendered as"
+    " actual pgcapture protobuf Message bytes (pb/pgcapture.proto:16-59 —"
+    " Message{Begin|Commit|Change}, Change{op,schema,table,new,old},"
+    " Field{name,oid,binary} with oneof-unset = SQL NULL and omitted field ="
+    " unchanged TOAST, pkg/decode/decoder.go:106-114) via a hand-rolled"
+    " proto3 wire codec, parsed back by ONE Arrow-batched UDF straight into"
+    " the generic binary feed (Fields carry name+oid inline — no relation"
+    " zip), decoded by the fixed-OID codecs and applied — same oracle as"
+    " cdc_apply_customer.",
+)
+def cdc_apply_from_proto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pgcapture_spark.functions import protowire as pw
+    from pgcapture_spark.functions.pgtypes import ENCODERS, MICROS_Y2K_SHIFT
+    from pgcapture_spark.operators.generic_feed import CUSTOMER_FIELD_OIDS
+
+    register_views(spark, sf_dir, ("customer",))
+    typed = _feed(spark, sf_dir, "customer")
+    cols = CUSTOMER_FIELD_OIDS
+
+    @F.pandas_udf("binary")
+    def enc_msg(
+        op: pd.Series,
+        present: pd.Series,
+        old_key: pd.Series,
+        v0: pd.Series,
+        v1: pd.Series,
+        v2: pd.Series,
+        v3: pd.Series,
+        v4: pd.Series,
+    ) -> pd.Series:
+        ops = op.to_numpy()
+        olds = old_key.to_numpy()
+        varr = [v.to_numpy() for v in (v0, v1, v2, v3, v4)]
+        pres = present.to_numpy()
+        pset_cache: dict[str, set] = {}
+        out = []
+        for i in range(len(ops)):
+            o = ops[i]
+            if o == "DELETE":
+                old = [pw.build_field("c_custkey", 20, ENCODERS[20](int(olds[i])))]
+                out.append(pw.build_change("DELETE", "public", "customer", [], old))
+                continue
+            p = pres[i] or ""
+            pset = pset_cache.get(p)
+            if pset is None:
+                pset = pset_cache[p] = {x for x in p.split(",") if x}
+            new = []
+            for j, (name, oid) in enumerate(cols):
+                if name not in pset:
+                    continue  # unchanged TOAST: field omitted entirely
+                v = varr[j][i]
+                if v is None or pd.isna(v):
+                    new.append(pw.build_field(name, oid, None))  # oneof unset = NULL
+                else:
+                    new.append(pw.build_field(name, oid, ENCODERS[oid](v)))
+            out.append(pw.build_change(o, "public", "customer", new))
+        return pd.Series(out)
+
+    rows = typed.select(
+        "lsn",
+        "seq",
+        "ord",
+        enc_msg("op", "present", "old_c_custkey", *[F.col(n) for n, _ in cols]).alias(
+            "data"
+        ),
+    )
+
+    @F.pandas_udf("binary")
+    def enc_frame(kind: pd.Series, lsn: pd.Series, cus: pd.Series) -> pd.Series:
+        out = []
+        kinds, lsns, cuss = kind.to_numpy(), lsn.to_numpy(), cus.to_numpy()
+        for i in range(len(kinds)):
+            ls, pg_us = int(lsns[i]), int(cuss[i]) - MICROS_Y2K_SHIFT
+            if kinds[i] == "B":
+                out.append(pw.build_begin(ls, pg_us, xid=ls % 2**32))
+            else:
+                out.append(pw.build_commit(ls, ls + 1, pg_us))
+        return pd.Series(out)
+
+    txs = typed.groupBy("lsn").agg(F.max(F.unix_micros("commit_ts")).alias("cus"))
+    frames_bc = txs.selectExpr(
+        "lsn", "stack(2, 'B', lsn * 100, 'C', lsn * 100 + 99) AS (kind, ord)", "cus"
+    ).select(
+        "lsn",
+        F.when(F.col("kind") == "B", F.lit(0)).otherwise(F.lit(99)).alias("seq"),
+        "ord",
+        enc_frame("kind", "lsn", "cus").alias("data"),
+    )
+    msgs = rows.unionAll(frames_bc)
+
+    # consumer: ONE parse crossing; Fields carry (name, oid) inline so the
+    # parsed stream IS the generic binary feed — no relation zip at all.
+    parsed = msgs.select("lsn", "seq", "ord", pw.parse_messages_udf()("data").alias("f"))
+    begin_ts = (
+        frames_bc.where("seq = 0")
+        .select("lsn", pw.parse_messages_udf()("data").alias("fb"))
+        .select("lsn", F.col("fb.commit_us").alias("_commit_us"))
+    )
+    stamped = parsed.join(F.broadcast(begin_ts), "lsn", "left").withColumn(
+        "commit_ts",
+        F.timestamp_micros(F.col("_commit_us") + F.lit(MICROS_Y2K_SHIFT)),
+    )
+    strip = "transform(f.{side}, x -> named_struct('name', x.name, 'oid', x.oid, 'bin', x.bin))"
+    generic = stamped.where("f.op IN ('INSERT', 'UPDATE', 'DELETE')").select(
+        "lsn",
+        "seq",
+        "ord",
+        "commit_ts",
+        F.col("f.op").alias("op"),
+        F.expr(strip.format(side="new_fields")).alias("fields"),
+        F.expr(strip.format(side="old_fields")).alias("old_fields"),
+    )
+    decoded = decode_binary_feed(
+        generic, cols, old_key=("old_c_custkey", "c_custkey", 20), fused=True
+    ).withColumn("c_custkey", F.coalesce(F.col("c_custkey"), F.col("old_c_custkey")))
+    return cdc_apply(spark.table("customer"), decoded, "c_custkey", CDC_COLS["customer"])

@@ -171,3 +171,4 @@ def assert_parity(spark, name: str, fn, oracle_sql: str, sf_dir: str, limit_diff
     if a != b:
         diffs = [(x, y) for x, y in zip(a, b) if x != y][:limit_diff]
         raise AssertionError(f"{name}: value mismatch, first diffs: {diffs}")
+    return len(a), len(b)
