@@ -92,6 +92,7 @@ HEADLINE = [
     "sim_ivfpq_ann",
     "corpus_dsir_weights",
     "cdc_apply_from_proto",
+    "cdc_apply_proto_streamed",
 ]
 
 

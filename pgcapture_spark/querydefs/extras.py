@@ -560,20 +560,12 @@ def _apply_customer_from_frames(
     return cdc_apply(spark.table("customer"), decoded, key, CDC_COLS["customer"])
 
 
-@q(
-    "cdc_apply_from_proto",
-    apply_oracle_sql(cdc_customer_sql(DUCKDB), "customer", "c_custkey", CDC_COLS["customer"]),
-    "The reference's PRIMARY wire format end-to-end: the feed rendered as"
-    " actual pgcapture protobuf Message bytes (pb/pgcapture.proto:16-59 —"
-    " Message{Begin|Commit|Change}, Change{op,schema,table,new,old},"
-    " Field{name,oid,binary} with oneof-unset = SQL NULL and omitted field ="
-    " unchanged TOAST, pkg/decode/decoder.go:106-114) via a hand-rolled"
-    " proto3 wire codec, parsed back by ONE Arrow-batched UDF straight into"
-    " the generic binary feed (Fields carry name+oid inline — no relation"
-    " zip), decoded by the fixed-OID codecs and applied — same oracle as"
-    " cdc_apply_customer.",
-)
-def cdc_apply_from_proto(spark: SparkSession, sf_dir: str) -> DataFrame:
+def proto_customer_messages(spark: SparkSession, sf_dir: str):
+    """Fixture edge shared by the batch and streamed proto queries: render the
+    customer feed as pgcapture protobuf Message bytes. Returns (msgs,
+    frames_bc): the full ordered message stream (rows + Begin/Commit, ord =
+    lsn*100+seq so Begin sorts before its tx's rows) and the tx-frame branch
+    alone (for batch-side Begin parsing without touching the row stream)."""
     from pgcapture_spark.functions import protowire as pw
     from pgcapture_spark.functions.pgtypes import ENCODERS, MICROS_Y2K_SHIFT
     from pgcapture_spark.operators.generic_feed import CUSTOMER_FIELD_OIDS
@@ -651,7 +643,29 @@ def cdc_apply_from_proto(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ord",
         enc_frame("kind", "lsn", "cus").alias("data"),
     )
-    msgs = rows.unionAll(frames_bc)
+    return rows.unionAll(frames_bc), frames_bc
+
+
+@q(
+    "cdc_apply_from_proto",
+    apply_oracle_sql(cdc_customer_sql(DUCKDB), "customer", "c_custkey", CDC_COLS["customer"]),
+    "The reference's PRIMARY wire format end-to-end: the feed rendered as"
+    " actual pgcapture protobuf Message bytes (pb/pgcapture.proto:16-59 —"
+    " Message{Begin|Commit|Change}, Change{op,schema,table,new,old},"
+    " Field{name,oid,binary} with oneof-unset = SQL NULL and omitted field ="
+    " unchanged TOAST, pkg/decode/decoder.go:106-114) via a hand-rolled"
+    " proto3 wire codec, parsed back by ONE Arrow-batched UDF straight into"
+    " the generic binary feed (Fields carry name+oid inline — no relation"
+    " zip), decoded by the fixed-OID codecs and applied — same oracle as"
+    " cdc_apply_customer.",
+)
+def cdc_apply_from_proto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pgcapture_spark.functions import protowire as pw
+    from pgcapture_spark.functions.pgtypes import MICROS_Y2K_SHIFT
+    from pgcapture_spark.operators.generic_feed import CUSTOMER_FIELD_OIDS
+
+    cols = CUSTOMER_FIELD_OIDS
+    msgs, frames_bc = proto_customer_messages(spark, sf_dir)
 
     # consumer: ONE parse crossing; Fields carry (name, oid) inline so the
     # parsed stream IS the generic binary feed — no relation zip at all.

@@ -491,3 +491,43 @@ def events_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     query.awaitTermination(300)
     return spark.table("pgcs_stream_static")
+
+
+@q(
+    "cdc_apply_proto_streamed",
+    apply_oracle_sql(cdc_customer_sql(DUCKDB), "customer", "c_custkey", CDC_COLS["customer"]),
+    "E1+E2 over the ACTUAL wire: the protobuf Message byte stream"
+    " (pb/pgcapture.proto) materialized as an ordered log, readStream'd in"
+    " micro-batches, parsed one Arrow crossing per batch, Begin commit times"
+    " folded into a persisted cross-batch tx registry, decoded and"
+    " incrementally applied — converges to the same oracle as the one-shot"
+    " typed apply.",
+)
+def cdc_apply_proto_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from pgcapture_spark.operators.generic_feed import CUSTOMER_FIELD_OIDS
+    from pgcapture_spark.querydefs.extras import proto_customer_messages
+    from pgcapture_spark.streaming.pipeline import apply_wire_stream
+
+    register_views(spark, sf_dir, ("customer",))
+    snapshot = spark.table("customer")
+    msgs, _ = proto_customer_messages(spark, sf_dir)
+    d = tempfile.mkdtemp(prefix="pgcs_q_proto_stream_")
+    feed_dir = f"{d}/wire"
+    materialize_feed(msgs, feed_dir, n_segments=6)
+    schema = spark.read.parquet(feed_dir).schema
+    state = SnapshotState(spark, f"{d}/state")
+    tx_state = SnapshotState(spark, f"{d}/txreg")
+    query = apply_wire_stream(
+        read_feed_stream(spark, feed_dir, schema, max_files_per_trigger=2),
+        state,
+        tx_state,
+        snapshot,
+        "c_custkey",
+        CUSTOMER_FIELD_OIDS,
+        CDC_COLS["customer"],
+        f"{d}/ckpt",
+    )
+    query.awaitTermination(300)
+    return state.read()

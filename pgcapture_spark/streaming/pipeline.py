@@ -180,3 +180,90 @@ def apply_stream_bucketed(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def apply_wire_stream(
+    msg_stream: DataFrame,
+    state: SnapshotState,
+    tx_state: SnapshotState,
+    initial_snapshot: DataFrame,
+    key: str,
+    field_oids: list[tuple[str, int]],
+    cols: list[str],
+    checkpoint_dir: str,
+) -> StreamingQuery:
+    """``pulsar2pg`` over the actual WIRE bytes: each micro-batch of pgcapture
+    protobuf Message frames (pb/pgcapture.proto:16-59) is parsed in ONE Arrow
+    crossing, Begin frames fold into a PERSISTED per-tx commit-time registry
+    (the reference's cross-message transaction state machine — with ord =
+    lsn*100+seq log order a Begin always precedes its rows, but may land
+    batches earlier when a transaction straddles a segment boundary), row
+    events take commit_ts from the registry via a broadcast join, decode
+    through the fixed-OID codecs, and the last-image fold merges into
+    snapshot state.
+
+    Idempotence: the tx registry commits before the snapshot under the SAME
+    batch id; a replayed batch re-commits an identical registry version (the
+    Begin set is deterministic) and the snapshot's consistent gate skips the
+    merge — the reference's A1/A5 exactly-once collapse.
+    """
+    from pyspark.sql import functions as F
+
+    from pgcapture_spark.functions.pgtypes import MICROS_Y2K_SHIFT
+    from pgcapture_spark.functions.protowire import parse_messages_udf
+    from pgcapture_spark.operators.generic_feed import decode_binary_feed
+
+    strip = (
+        "transform(f.{side}, x -> named_struct("
+        "'name', x.name, 'oid', x.oid, 'bin', x.bin))"
+    )
+
+    def _apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id <= state.last_batch():
+            return
+        parsed = batch_df.select(
+            "lsn", "seq", "ord", parse_messages_udf()("data").alias("f")
+        ).persist()
+        try:
+            begins = parsed.where("f.op = 'BEGIN'").select(
+                "lsn", F.col("f.commit_us").alias("_commit_us")
+            )
+            reg = tx_state.read()
+            reg = begins if reg is None else reg.unionByName(begins)
+            reg = reg.dropDuplicates(["lsn"])
+            if batch_id > tx_state.last_batch():
+                tx_state.commit(reg, batch_id)
+            reg = tx_state.read()  # plan off committed files, not the union chain
+            generic = (
+                parsed.where("f.op IN ('INSERT', 'UPDATE', 'DELETE')")
+                .select(
+                    "lsn",
+                    "seq",
+                    "ord",
+                    F.col("f.op").alias("op"),
+                    F.expr(strip.format(side="new_fields")).alias("fields"),
+                    F.expr(strip.format(side="old_fields")).alias("old_fields"),
+                )
+                .join(F.broadcast(reg), "lsn", "left")
+                .withColumn(
+                    "commit_ts",
+                    F.timestamp_micros(F.col("_commit_us") + F.lit(MICROS_Y2K_SHIFT)),
+                )
+                .drop("_commit_us")
+            )
+            decoded = decode_binary_feed(
+                generic, field_oids, old_key=(f"old_{key}", key, 20), fused=True
+            ).withColumn(key, F.coalesce(F.col(key), F.col(f"old_{key}")))
+            current = state.read()
+            if current is None:
+                current = initial_snapshot
+            state.commit(cdc_apply(current, decoded, key, cols), batch_id)
+        finally:
+            parsed.unpersist()
+
+    return (
+        msg_stream.writeStream.foreachBatch(_apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

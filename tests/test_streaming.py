@@ -443,3 +443,53 @@ def test_tws_debounce_kernel_rules_no_spark():
         (7, 8, 3, 2, "UPDATE", "flush_by_delete"),
         (7, 8, 9, 9, "DELETE", "immediate"),
     ]
+
+
+class TestApplyWireStream:
+    """Streamed apply over protobuf Message bytes — cross-batch tx registry."""
+
+    def _run(self, spark, n_segments, max_files):
+        from pgcapture_spark.operators.generic_feed import CUSTOMER_FIELD_OIDS
+        from pgcapture_spark.querydefs.extras import proto_customer_messages
+        from pgcapture_spark.streaming.pipeline import apply_wire_stream
+
+        register_views(spark, SF_SMALL, ("customer",))
+        snapshot = spark.table("customer")
+        msgs, _ = proto_customer_messages(spark, SF_SMALL)
+        d = tempfile.mkdtemp(prefix="pgcs_t_wire_")
+        materialize_feed(msgs, f"{d}/wire", n_segments=n_segments)
+        schema = spark.read.parquet(f"{d}/wire").schema
+        state = SnapshotState(spark, f"{d}/state")
+        tx_state = SnapshotState(spark, f"{d}/txreg")
+        q = apply_wire_stream(
+            read_feed_stream(spark, f"{d}/wire", schema, max_files_per_trigger=max_files),
+            state, tx_state, snapshot, "c_custkey",
+            CUSTOMER_FIELD_OIDS, CDC_COLS["customer"], f"{d}/ckpt",
+        )
+        q.awaitTermination(300)
+        return d, state, tx_state, msgs
+
+    def test_tx_registry_spans_batches(self, spark):
+        """One file per trigger: transactions straddle batch boundaries, so
+        rows must find their Begin's commit time in the PERSISTED registry,
+        not the current batch. The registry must end up covering every tx."""
+        from pyspark.sql import functions as F
+
+        d, state, tx_state, msgs = self._run(spark, n_segments=8, max_files=1)
+        try:
+            reg = tx_state.read()
+            assert reg.where(F.col("_commit_us").isNull()).count() == 0
+            feed_lsns = {r["lsn"] for r in msgs.select("lsn").distinct().collect()}
+            reg_lsns = {r["lsn"] for r in reg.collect()}
+            assert feed_lsns <= reg_lsns
+            # converged snapshot equals the one-shot batch apply
+            batch = cdc_apply(
+                spark.table("customer"),
+                _feed(spark, SF_SMALL, "customer"),
+                "c_custkey",
+                CDC_COLS["customer"],
+            )
+            assert state.read().exceptAll(batch).count() == 0
+            assert batch.exceptAll(state.read()).count() == 0
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
