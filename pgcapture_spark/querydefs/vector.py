@@ -406,7 +406,7 @@ QUALIFY rank <= 3
     " 8×10 integer distance tables; exact integer ranking cross-engine.",
 )
 def sim_pq_adc_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pgcapture_spark.operators.similarity import pq_adc_topk
+    from pgcapture_spark.operators.similarity import ivfpq_topk, pq_adc_topk
 
     register_views(spark, sf_dir, ("embeddings",))
     return pq_adc_topk(spark.table("embeddings"), "vec_id % 25 = 1", k=3, m=8)
@@ -562,6 +562,48 @@ ann{tag} AS (
 )"""
 
 
+def _duck_ivfpq_ann_cte(m: int, tag: str) -> str:
+    """IVF-PQ top-3: PQ/ADC scoring restricted to the query's coarse cell
+    (reuses the tuning query's shared ``assign`` CTE; queries vec_id%25=0)."""
+    sd = 64 // m
+    return f"""
+sub_d{tag} AS (
+  SELECT n.vec_id, mm.m, c.c_label,
+         list_sum(list_transform(range(1, {sd + 1}),
+                  i -> (n.e[mm.m * {sd} + i] - c.c_e[mm.m * {sd} + i])
+                     * (n.e[mm.m * {sd} + i] - c.c_e[mm.m * {sd} + i]))) AS d2
+  FROM normed n CROSS JOIN range(0, {m}) mm(m) CROSS JOIN cent c
+),
+codes{tag} AS (
+  SELECT vec_id, m, c_label AS code FROM (
+    SELECT vec_id, m, c_label,
+           row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, c_label) AS rn
+    FROM sub_d{tag}
+  ) WHERE rn = 1
+),
+qd{tag} AS (
+  SELECT vec_id AS query_id, m, c_label,
+         CAST(floor(d2 * 1000000 + 0.5) AS BIGINT) AS d2q
+  FROM sub_d{tag} WHERE vec_id % 25 = 0
+),
+adc{tag} AS (
+  SELECT qd.query_id, v.vec_id AS neighbor_id, CAST(sum(qd.d2q) AS BIGINT) AS approx
+  FROM codes{tag} v
+  JOIN assign av ON av.vec_id = v.vec_id
+  JOIN assign aq ON aq.cell = av.cell
+  JOIN qd{tag} qd ON qd.m = v.m AND qd.c_label = v.code AND qd.query_id = aq.vec_id
+  WHERE v.vec_id <> qd.query_id
+  GROUP BY 1, 2
+),
+ann{tag} AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY approx, neighbor_id) AS rank
+    FROM adc{tag}
+  ) WHERE rank <= 3
+)"""
+
+
 def _duck_lsh_ann_cte(nbits: int, tag: str) -> str:
     return f"""
 ann{tag} AS (
@@ -651,7 +693,8 @@ probes AS (SELECT vec_id AS query_id, c_label AS p_cell, rn FROM (
 {_duck_ivf_ann_cte(1, "_ivf1")[1:]},
 {_duck_ivf_ann_cte(2, "_ivf2")[1:]},
 {_duck_pq_ann_cte(4, "_pq4")[1:]},
-{_duck_pq_ann_cte(8, "_pq8")[1:]}
+{_duck_pq_ann_cte(8, "_pq8")[1:]},
+{_duck_ivfpq_ann_cte(8, "_ivfpq8")[1:]}
 {_duck_recall_row("signlsh", "nbits=4", "_lsh4")}
 UNION ALL {_duck_recall_row("signlsh", "nbits=6", "_lsh6")}
 UNION ALL {_duck_recall_row("signlsh", "nbits=8", "_lsh8")}
@@ -659,6 +702,7 @@ UNION ALL {_duck_recall_row("ivf", "nprobe=1", "_ivf1")}
 UNION ALL {_duck_recall_row("ivf", "nprobe=2", "_ivf2")}
 UNION ALL {_duck_recall_row("pq", "m=4", "_pq4")}
 UNION ALL {_duck_recall_row("pq", "m=8", "_pq8")}
+UNION ALL {_duck_recall_row("ivfpq", "m=8,nprobe=1", "_ivfpq8")}
 """
 
 
@@ -673,7 +717,7 @@ UNION ALL {_duck_recall_row("pq", "m=8", "_pq8")}
     " candidates scored.",
 )
 def sim_ann_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pgcapture_spark.operators.similarity import pq_adc_topk
+    from pgcapture_spark.operators.similarity import ivfpq_topk, pq_adc_topk
 
     register_views(spark, sf_dir, ("embeddings",))
     emb = spark.table("embeddings")
@@ -689,6 +733,7 @@ def sim_ann_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("ivf", "nprobe=2", ivf_topk(emb, pred, k=3, nprobe=2)),
         ("pq", "m=4", pq_adc_topk(emb, pred, k=3, m=4)),
         ("pq", "m=8", pq_adc_topk(emb, pred, k=3, m=8)),
+        ("ivfpq", "m=8,nprobe=1", ivfpq_topk(emb, pred, k=3, m=8)),
     ]
     rows = []
     for method, param, ann in configs:
