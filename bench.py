@@ -93,6 +93,7 @@ HEADLINE = [
     "corpus_dsir_weights",
     "cdc_apply_from_proto",
     "cdc_apply_proto_streamed",
+    "cdc_checkpoint_keys",
 ]
 
 

@@ -200,3 +200,36 @@ def parse_messages_udf():
         return pd.DataFrame([parse_message(bytes(b)) for b in data])
 
     return _udf
+
+
+# ----------------------------------------------- Checkpoint (pkg/cursor)
+
+def build_checkpoint(lsn: int, seq: int, data: bytes = b"") -> bytes:
+    """Checkpoint{lsn=1, seq=2, data=3} (pb/pgcapture.proto:10-14)."""
+    out = _vi(1, lsn) + _vi(2, seq)
+    if data:
+        out += _ld(3, data)
+    return out
+
+
+def parse_checkpoint(buf: bytes) -> dict:
+    out = {"lsn": 0, "seq": 0, "data": b""}
+    for fno, _, val in _scan(buf):
+        if fno == 1:
+            out["lsn"] = val
+        elif fno == 2:
+            out["seq"] = val
+        elif fno == 3:
+            out["data"] = bytes(val)
+    return out
+
+
+def checkpoint_to_key(lsn: int, seq: int) -> str:
+    """pkg/cursor/main.go:28-30: pglogrepl "%X/%X" LSN text + '|' + hex seq."""
+    return f"{lsn >> 32:X}/{lsn & 0xFFFFFFFF:X}|{seq:x}"
+
+
+def checkpoint_from_key(key: str) -> tuple[int, int]:
+    lsn_s, seq_s = key.split("|")
+    hi, lo = lsn_s.split("/")
+    return (int(hi, 16) << 32) | int(lo, 16), int(seq_s, 16)

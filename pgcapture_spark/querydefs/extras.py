@@ -693,3 +693,44 @@ def cdc_apply_from_proto(spark: SparkSession, sf_dir: str) -> DataFrame:
         generic, cols, old_key=("old_c_custkey", "c_custkey", 20), fused=True
     ).withColumn("c_custkey", F.coalesce(F.col("c_custkey"), F.col("old_c_custkey")))
     return cdc_apply(spark.table("customer"), decoded, "c_custkey", CDC_COLS["customer"])
+
+
+@q(
+    "cdc_checkpoint_keys",
+    f"""
+WITH feed AS ({cdc_customer_sql(DUCKDB)})
+SELECT lsn, max(seq) AS seq,
+       printf('%X/%X|%x', lsn >> 32, lsn & 4294967295, max(seq)) AS key
+FROM feed GROUP BY lsn
+""",
+    "A2/S3 checkpoint identity end-to-end: the per-tx resume point encoded as"
+    " a protobuf Checkpoint{{lsn, seq, data}} (pb/pgcapture.proto:10-14),"
+    " round-tripped through the wire codec, and rendered as the reference's"
+    " pglogrepl '%X/%X|%x' commit key (pkg/cursor/main.go:28-30) — output"
+    " columns come from the PARSED bytes, so the oracle checks the codec.",
+)
+def cdc_checkpoint_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pgcapture_spark.functions.protowire import (
+        build_checkpoint,
+        checkpoint_to_key,
+        parse_checkpoint,
+    )
+
+    feed = _feed(spark, sf_dir, "customer")
+    tx_end = feed.groupBy("lsn").agg(F.max("seq").alias("seq"))
+
+    @F.pandas_udf("binary")
+    def enc_cp(lsn: pd.Series, seq: pd.Series) -> pd.Series:
+        ls, ss = lsn.to_numpy(), seq.to_numpy()
+        return pd.Series([build_checkpoint(int(ls[i]), int(ss[i])) for i in range(len(ls))])
+
+    @F.pandas_udf("lsn bigint, seq bigint, key string")
+    def dec_cp(data: pd.Series) -> pd.DataFrame:
+        rows = []
+        for b in data:
+            p = parse_checkpoint(bytes(b))
+            rows.append((p["lsn"], p["seq"], checkpoint_to_key(p["lsn"], p["seq"])))
+        return pd.DataFrame(rows, columns=["lsn", "seq", "key"])
+
+    wire = tx_end.select(enc_cp("lsn", "seq").alias("data"))
+    return wire.select(dec_cp("data").alias("cp")).select("cp.*")

@@ -84,3 +84,30 @@ class TestTxFrames:
         b = parse_message(build_begin(1, 0, xid=0))
         assert b["op"] == "BEGIN"
         assert not b["commit_us"]  # 0 or None — never a wrong value
+
+
+class TestCheckpoint:
+    @given(st.integers(0, 2**64 - 1), st.integers(0, 2**32 - 1), st.binary(max_size=32))
+    @settings(max_examples=100)
+    def test_proto_roundtrip(self, lsn, seq, data):
+        from pgcapture_spark.functions.protowire import build_checkpoint, parse_checkpoint
+
+        p = parse_checkpoint(build_checkpoint(lsn, seq, data))
+        assert (p["lsn"], p["seq"], p["data"]) == (lsn, seq, data)
+
+    @given(st.integers(0, 2**64 - 1), st.integers(0, 2**32 - 1))
+    @settings(max_examples=100)
+    def test_key_roundtrip(self, lsn, seq):
+        from pgcapture_spark.functions.protowire import (
+            checkpoint_from_key,
+            checkpoint_to_key,
+        )
+
+        assert checkpoint_from_key(checkpoint_to_key(lsn, seq)) == (lsn, seq)
+
+    def test_key_matches_pglogrepl_format(self):
+        from pgcapture_spark.functions.protowire import checkpoint_to_key
+
+        # pglogrepl.LSN(0x1_0000_002A).String() == "1/2A"; seq lowercase hex
+        assert checkpoint_to_key((1 << 32) | 0x2A, 255) == "1/2A|ff"
+        assert checkpoint_to_key(0, 0) == "0/0|0"
