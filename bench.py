@@ -94,6 +94,7 @@ HEADLINE = [
     "cdc_apply_from_proto",
     "cdc_apply_proto_streamed",
     "cdc_checkpoint_keys",
+    "ts_ewma",
 ]
 
 

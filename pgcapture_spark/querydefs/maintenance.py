@@ -7,6 +7,7 @@ time-series/text additions.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from pgcapture_spark.catalog import CDC_COLS, register_views
 from pgcapture_spark.fixtures.cdc_feed import DUCKDB, cdc_customer_sql
@@ -134,3 +135,59 @@ FROM base b LEFT JOIN agg a USING (doc_id)
 def text_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir, ("documents",))
     return repetition_signals(spark.table("documents"))
+
+
+_EWMA_WHERE = "user_id % 20 = 5"
+
+_DUCK_EWMA = f"""
+WITH s AS (
+  SELECT user_id,
+         list(CAST(value AS DOUBLE) ORDER BY ts, event_id) AS vals,
+         count(*) AS n_events
+  FROM events WHERE {_EWMA_WHERE} GROUP BY user_id
+)
+SELECT user_id, n_events,
+       vals[len(vals)] AS last_value,
+       floor(list_reduce(vals, (acc, x) -> 0.25 * x + 0.75 * acc) * 1000000 + 0.5)
+         / 1000000 AS ewma_q
+FROM s
+"""
+
+
+@q(
+    "ts_ewma",
+    _DUCK_EWMA,
+    "North-star time-series: per-entity exponentially weighted moving average"
+    " (alpha=0.25) — series assembled in ONE entity-key shuffle, the"
+    " recursive fold is a sequential array reduce (identical left-to-right"
+    " IEEE op sequence in both engines, so the double result is"
+    " bit-identical before quantization).",
+)
+def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-entity series fit executor memory whenever entity cardinality
+    scales with the data (the hypertable assumption shared by
+    ts_similarity_topk / gapfill); for unbounded single entities, segment the
+    fold with a window over pow(0.75, n-i) partial sums instead."""
+    register_views(spark, sf_dir, ("events",))
+    series = (
+        spark.table("events")
+        .where(_EWMA_WHERE)
+        .groupBy("user_id")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(ts, event_id,"
+                " CAST(value AS DOUBLE) AS v))), s -> s.v)"
+            ).alias("vals"),
+            F.count("*").alias("n_events"),
+        )
+    )
+    return series.select(
+        "user_id",
+        "n_events",
+        F.expr("element_at(vals, -1)").alias("last_value"),
+        F.expr(
+            "floor(aggregate(slice(vals, 2, size(vals) - 1),"
+            " element_at(vals, 1), (acc, x) -> 0.25 * x + 0.75 * acc)"
+            " * 1000000 + 0.5) / 1000000"
+        ).alias("ewma_q"),
+    )
