@@ -95,6 +95,7 @@ HEADLINE = [
     "cdc_apply_proto_streamed",
     "cdc_checkpoint_keys",
     "ts_ewma",
+    "cdc_apply_proto_multi_streamed",
 ]
 
 

@@ -560,42 +560,28 @@ def _apply_customer_from_frames(
     return cdc_apply(spark.table("customer"), decoded, key, CDC_COLS["customer"])
 
 
-def proto_customer_messages(spark: SparkSession, sf_dir: str):
-    """Fixture edge shared by the batch and streamed proto queries: render the
-    customer feed as pgcapture protobuf Message bytes. Returns (msgs,
-    frames_bc): the full ordered message stream (rows + Begin/Commit, ord =
-    lsn*100+seq so Begin sorts before its tx's rows) and the tx-frame branch
-    alone (for batch-side Begin parsing without touching the row stream)."""
+def _proto_rows(typed: DataFrame, table: str, field_oids, key_col: str, old_key_col: str):
+    """Render one table's typed feed rows as Change Message bytes (generic
+    over the table's wire schema; the key travels in ``old`` on DELETE)."""
     from pgcapture_spark.functions import protowire as pw
-    from pgcapture_spark.functions.pgtypes import ENCODERS, MICROS_Y2K_SHIFT
-    from pgcapture_spark.operators.generic_feed import CUSTOMER_FIELD_OIDS
+    from pgcapture_spark.functions.pgtypes import ENCODERS
 
-    register_views(spark, sf_dir, ("customer",))
-    typed = _feed(spark, sf_dir, "customer")
-    cols = CUSTOMER_FIELD_OIDS
+    cols = list(field_oids)
 
     @F.pandas_udf("binary")
-    def enc_msg(
-        op: pd.Series,
-        present: pd.Series,
-        old_key: pd.Series,
-        v0: pd.Series,
-        v1: pd.Series,
-        v2: pd.Series,
-        v3: pd.Series,
-        v4: pd.Series,
-    ) -> pd.Series:
+    def enc_msg(*series: pd.Series) -> pd.Series:
+        op, present, old_key = series[0], series[1], series[2]
         ops = op.to_numpy()
         olds = old_key.to_numpy()
-        varr = [v.to_numpy() for v in (v0, v1, v2, v3, v4)]
+        varr = [v.to_numpy() for v in series[3:]]
         pres = present.to_numpy()
         pset_cache: dict[str, set] = {}
         out = []
         for i in range(len(ops)):
             o = ops[i]
             if o == "DELETE":
-                old = [pw.build_field("c_custkey", 20, ENCODERS[20](int(olds[i])))]
-                out.append(pw.build_change("DELETE", "public", "customer", [], old))
+                old = [pw.build_field(key_col, 20, ENCODERS[20](int(olds[i])))]
+                out.append(pw.build_change("DELETE", "public", table, [], old))
                 continue
             p = pres[i] or ""
             pset = pset_cache.get(p)
@@ -610,17 +596,25 @@ def proto_customer_messages(spark: SparkSession, sf_dir: str):
                     new.append(pw.build_field(name, oid, None))  # oneof unset = NULL
                 else:
                     new.append(pw.build_field(name, oid, ENCODERS[oid](v)))
-            out.append(pw.build_change(o, "public", "customer", new))
+            out.append(pw.build_change(o, "public", table, new))
         return pd.Series(out)
 
-    rows = typed.select(
+    return typed.select(
         "lsn",
         "seq",
         "ord",
-        enc_msg("op", "present", "old_c_custkey", *[F.col(n) for n, _ in cols]).alias(
+        enc_msg("op", "present", old_key_col, *[F.col(n) for n, _ in cols]).alias(
             "data"
         ),
     )
+
+
+def _proto_tx_frames(typed: DataFrame):
+    """Begin/Commit Messages, one pair per tx (lsn), commit time = the tx's
+    max row commit_ts; ord = lsn*100 / lsn*100+99 so Begin sorts before its
+    rows and Commit after (row ord = lsn*100+seq, seq >= 1)."""
+    from pgcapture_spark.functions import protowire as pw
+    from pgcapture_spark.functions.pgtypes import MICROS_Y2K_SHIFT
 
     @F.pandas_udf("binary")
     def enc_frame(kind: pd.Series, lsn: pd.Series, cus: pd.Series) -> pd.Series:
@@ -635,7 +629,7 @@ def proto_customer_messages(spark: SparkSession, sf_dir: str):
         return pd.Series(out)
 
     txs = typed.groupBy("lsn").agg(F.max(F.unix_micros("commit_ts")).alias("cus"))
-    frames_bc = txs.selectExpr(
+    return txs.selectExpr(
         "lsn", "stack(2, 'B', lsn * 100, 'C', lsn * 100 + 99) AS (kind, ord)", "cus"
     ).select(
         "lsn",
@@ -643,6 +637,20 @@ def proto_customer_messages(spark: SparkSession, sf_dir: str):
         "ord",
         enc_frame("kind", "lsn", "cus").alias("data"),
     )
+
+
+def proto_customer_messages(spark: SparkSession, sf_dir: str):
+    """Fixture edge shared by the batch and streamed proto queries: render the
+    customer feed as pgcapture protobuf Message bytes. Returns (msgs,
+    frames_bc): the full ordered message stream (rows + Begin/Commit, ord =
+    lsn*100+seq so Begin sorts before its tx's rows) and the tx-frame branch
+    alone (for batch-side Begin parsing without touching the row stream)."""
+    from pgcapture_spark.operators.generic_feed import CUSTOMER_FIELD_OIDS
+
+    register_views(spark, sf_dir, ("customer",))
+    typed = _feed(spark, sf_dir, "customer")
+    rows = _proto_rows(typed, "customer", CUSTOMER_FIELD_OIDS, "c_custkey", "old_c_custkey")
+    frames_bc = _proto_tx_frames(typed)
     return rows.unionAll(frames_bc), frames_bc
 
 
@@ -734,3 +742,31 @@ def cdc_checkpoint_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     wire = tx_end.select(enc_cp("lsn", "seq").alias("data"))
     return wire.select(dec_cp("data").alias("cp")).select("cp.*")
+
+
+# orders wire schema (key o_orderkey; o_orderdate is the permanently-TOASTed
+# column, never present in UPDATEs)
+ORDERS_FIELD_OIDS: list[tuple[str, int]] = [
+    ("o_orderkey", 20),
+    ("o_custkey", 20),
+    ("o_orderstatus", 25),
+    ("o_totalprice", 701),
+    ("o_orderdate", 1114),
+    ("o_orderpriority", 25),
+]
+
+
+def proto_multi_messages(spark: SparkSession, sf_dir: str):
+    """ONE protobuf Message stream carrying customer AND orders changes — one
+    lsn space for the whole stream (the replication-slot model), Begin/Commit
+    deduped per lsn across tables, commit time = the tx's max row commit_ts."""
+    register_views(spark, sf_dir, ("customer", "orders"))
+    tc = _feed(spark, sf_dir, "customer")
+    to = _feed(spark, sf_dir, "orders")
+    from pgcapture_spark.operators.generic_feed import CUSTOMER_FIELD_OIDS
+
+    rows_c = _proto_rows(tc, "customer", CUSTOMER_FIELD_OIDS, "c_custkey", "old_c_custkey")
+    rows_o = _proto_rows(to, "orders", ORDERS_FIELD_OIDS, "o_orderkey", "old_o_orderkey")
+    both = tc.select("lsn", "commit_ts").unionAll(to.select("lsn", "commit_ts"))
+    frames_bc = _proto_tx_frames(both)
+    return rows_c.unionAll(rows_o).unionAll(frames_bc), frames_bc

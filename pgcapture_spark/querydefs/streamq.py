@@ -531,3 +531,41 @@ def cdc_apply_proto_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     query.awaitTermination(300)
     return state.read()
+
+
+@q(
+    "cdc_apply_proto_multi_streamed",
+    apply_oracle_sql(cdc_customer_sql(DUCKDB), "customer", "c_custkey", CDC_COLS["customer"]),
+    "The COMPLETE pulsar2pg: ONE protobuf Message stream carrying customer"
+    " AND orders changes (Change.table dispatches), one lsn space, shared"
+    " cross-batch tx registry, per-table wire-schema decode, and ALL"
+    " snapshots advancing under one atomic manifest per micro-batch."
+    " Returns the customer side; orders is asserted in"
+    " tests/test_streaming.py::TestApplyWireStreamMulti.",
+)
+def cdc_apply_proto_multi_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from pgcapture_spark.operators.generic_feed import CUSTOMER_FIELD_OIDS
+    from pgcapture_spark.querydefs.extras import ORDERS_FIELD_OIDS, proto_multi_messages
+    from pgcapture_spark.streaming.multi import MultiTableState
+    from pgcapture_spark.streaming.pipeline import apply_wire_stream_multi
+
+    msgs, _ = proto_multi_messages(spark, sf_dir)
+    d = tempfile.mkdtemp(prefix="pgcs_q_proto_multi_")
+    materialize_feed(msgs, f"{d}/wire", n_segments=6)
+    schema = spark.read.parquet(f"{d}/wire").schema
+    state = MultiTableState(spark, f"{d}/state", ["customer", "orders"])
+    tx_state = SnapshotState(spark, f"{d}/txreg")
+    query = apply_wire_stream_multi(
+        read_feed_stream(spark, f"{d}/wire", schema, max_files_per_trigger=2),
+        state,
+        tx_state,
+        {"customer": spark.table("customer"), "orders": spark.table("orders")},
+        {"customer": "c_custkey", "orders": "o_orderkey"},
+        {"customer": CUSTOMER_FIELD_OIDS, "orders": ORDERS_FIELD_OIDS},
+        {"customer": CDC_COLS["customer"], "orders": CDC_COLS["orders"]},
+        f"{d}/ckpt",
+    )
+    query.awaitTermination(300)
+    return state.read()["customer"]

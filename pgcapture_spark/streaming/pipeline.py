@@ -267,3 +267,91 @@ def apply_wire_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def apply_wire_stream_multi(
+    msg_stream: DataFrame,
+    state,
+    tx_state: SnapshotState,
+    initial_snapshots: dict[str, DataFrame],
+    keys: dict[str, str],
+    field_oids: dict[str, list[tuple[str, int]]],
+    cols: dict[str, list[str]],
+    checkpoint_dir: str,
+) -> StreamingQuery:
+    """The COMPLETE ``pulsar2pg``: ONE protobuf Message stream carrying every
+    table's changes (Change.table names the target — pb/pgcapture.proto:40-51),
+    parsed once per micro-batch, Begin times folded into the shared cross-batch
+    tx registry (one lsn space for the whole stream, the replication-slot
+    model), then dispatched per table — each table's rows decode with its own
+    wire schema and fold onto its snapshot, and ALL snapshots advance under
+    one atomic MultiTableState manifest (micro-batch-granular cross-table
+    atomicity, pkg/sink/postgres.go:599-645)."""
+    from pyspark.sql import functions as F
+
+    from pgcapture_spark.functions.pgtypes import MICROS_Y2K_SHIFT
+    from pgcapture_spark.functions.protowire import parse_messages_udf
+    from pgcapture_spark.operators.generic_feed import decode_binary_feed
+
+    strip = (
+        "transform(f.{side}, x -> named_struct("
+        "'name', x.name, 'oid', x.oid, 'bin', x.bin))"
+    )
+
+    def _batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id <= state.last_batch():
+            return
+        parsed = batch_df.select(
+            "lsn", "seq", "ord", parse_messages_udf()("data").alias("f")
+        ).persist()
+        try:
+            begins = parsed.where("f.op = 'BEGIN'").select(
+                "lsn", F.col("f.commit_us").alias("_commit_us")
+            )
+            reg = tx_state.read()
+            reg = begins if reg is None else reg.unionByName(begins)
+            reg = reg.dropDuplicates(["lsn"])
+            if batch_id > tx_state.last_batch():
+                tx_state.commit(reg, batch_id)
+            reg = tx_state.read()
+            current = state.read()
+            if current is None:
+                current = initial_snapshots
+            new = {}
+            for t in state.tables:
+                key = keys[t]
+                generic = (
+                    parsed.where(
+                        f"f.op IN ('INSERT', 'UPDATE', 'DELETE') AND f.table = '{t}'"
+                    )
+                    .select(
+                        "lsn",
+                        "seq",
+                        "ord",
+                        F.col("f.op").alias("op"),
+                        F.expr(strip.format(side="new_fields")).alias("fields"),
+                        F.expr(strip.format(side="old_fields")).alias("old_fields"),
+                    )
+                    .join(F.broadcast(reg), "lsn", "left")
+                    .withColumn(
+                        "commit_ts",
+                        F.timestamp_micros(
+                            F.col("_commit_us") + F.lit(MICROS_Y2K_SHIFT)
+                        ),
+                    )
+                    .drop("_commit_us")
+                )
+                decoded = decode_binary_feed(
+                    generic, field_oids[t], old_key=(f"old_{key}", key, 20), fused=True
+                ).withColumn(key, F.coalesce(F.col(key), F.col(f"old_{key}")))
+                new[t] = cdc_apply(current[t], decoded, key, cols[t])
+            state.commit(new, batch_id)
+        finally:
+            parsed.unpersist()
+
+    return (
+        msg_stream.writeStream.foreachBatch(_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

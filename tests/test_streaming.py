@@ -493,3 +493,49 @@ class TestApplyWireStream:
             assert batch.exceptAll(state.read()).count() == 0
         finally:
             shutil.rmtree(d, ignore_errors=True)
+
+
+class TestApplyWireStreamMulti:
+    def test_both_tables_converge_and_share_tx_registry(self, spark):
+        """The single wire stream must advance BOTH snapshots to their batch
+        apply results, and the shared registry covers the union lsn space."""
+        from pyspark.sql import functions as F
+
+        from pgcapture_spark.operators.generic_feed import CUSTOMER_FIELD_OIDS
+        from pgcapture_spark.querydefs.extras import (
+            ORDERS_FIELD_OIDS,
+            proto_multi_messages,
+        )
+        from pgcapture_spark.streaming.multi import MultiTableState
+        from pgcapture_spark.streaming.pipeline import apply_wire_stream_multi
+
+        msgs, _ = proto_multi_messages(spark, SF_SMALL)
+        d = tempfile.mkdtemp(prefix="pgcs_t_wire_multi_")
+        try:
+            materialize_feed(msgs, f"{d}/wire", n_segments=7)
+            schema = spark.read.parquet(f"{d}/wire").schema
+            state = MultiTableState(spark, f"{d}/state", ["customer", "orders"])
+            tx_state = SnapshotState(spark, f"{d}/txreg")
+            q = apply_wire_stream_multi(
+                read_feed_stream(spark, f"{d}/wire", schema, max_files_per_trigger=2),
+                state, tx_state,
+                {"customer": spark.table("customer"), "orders": spark.table("orders")},
+                {"customer": "c_custkey", "orders": "o_orderkey"},
+                {"customer": CUSTOMER_FIELD_OIDS, "orders": ORDERS_FIELD_OIDS},
+                {"customer": CDC_COLS["customer"], "orders": CDC_COLS["orders"]},
+                f"{d}/ckpt",
+            )
+            q.awaitTermination(300)
+            got = state.read()
+            for t, key in (("customer", "c_custkey"), ("orders", "o_orderkey")):
+                batch = cdc_apply(
+                    spark.table(t), _feed(spark, SF_SMALL, t), key, CDC_COLS[t]
+                )
+                assert got[t].exceptAll(batch).count() == 0, t
+                assert batch.exceptAll(got[t]).count() == 0, t
+            reg = tx_state.read()
+            assert reg.where(F.col("_commit_us").isNull()).count() == 0
+            feed_lsns = {r["lsn"] for r in msgs.select("lsn").distinct().collect()}
+            assert feed_lsns <= {r["lsn"] for r in reg.collect()}
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
