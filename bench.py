@@ -96,6 +96,7 @@ HEADLINE = [
     "cdc_checkpoint_keys",
     "ts_ewma",
     "cdc_apply_proto_multi_streamed",
+    "cdc_apply_from_proto_text",
 ]
 
 

@@ -355,3 +355,60 @@ def pg_decode_json_udf():
         return pd.Series(out)
 
     return _udf
+
+
+# ------------------------------------------------------- text-format datums
+
+# The wire's SECOND datum representation (pb/pgcapture.proto:57 `string text`;
+# pgoutput tuple format 't'): PG text output re-parsed into language types.
+# The reference's consumer scans text datums through the same pgtype.Map
+# (pkg/pgcapture/consumer.go:144-185); binary stays the hot path — text is
+# what a plugin emits when binary transfer is unavailable.
+
+TEXT_ENCODERS: dict[int, Callable[[object], bytes]] = {
+    16: lambda v: (b"t" if v else b"f"),
+    20: lambda v: str(int(v)).encode(),
+    23: lambda v: str(int(v)).encode(),
+    21: lambda v: str(int(v)).encode(),
+    700: lambda v: repr(float(v)).encode(),
+    701: lambda v: repr(float(v)).encode(),  # repr = shortest exact round-trip
+    25: lambda v: str(v).encode(),
+    1043: lambda v: str(v).encode(),
+    1114: lambda v: v.strftime("%Y-%m-%d %H:%M:%S.%f").encode(),
+}
+
+
+def decode_text_datum(oid: int, b: bytes):
+    """One text datum → Python value (None passes through)."""
+    if b is None:
+        return None
+    s = bytes(b).decode()
+    if oid == 16:
+        return s == "t"
+    if oid in (20, 21, 23):
+        return int(s)
+    if oid in (700, 701):
+        return float(s)
+    if oid == 1114:
+        from datetime import datetime
+
+        fmt = "%Y-%m-%d %H:%M:%S.%f" if "." in s else "%Y-%m-%d %H:%M:%S"
+        return datetime.strptime(s, fmt)
+    return s  # 25 / 1043 and any other textual type
+
+
+def decode_text_series(oid: int, s: pd.Series) -> pd.Series:
+    """Arrow-batched text decode: one Series of utf-8 datums → typed values.
+    int/float columns vectorize through pandas astype; the rest map per
+    value (text datums are the fallback path, not the 100 TB hot path)."""
+    if oid in (20, 21, 23):
+        dec = s.map(lambda b: int(bytes(b).decode()) if b is not None else None)
+        return dec.astype("Int64" if oid == 20 else "Int32")
+    if oid in (700, 701):
+        return s.map(lambda b: float(bytes(b).decode()) if b is not None else None).astype(
+            "float64"
+        )
+    out = s.map(lambda b: decode_text_datum(oid, b))
+    if oid == 1114:
+        return pd.Series(out, dtype="datetime64[us]")
+    return out

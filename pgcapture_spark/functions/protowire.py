@@ -71,12 +71,15 @@ _OPNUM = {"INSERT": 0, "UPDATE": 1, "DELETE": 2}
 _OPNAME = {v: k for k, v in _OPNUM.items()}
 
 
-def build_field(name: str, oid: int, bin_val: bytes | None, present: bool = True) -> bytes:
-    """Field{name=1, oid=2, binary=3}; ``bin_val=None`` with ``present`` =
-    explicit NULL (oneof unset)."""
+def build_field(
+    name: str, oid: int, bin_val: bytes | None, present: bool = True, fmt: str = "b"
+) -> bytes:
+    """Field{name=1, oid=2, oneof binary=3 / text=4}; ``bin_val=None`` with
+    ``present`` = explicit NULL (oneof unset). ``fmt='t'`` emits the datum on
+    the text arm of the oneof."""
     out = _ld(1, name.encode()) + _vi(2, oid)
     if present and bin_val is not None:
-        out += _ld(3, bin_val)
+        out += _ld(4 if fmt == "t" else 3, bin_val)
     return out
 
 
@@ -125,17 +128,17 @@ def _scan(buf: bytes):
 
 
 def _parse_field(buf: bytes) -> dict:
-    name, oid, bin_val, has_val = "", 0, None, False
+    name, oid, bin_val, has_val, fmt = "", 0, None, False, "b"
     for fno, _, val in _scan(buf):
         if fno == 1:
             name = val.decode()
         elif fno == 2:
             oid = val
         elif fno == 3:
-            bin_val, has_val = bytes(val), True
-        elif fno == 4:  # text value: carry as utf-8 bytes, oid tells the codec
-            bin_val, has_val = bytes(val), True
-    return {"name": name, "oid": oid, "bin": bin_val, "has_val": has_val}
+            bin_val, has_val, fmt = bytes(val), True, "b"
+        elif fno == 4:  # text arm of the oneof: utf-8 datum, oid picks codec
+            bin_val, has_val, fmt = bytes(val), True, "t"
+    return {"name": name, "oid": oid, "bin": bin_val, "has_val": has_val, "fmt": fmt}
 
 
 def parse_message(buf: bytes) -> dict:
@@ -184,7 +187,7 @@ def parse_message(buf: bytes) -> dict:
     return out
 
 
-_FIELDS_T = "array<struct<name:string,oid:int,bin:binary,has_val:boolean>>"
+_FIELDS_T = "array<struct<name:string,oid:int,bin:binary,has_val:boolean,fmt:string>>"
 _MSG_T = (
     "op string, commit_us bigint, xid bigint, schema string, table string,"
     f" new_fields {_FIELDS_T}, old_fields {_FIELDS_T}"

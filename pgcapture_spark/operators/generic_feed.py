@@ -194,15 +194,20 @@ def to_binary_feed(
 FUSE_THRESHOLD = 8
 
 
-def _decode_struct_udf(cols: list[tuple[str, int]]):
-    """ONE Arrow-batched UDF decoding every (out_name, oid) binary column into
-    a struct — a single Python boundary crossing for the whole width."""
+def _decode_struct_udf(cols: list[tuple[str, int]], text: bool = False):
+    """ONE Arrow-batched UDF decoding every (out_name, oid) datum column into
+    a struct — a single Python boundary crossing for the whole width.
+    ``text=True`` runs the text-format codecs (the wire's second datum
+    representation, pb/pgcapture.proto:57) instead of PG binary."""
+    from pgcapture_spark.functions.pgtypes import decode_text_series
+
+    dec = decode_text_series if text else decode_series
     ddl = ", ".join(f"{n} {spark_type_for_oid(o)}" for n, o in cols)
 
     @F.pandas_udf(ddl)
     def _udf(*bins: pd.Series) -> pd.DataFrame:
         return pd.DataFrame(
-            {n: decode_series(o, bins[j]) for j, (n, o) in enumerate(cols)}
+            {n: dec(o, bins[j]) for j, (n, o) in enumerate(cols)}
         )
 
     return _udf
@@ -220,6 +225,7 @@ def decode_binary_feed(
     field_oids: list[tuple[str, int]],
     old_key: tuple[str, str, int] | list[tuple[str, str, int]] | None = None,
     fused: bool | None = None,
+    text: bool = False,
 ) -> DataFrame:
     """Generic binary feed → typed view, decode-at-the-edge.
 
@@ -238,6 +244,8 @@ def decode_binary_feed(
     width = len(field_oids) + len(old_keys)
     if fused is None:
         fused = width >= FUSE_THRESHOLD
+    if text and not fused:
+        fused = True  # text codecs ship only in the fused struct UDF
     if fused:
         cols = [(name, oid) for name, oid in field_oids] + [
             (src, oid) for src, _, oid in old_keys
@@ -245,7 +253,7 @@ def decode_binary_feed(
         bins = [_extract_bin("fields", name) for name, _ in field_oids] + [
             _extract_bin("old_fields", name) for _, name, oid in old_keys
         ]
-        dec = _decode_struct_udf(cols)
+        dec = _decode_struct_udf(cols, text=text)
         return generic.select(*meta, dec(*bins).alias("_dec"), present).select(
             *meta, "_dec.*", "present"
         )

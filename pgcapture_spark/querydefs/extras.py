@@ -560,12 +560,22 @@ def _apply_customer_from_frames(
     return cdc_apply(spark.table("customer"), decoded, key, CDC_COLS["customer"])
 
 
-def _proto_rows(typed: DataFrame, table: str, field_oids, key_col: str, old_key_col: str):
+def _proto_rows(
+    typed: DataFrame,
+    table: str,
+    field_oids,
+    key_col: str,
+    old_key_col: str,
+    fmt: str = "b",
+):
     """Render one table's typed feed rows as Change Message bytes (generic
-    over the table's wire schema; the key travels in ``old`` on DELETE)."""
+    over the table's wire schema; the key travels in ``old`` on DELETE).
+    ``fmt='t'`` emits every datum on the TEXT arm of the Field oneof
+    (pb/pgcapture.proto:57) via the PG text-output encoders."""
     from pgcapture_spark.functions import protowire as pw
-    from pgcapture_spark.functions.pgtypes import ENCODERS
+    from pgcapture_spark.functions.pgtypes import ENCODERS, TEXT_ENCODERS
 
+    enc_map = TEXT_ENCODERS if fmt == "t" else ENCODERS
     cols = list(field_oids)
 
     @F.pandas_udf("binary")
@@ -580,7 +590,7 @@ def _proto_rows(typed: DataFrame, table: str, field_oids, key_col: str, old_key_
         for i in range(len(ops)):
             o = ops[i]
             if o == "DELETE":
-                old = [pw.build_field(key_col, 20, ENCODERS[20](int(olds[i])))]
+                old = [pw.build_field(key_col, 20, enc_map[20](int(olds[i])), fmt=fmt)]
                 out.append(pw.build_change("DELETE", "public", table, [], old))
                 continue
             p = pres[i] or ""
@@ -595,7 +605,7 @@ def _proto_rows(typed: DataFrame, table: str, field_oids, key_col: str, old_key_
                 if v is None or pd.isna(v):
                     new.append(pw.build_field(name, oid, None))  # oneof unset = NULL
                 else:
-                    new.append(pw.build_field(name, oid, ENCODERS[oid](v)))
+                    new.append(pw.build_field(name, oid, enc_map[oid](v), fmt=fmt))
             out.append(pw.build_change(o, "public", table, new))
         return pd.Series(out)
 
@@ -770,3 +780,51 @@ def proto_multi_messages(spark: SparkSession, sf_dir: str):
     both = tc.select("lsn", "commit_ts").unionAll(to.select("lsn", "commit_ts"))
     frames_bc = _proto_tx_frames(both)
     return rows_c.unionAll(rows_o).unionAll(frames_bc), frames_bc
+
+
+@q(
+    "cdc_apply_from_proto_text",
+    apply_oracle_sql(cdc_customer_sql(DUCKDB), "customer", "c_custkey", CDC_COLS["customer"]),
+    "The wire's SECOND datum representation end-to-end: the same protobuf"
+    " Message stream with every datum on the TEXT arm of the Field oneof"
+    " (pb/pgcapture.proto:57; what a plugin emits when binary transfer is"
+    " unavailable), parsed by the same UDF, decoded by the text-format"
+    " codecs (PG text output re-parsed, pkg/pgcapture/consumer.go:144-185),"
+    " applied — same oracle as every other customer apply.",
+)
+def cdc_apply_from_proto_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pgcapture_spark.functions import protowire as pw
+    from pgcapture_spark.functions.pgtypes import MICROS_Y2K_SHIFT
+    from pgcapture_spark.operators.generic_feed import CUSTOMER_FIELD_OIDS
+
+    register_views(spark, sf_dir, ("customer",))
+    typed = _feed(spark, sf_dir, "customer")
+    cols = CUSTOMER_FIELD_OIDS
+    rows = _proto_rows(typed, "customer", cols, "c_custkey", "old_c_custkey", fmt="t")
+    frames_bc = _proto_tx_frames(typed)
+    msgs = rows.unionAll(frames_bc)
+
+    parsed = msgs.select("lsn", "seq", "ord", pw.parse_messages_udf()("data").alias("f"))
+    begin_ts = (
+        frames_bc.where("seq = 0")
+        .select("lsn", pw.parse_messages_udf()("data").alias("fb"))
+        .select("lsn", F.col("fb.commit_us").alias("_commit_us"))
+    )
+    stamped = parsed.join(F.broadcast(begin_ts), "lsn", "left").withColumn(
+        "commit_ts",
+        F.timestamp_micros(F.col("_commit_us") + F.lit(MICROS_Y2K_SHIFT)),
+    )
+    strip = "transform(f.{side}, x -> named_struct('name', x.name, 'oid', x.oid, 'bin', x.bin))"
+    generic = stamped.where("f.op IN ('INSERT', 'UPDATE', 'DELETE')").select(
+        "lsn",
+        "seq",
+        "ord",
+        "commit_ts",
+        F.col("f.op").alias("op"),
+        F.expr(strip.format(side="new_fields")).alias("fields"),
+        F.expr(strip.format(side="old_fields")).alias("old_fields"),
+    )
+    decoded = decode_binary_feed(
+        generic, cols, old_key=("old_c_custkey", "c_custkey", 20), fused=True, text=True
+    ).withColumn("c_custkey", F.coalesce(F.col("c_custkey"), F.col("old_c_custkey")))
+    return cdc_apply(spark.table("customer"), decoded, "c_custkey", CDC_COLS["customer"])
