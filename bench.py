@@ -97,6 +97,8 @@ HEADLINE = [
     "ts_ewma",
     "cdc_apply_proto_multi_streamed",
     "cdc_apply_from_proto_text",
+    "corpus_domain_cap",
+    "cdc_apply_pgoutput_streamed",
 ]
 
 

@@ -389,12 +389,11 @@ def cdc_apply_from_pglogical(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _apply_customer_from_frames(spark, sf_dir, dialect="pglogical")
 
 
-def _apply_customer_from_frames(
-    spark: SparkSession, sf_dir: str, dialect: str
-) -> DataFrame:
-    """Shared frames→apply pipeline; ``dialect`` picks the wire codec and the
-    relation-metadata source (pgoutput: oids+key in-band; pglogical: names
-    in-band, types/key from the schema registry)."""
+def customer_wire_frames(spark: SparkSession, sf_dir: str, dialect: str):
+    """Fixture edge for the frame dialects: render the customer feed as
+    actual pgoutput / pglogical_output frame bytes. Returns (frames,
+    frames_bc, rel_frame): full ordered stream (R + rows + B/C), the
+    tx-frame branch, and the one-row relation frame."""
     from pgcapture_spark.functions import pglogical, pgoutput
     from pgcapture_spark.functions.pgtypes import ENCODERS, MICROS_Y2K_SHIFT
     from pgcapture_spark.operators.generic_feed import CUSTOMER_FIELD_OIDS
@@ -496,7 +495,23 @@ def _apply_customer_from_frames(
     rel_frame = spark.createDataFrame(
         [(0, 0, -1, rel_bytes)], "lsn bigint, seq int, ord bigint, data binary"
     )
-    frames = rel_frame.unionAll(rows).unionAll(frames_bc)
+    return rel_frame.unionAll(rows).unionAll(frames_bc), frames_bc, rel_frame
+
+
+def _apply_customer_from_frames(
+    spark: SparkSession, sf_dir: str, dialect: str
+) -> DataFrame:
+    """Shared frames→apply pipeline; ``dialect`` picks the wire codec and the
+    relation-metadata source (pgoutput: oids+key in-band; pglogical: names
+    in-band, types/key from the schema registry)."""
+    from pgcapture_spark.functions import pglogical, pgoutput
+    from pgcapture_spark.functions.pgtypes import MICROS_Y2K_SHIFT
+    from pgcapture_spark.operators.generic_feed import CUSTOMER_FIELD_OIDS
+
+    d = pgoutput if dialect == "pgoutput" else pglogical
+    parse_frames_udf = d.parse_frames_udf
+    cols = CUSTOMER_FIELD_OIDS
+    frames, frames_bc, rel_frame = customer_wire_frames(spark, sf_dir, dialect)
 
     # ---- consumer: ONE parse crossing, then pure Catalyst ----
     parsed = frames.select("lsn", "seq", "ord", parse_frames_udf()("data").alias("f"))

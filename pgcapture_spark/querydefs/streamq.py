@@ -569,3 +569,41 @@ def cdc_apply_proto_multi_streamed(spark: SparkSession, sf_dir: str) -> DataFram
     )
     query.awaitTermination(300)
     return state.read()["customer"]
+
+
+@q(
+    "cdc_apply_pgoutput_streamed",
+    apply_oracle_sql(cdc_customer_sql(DUCKDB), "customer", "c_custkey", CDC_COLS["customer"]),
+    "D1-D5 streaming: RAW pgoutput frame bytes readStream'd in micro-batches;"
+    " the in-band Relation frame is learned in batch 0 and PERSISTED, so"
+    " later batches decode positional tuples against the relation cache"
+    " (schema, types, AND the identity key all arrive on the wire — nothing"
+    " table-specific in the consumer); Begin times fold into the cross-batch"
+    " tx registry; converges to the one-shot typed apply oracle.",
+)
+def cdc_apply_pgoutput_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from pgcapture_spark.querydefs.extras import customer_wire_frames
+    from pgcapture_spark.streaming.pipeline import apply_pgoutput_stream
+
+    register_views(spark, sf_dir, ("customer",))
+    snapshot = spark.table("customer")
+    frames, _, _ = customer_wire_frames(spark, sf_dir, "pgoutput")
+    d = tempfile.mkdtemp(prefix="pgcs_q_pgout_stream_")
+    materialize_feed(frames, f"{d}/wire", n_segments=6)
+    schema = spark.read.parquet(f"{d}/wire").schema
+    state = SnapshotState(spark, f"{d}/state")
+    tx_state = SnapshotState(spark, f"{d}/txreg")
+    rel_state = SnapshotState(spark, f"{d}/relcache")
+    query = apply_pgoutput_stream(
+        read_feed_stream(spark, f"{d}/wire", schema, max_files_per_trigger=2),
+        state,
+        tx_state,
+        rel_state,
+        snapshot,
+        CDC_COLS["customer"],
+        f"{d}/ckpt",
+    )
+    query.awaitTermination(300)
+    return state.read()

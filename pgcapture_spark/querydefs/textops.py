@@ -992,3 +992,70 @@ def corpus_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir, ("documents",))
     return dsir_weights(spark.table("documents"))
+
+
+_DUCK_DOMAIN_CAP = f"""
+WITH t AS ({_DUCK_DOCS_TOK}),
+m AS (
+  SELECT doc_id, source,
+         len(tokens) AS n_tokens,
+         length(text) AS n_chars,
+         CAST(coalesce(list_sum(list_transform(tokens, x -> length(x))), 0) AS DOUBLE)
+           / greatest(len(tokens), 1) AS mean_token_len,
+         CAST(len(list_filter(tokens, x -> x in ('the', 'a', 'of'))) AS DOUBLE)
+           / greatest(len(tokens), 1) AS stopword_ratio,
+         CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+           / greatest(length(text), 1) AS digit_ratio
+  FROM (SELECT d.doc_id, d.source, d.text, {_DUCK_TOKENS} AS tokens
+        FROM documents d) AS sub(doc_id, source, text, tokens)
+),
+scored AS (
+  SELECT doc_id, source, n_tokens,
+         0.4 * least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
+         + 0.3 * (1.0 - stopword_ratio)
+         + 0.2 * least(mean_token_len / 8.0, 1.0)
+         + 0.1 * (1.0 - digit_ratio) AS quality
+  FROM m
+),
+ranked AS (
+  SELECT doc_id, source, n_tokens, quality,
+         row_number() OVER (PARTITION BY source ORDER BY quality DESC, doc_id)
+           AS source_rank
+  FROM scored
+)
+SELECT doc_id, source, n_tokens,
+       floor(quality * 1000000 + 0.5) / 1000000 AS quality_q,
+       source_rank, source_rank <= 15 AS keep
+FROM ranked
+"""
+
+
+@q(
+    "corpus_domain_cap",
+    _DUCK_DOMAIN_CAP,
+    "North-star: per-domain frequency capping — at most K docs per source,"
+    " ranked by the quality heuristic (ties by doc_id); the Common-Crawl"
+    " 'cap each domain' curation stage. One shuffle on the domain key,"
+    " rank-only window state.",
+)
+def corpus_domain_cap(spark: SparkSession, sf_dir: str, k: int = 15) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    register_views(spark, sf_dir, ("documents",))
+    scored = quality_score(
+        spark.table("documents")
+    ).join(spark.table("documents").select("doc_id", "source"), "doc_id")
+    w = W.partitionBy("source").orderBy(F.col("quality").desc(), F.col("doc_id"))
+    return (
+        scored.withColumn("source_rank", F.row_number().over(w))
+        .select(
+            "doc_id",
+            "source",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            (F.floor(F.col("quality") * 1000000 + F.lit(0.5)) / 1000000).alias(
+                "quality_q"
+            ),
+            "source_rank",
+            (F.col("source_rank") <= k).alias("keep"),
+        )
+    )

@@ -355,3 +355,115 @@ def apply_wire_stream_multi(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def apply_pgoutput_stream(
+    frame_stream: DataFrame,
+    state: SnapshotState,
+    tx_state: SnapshotState,
+    rel_state: SnapshotState,
+    initial_snapshot: DataFrame,
+    cols: list[str],
+    checkpoint_dir: str,
+) -> StreamingQuery:
+    """Streamed pgoutput consumer: micro-batches of RAW pgoutput frame bytes.
+    The in-band Relation frame (first in log order) is learned and PERSISTED
+    — later batches decode rows against the persisted relation cache, the
+    reference's PGOutputDecoder relation registry surviving the consumer's
+    restarts (pkg/decode/pgoutput.go:33-65). Begin times fold into the
+    cross-batch tx registry; tuples zip with the learned column list (the
+    pgoutput tuple carries no names — position is meaning); presence model:
+    'u' = absent TOAST, 'n' = present NULL. The identity key comes from the
+    relation's flag bits, so NOTHING table-specific is hard-coded in the
+    consumer — schema, key, and types all arrive on the wire."""
+    from pyspark.sql import functions as F
+
+    from pgcapture_spark.functions.pgoutput import parse_frames_udf
+    from pgcapture_spark.functions.pgtypes import MICROS_Y2K_SHIFT
+    from pgcapture_spark.operators.generic_feed import decode_binary_feed
+
+    def _batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id <= state.last_batch():
+            return
+        # 1) learn + persist relations from this batch's R frames (ord = -1
+        # sorts them first; the filter is plain Catalyst, below the parse)
+        rels = (
+            batch_df.where("ord = -1")
+            .select(parse_frames_udf()("data").alias("f"))
+            .where("f.op = 'RELATION'")
+            .select(F.posexplode("f.rel_cols").alias("pos", "c"))
+            .select("pos", "c.name", "c.oid", "c.flag")
+        )
+        cache = rel_state.read()
+        cache = rels if cache is None else cache.unionByName(rels).dropDuplicates(["pos"])
+        if batch_id > rel_state.last_batch():
+            rel_state.commit(cache, batch_id)
+        learned = sorted(
+            ((r["pos"], r["name"], r["oid"], bool(r["flag"] & 1)) for r in
+             rel_state.read().collect())
+        )
+        if not learned:
+            return  # nothing decodable before the first Relation frame
+        field_oids = [(n, o) for _, n, o, _ in learned]
+        [key] = [n for _, n, _, is_key in learned if is_key]
+        cols_lit = "array(" + ", ".join(
+            f"named_struct('name', '{n}', 'oid', {o})" for _, n, o, _ in learned
+        ) + ")"
+        # 2) tx registry from this batch's Begin frames
+        parsed = batch_df.where("ord <> -1").select(
+            "lsn", "seq", "ord", parse_frames_udf()("data").alias("f")
+        ).persist()
+        try:
+            begins = parsed.where("f.op = 'BEGIN'").select(
+                "lsn", F.col("f.commit_us").alias("_commit_us")
+            )
+            reg = tx_state.read()
+            reg = begins if reg is None else reg.unionByName(begins)
+            reg = reg.dropDuplicates(["lsn"])
+            if batch_id > tx_state.last_batch():
+                tx_state.commit(reg, batch_id)
+            reg = tx_state.read()
+            # 3) zip tuples with the learned relation, decode, fold
+            zip_tpl = (
+                "transform(filter(zip_with(f.{side}, " + cols_lit + ", (t, c) ->"
+                " named_struct('name', c.name, 'oid', c.oid, 'bin', t.bin,"
+                " 'fmt', t.format)), x -> {keep}),"
+                " x -> named_struct('name', x.name, 'oid', x.oid, 'bin', x.bin))"
+            )
+            generic = (
+                parsed.where("f.op IN ('INSERT', 'UPDATE', 'DELETE')")
+                .select(
+                    "lsn",
+                    "seq",
+                    "ord",
+                    F.col("f.op").alias("op"),
+                    F.expr(zip_tpl.format(side="new_tuple", keep="x.fmt <> 'u'")).alias(
+                        "fields"
+                    ),
+                    F.expr(
+                        zip_tpl.format(side="old_tuple", keep="x.fmt IN ('b', 't')")
+                    ).alias("old_fields"),
+                )
+                .join(F.broadcast(reg), "lsn", "left")
+                .withColumn(
+                    "commit_ts",
+                    F.timestamp_micros(F.col("_commit_us") + F.lit(MICROS_Y2K_SHIFT)),
+                )
+                .drop("_commit_us")
+            )
+            decoded = decode_binary_feed(
+                generic, field_oids, old_key=(f"old_{key}", key, 20), fused=True
+            ).withColumn(key, F.coalesce(F.col(key), F.col(f"old_{key}")))
+            current = state.read()
+            if current is None:
+                current = initial_snapshot
+            state.commit(cdc_apply(current, decoded, key, cols), batch_id)
+        finally:
+            parsed.unpersist()
+
+    return (
+        frame_stream.writeStream.foreachBatch(_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -539,3 +539,45 @@ class TestApplyWireStreamMulti:
             assert feed_lsns <= {r["lsn"] for r in reg.collect()}
         finally:
             shutil.rmtree(d, ignore_errors=True)
+
+
+class TestApplyPgoutputStream:
+    def test_relation_cache_persists_across_batches(self, spark):
+        """One file per trigger: only batch 0 carries the Relation frame, so
+        every later batch decodes against the PERSISTED relation cache. The
+        cache must hold the full flagged column list and the converged
+        snapshot must equal the batch apply."""
+        from pgcapture_spark.operators.generic_feed import CUSTOMER_FIELD_OIDS
+        from pgcapture_spark.querydefs.extras import customer_wire_frames
+        from pgcapture_spark.streaming.pipeline import apply_pgoutput_stream
+
+        register_views(spark, SF_SMALL, ("customer",))
+        frames, _, _ = customer_wire_frames(spark, SF_SMALL, "pgoutput")
+        d = tempfile.mkdtemp(prefix="pgcs_t_pgout_stream_")
+        try:
+            materialize_feed(frames, f"{d}/wire", n_segments=8)
+            schema = spark.read.parquet(f"{d}/wire").schema
+            state = SnapshotState(spark, f"{d}/state")
+            tx_state = SnapshotState(spark, f"{d}/txreg")
+            rel_state = SnapshotState(spark, f"{d}/relcache")
+            q = apply_pgoutput_stream(
+                read_feed_stream(spark, f"{d}/wire", schema, max_files_per_trigger=1),
+                state, tx_state, rel_state,
+                spark.table("customer"), CDC_COLS["customer"], f"{d}/ckpt",
+            )
+            q.awaitTermination(300)
+            cache = sorted(
+                (r["pos"], r["name"], r["oid"], r["flag"]) for r in rel_state.read().collect()
+            )
+            assert [(n, o) for _, n, o, _ in cache] == CUSTOMER_FIELD_OIDS
+            assert [n for _, n, _, fl in cache if fl & 1] == ["c_custkey"]
+            batch = cdc_apply(
+                spark.table("customer"),
+                _feed(spark, SF_SMALL, "customer"),
+                "c_custkey",
+                CDC_COLS["customer"],
+            )
+            assert state.read().exceptAll(batch).count() == 0
+            assert batch.exceptAll(state.read()).count() == 0
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
