@@ -395,7 +395,14 @@ def apply_pgoutput_stream(
             .select("pos", "c.name", "c.oid", "c.flag")
         )
         cache = rel_state.read()
-        cache = rels if cache is None else cache.unionByName(rels).dropDuplicates(["pos"])
+        if cache is None:
+            cache = rels
+        else:
+            # a later Relation frame redefining a position WINS (the
+            # reference replaces its registry entry on every R message) —
+            # dropDuplicates would keep an arbitrary one of old/new
+            kept = cache.join(rels.select("pos"), "pos", "left_anti")
+            cache = rels.unionByName(kept)
         if batch_id > rel_state.last_batch():
             rel_state.commit(cache, batch_id)
         learned = sorted(
