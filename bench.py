@@ -99,6 +99,13 @@ HEADLINE = [
     "cdc_apply_from_proto_text",
     "corpus_domain_cap",
     "cdc_apply_pgoutput_streamed",
+    # r3 fourth wave: substring-span dedup, NB quality model, OHLC resample,
+    # rolling z-score anomaly flag
+    "dedup_substring",
+    "text_nb_quality",
+    "ts_resample_ohlc",
+    "ts_rolling_zscore",
+    "ts_ohlc_streamed",
 ]
 
 

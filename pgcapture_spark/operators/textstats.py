@@ -419,13 +419,17 @@ def decontaminate(docs: DataFrame, eval_pred: str = "doc_id % 97 = 5") -> DataFr
 STOPWORDS = ("the", "a", "of", "value", "table")
 
 
-def quality_rules(docs: DataFrame) -> DataFrame:
+def quality_rules(docs: DataFrame, keep_tokens: bool = False) -> DataFrame:
     """Per-document rule flags + keep decision.
 
     Rules (metric → bound): token count in [20, 100000]; mean token length in
     [2, 12]; fraction of tokens containing a letter >= 0.8; symbol ratio
     ('#'/'…' per token) <= 0.1; distinct-token fraction >= 0.3 (the repetition
     gate — word-soup spam collapses here); >= 2 distinct stopwords present.
+
+    ``keep_tokens=True`` carries the token array through to the output so a
+    downstream token-level consumer (the NB classifier) labels and explodes
+    in the SAME scan — no doc_id join to reattach labels.
     """
     stops = ", ".join(f"'{s}'" for s in STOPWORDS)
     df = ensure_parallelism(docs).select(
@@ -437,7 +441,7 @@ def quality_rules(docs: DataFrame) -> DataFrame:
         ).alias("_n_sym"),
     )
     m = df.select(
-        "doc_id",
+        *(["doc_id", "tokens"] if keep_tokens else ["doc_id"]),
         F.size("tokens").alias("n_tokens"),
         (
             F.expr("aggregate(tokens, 0L, (acc, t) -> acc + length(t))").cast("double")
@@ -750,4 +754,137 @@ def dsir_weights(docs: DataFrame, target_pred: str = "lang = 'en'") -> DataFrame
             ),
         )
         .withColumn("keep", F.col("total_q_nats") > 0)
+    )
+
+
+def substring_dedup(docs: DataFrame, k: int = 8) -> DataFrame:
+    """Exact substring-level deduplication (the span-removal stage of Lee et
+    al. 2021, "Deduplicating Training Data Makes Language Models Better"):
+    every ``k``-token gram occurring at two or more positions corpus-wide
+    keeps its FIRST occurrence (ordered by (doc_id, pos)) and every later
+    occurrence marks its ``k`` token positions for removal; documents are
+    reassembled from the surviving tokens.
+
+    The reference paper builds a suffix array on one machine; the
+    distributed-friendly restatement is gram-cover: per-row gram construction
+    fused into the scan (no shuffle), ONE corpus-wide shuffle on the gram
+    text (rank-only window state, same hash partitioning a groupBy would
+    need). Covered positions collapse to ONE small per-doc position set
+    (collect_set over only the duplicated occurrences) joined back on
+    doc_id; removal + reassembly are then pure per-row array expressions —
+    the corpus text itself is shuffled exactly once (the doc_id join), never
+    re-exploded token-by-token. A boilerplate gram repeated across the
+    corpus lands in one partition but carries only (doc_id, pos) pairs.
+
+    Tokenization is a plain single-space split (positions must be exact for
+    reassembly, so no lowercase/filter normalization here — dedup is literal,
+    like the reference paper's byte-level spans).
+
+    Output: (doc_id, n_tokens, n_removed, dedup_text).
+    """
+    from pyspark.sql import Window as W
+
+    k = int(k)
+    t = ensure_parallelism(docs).select("doc_id", F.expr("split(text, ' ')").alias("ts"))
+    grams = t.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"CASE WHEN size(ts) >= {k} THEN transform(sequence(1, size(ts) - {k} + 1),"
+                f" i -> concat_ws(' ', slice(ts, i, {k})))"
+                " ELSE CAST(array() AS ARRAY<STRING>) END"
+            )
+        ).alias("p0", "gram"),
+    ).select("doc_id", (F.col("p0") + 1).cast("bigint").alias("pos"), "gram")
+    ranked = grams.select(
+        "doc_id",
+        "pos",
+        F.row_number().over(W.partitionBy("gram").orderBy("doc_id", "pos")).alias("rn"),
+        F.count("*").over(W.partitionBy("gram")).alias("cnt"),
+    )
+    cov = (
+        ranked.where("cnt >= 2 AND rn >= 2")
+        .select("doc_id", F.explode(F.expr(f"sequence(pos, pos + {k} - 1)")).alias("cp"))
+        .groupBy("doc_id")
+        .agg(F.collect_set("cp").alias("cps"))
+    )
+    return (
+        t.join(cov, on="doc_id", how="left")
+        .select(
+            "doc_id",
+            "ts",
+            F.expr("coalesce(cps, CAST(array() AS ARRAY<BIGINT>))").alias("cps"),
+        )
+        .select(
+            "doc_id",
+            F.size("ts").cast("bigint").alias("n_tokens"),
+            F.size("cps").cast("bigint").alias("n_removed"),
+            F.concat_ws(
+                " ",
+                F.expr(
+                    "filter(transform(sequence(1, size(ts)),"
+                    " i -> IF(array_contains(cps, CAST(i AS BIGINT)), NULL,"
+                    " element_at(ts, i))), x -> x IS NOT NULL)"
+                ),
+            ).alias("dedup_text"),
+        )
+    )
+
+
+def nb_quality_classifier(docs: DataFrame) -> DataFrame:
+    """Model-based quality classifier (the CCNet / GPT-3 "quality filter"
+    stage): a multinomial Naive Bayes scorer whose training labels come from
+    the :func:`quality_rules` heuristic gate — the standard bootstrap where a
+    cheap rule battery seeds a smooth model that generalizes past the rules'
+    hard edges. No external model: train = two token histograms + a prior.
+
+    Per-token log-likelihood ratio ln p(t|keep)/p(t|drop) under add-1
+    smoothing is quantized to integer 1e-4 nats BEFORE the per-doc sum (the
+    repo-wide order-independence policy), so scores are exact integers.
+
+    Shape: labeling is per-row and explodes in the SAME scan (keep_tokens
+    passthrough — no doc_id join to reattach labels); class histograms are
+    one token-key groupBy with map-side combine; class totals/vocab one tiny
+    agg broadcast back; scoring joins tokens to the BROADCAST LLR table and
+    folds per doc — at 100 TB the model is vocab-bounded (MBs), the corpus
+    is touched twice (train count + score), both embarrassingly parallel,
+    and the only corpus-wide exchanges are the two token-key/doc-key aggs.
+
+    Output: (doc_id, n_tokens, token_llr_q, total_llr_q, pred_good).
+    """
+    labeled = quality_rules(docs, keep_tokens=True).select("doc_id", "keep", "tokens")
+    tok = labeled.select("doc_id", "keep", F.explode("tokens").alias("token"))
+    cls = tok.agg(
+        F.count(F.when(F.col("keep"), True)).alias("tg"),
+        F.count(F.when(~F.col("keep"), True)).alias("tb"),
+        F.countDistinct("token").alias("vsize"),
+    )
+    prior = labeled.select("doc_id", "keep").agg(
+        F.expr(
+            "CAST(floor((ln(CAST(count(IF(keep, 1, NULL)) AS DOUBLE))"
+            " - ln(CAST(count(IF(NOT keep, 1, NULL)) AS DOUBLE))) * 10000 + 0.5) AS BIGINT)"
+        ).alias("q_prior")
+    )
+    tc = tok.groupBy("token").agg(
+        F.count(F.when(F.col("keep"), True)).alias("cg"),
+        F.count(F.when(~F.col("keep"), True)).alias("cb"),
+    )
+    llr = tc.join(F.broadcast(cls)).select(
+        "token",
+        F.expr(
+            "CAST(floor((ln((cg + 1.0) / (tg + vsize)) - ln((cb + 1.0) / (tb + vsize)))"
+            " * 10000 + 0.5) AS BIGINT)"
+        ).alias("q_llr"),
+    )
+    return (
+        tok.select("doc_id", "token")
+        .join(F.broadcast(llr), on="token")
+        .join(F.broadcast(prior))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum("q_llr").alias("token_llr_q"),
+            (F.sum("q_llr") + F.max("q_prior")).alias("total_llr_q"),
+            ((F.sum("q_llr") + F.max("q_prior")) > 0).alias("pred_good"),
+        )
     )

@@ -191,3 +191,158 @@ def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
             " * 1000000 + 0.5) / 1000000"
         ).alias("ewma_q"),
     )
+
+
+# ------------------------------------------------------- OHLC resample
+
+_OHLC_WHERE = "user_id % 20 = 7"
+
+_DUCK_OHLC = f"""
+WITH e AS (SELECT user_id, date_trunc('hour', ts) AS bucket, ts, event_id,
+                  CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+           FROM events WHERE {_OHLC_WHERE}),
+r AS (SELECT *,
+             row_number() OVER (PARTITION BY user_id, bucket
+                                ORDER BY ts, event_id) AS rn_a,
+             row_number() OVER (PARTITION BY user_id, bucket
+                                ORDER BY ts DESC, event_id DESC) AS rn_d
+      FROM e)
+SELECT user_id, bucket,
+       CAST(count(*) AS BIGINT) AS n_events,
+       max(CASE WHEN rn_a = 1 THEN cents END) AS open_cents,
+       max(cents) AS high_cents,
+       min(cents) AS low_cents,
+       max(CASE WHEN rn_d = 1 THEN cents END) AS close_cents,
+       CAST(sum(cents) AS BIGINT) AS sum_cents
+FROM r GROUP BY user_id, bucket
+"""
+
+
+@q(
+    "ts_resample_ohlc",
+    _DUCK_OHLC,
+    "North-star time-series: per-entity hourly OHLC downsampling (open ="
+    " first by (ts, event_id), high/low/close, exact integer-cents sum) —"
+    " the hypertable candlestick rollup; ONE (entity, bucket) shuffle"
+    " shared by both window passes and the aggregate.",
+)
+def ts_resample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first/last per bucket are rank-picked under an explicit (ts, event_id)
+    total order — not min_by(value, ts), which ties nondeterministically on
+    equal timestamps. Both row_number passes and the groupBy share one hash
+    partitioning on (user_id, bucket)."""
+    from pyspark.sql import Window as W
+
+    register_views(spark, sf_dir, ("events",))
+    e = (
+        spark.table("events")
+        .where(_OHLC_WHERE)
+        .select(
+            "user_id",
+            F.date_trunc("hour", "ts").alias("bucket"),
+            "ts",
+            "event_id",
+            F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").alias("cents"),
+        )
+    )
+    pk = W.partitionBy("user_id", "bucket")
+    r = e.select(
+        "*",
+        F.row_number().over(pk.orderBy("ts", "event_id")).alias("rn_a"),
+        F.row_number().over(
+            pk.orderBy(F.col("ts").desc(), F.col("event_id").desc())
+        ).alias("rn_d"),
+    )
+    return r.groupBy("user_id", "bucket").agg(
+        F.count("*").alias("n_events"),
+        F.max(F.when(F.col("rn_a") == 1, F.col("cents"))).alias("open_cents"),
+        F.max("cents").alias("high_cents"),
+        F.min("cents").alias("low_cents"),
+        F.max(F.when(F.col("rn_d") == 1, F.col("cents"))).alias("close_cents"),
+        F.sum("cents").alias("sum_cents"),
+    )
+
+
+# ------------------------------------------------------- rolling z-score
+
+_ZS_WHERE = "user_id % 20 = 11"
+
+_DUCK_ROLLING_Z = f"""
+WITH e AS (SELECT user_id, ts, event_id,
+                  CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+           FROM events WHERE {_ZS_WHERE}),
+w AS (SELECT user_id, ts, event_id, cents,
+             CAST(sum(cents) OVER win AS BIGINT) AS s,
+             CAST(sum(cents * cents) OVER win AS BIGINT) AS ss,
+             CAST(count(*) OVER win AS BIGINT) AS n
+      FROM e WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
+SELECT user_id, event_id, cents, n,
+       CASE WHEN n >= 2 AND n * ss - s * s > 0
+            THEN floor((cents - CAST(s AS DOUBLE) / n)
+                 / sqrt((CAST(n AS DOUBLE) * ss - CAST(s AS DOUBLE) * s)
+                        / (n * (n - 1.0)))
+                 * 1000000 + 0.5) / 1000000 END AS z_q,
+       coalesce(abs(CASE WHEN n >= 2 AND n * ss - s * s > 0
+            THEN floor((cents - CAST(s AS DOUBLE) / n)
+                 / sqrt((CAST(n AS DOUBLE) * ss - CAST(s AS DOUBLE) * s)
+                        / (n * (n - 1.0)))
+                 * 1000000 + 0.5) / 1000000 END) > 2.0, FALSE) AS is_outlier
+FROM w
+"""
+
+
+@q(
+    "ts_rolling_zscore",
+    _DUCK_ROLLING_Z,
+    "North-star time-series: per-entity rolling z-score anomaly flag over a"
+    " 20-row trailing frame — sums kept as exact integer cents inside the"
+    " frame (order-independent), the z double derived from exact ints with"
+    " an identical IEEE expression tree in both engines, quantized 1e-6.",
+)
+def ts_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROWS-frame running sums are streaming window state (O(1) per row);
+    the one shuffle is the entity key. Variance from (n, Σx, Σx²) in exact
+    integers; z only materializes as a double at the final expression."""
+    from pyspark.sql import Window as W
+
+    register_views(spark, sf_dir, ("events",))
+    e = (
+        spark.table("events")
+        .where(_ZS_WHERE)
+        .select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").alias("cents"),
+        )
+    )
+    win = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-19, W.currentRow)
+    )
+    w = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "cents",
+        F.sum("cents").over(win).alias("s"),
+        F.sum(F.expr("cents * cents")).over(win).alias("ss"),
+        F.count("*").over(win).alias("n"),
+    )
+    z = (
+        "CASE WHEN n >= 2 AND n * ss - s * s > 0"
+        " THEN floor((cents - CAST(s AS DOUBLE) / n)"
+        " / sqrt((CAST(n AS DOUBLE) * ss - CAST(s AS DOUBLE) * s)"
+        " / (n * (n - 1.0)))"
+        " * 1000000 + 0.5) / 1000000 END"
+    )
+    return w.select(
+        "user_id",
+        "event_id",
+        "cents",
+        "n",
+        F.expr(z).alias("z_q"),
+        F.expr(f"coalesce(abs({z}) > 2.0, FALSE)").alias("is_outlier"),
+    )

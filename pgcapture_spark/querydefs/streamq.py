@@ -607,3 +607,96 @@ def cdc_apply_pgoutput_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     query.awaitTermination(300)
     return state.read()
+
+
+# ------------------------------------------------------- streamed OHLC
+
+_OHLC_S_WHERE = "user_id % 20 = 7"
+
+_OHLC_STREAM_ORACLE = f"""
+WITH w AS (SELECT max(ts) - INTERVAL 1 HOUR AS wm FROM events WHERE {_OHLC_S_WHERE}),
+e AS (SELECT user_id, date_trunc('hour', ts) AS bucket, ts, event_id,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+      FROM events WHERE {_OHLC_S_WHERE}),
+r AS (SELECT *,
+             row_number() OVER (PARTITION BY user_id, bucket
+                                ORDER BY ts, event_id) AS rn_a,
+             row_number() OVER (PARTITION BY user_id, bucket
+                                ORDER BY ts DESC, event_id DESC) AS rn_d
+      FROM e)
+SELECT user_id, bucket,
+       CAST(count(*) AS BIGINT) AS n_events,
+       max(CASE WHEN rn_a = 1 THEN cents END) AS open_cents,
+       max(cents) AS high_cents,
+       min(cents) AS low_cents,
+       max(CASE WHEN rn_d = 1 THEN cents END) AS close_cents,
+       CAST(sum(cents) AS BIGINT) AS sum_cents
+FROM r, w
+WHERE bucket + INTERVAL 1 HOUR <= wm
+GROUP BY user_id, bucket
+"""
+
+
+@q(
+    "ts_ohlc_streamed",
+    _OHLC_STREAM_ORACLE,
+    "North-star time-series streaming: the hourly candlestick maintained as"
+    " MERGEABLE window state — open/close are min_by/max_by over the"
+    " (ts, event_id) total order (associative partial merges, so micro-batch"
+    " boundaries can never change the answer), high/low/sum/count standard;"
+    " append mode emits exactly the buckets the final watermark closes,"
+    " stated declaratively by the oracle.",
+)
+def ts_ohlc_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from pgcapture_spark.catalog import load
+
+    events = (
+        load(spark, sf_dir, "events")
+        .where(_OHLC_S_WHERE)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    d = tempfile.mkdtemp(prefix="pgcs_q_ohlc_")
+    feed_dir = f"{d}/feed"
+    materialize_feed(events, feed_dir, n_segments=4, order_col="ts")
+    schema = spark.read.parquet(feed_dir).schema
+    stream = read_feed_stream(spark, feed_dir, schema, max_files_per_trigger=1)
+    agg = (
+        stream.withColumn(
+            "cents", F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)")
+        )
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.expr("min_by(cents, struct(ts, event_id))").alias("open_cents"),
+            F.max("cents").alias("high_cents"),
+            F.min("cents").alias("low_cents"),
+            F.expr("max_by(cents, struct(ts, event_id))").alias("close_cents"),
+            F.sum("cents").alias("sum_cents"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("bucket"),
+            "n_events",
+            "open_cents",
+            "high_cents",
+            "low_cents",
+            "close_cents",
+            "sum_cents",
+        )
+    )
+    query = (
+        agg.writeStream.format("parquet")
+        .option("path", f"{d}/out")
+        .option("checkpointLocation", f"{d}/ckpt")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(300)
+    return spark.read.schema(
+        "user_id bigint, bucket timestamp, n_events bigint, open_cents bigint,"
+        " high_cents bigint, low_cents bigint, close_cents bigint, sum_cents bigint"
+    ).parquet(f"{d}/out")

@@ -1059,3 +1059,118 @@ def corpus_domain_cap(spark: SparkSession, sf_dir: str, k: int = 15) -> DataFram
             (F.col("source_rank") <= k).alias("keep"),
         )
     )
+
+
+# ------------------------------------------------------- substring dedup
+
+_SUBSTR_K = 8
+
+_DUCK_SUBSTR_DEDUP = f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+gpos AS (SELECT doc_id, ts,
+                unnest(CASE WHEN len(ts) >= {_SUBSTR_K}
+                            THEN range(1, len(ts) - {_SUBSTR_K} + 2) ELSE [] END) AS pos
+         FROM t),
+g AS (SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+             array_to_string(ts[pos:pos + {_SUBSTR_K} - 1], ' ') AS gram
+      FROM gpos),
+r AS (SELECT doc_id, pos,
+             row_number() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn,
+             count(*) OVER (PARTITION BY gram) AS cnt
+      FROM g),
+covx AS (SELECT doc_id, pos, unnest(range(0, {_SUBSTR_K})) AS off
+         FROM r WHERE cnt >= 2 AND rn >= 2),
+cov AS (SELECT DISTINCT doc_id, pos + off AS cp FROM covx),
+tokpos AS (SELECT doc_id, ts, unnest(range(1, len(ts) + 1)) AS pos FROM t),
+tok AS (SELECT doc_id, CAST(pos AS BIGINT) AS pos, ts[pos] AS tok FROM tokpos)
+SELECT tok.doc_id AS doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(count(cov.cp) AS BIGINT) AS n_removed,
+       coalesce(string_agg(CASE WHEN cov.cp IS NULL THEN tok.tok END,
+                           ' ' ORDER BY tok.pos), '') AS dedup_text
+FROM tok LEFT JOIN cov ON tok.doc_id = cov.doc_id AND tok.pos = cov.cp
+GROUP BY tok.doc_id
+"""
+
+
+@q(
+    "dedup_substring",
+    _DUCK_SUBSTR_DEDUP,
+    "North-star: exact substring-span dedup (Lee et al. 2021) — every 8-token"
+    " gram repeated corpus-wide keeps its first occurrence, later occurrences"
+    " mark their token span for removal, documents reassembled from"
+    " survivors; gram-cover restatement of the paper's suffix-array pass"
+    " (one gram-key shuffle, rank-only window state).",
+)
+def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pgcapture_spark.operators.textstats import substring_dedup
+
+    register_views(spark, sf_dir, ("documents",))
+    return substring_dedup(spark.table("documents"), k=_SUBSTR_K)
+
+
+# ------------------------------------------------------- NB quality model
+
+# labels = the quality_rules conjunction (the _DUCK_RULES battery), re-stated
+# here as a CTE so the oracle is self-contained.
+_DUCK_NB_QUALITY = f"""
+WITH t AS (SELECT doc_id, text, {_DUCK_TOKENS} AS tokens FROM documents),
+m AS (
+  SELECT doc_id, tokens,
+         len(tokens) AS n_tokens,
+         CAST(coalesce(list_sum(list_transform(tokens, x -> length(x))), 0) AS DOUBLE)
+           / greatest(len(tokens), 1) AS mean_token_len,
+         CAST(len(list_filter(tokens, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE)
+           / greatest(len(tokens), 1) AS frac_alpha_tokens,
+         CAST(length(text) - length(replace(replace(text, '#', ''), '…', ''))
+              AS DOUBLE) / greatest(len(tokens), 1) AS symbol_ratio,
+         CAST(len(list_distinct(tokens)) AS DOUBLE)
+           / greatest(len(tokens), 1) AS frac_distinct_tokens,
+         len(list_filter(['the', 'a', 'of', 'value', 'table'],
+                         s -> list_contains(tokens, s))) AS n_distinct_stopwords
+  FROM t),
+lab AS (
+  SELECT doc_id, tokens,
+         ((n_tokens BETWEEN 20 AND 100000) AND (mean_token_len BETWEEN 2.0 AND 12.0)
+          AND frac_alpha_tokens >= 0.8 AND symbol_ratio <= 0.1
+          AND frac_distinct_tokens >= 0.3 AND n_distinct_stopwords >= 2) AS keep
+  FROM m),
+tok AS (SELECT doc_id, keep, unnest(tokens) AS token FROM lab),
+cls AS (SELECT count(*) FILTER (WHERE keep) AS tg,
+               count(*) FILTER (WHERE NOT keep) AS tb,
+               count(DISTINCT token) AS vsize
+        FROM tok),
+prior AS (SELECT CAST(floor((ln(count(*) FILTER (WHERE keep) * 1.0)
+                 - ln(count(*) FILTER (WHERE NOT keep) * 1.0)) * 10000 + 0.5)
+                 AS BIGINT) AS q_prior
+          FROM lab),
+tc AS (SELECT token, count(*) FILTER (WHERE keep) AS cg,
+              count(*) FILTER (WHERE NOT keep) AS cb
+       FROM tok GROUP BY token),
+llr AS (SELECT token,
+               CAST(floor((ln((cg + 1.0) / (tg + vsize))
+                    - ln((cb + 1.0) / (tb + vsize))) * 10000 + 0.5) AS BIGINT) AS q_llr
+        FROM tc CROSS JOIN cls)
+SELECT tok.doc_id AS doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(q_llr) AS BIGINT) AS token_llr_q,
+       CAST(sum(q_llr) + max(q_prior) AS BIGINT) AS total_llr_q,
+       (sum(q_llr) + max(q_prior) > 0) AS pred_good
+FROM tok JOIN llr USING (token) CROSS JOIN prior
+GROUP BY tok.doc_id
+"""
+
+
+@q(
+    "text_nb_quality",
+    _DUCK_NB_QUALITY,
+    "North-star: model-based quality classifier (CCNet/GPT-3 stage) —"
+    " multinomial Naive Bayes seeded by the rule-gate labels, add-1"
+    " smoothed, per-token LLR quantized to integer 1e-4 nats; model is"
+    " vocab-bounded and broadcast, corpus touched twice (count + score).",
+)
+def text_nb_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pgcapture_spark.operators.textstats import nb_quality_classifier
+
+    register_views(spark, sf_dir, ("documents",))
+    return nb_quality_classifier(spark.table("documents"))

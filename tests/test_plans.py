@@ -334,3 +334,25 @@ def test_ivfpq_corpus_reads_codes_not_vectors(spark):
     assert "SortMergeJoin" not in tree
     assert "CartesianProduct" not in tree
     assert "BroadcastHashJoin" in tree or "BroadcastNestedLoopJoin" in tree
+
+
+def test_substring_dedup_gram_shuffle_only(spark):
+    """Gram-cover substring dedup: the corpus text is exchanged once for the
+    gram window; coverage folds to a per-doc position set and the removal +
+    reassembly are per-row array expressions — no token-level re-explode of
+    the corpus, no cartesian, at most gram + cov-agg + (non-broadcast) join
+    exchanges."""
+    tree = plan_tree(spark, "dedup_substring")
+    assert "CartesianProduct" not in tree
+    assert tree.count("Exchange hashpartitioning") <= 3
+    # reassembly must not be a collect_list over every token
+    assert "collect_list" not in tree
+
+
+def test_nb_quality_scores_via_broadcast_llr(spark):
+    """The NB model (LLR table + prior) must ride as broadcasts; labels are
+    computed in the same scan as tokens (no doc_id label join)."""
+    tree = plan_tree(spark, "text_nb_quality")
+    assert "BroadcastHashJoin" in tree
+    assert "SortMergeJoin" not in tree
+    assert tree.count("Exchange hashpartitioning") <= 3
