@@ -106,6 +106,9 @@ HEADLINE = [
     "ts_resample_ohlc",
     "ts_rolling_zscore",
     "ts_ohlc_streamed",
+    "text_bigram_surprisal",
+    "events_funnel",
+    "events_retention_cohorts",
 ]
 
 

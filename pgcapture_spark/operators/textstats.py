@@ -888,3 +888,68 @@ def nb_quality_classifier(docs: DataFrame) -> DataFrame:
             ((F.sum("q_llr") + F.max("q_prior")) > 0).alias("pred_good"),
         )
     )
+
+
+def bigram_surprisal(docs: DataFrame) -> DataFrame:
+    """Interpolated bigram-LM surprisal (the KenLM-shaped quality signal one
+    step up from :func:`unigram surprisal <dsir_weights>`): per-doc mean
+    -ln p(w2|w1) under p = 0.75·c(w1w2)/c(w1·) + 0.25·c(w2)/N — backoff to
+    the unigram keeps unseen-in-context tokens finite without add-1 washing
+    out the bigram signal. Per-position surprisal is quantized to integer
+    1e-4 nats BEFORE the per-doc sum (the repo-wide order-independence
+    policy).
+
+    Scale shape: one token-key agg (unigram LM, vocab-bounded → broadcast)
+    and one bigram-key agg build the model; scoring is ONE bigram-key join
+    (the bigram table is larger than the vocab — it shuffles, it does not
+    broadcast) + ONE doc_id fold. Documents with < 2 tokens have no bigram
+    positions and drop out (same as the oracle's inner join).
+
+    Output: (doc_id, n_bigrams, total_q_nats, mean_surprisal_nats).
+    """
+    t = with_tokens(docs)
+    ucnt = (
+        t.select(F.explode("tokens").alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("cu"))
+    )
+    tot = ucnt.agg(F.sum("cu").alias("n"))
+    bg = t.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "CASE WHEN size(tokens) >= 2 THEN"
+                " transform(sequence(1, size(tokens) - 1),"
+                " i -> concat(element_at(tokens, i), chr(31), element_at(tokens, i + 1)))"
+                " ELSE CAST(array() AS ARRAY<STRING>) END"
+            )
+        ).alias("bigram"),
+    )
+    bcnt = bg.groupBy("bigram").agg(F.count("*").alias("cb"))
+    u1 = F.broadcast(ucnt.select(F.col("token").alias("w1"), F.col("cu").alias("cu1")))
+    u2 = F.broadcast(ucnt.select(F.col("token").alias("w2"), F.col("cu").alias("cu2")))
+    lm = (
+        bcnt.withColumn("w1", F.expr("split(bigram, chr(31))[0]"))
+        .withColumn("w2", F.expr("split(bigram, chr(31))[1]"))
+        .join(u1, on="w1")
+        .join(u2, on="w2")
+        .join(F.broadcast(tot))
+        .select(
+            "bigram",
+            F.expr(
+                "CAST(floor(-ln(0.75 * CAST(cb AS DOUBLE) / cu1"
+                " + 0.25 * CAST(cu2 AS DOUBLE) / n) * 10000 + 0.5) AS BIGINT)"
+            ).alias("q_nats"),
+        )
+    )
+    return (
+        bg.join(lm, on="bigram")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.sum("q_nats").alias("total_q_nats"),
+            (F.sum("q_nats").cast("double") / 10000.0 / F.count("*")).alias(
+                "mean_surprisal_nats"
+            ),
+        )
+    )

@@ -502,3 +502,104 @@ _LATERAL_DUCK = _LATERAL_SPARK  # identical syntax in DuckDB
 def join_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir, ("customer", "orders"))
     return spark.sql(_LATERAL_SPARK)
+
+
+# ------------------------------------------------------------- funnel
+
+_FUNNEL_ORACLE = """
+WITH w1 AS (
+  SELECT user_id, ts, event_type,
+         min(CASE WHEN event_type = 'view' THEN ts END)
+           OVER (PARTITION BY user_id) AS t1
+  FROM events),
+w2 AS (
+  SELECT *, min(CASE WHEN event_type = 'click' AND ts > t1
+                      AND ts <= t1 + INTERVAL 48 HOUR THEN ts END)
+              OVER (PARTITION BY user_id) AS t2
+  FROM w1),
+w3 AS (
+  SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > t2
+                      AND ts <= t2 + INTERVAL 48 HOUR THEN ts END)
+              OVER (PARTITION BY user_id) AS t3
+  FROM w2)
+SELECT user_id, max(t1) AS view_ts, max(t2) AS click_ts, max(t3) AS purchase_ts,
+       CAST(CASE WHEN max(t1) IS NULL THEN 0
+                 WHEN max(t2) IS NULL THEN 1
+                 WHEN max(t3) IS NULL THEN 2 ELSE 3 END AS BIGINT) AS funnel_depth
+FROM w3 GROUP BY user_id
+"""
+
+_FUNNEL_SPARK = """
+WITH w1 AS (
+  SELECT user_id, ts, event_type,
+         min(CASE WHEN event_type = 'view' THEN ts END)
+           OVER (PARTITION BY user_id) AS t1
+  FROM events),
+w2 AS (
+  SELECT *, min(CASE WHEN event_type = 'click' AND ts > t1
+                      AND ts <= t1 + INTERVAL 48 HOUR THEN ts END)
+              OVER (PARTITION BY user_id) AS t2
+  FROM w1),
+w3 AS (
+  SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > t2
+                      AND ts <= t2 + INTERVAL 48 HOUR THEN ts END)
+              OVER (PARTITION BY user_id) AS t3
+  FROM w2)
+SELECT user_id, max(t1) AS view_ts, max(t2) AS click_ts, max(t3) AS purchase_ts,
+       CAST(CASE WHEN max(t1) IS NULL THEN 0
+                 WHEN max(t2) IS NULL THEN 1
+                 WHEN max(t3) IS NULL THEN 2 ELSE 3 END AS BIGINT) AS funnel_depth
+FROM w3 GROUP BY user_id
+"""
+
+
+@q(
+    "events_funnel",
+    _FUNNEL_ORACLE,
+    "§2.7 relational: sequential conversion funnel (view → click within 48 h"
+    " → purchase within 48 h) — the three dependent first-passage times are"
+    " chained unordered-frame window minima over ONE user_id partitioning"
+    " (one shuffle total; no self-joins per step), then folded per user.",
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, ("events",))
+    return spark.sql(_FUNNEL_SPARK)
+
+
+# ------------------------------------------------------------- retention
+
+_RETENTION_ORACLE = """
+WITH f AS (SELECT user_id, CAST(date_trunc('day', min(ts)) AS TIMESTAMP) AS cohort
+           FROM events GROUP BY user_id),
+a AS (SELECT DISTINCT e.user_id, f.cohort,
+             CAST(date_diff('day', f.cohort, date_trunc('day', e.ts)) AS BIGINT)
+               AS day_offset
+      FROM events e JOIN f USING (user_id))
+SELECT cohort, day_offset, CAST(count(*) AS BIGINT) AS n_users
+FROM a GROUP BY cohort, day_offset
+"""
+
+_RETENTION_SPARK = """
+WITH f AS (SELECT user_id, date_trunc('day', min(ts)) AS cohort
+           FROM events GROUP BY user_id),
+a AS (SELECT DISTINCT e.user_id, f.cohort,
+             CAST(datediff(date_trunc('day', e.ts), f.cohort) AS BIGINT)
+               AS day_offset
+      FROM events e JOIN f ON e.user_id = f.user_id)
+SELECT cohort, day_offset, CAST(count(*) AS BIGINT) AS n_users
+FROM a GROUP BY cohort, day_offset
+"""
+
+
+@q(
+    "events_retention_cohorts",
+    _RETENTION_ORACLE,
+    "§2.7 relational: cohort retention matrix — cohort = first-activity day"
+    " per user, one row per (cohort, day-offset) with distinct active users;"
+    " the cohort map re-joins on the SAME user_id partitioning the first"
+    " aggregate produced (co-located join, distinct folded into the final"
+    " small-key aggregate).",
+)
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, ("events",))
+    return spark.sql(_RETENTION_SPARK)

@@ -1174,3 +1174,48 @@ def text_nb_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir, ("documents",))
     return nb_quality_classifier(spark.table("documents"))
+
+
+# ------------------------------------------------------- bigram surprisal
+
+_DUCK_BIGRAM_SURPRISAL = f"""
+WITH t AS (SELECT doc_id, {_DUCK_TOKENS} AS tokens FROM documents),
+uni AS (SELECT unnest(tokens) AS token FROM t),
+ucnt AS (SELECT token, count(*) AS cu FROM uni GROUP BY token),
+tot AS (SELECT count(*) AS n FROM uni),
+bg AS (SELECT doc_id, unnest(CASE WHEN len(tokens) >= 2
+         THEN list_transform(range(1, len(tokens)),
+                             i -> tokens[i] || chr(31) || tokens[i + 1])
+         ELSE [] END) AS bigram FROM t),
+bcnt AS (SELECT bigram, count(*) AS cb FROM bg GROUP BY bigram),
+lm AS (
+  SELECT bcnt.bigram,
+         CAST(floor(-ln(0.75 * CAST(bcnt.cb AS DOUBLE) / u1.cu
+                        + 0.25 * CAST(u2.cu AS DOUBLE) / tot.n)
+              * 10000 + 0.5) AS BIGINT) AS q_nats
+  FROM bcnt
+  JOIN ucnt u1 ON u1.token = string_split(bcnt.bigram, chr(31))[1]
+  JOIN ucnt u2 ON u2.token = string_split(bcnt.bigram, chr(31))[2]
+  CROSS JOIN tot)
+SELECT bg.doc_id AS doc_id,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       CAST(sum(q_nats) AS BIGINT) AS total_q_nats,
+       CAST(sum(q_nats) AS DOUBLE) / 10000.0 / count(*) AS mean_surprisal_nats
+FROM bg JOIN lm USING (bigram)
+GROUP BY bg.doc_id
+"""
+
+
+@q(
+    "text_bigram_surprisal",
+    _DUCK_BIGRAM_SURPRISAL,
+    "North-star: interpolated bigram-LM surprisal (KenLM-shaped quality"
+    " signal) — per-doc mean -ln(0.75·p_bigram + 0.25·p_unigram), per-"
+    "position surprisal quantized to integer 1e-4 nats; unigram LM"
+    " broadcast, bigram table shuffle-joined (larger than vocab).",
+)
+def text_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pgcapture_spark.operators.textstats import bigram_surprisal
+
+    register_views(spark, sf_dir, ("documents",))
+    return bigram_surprisal(spark.table("documents"))
