@@ -109,6 +109,7 @@ HEADLINE = [
     "text_bigram_surprisal",
     "events_funnel",
     "events_retention_cohorts",
+    "media_neardup_phash",
 ]
 
 

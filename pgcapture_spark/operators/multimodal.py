@@ -24,6 +24,7 @@ from collections.abc import Callable, Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 MEDIA_SCHEMA = T.StructType(
@@ -195,3 +196,55 @@ def resize_images(media: DataFrame, max_side: int = 256) -> DataFrame:
     from pgcapture_spark.operators.textstats import ensure_parallelism
 
     return ensure_parallelism(media).mapInPandas(_proc, RESIZE_SCHEMA)
+
+
+def phash_neardup(media: DataFrame, nbits: int = 8) -> DataFrame:
+    """Perceptual-hash near-duplicate pairs over decoded media (the image-
+    dedup stage of multimodal curation — cf. pHash/aHash dedup in LAION-style
+    pipelines): each decoded feature vector thresholds to an ``nbits``-bit
+    sign hash; near-duplicates are pairs within Hamming distance 1.
+
+    Candidates come from MULTI-PROBE hashing, not a corpus self-join: every
+    row probes its own bucket plus each 1-bit flip (nbits+1 probes), so the
+    only corpus-wide operation is an equi hash join on the probe value — at
+    100 TB the pair candidates are bounded per bucket, never all-pairs. The
+    decode itself is the Arrow-batched mapInPandas stub (swap in a real
+    codec: identical plumbing, oracle drops to rows-only).
+
+    Output: (media_id, other_id, hamming, phash, other_hash), media_id <
+    other_id, exactly one candidate hit per qualifying pair (own-bucket for
+    Hamming 0, the unique flipped probe for Hamming 1 — no dedupe needed).
+    """
+    nb = int(nbits)
+    feats = extract_features(media).where("decode_ok").select("media_id", "feature")
+    hashed = feats.select(
+        "media_id",
+        F.expr(
+            f"aggregate(sequence(0, {nb - 1}), 0L, (acc, i) ->"
+            " acc + IF(element_at(feature, i + 1) >= 0.5, shiftleft(1L, i), 0L))"
+        ).alias("phash"),
+    )
+    probes = hashed.select(
+        "media_id",
+        "phash",
+        F.explode(
+            F.expr(
+                "concat(array(phash),"
+                f" transform(sequence(0, {nb - 1}), i -> phash ^ shiftleft(1L, i)))"
+            )
+        ).alias("probe"),
+    )
+    other = hashed.select(
+        F.col("media_id").alias("other_id"), F.col("phash").alias("other_hash")
+    )
+    return (
+        probes.join(other, probes.probe == other.other_hash)
+        .where(F.col("media_id") < F.col("other_id"))
+        .select(
+            "media_id",
+            "other_id",
+            F.expr("CAST(bit_count(phash ^ other_hash) AS BIGINT)").alias("hamming"),
+            "phash",
+            "other_hash",
+        )
+    )

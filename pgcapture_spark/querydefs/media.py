@@ -157,3 +157,39 @@ def media_resize_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(32 + (media_id * 13) % 480 AS INT)").alias("src_h"),
     )
     return resize_images(media)
+
+
+# ------------------------------------------------------- pHash near-dup
+
+# brute-force oracle: at correctness scale a full self-join is fine; the
+# Spark side must produce the SAME pairs via multi-probe candidate
+# generation (the scale path).
+_DUCK_PHASH = f"""
+WITH m AS (SELECT doc_id AS media_id, text FROM documents),
+h AS (SELECT media_id,
+             CAST(list_sum(list_transform(range(0, 8),
+               i -> CASE WHEN ('0x' || substr(sha256(text), 2 * i + 1, 2))::INT
+                              / 256.0 >= 0.5
+                    THEN (CAST(1 AS BIGINT) << i) ELSE 0 END)) AS BIGINT) AS phash
+      FROM m)
+SELECT a.media_id AS media_id, b.media_id AS other_id,
+       CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming,
+       a.phash AS phash, b.phash AS other_hash
+FROM h a JOIN h b ON a.media_id < b.media_id
+WHERE bit_count(xor(a.phash, b.phash)) <= 1
+"""
+
+
+@q(
+    "media_neardup_phash",
+    _DUCK_PHASH,
+    "North-star multimodal: perceptual-hash near-duplicate pairs — decoded"
+    " features (Arrow-batched mapInPandas stub codec) threshold to an 8-bit"
+    " sign hash; Hamming<=1 pairs found by MULTI-PROBE bucket equi-join"
+    " (own bucket + each 1-bit flip), never an all-pairs self-join; the"
+    " oracle brute-forces the same pairs at correctness scale.",
+)
+def media_neardup_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pgcapture_spark.operators.multimodal import phash_neardup
+
+    return phash_neardup(media_view(spark, sf_dir))
