@@ -110,6 +110,8 @@ HEADLINE = [
     "events_funnel",
     "events_retention_cohorts",
     "media_neardup_phash",
+    "events_interval_overlap_join",
+    "agg_hist_quantile_merge",
 ]
 
 

@@ -106,3 +106,66 @@ def events_range_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
+
+
+# ------------------------------------------------------- interval overlap
+
+# 10-minute intervals, 10-minute bins (bin width = max interval length, so
+# each interval covers at most 2 bins)
+_IOV_BIN_US = 600_000_000
+
+_IOV_DUCK = """
+WITH a AS (SELECT event_id AS a_id, user_id AS a_user, ts AS a_start,
+                  ts + INTERVAL 10 MINUTE AS a_end
+           FROM events WHERE event_type = 'error'),
+b AS (SELECT event_id AS b_id, user_id AS b_user, ts AS b_start,
+             ts + INTERVAL 10 MINUTE AS b_end
+      FROM events WHERE event_type = 'click')
+SELECT a_id, a_user, b_id, b_user,
+       epoch_us(least(a_end, b_end)) - epoch_us(greatest(a_start, b_start))
+         AS overlap_us
+FROM a JOIN b ON a_start < b_end AND b_start < a_end
+"""
+
+_IOV_SPARK = f"""
+WITH a AS (SELECT event_id AS a_id, user_id AS a_user,
+                  CAST(ts AS TIMESTAMP) AS a_start,
+                  CAST(ts AS TIMESTAMP) + INTERVAL 10 MINUTE AS a_end
+           FROM events WHERE event_type = 'error'),
+b AS (SELECT event_id AS b_id, user_id AS b_user,
+             CAST(ts AS TIMESTAMP) AS b_start,
+             CAST(ts AS TIMESTAMP) + INTERVAL 10 MINUTE AS b_end
+      FROM events WHERE event_type = 'click'),
+ab AS (SELECT *, explode(sequence(
+         CAST(floor(unix_micros(a_start) / {_IOV_BIN_US}) AS BIGINT),
+         CAST(floor(unix_micros(a_end - INTERVAL 1 MICROSECOND) / {_IOV_BIN_US}) AS BIGINT)
+       )) AS bin FROM a),
+bb AS (SELECT *, explode(sequence(
+         CAST(floor(unix_micros(b_start) / {_IOV_BIN_US}) AS BIGINT),
+         CAST(floor(unix_micros(b_end - INTERVAL 1 MICROSECOND) / {_IOV_BIN_US}) AS BIGINT)
+       )) AS bin FROM b)
+SELECT a_id, a_user, b_id, b_user,
+       unix_micros(least(a_end, b_end)) - unix_micros(greatest(a_start, b_start))
+         AS overlap_us
+FROM ab JOIN bb ON ab.bin = bb.bin
+WHERE a_start < b_end AND b_start < a_end
+  AND ab.bin = greatest(CAST(floor(unix_micros(a_start) / {_IOV_BIN_US}) AS BIGINT),
+                        CAST(floor(unix_micros(b_start) / {_IOV_BIN_US}) AS BIGINT))
+"""
+
+
+@q(
+    "events_interval_overlap_join",
+    _IOV_DUCK,
+    "§2.7 custom join: general interval-overlap join WITHOUT an equi key"
+    " (error incident windows × click activity windows, cross-user) — the"
+    " bin-fragmentation rewrite: both interval sets explode onto a fixed"
+    " time grid (bin width = max interval length → ≤ 2 bins each), the only"
+    " corpus operation is the bin equi hash join, and each qualifying pair"
+    " is emitted EXACTLY ONCE at the later interval's first bin (the"
+    " canonical-bin trick — no pair-dedup shuffle). The oracle is DuckDB's"
+    " native inequality join (IEJoin), an independent implementation.",
+)
+def events_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, ("events",))
+    return spark.sql(_IOV_SPARK)

@@ -193,3 +193,68 @@ def text_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir, ("documents",))
     return bpe_tokenize(spark.table("documents"), k=12)
+
+
+# ------------------------------------------------------- histogram quantiles
+
+_HISTQ_DUCK = """
+WITH daily AS (
+  SELECT date_trunc('day', ts) AS day,
+         CAST(floor(value / 1.0) AS BIGINT) AS bin,
+         count(*) AS cnt
+  FROM events GROUP BY 1, 2
+),
+merged AS (SELECT bin, CAST(sum(cnt) AS BIGINT) AS cnt FROM daily GROUP BY bin),
+tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM merged),
+cum AS (SELECT bin, cnt, CAST(sum(cnt) OVER (ORDER BY bin) AS BIGINT) AS cum
+        FROM merged),
+qs AS (SELECT CAST(unnest([50, 90, 99]) AS BIGINT) AS pct)
+SELECT pct, max(n) AS n,
+       min(bin) AS bin_idx,
+       CAST(min(bin) * 1.0 AS DOUBLE) AS est_lo,
+       CAST((min(bin) + 1) * 1.0 AS DOUBLE) AS est_hi
+FROM qs CROSS JOIN tot JOIN cum ON cum.cum >= ceil(pct / 100.0 * n)
+GROUP BY pct
+"""
+
+
+@q(
+    "agg_hist_quantile_merge",
+    _HISTQ_DUCK,
+    "§2.7 scale path: mergeable HISTOGRAM quantile sketch (the quantile leg"
+    " of the sketch trio next to HLL cardinality and Misra-Gries frequency)"
+    " — per-day fixed-width bin counts are associative state a few KB per"
+    " day; any date-range quantile merges bins instead of rescanning raw"
+    " data, and the estimate carries its exact error bound (the bin"
+    " brackets the true value by construction).",
+)
+def agg_hist_quantile_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cumulative window runs over the MERGED histogram (≤ #bins rows —
+    sketch-sized, a single partition by design), never the raw events."""
+    from pyspark.sql import Window as W
+
+    register_views(spark, sf_dir, ("events",))
+    ev = spark.table("events")
+    daily = ev.groupBy(
+        F.date_trunc("day", "ts").alias("day"),
+        F.expr("CAST(floor(value / 1.0) AS BIGINT)").alias("bin"),
+    ).agg(F.count("*").alias("cnt"))
+    merged = daily.groupBy("bin").agg(F.sum("cnt").alias("cnt"))
+    cum = merged.select(
+        "bin", F.sum("cnt").over(W.orderBy("bin")).alias("cum")
+    )
+    tot = merged.agg(F.sum("cnt").alias("n"))
+    pcts = ev.sparkSession.range(0, 1).select(
+        F.explode(F.array(F.lit(50), F.lit(90), F.lit(99))).alias("_p")
+    ).select(F.col("_p").cast("bigint").alias("pct"))
+    return (
+        pcts.join(F.broadcast(tot))
+        .join(cum, F.col("cum") >= F.ceil(F.col("pct") / 100.0 * F.col("n")))
+        .groupBy("pct")
+        .agg(
+            F.max("n").alias("n"),
+            F.min("bin").alias("bin_idx"),
+            (F.min("bin") * 1.0).alias("est_lo"),
+            ((F.min("bin") + 1) * 1.0).alias("est_hi"),
+        )
+    )
