@@ -112,6 +112,7 @@ HEADLINE = [
     "media_neardup_phash",
     "events_interval_overlap_join",
     "agg_hist_quantile_merge",
+    "corpus_export_pipeline",
 ]
 
 

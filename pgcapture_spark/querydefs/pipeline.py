@@ -245,3 +245,66 @@ def corpus_select_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     query.awaitTermination(300)
     return spark.read.parquet(sel_dir)
+
+
+# ------------------------------------------------------- full export pipeline
+
+_EXPORT_BUDGET = 4096
+_EXPORT_SHARDS = 8
+
+
+def _duck_export_sql() -> str:
+    from pgcapture_spark.querydefs.textops import _duck_corpus_select_sql
+
+    return f"""
+WITH sel AS ({_duck_corpus_select_sql()}),
+c AS (
+  SELECT doc_id, n_tokens,
+         CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS start_offset
+  FROM sel),
+b AS (SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, start_offset,
+             CAST(floor(start_offset / {_EXPORT_BUDGET}.0) AS BIGINT) AS batch_id
+      FROM c)
+SELECT doc_id, n_tokens, start_offset, batch_id,
+       CAST(('0x' || substr(md5(CAST(batch_id AS VARCHAR)), 1, 8))::BIGINT
+            % {_EXPORT_SHARDS} AS INT) AS shard
+FROM b
+"""
+
+
+@q(
+    "corpus_export_pipeline",
+    _duck_export_sql(),
+    "North-star: the COMPLETE training-data export path as one declared"
+    " query — exact dedup + quality/language gate (one shuffle), two-phase"
+    " distributed prefix-sum sequence packing over the survivors, and"
+    " batch-level deterministic md5 shard assignment (batches never split"
+    " across shards) — selection, packing, and layout composed end-to-end.",
+)
+def corpus_export_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pgcapture_spark.operators.packing import packed_batches
+    from pgcapture_spark.operators.textstats import corpus_select
+
+    register_views(spark, sf_dir, ("documents",))
+    sel = corpus_select(
+        spark.table("documents"), min_quality=0.5, min_tokens=20, langs=("en", "de")
+    )
+    packed = packed_batches(
+        sel.select("doc_id", "n_tokens"), budget=_EXPORT_BUDGET
+    )
+    return packed.select(
+        "doc_id",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        "start_offset",
+        "batch_id",
+        (
+            F.conv(
+                F.substring(F.md5(F.col("batch_id").cast("string")), 1, 8), 16, 10
+            ).cast("bigint")
+            % _EXPORT_SHARDS
+        )
+        .cast("int")
+        .alias("shard"),
+    )

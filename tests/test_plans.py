@@ -356,3 +356,21 @@ def test_nb_quality_scores_via_broadcast_llr(spark):
     assert "BroadcastHashJoin" in tree
     assert "SortMergeJoin" not in tree
     assert tree.count("Exchange hashpartitioning") <= 3
+
+
+def test_interval_overlap_is_bin_equijoin(spark):
+    """The overlap join must run as a hash join on the bin key — no
+    BroadcastNestedLoopJoin / CartesianProduct fallback for the non-equi
+    predicate (it rides as a post-join filter)."""
+    tree = plan_tree(spark, "events_interval_overlap_join")
+    assert "CartesianProduct" not in tree
+    assert "BroadcastNestedLoopJoin" not in tree
+    assert "BroadcastHashJoin" in tree or "SortMergeJoin" in tree or "ShuffledHashJoin" in tree
+
+
+def test_hist_quantile_window_is_sketch_sized(spark):
+    """The cumulative window runs over the merged histogram (≤ #bins rows),
+    so the raw-event side contributes only partial-aggregated bin counts —
+    partial_sum must appear below the exchange."""
+    plan = plan_str(spark, "agg_hist_quantile_merge", mode="simple")
+    assert "partial_" in plan
