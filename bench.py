@@ -113,6 +113,7 @@ HEADLINE = [
     "events_interval_overlap_join",
     "agg_hist_quantile_merge",
     "corpus_export_pipeline",
+    "dedup_containment",
 ]
 
 

@@ -410,3 +410,51 @@ def editdist_verified_pairs(
         "norm_lev",
         (F.col("norm_lev") <= 0.8).alias("near_dup"),
     )
+
+
+def containment_pairs(
+    docs: DataFrame, threshold: float = 0.5, max_df: int = 64
+) -> DataFrame:
+    """DIRECTED near-duplicate pairs by shingle containment C(A→B) =
+    |sh(A) ∩ sh(B)| / |sh(A)| — the asymmetric cousin of Jaccard that
+    catches quotes, boilerplate supersets, and partial copies Jaccard
+    misses (a 40-token quote inside a 4000-token page has tiny Jaccard but
+    containment ≈ 1). Same stop-shingle-pruned candidate join as
+    :func:`ngram_jaccard_pairs` (df ∈ [2, max_df] bounds the self-join),
+    verified per-row by array_intersect; both directions emitted when both
+    clear the threshold.
+
+    Output: (contained_id, container_id, inter_cnt, n_contained,
+    containment), one row per direction meeting ``threshold``."""
+    sets = shingle_docs(docs).cache()
+    s = sets.select("doc_id", F.explode("sh_set").alias("shingle"))
+    df_counts = s.groupBy("shingle").agg(F.count("*").alias("df"))
+    rare = s.join(
+        df_counts.where((F.col("df") >= 2) & (F.col("df") <= max_df)), "shingle"
+    ).select("doc_id", "shingle")
+    pairs = (
+        rare.alias("a")
+        .join(rare.alias("b"), "shingle")
+        .where(F.col("a.doc_id") != F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("contained_id"),
+            F.col("b.doc_id").alias("container_id"),
+        )
+        .distinct()
+    )
+    out = (
+        pairs.join(
+            sets.select(F.col("doc_id").alias("contained_id"), F.col("sh_set").alias("_sa")),
+            "contained_id",
+        )
+        .join(
+            sets.select(F.col("doc_id").alias("container_id"), F.col("sh_set").alias("_sb")),
+            "container_id",
+        )
+        .withColumn("inter_cnt", F.size(F.array_intersect("_sa", "_sb")).cast("long"))
+        .withColumn("n_contained", F.size("_sa").cast("long"))
+        .withColumn("containment", F.col("inter_cnt") / F.col("n_contained"))
+    )
+    return out.where(F.col("containment") >= threshold).select(
+        "contained_id", "container_id", "inter_cnt", "n_contained", "containment"
+    )

@@ -1219,3 +1219,42 @@ def text_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir, ("documents",))
     return bigram_surprisal(spark.table("documents"))
+
+
+# ------------------------------------------------------- containment dedup
+
+_DUCK_CONTAINMENT = f"""
+WITH s AS ({_DUCK_SHINGLE_SETS}),
+dfc AS (SELECT shingle, count(*) AS df FROM s GROUP BY 1),
+rare AS (SELECT s.doc_id, s.shingle FROM s JOIN dfc USING (shingle)
+         WHERE dfc.df BETWEEN 2 AND 64),
+pairs AS (SELECT a.doc_id AS contained_id, b.doc_id AS container_id
+          FROM rare a JOIN rare b USING (shingle)
+          WHERE a.doc_id <> b.doc_id GROUP BY 1, 2),
+sizes AS (SELECT doc_id, count(*) AS n FROM s GROUP BY 1),
+inter AS (SELECT p.contained_id, p.container_id, count(*) AS inter_cnt
+          FROM pairs p
+          JOIN s sa ON sa.doc_id = p.contained_id
+          JOIN s sb ON sb.doc_id = p.container_id AND sb.shingle = sa.shingle
+          GROUP BY 1, 2)
+SELECT i.contained_id, i.container_id, i.inter_cnt,
+       CAST(na.n AS BIGINT) AS n_contained,
+       CAST(i.inter_cnt AS DOUBLE) / na.n AS containment
+FROM inter i JOIN sizes na ON na.doc_id = i.contained_id
+WHERE CAST(i.inter_cnt AS DOUBLE) / na.n >= 0.5
+"""
+
+
+@q(
+    "dedup_containment",
+    _DUCK_CONTAINMENT,
+    "North-star: DIRECTED shingle-containment near-dup — |sh(A)∩sh(B)|/|sh(A)|"
+    " catches quotes and boilerplate supersets that symmetric Jaccard misses;"
+    " same stop-shingle-pruned candidate join, per-row array_intersect"
+    " verification, both directions emitted when they clear 0.5.",
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pgcapture_spark.operators.dedup import containment_pairs
+
+    register_views(spark, sf_dir, ("documents",))
+    return containment_pairs(spark.table("documents"), threshold=0.5)
