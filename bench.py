@@ -114,6 +114,7 @@ HEADLINE = [
     "agg_hist_quantile_merge",
     "corpus_export_pipeline",
     "dedup_containment",
+    "corpus_interleave",
 ]
 
 

@@ -31,9 +31,11 @@ def packed_batches(
     order_col: str = "doc_id",
     tokens_col: str = "n_tokens",
     n_ranges: int = 32,
+    extra_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """(doc_id, n_tokens, start_offset, batch_id): docs in ``order_col`` order
-    are laid end-to-end; batch_id = start_offset div budget."""
+    are laid end-to-end; batch_id = start_offset div budget. ``extra_cols``
+    ride through the prefix scan (no join-back needed to recover them)."""
     ranged = docs_with_tokens.repartitionByRange(n_ranges, F.col(order_col)).withColumn(
         "_pid", F.spark_partition_id()
     )
@@ -63,7 +65,7 @@ def packed_batches(
         local.join(F.broadcast(totals), "_pid")
         .withColumn("start_offset", F.col("_prefix") + F.col("_local_end") - F.col(tokens_col))
         .withColumn("batch_id", F.floor(F.col("start_offset") / F.lit(budget)))
-        .select(order_col, tokens_col, "start_offset", "batch_id")
+        .select(order_col, tokens_col, *extra_cols, "start_offset", "batch_id")
     )
 
 

@@ -308,3 +308,50 @@ def corpus_export_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("shard"),
     )
+
+
+# ------------------------------------------------------- training order
+
+_DUCK_INTERLEAVE = """
+WITH h AS (SELECT doc_id, source,
+                  md5('order|' || CAST(doc_id AS VARCHAR)) AS hkey
+           FROM documents)
+SELECT doc_id, source, hkey,
+       CAST(row_number() OVER (ORDER BY hkey, doc_id) - 1 AS BIGINT) AS global_pos
+FROM h
+"""
+
+
+@q(
+    "corpus_interleave",
+    _DUCK_INTERLEAVE,
+    "North-star: deterministic global training order — the engine-independent"
+    " 'shuffle' every pre-training run needs reproducibly: order key ="
+    " md5('order|'||doc_id), global position via the TWO-PHASE distributed"
+    " rank (range partition on the key → per-partition row counts → prefix"
+    " offsets broadcast back), NEVER a single-task global window; any source"
+    " is uniformly interleaved in every contiguous window by construction.",
+)
+def corpus_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """packed_batches with unit weights IS the distributed rank: start_offset
+    of a 1-token doc ordered by the hash key = its 0-based global position."""
+    register_views(spark, sf_dir, ("documents",))
+    docs = spark.table("documents").select(
+        "doc_id",
+        "source",
+        F.expr("md5(concat('order|', CAST(doc_id AS STRING)))").alias("hkey"),
+        F.lit(1).alias("_w"),
+    )
+    ranked = packed_batches(
+        docs,
+        budget=1 << 60,
+        order_col="hkey",
+        tokens_col="_w",
+        extra_cols=("doc_id", "source"),
+    )
+    return ranked.select(
+        "doc_id",
+        "source",
+        "hkey",
+        F.col("start_offset").cast("bigint").alias("global_pos"),
+    )
