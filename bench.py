@@ -115,6 +115,8 @@ HEADLINE = [
     "corpus_export_pipeline",
     "dedup_containment",
     "corpus_interleave",
+    "sim_knn_graph",
+    "corpus_perplexity_buckets",
 ]
 
 

@@ -559,3 +559,56 @@ def ivfpq_topk(
     )
     w = W.partitionBy("query_id").orderBy("approx_d2q", "neighbor_id")
     return adc.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def knn_graph(
+    embeddings: DataFrame, k: int = 3, nbits: int = 6, quant: int = 1_000_000
+) -> DataFrame:
+    """Approximate k-NN GRAPH construction — every vector's top-k cosine
+    neighbors restricted to its sign-LSH bucket (the graph-build workload
+    behind SemDeDup clustering / graph-based ANN indexes). Unlike
+    :func:`signlsh_topk` (few queries, broadcast), here EVERY vector is a
+    query, so the candidate generation is the bucket SELF-join: one hash
+    shuffle on the bucket id co-locates each bucket, pair count is bounded
+    per bucket (nbits is the dial), and the per-source rank window reuses
+    the same partitioning. Vectors alone in their bucket emit no edges —
+    the recall/coverage trade every bucketed ANN makes.
+
+    Output: (src_id, dst_id, rank, score), rank ties broken by dst_id."""
+    base = (
+        with_norm(embeddings)
+        .withColumn("bucket", F.expr(sign_bucket_expr("emb_d", nbits)))
+        .select("vec_id", "emb_d", "norm", "bucket")
+    )
+    a = base.select(
+        F.col("vec_id").alias("src_id"),
+        F.col("emb_d").alias("a_emb"),
+        F.col("norm").alias("a_norm"),
+        "bucket",
+    )
+    b = base.select(
+        F.col("vec_id").alias("dst_id"),
+        F.col("emb_d").alias("b_emb"),
+        F.col("norm").alias("b_norm"),
+        "bucket",
+    )
+    scored = (
+        a.join(b, on="bucket")
+        .where(F.col("src_id") != F.col("dst_id"))
+        .withColumn(
+            "raw",
+            F.expr(DOT_EXPR.format(a="a_emb", b="b_emb"))
+            / (F.col("a_norm") * F.col("b_norm")),
+        )
+    )
+    w = W.partitionBy("src_id").orderBy(F.col("raw").desc(), F.col("dst_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "src_id",
+            "dst_id",
+            "rank",
+            (F.floor(F.col("raw") * quant + F.lit(0.5)) / quant).alias("score"),
+        )
+    )

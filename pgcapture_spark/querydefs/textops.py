@@ -1258,3 +1258,96 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir, ("documents",))
     return containment_pairs(spark.table("documents"), threshold=0.5)
+
+
+# ------------------------------------------------------- perplexity buckets
+
+_DUCK_PPL_BUCKETS = f"""
+WITH t AS (SELECT doc_id, lang, {_DUCK_TOKENS} AS tokens FROM documents),
+tok AS (SELECT doc_id, unnest(tokens) AS token FROM t),
+tot AS (SELECT count(*) AS n_total FROM tok),
+freq AS (SELECT token, count(*) AS cnt FROM tok GROUP BY token),
+scored AS (
+  SELECT tok.doc_id,
+         CAST(floor(-ln(CAST(freq.cnt AS DOUBLE) / tot.n_total) * 10000 + 0.5)
+              AS BIGINT) AS q_nats
+  FROM tok JOIN freq USING (token) CROSS JOIN tot),
+per_doc AS (
+  SELECT s.doc_id, t.lang,
+         CAST(floor(CAST(sum(q_nats) AS DOUBLE) / count(*)) AS BIGINT) AS q_mean
+  FROM scored s JOIN t ON t.doc_id = s.doc_id GROUP BY s.doc_id, t.lang),
+hist AS (SELECT lang, q_mean, count(*) AS cnt FROM per_doc GROUP BY 1, 2),
+cum AS (SELECT lang, q_mean,
+               CAST(sum(cnt) OVER (PARTITION BY lang ORDER BY q_mean) AS BIGINT)
+                 AS cum,
+               CAST(sum(cnt) OVER (PARTITION BY lang) AS BIGINT) AS n FROM hist),
+b AS (SELECT lang,
+             min(CASE WHEN cum >= ceil(n / 3.0) THEN q_mean END) AS b1,
+             min(CASE WHEN cum >= ceil(2 * n / 3.0) THEN q_mean END) AS b2
+      FROM cum GROUP BY lang)
+SELECT p.doc_id, p.lang, p.q_mean,
+       CASE WHEN q_mean <= b1 THEN 'head'
+            WHEN q_mean <= b2 THEN 'middle' ELSE 'tail' END AS ppl_bucket
+FROM per_doc p JOIN b USING (lang)
+"""
+
+
+@q(
+    "corpus_perplexity_buckets",
+    _DUCK_PPL_BUCKETS,
+    "North-star: CCNet head/middle/tail — per-language perplexity terciles"
+    " of the unigram-LM surprisal; tercile THRESHOLDS come from the per-"
+    "language histogram of integer-quantized scores (sketch-sized cumulative"
+    " window, broadcast back), NOT a corpus-wide rank — the assignment is a"
+    " per-row comparison, scale-exact up to quantization ties.",
+)
+def corpus_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from pgcapture_spark.operators.textstats import token_rows
+
+    register_views(spark, sf_dir, ("documents",))
+    docs = spark.table("documents")
+    tok = token_rows(docs).select("doc_id", "token")
+    total = tok.agg(F.count("*").alias("n_total"))
+    freq = (
+        tok.groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+        .join(F.broadcast(total))
+        .select(
+            "token",
+            F.expr(
+                "CAST(floor(-ln(CAST(cnt AS DOUBLE) / n_total) * 10000 + 0.5) AS BIGINT)"
+            ).alias("q_nats"),
+        )
+    )
+    per_doc = (
+        tok.join(F.broadcast(freq), on="token")
+        .groupBy("doc_id")
+        .agg(
+            F.expr(
+                "CAST(floor(CAST(sum(q_nats) AS DOUBLE) / count(*)) AS BIGINT)"
+            ).alias("q_mean")
+        )
+        .join(docs.select("doc_id", "lang"), on="doc_id")
+    )
+    hist = per_doc.groupBy("lang", "q_mean").agg(F.count("*").alias("cnt"))
+    cum = hist.select(
+        "lang",
+        "q_mean",
+        F.sum("cnt").over(W.partitionBy("lang").orderBy("q_mean")).alias("cum"),
+        F.sum("cnt").over(W.partitionBy("lang")).alias("n"),
+    )
+    b = cum.groupBy("lang").agg(
+        F.min(F.when(F.expr("cum >= ceil(n / 3.0)"), F.col("q_mean"))).alias("b1"),
+        F.min(F.when(F.expr("cum >= ceil(2 * n / 3.0)"), F.col("q_mean"))).alias("b2"),
+    )
+    return per_doc.join(F.broadcast(b), on="lang").select(
+        "doc_id",
+        "lang",
+        "q_mean",
+        F.expr(
+            "CASE WHEN q_mean <= b1 THEN 'head'"
+            " WHEN q_mean <= b2 THEN 'middle' ELSE 'tail' END"
+        ).alias("ppl_bucket"),
+    )

@@ -889,3 +889,42 @@ def sim_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir, ("embeddings",))
     return ivfpq_topk(spark.table("embeddings"), "vec_id % 25 = 2", k=3, m=8)
+
+
+# ------------------------------------------------------- k-NN graph
+
+_DUCK_KNN_GRAPH = f"""
+WITH normed AS ({_DUCK_NORMED}),
+bucketed AS (SELECT vec_id, e, norm, {_duck_bucket(6)} AS bucket FROM normed),
+scored AS (
+  SELECT a.vec_id AS src_id, b.vec_id AS dst_id,
+         list_sum(list_transform(range(1, 65), i -> a.e[i] * b.e[i]))
+           / (a.norm * b.norm) AS raw
+  FROM bucketed a JOIN bucketed b
+    ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+),
+ranked AS (
+  SELECT src_id, dst_id,
+         CAST(row_number() OVER (PARTITION BY src_id ORDER BY raw DESC, dst_id)
+              AS INT) AS rank,
+         raw
+  FROM scored)
+SELECT src_id, dst_id, rank,
+       floor(raw * 1000000 + 0.5) / 1000000 AS score
+FROM ranked WHERE rank <= 3
+"""
+
+
+@q(
+    "sim_knn_graph",
+    _DUCK_KNN_GRAPH,
+    "North-star: approximate k-NN GRAPH build — every vector's top-3 cosine"
+    " neighbors within its sign-LSH bucket (the SemDeDup/graph-index"
+    " workload); candidate generation is the bucket SELF-join (one bucket"
+    " hash shuffle, pair count bounded per bucket), never broadcast-all.",
+)
+def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pgcapture_spark.operators.similarity import knn_graph
+
+    register_views(spark, sf_dir, ("embeddings",))
+    return knn_graph(spark.table("embeddings"), k=3, nbits=6)
