@@ -117,6 +117,7 @@ HEADLINE = [
     "corpus_interleave",
     "sim_knn_graph",
     "corpus_perplexity_buckets",
+    "cdc_corpus_refresh_select",
 ]
 
 

@@ -446,3 +446,50 @@ FEED_KEYS = {
     "orders": "o_orderkey",
     "lineitem": ["l_orderkey", "l_linenumber"],
 }
+
+
+def cdc_documents_sql(dialect: str) -> str:
+    """Change feed over ``documents`` (key doc_id) — the corpus-refresh
+    fixture wiring the CDC surface to the curation surface.
+
+    Event classes by cls = h % 10:
+      0-2 → UPDATE rewriting the text (deterministic version suffix);
+            ``lang`` TOAST-omitted when h % 11 = 0 (consumer must inherit),
+            ``source`` explicitly NULLed when h % 7 = 0
+      3   → DELETE (old key image only) — the doc leaves the corpus
+      4   → INSERT of doc_id + 10_000_000 whose text is the base text plus
+            a suffix — a deliberate near-duplicate the downstream dedup
+            stage must catch
+
+    Same portable-SQL contract as the other feeds (identical text on Spark
+    SQL and DuckDB); ``commit_ts`` omitted — the apply fold orders on
+    ``ord`` alone.
+    """
+    return """
+WITH __docs AS (
+  SELECT doc_id, text, lang, source,
+         ((doc_id + 1) * 2654435761) % 4294967296 AS h
+  FROM documents
+)
+SELECT h AS lsn, 1 AS seq, h * 100 + 1 AS ord, 'UPDATE' AS op,
+       doc_id,
+       text || ' update v' || CAST(h % 3 AS STRING) AS text,
+       CASE WHEN h % 11 = 0 THEN CAST(NULL AS STRING) ELSE lang END AS lang,
+       CASE WHEN h % 7 = 0 THEN CAST(NULL AS STRING) ELSE source END AS source,
+       CAST(length(text || ' update v' || CAST(h % 3 AS STRING)) AS BIGINT) AS n_chars,
+       CAST(NULL AS BIGINT) AS old_doc_id,
+       CASE WHEN h % 11 = 0 THEN 'doc_id,text,source,n_chars'
+            ELSE 'doc_id,text,lang,source,n_chars' END AS present
+FROM __docs WHERE h % 10 <= 2
+UNION ALL
+SELECT h, 1, h * 100 + 1, 'DELETE', doc_id,
+       CAST(NULL AS STRING), CAST(NULL AS STRING), CAST(NULL AS STRING),
+       CAST(NULL AS BIGINT), doc_id, 'doc_id'
+FROM __docs WHERE h % 10 = 3
+UNION ALL
+SELECT h, 1, h * 100 + 1, 'INSERT', doc_id + 10000000,
+       text || ' fresh copy', lang, source,
+       CAST(length(text || ' fresh copy') AS BIGINT),
+       CAST(NULL AS BIGINT), 'doc_id,text,lang,source,n_chars'
+FROM __docs WHERE h % 10 = 4
+"""

@@ -355,3 +355,51 @@ def corpus_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
         "hkey",
         F.col("start_offset").cast("bigint").alias("global_pos"),
     )
+
+
+# --------------------------------------------- CDC-maintained corpus refresh
+
+
+def _duck_corpus_refresh_sql() -> str:
+    from pgcapture_spark.fixtures.cdc_feed import DUCKDB, cdc_documents_sql
+    from pgcapture_spark.operators.apply import apply_oracle_sql
+    from pgcapture_spark.querydefs.textops import duck_gate_tail
+
+    applied = apply_oracle_sql(
+        cdc_documents_sql(DUCKDB),
+        "documents",
+        "doc_id",
+        ["text", "lang", "source", "n_chars"],
+    )
+    return f"""
+WITH applied AS ({applied}),
+surv AS (
+  SELECT doc_id, text FROM (
+    SELECT doc_id, text,
+           row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+    FROM applied) WHERE rn = 1
+){duck_gate_tail()}"""
+
+
+@q(
+    "cdc_corpus_refresh_select",
+    _duck_corpus_refresh_sql(),
+    "The integration the engine uniquely offers: a CDC change feed over the"
+    " documents table (text-rewriting UPDATEs with TOAST-omitted lang,"
+    " DELETEs retiring docs, INSERTs adding deliberate near-duplicates) is"
+    " APPLIED to the snapshot with the standard idempotent fold, and the"
+    " training-corpus selection (exact dedup + quality/language gate) runs"
+    " over the LIVE applied snapshot — CDC-maintained corpus in, curated"
+    " corpus out, one declared query.",
+)
+def cdc_corpus_refresh_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pgcapture_spark.fixtures.cdc_feed import SPARK, cdc_documents_sql
+    from pgcapture_spark.operators.apply import cdc_apply
+    from pgcapture_spark.operators.textstats import corpus_select
+
+    register_views(spark, sf_dir, ("documents",))
+    feed = spark.sql(cdc_documents_sql(SPARK))
+    applied = cdc_apply(
+        spark.table("documents"), feed, "doc_id", ["text", "lang", "source", "n_chars"]
+    )
+    return corpus_select(applied, min_quality=0.5, min_tokens=20, langs=("en", "de"))
