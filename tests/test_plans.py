@@ -374,3 +374,29 @@ def test_hist_quantile_window_is_sketch_sized(spark):
     partial_sum must appear below the exchange."""
     plan = plan_str(spark, "agg_hist_quantile_merge", mode="simple")
     assert "partial_" in plan
+
+
+def test_knn_graph_bucket_selfjoin_shares_partitioning(spark):
+    """The k-NN graph build must not broadcast the full corpus or fall back
+    to nested-loop; candidates come from a bucket-keyed join."""
+    tree = plan_tree(spark, "sim_knn_graph")
+    assert "CartesianProduct" not in tree
+    assert "BroadcastNestedLoopJoin" not in tree
+
+
+def test_funnel_single_user_shuffle(spark):
+    """Three dependent first-passage minima must share ONE user_id
+    partitioning — chained unordered-frame windows, no per-step self-joins."""
+    tree = plan_tree(spark, "events_funnel")
+    assert "Join" not in tree  # no self-joins at all
+    assert tree.count("Exchange") == 1
+    assert tree.count("Window") == 3
+
+
+def test_corpus_refresh_fuses_apply_and_gate(spark):
+    """CDC apply + selection: the apply fold is one aggregation, the gate is
+    per-row — no extra corpus-wide join beyond the apply merge and the dedup
+    window."""
+    tree = plan_tree(spark, "cdc_corpus_refresh_select")
+    assert "CartesianProduct" not in tree
+    assert "BroadcastNestedLoopJoin" not in tree
