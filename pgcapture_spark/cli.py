@@ -181,6 +181,56 @@ def _cmd_ann_tune(args) -> int:
     return 0
 
 
+def _cmd_export(args) -> int:
+    """select → pack → shard: the complete export path, written partitioned
+    by shard (the write is the only shuffle consumer of the shard column)."""
+    from pgcapture_spark.operators.packing import packed_batches
+    from pgcapture_spark.operators.textstats import corpus_select
+    from pyspark.sql import functions as F
+
+    spark = get_spark(app="pgcs-export")
+    docs = spark.read.parquet(args.docs)
+    langs = tuple(args.langs.split(","))
+    sel = corpus_select(
+        docs, min_quality=args.min_quality, min_tokens=args.min_tokens, langs=langs
+    )
+    packed = packed_batches(sel.select("doc_id", "n_tokens"), budget=args.budget)
+    out = packed.withColumn(
+        "shard",
+        (
+            F.conv(F.substring(F.md5(F.col("batch_id").cast("string")), 1, 8), 16, 10)
+            .cast("bigint")
+            % args.shards
+        ).cast("int"),
+    )
+    out.repartition(args.shards, "shard").write.mode("overwrite").partitionBy(
+        "shard"
+    ).parquet(args.out_dir)
+    n = spark.read.parquet(args.out_dir).count()
+    nb = spark.read.parquet(args.out_dir).select("batch_id").distinct().count()
+    print(f"exported {n} docs in {nb} batches across {args.shards} shards to {args.out_dir}")
+    return 0
+
+
+def _cmd_interleave(args) -> int:
+    """Reproducible global training order (two-phase distributed rank)."""
+    spark = get_spark(app="pgcs-interleave")
+    from pgcapture_spark.operators.packing import packed_batches
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(args.docs).select(
+        "doc_id",
+        F.expr("md5(concat('order|', CAST(doc_id AS STRING)))").alias("hkey"),
+        F.lit(1).alias("_w"),
+    )
+    ranked = packed_batches(
+        docs, budget=1 << 60, order_col="hkey", tokens_col="_w", extra_cols=("doc_id",)
+    ).select("doc_id", F.col("start_offset").alias("global_pos"))
+    ranked.write.mode("overwrite").parquet(args.out_dir)
+    print(f"wrote training order for {ranked.count()} docs to {args.out_dir}")
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="pgcapture_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -248,6 +298,20 @@ def build_parser() -> argparse.ArgumentParser:
     mx.add_argument("--alpha", type=float, default=0.5)
     mx.add_argument("--target-frac", type=float, default=0.5)
     mx.set_defaults(fn=_cmd_mix)
+    ex = sub.add_parser("export", help="select -> pack -> shard export path")
+    ex.add_argument("--docs", required=True)
+    ex.add_argument("--out-dir", required=True)
+    ex.add_argument("--budget", type=int, default=4096)
+    ex.add_argument("--shards", type=int, default=8)
+    ex.add_argument("--min-quality", type=float, default=0.5)
+    ex.add_argument("--min-tokens", type=int, default=20)
+    ex.add_argument("--langs", default="en,de")
+    ex.set_defaults(fn=_cmd_export)
+
+    il = sub.add_parser("interleave", help="deterministic global training order")
+    il.add_argument("--docs", required=True)
+    il.add_argument("--out-dir", required=True)
+    il.set_defaults(fn=_cmd_interleave)
     return p
 
 

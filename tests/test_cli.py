@@ -5,6 +5,8 @@ from __future__ import annotations
 
 import tempfile
 
+from pyspark.sql import functions as F
+
 from pgcapture_spark.catalog import CDC_COLS
 from pgcapture_spark.cli import main
 from pgcapture_spark.operators.apply import cdc_apply
@@ -141,5 +143,42 @@ def test_cli_mix(spark, capsys):
         assert got.count() == want.count() > 0
         out = capsys.readouterr().out
         assert "sampled" in out
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_cli_export(spark, capsys):
+    import shutil
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="pgcs_cli_export_")
+    try:
+        docs_path = f"{SF_SMALL}/documents.parquet"
+        assert main(["export", "--docs", docs_path, "--out-dir", f"{d}/exp"]) == 0
+        got = spark.read.parquet(f"{d}/exp")
+        # batches must never split across shards
+        assert (
+            got.groupBy("batch_id").agg(F.countDistinct("shard").alias("ns"))
+            .where("ns > 1").count() == 0
+        )
+        assert "exported" in capsys.readouterr().out
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_cli_interleave(spark, capsys):
+    import shutil
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="pgcs_cli_il_")
+    try:
+        docs_path = f"{SF_SMALL}/documents.parquet"
+        assert main(["interleave", "--docs", docs_path, "--out-dir", f"{d}/il"]) == 0
+        got = spark.read.parquet(f"{d}/il")
+        n = got.count()
+        # global_pos is a permutation of 0..n-1
+        assert got.select("global_pos").distinct().count() == n
+        assert got.agg(F.min("global_pos"), F.max("global_pos")).first() == (0, n - 1)
+        assert "training order" in capsys.readouterr().out
     finally:
         shutil.rmtree(d, ignore_errors=True)
