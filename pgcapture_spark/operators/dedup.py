@@ -413,16 +413,20 @@ def editdist_verified_pairs(
 
 
 def containment_pairs(
-    docs: DataFrame, threshold: float = 0.5, max_df: int = 64
+    docs: DataFrame, threshold: float = 0.5, max_df: int = 64, min_shared: int = 2
 ) -> DataFrame:
     """DIRECTED near-duplicate pairs by shingle containment C(A→B) =
     |sh(A) ∩ sh(B)| / |sh(A)| — the asymmetric cousin of Jaccard that
     catches quotes, boilerplate supersets, and partial copies Jaccard
     misses (a 40-token quote inside a 4000-token page has tiny Jaccard but
     containment ≈ 1). Same stop-shingle-pruned candidate join as
-    :func:`ngram_jaccard_pairs` (df ∈ [2, max_df] bounds the self-join),
-    verified per-row by array_intersect; both directions emitted when both
-    clear the threshold.
+    :func:`ngram_jaccard_pairs` (df ∈ [2, max_df] bounds the self-join) —
+    candidates are kept UNORDERED (a < b, half the distinct + half the
+    verify joins), must share at least ``min_shared`` pruned shingles (the
+    recall/cost dial — a pair at containment ≥ 0.5 shares dozens, so 2 is
+    nearly free and cuts the candidate set ~10×), and each verified pair
+    fans out to its two directions per-row; both survive when they clear
+    the threshold.
 
     Output: (contained_id, container_id, inter_cnt, n_contained,
     containment), one row per direction meeting ``threshold``."""
@@ -435,26 +439,36 @@ def containment_pairs(
     pairs = (
         rare.alias("a")
         .join(rare.alias("b"), "shingle")
-        .where(F.col("a.doc_id") != F.col("b.doc_id"))
-        .select(
-            F.col("a.doc_id").alias("contained_id"),
-            F.col("b.doc_id").alias("container_id"),
-        )
-        .distinct()
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+        .agg(F.count("*").alias("_nsh"))
+        .where(F.col("_nsh") >= int(min_shared))
+        .select("a_id", "b_id")
     )
-    out = (
+    verified = (
         pairs.join(
-            sets.select(F.col("doc_id").alias("contained_id"), F.col("sh_set").alias("_sa")),
-            "contained_id",
+            sets.select(F.col("doc_id").alias("a_id"), F.col("sh_set").alias("_sa")),
+            "a_id",
         )
         .join(
-            sets.select(F.col("doc_id").alias("container_id"), F.col("sh_set").alias("_sb")),
-            "container_id",
+            sets.select(F.col("doc_id").alias("b_id"), F.col("sh_set").alias("_sb")),
+            "b_id",
         )
         .withColumn("inter_cnt", F.size(F.array_intersect("_sa", "_sb")).cast("long"))
-        .withColumn("n_contained", F.size("_sa").cast("long"))
-        .withColumn("containment", F.col("inter_cnt") / F.col("n_contained"))
+        .withColumn("_na", F.size("_sa").cast("long"))
+        .withColumn("_nb", F.size("_sb").cast("long"))
     )
-    return out.where(F.col("containment") >= threshold).select(
-        "contained_id", "container_id", "inter_cnt", "n_contained", "containment"
+    both = verified.select(
+        "inter_cnt",
+        F.explode(
+            F.expr(
+                "array(struct(a_id AS contained_id, b_id AS container_id, _na AS n_contained),"
+                " struct(b_id AS contained_id, a_id AS container_id, _nb AS n_contained))"
+            )
+        ).alias("d"),
+    ).select("d.contained_id", "d.container_id", "inter_cnt", "d.n_contained")
+    return (
+        both.withColumn("containment", F.col("inter_cnt") / F.col("n_contained"))
+        .where(F.col("containment") >= threshold)
+        .select("contained_id", "container_id", "inter_cnt", "n_contained", "containment")
     )

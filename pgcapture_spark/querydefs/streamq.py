@@ -661,7 +661,9 @@ def ts_ohlc_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     feed_dir = f"{d}/feed"
     materialize_feed(events, feed_dir, n_segments=4, order_col="ts")
     schema = spark.read.parquet(feed_dir).schema
-    stream = read_feed_stream(spark, feed_dir, schema, max_files_per_trigger=1)
+    # 2 files per trigger → 2 micro-batches: still exercises the cross-batch
+    # window-state merge while halving the per-batch state-store round-trips
+    stream = read_feed_stream(spark, feed_dir, schema, max_files_per_trigger=2)
     agg = (
         stream.withColumn(
             "cents", F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)")

@@ -1230,7 +1230,8 @@ rare AS (SELECT s.doc_id, s.shingle FROM s JOIN dfc USING (shingle)
          WHERE dfc.df BETWEEN 2 AND 64),
 pairs AS (SELECT a.doc_id AS contained_id, b.doc_id AS container_id
           FROM rare a JOIN rare b USING (shingle)
-          WHERE a.doc_id <> b.doc_id GROUP BY 1, 2),
+          WHERE a.doc_id <> b.doc_id GROUP BY 1, 2
+          HAVING count(*) >= 2),
 sizes AS (SELECT doc_id, count(*) AS n FROM s GROUP BY 1),
 inter AS (SELECT p.contained_id, p.container_id, count(*) AS inter_cnt
           FROM pairs p
@@ -1250,8 +1251,9 @@ WHERE CAST(i.inter_cnt AS DOUBLE) / na.n >= 0.5
     _DUCK_CONTAINMENT,
     "North-star: DIRECTED shingle-containment near-dup — |sh(A)∩sh(B)|/|sh(A)|"
     " catches quotes and boilerplate supersets that symmetric Jaccard misses;"
-    " same stop-shingle-pruned candidate join, per-row array_intersect"
-    " verification, both directions emitted when they clear 0.5.",
+    " stop-shingle-pruned candidates must share >= 2 pruned shingles (the"
+    " recall/cost dial, ~10x fewer candidates), per-row array_intersect"
+    " verification once per unordered pair, both directions emitted at 0.5.",
 )
 def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pgcapture_spark.operators.dedup import containment_pairs
