@@ -118,6 +118,7 @@ HEADLINE = [
     "sim_knn_graph",
     "corpus_perplexity_buckets",
     "cdc_corpus_refresh_select",
+    "events_markov_transitions",
 ]
 
 

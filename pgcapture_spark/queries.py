@@ -98,8 +98,9 @@ from pgcapture_spark.querydefs import (  # noqa: E402,F401
 # events_retention_cohorts, media_neardup_phash,
 # events_interval_overlap_join, agg_hist_quantile_merge,
 # corpus_export_pipeline, dedup_containment, corpus_interleave,
-# sim_knn_graph, corpus_perplexity_buckets, cdc_corpus_refresh_select) —
-# put those first next round, pad with canaries.
+# sim_knn_graph, corpus_perplexity_buckets, cdc_corpus_refresh_select,
+# events_markov_transitions) — put those first next round, pad with
+# canaries.
 _WINDOW: tuple[str, ...] = (
     # round-1 failures, fixed in r2 but rotated out before re-check
     "events_running_window",

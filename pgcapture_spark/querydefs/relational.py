@@ -603,3 +603,33 @@ FROM a GROUP BY cohort, day_offset
 def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir, ("events",))
     return spark.sql(_RETENTION_SPARK)
+
+
+# ------------------------------------------------------------- transitions
+
+_TRANSITIONS_SQL = """
+WITH o AS (SELECT user_id, event_type, ts, event_id,
+                  lag(event_type) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS prev_type
+           FROM events),
+c AS (SELECT prev_type AS from_type, event_type AS to_type, count(*) AS n
+      FROM o WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+rt AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS row_total FROM c GROUP BY 1)
+SELECT c.from_type, c.to_type, CAST(c.n AS BIGINT) AS n, rt.row_total,
+       floor(CAST(c.n AS DOUBLE) / rt.row_total * 1000000 + 0.5) / 1000000 AS p_q
+FROM c JOIN rt USING (from_type)
+"""
+
+
+@q(
+    "events_markov_transitions",
+    _TRANSITIONS_SQL,
+    "§2.7 relational: first-order event-transition matrix — per-user ordered"
+    " lag (one user_id shuffle), global (from, to) counts with map-side"
+    " combine, row-normalized probabilities from exact integer counts"
+    " (quantized 1e-6) — the Markov-chain view of user behavior that funnel"
+    " and retention queries summarize.",
+)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, ("events",))
+    return spark.sql(_TRANSITIONS_SQL)
