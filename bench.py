@@ -119,6 +119,12 @@ HEADLINE = [
     "corpus_perplexity_buckets",
     "cdc_corpus_refresh_select",
     "events_markov_transitions",
+    # r3 fifth wave: CDC history analytics + sampling/layout
+    "cdc_scd2_history",
+    "cdc_time_travel",
+    "cdc_churn_stats",
+    "sample_weighted_reservoir",
+    "events_zorder_layout",
 ]
 
 

@@ -1,0 +1,224 @@
+"""Downstream history/layout operators over the CDC feed and corpus tables.
+
+``scd2_history`` turns the change feed into a slowly-changing-dimension
+type-2 version table — the warehouse-side artifact a pgcapture consumer most
+often builds from the stream (the reference hands consumers per-event
+old/new images precisely so they can maintain this: pb/pgcapture.proto:24-51
+Change old/new tuples, pkg/decode/decoder.go:84-118 TOAST inheritance).
+
+``weighted_reservoir`` and ``zorder_layout`` extend the training-data
+pipeline surface: exact weight-proportional sampling without replacement and
+a multi-dimensional file-layout key for data skipping at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+from pgcapture_spark.operators.filters import present_contains
+
+
+def scd2_history(
+    snapshot: DataFrame, changes: DataFrame, key: str, cols: list[str]
+) -> DataFrame:
+    """SCD type-2 version table from a change feed seeded by the snapshot.
+
+    One output row per non-DELETE event: the EFFECTIVE image at that event
+    (explicit NULLs kept, TOAST-absent columns inherited from the running
+    image, ultimately the snapshot row), ``valid_from`` = the event's
+    commit_ts, ``valid_to`` = the next event's commit_ts for the key (NULL
+    while open), ``version`` = 1-based per-key ordinal, ``is_current`` =
+    open AND not superseded by a DELETE.
+
+    Scale shape: both windows partition by the key, so Spark plans ONE
+    exchange on ``key`` and reuses it; the snapshot join is a plain equi-join
+    on the same key (co-partitioned after AQE). No per-row Python, no
+    collects — linear in feed size at any scale.
+    """
+    snap = snapshot.select(key, *[F.col(c).alias(f"_snap_{c}") for c in cols])
+    ev = changes.join(snap, on=key, how="left")
+
+    img_w = (
+        W.partitionBy(key).orderBy("ord").rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    lead_w = W.partitionBy(key).orderBy("ord")
+    out = ev
+    for c in cols:
+        set_c = F.when(present_contains(c), F.struct(F.col(c).alias("v")))
+        eff = F.last(set_c, ignorenulls=True).over(img_w)
+        out = out.withColumn(
+            f"_eff_{c}", F.when(eff.isNotNull(), eff["v"]).otherwise(F.col(f"_snap_{c}"))
+        )
+    out = out.withColumn("_valid_to", F.lead("commit_ts").over(lead_w))
+    out = out.where(F.col("op") != "DELETE")
+    ver_w = W.partitionBy(key).orderBy("ord")
+    return out.select(
+        key,
+        F.row_number().over(ver_w).cast("long").alias("version"),
+        F.col("commit_ts").alias("valid_from"),
+        F.col("_valid_to").alias("valid_to"),
+        F.col("_valid_to").isNull().alias("is_current"),
+        *[F.col(f"_eff_{c}").alias(c) for c in cols],
+    )
+
+
+def scd2_oracle_sql(feed_sql: str, table: str, key: str, cols: list[str]) -> str:
+    """DuckDB oracle for ``scd2_history`` — identical window algebra."""
+    snap_sel = ", ".join(f"s.{c} AS _snap_{c}" for c in cols)
+    set_exprs = ",\n         ".join(
+        f"last(CASE WHEN instr(',' || present || ',', ',{c},') > 0 "
+        f"THEN {{'v': {c}}} END IGNORE NULLS) "
+        f"OVER (PARTITION BY {key} ORDER BY ord "
+        f"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS set_{c}"
+        for c in cols
+    )
+    finals = ",\n       ".join(
+        f"CASE WHEN set_{c} IS NOT NULL THEN (set_{c}).v ELSE _snap_{c} END AS {c}"
+        for c in cols
+    )
+    return f"""
+WITH feed AS ({feed_sql}),
+ev AS (
+  SELECT f.*, {snap_sel}
+  FROM feed f LEFT JOIN {table} s USING ({key})
+),
+img AS (
+  SELECT {key}, ord, commit_ts, op,
+         {set_exprs},
+         lead(commit_ts) OVER (PARTITION BY {key} ORDER BY ord) AS valid_to,
+         {", ".join(f"_snap_{c}" for c in cols)}
+  FROM ev
+)
+SELECT {key},
+       CAST(row_number() OVER (PARTITION BY {key} ORDER BY ord) AS BIGINT) AS version,
+       commit_ts AS valid_from,
+       valid_to,
+       (valid_to IS NULL) AS is_current,
+       {finals}
+FROM img
+WHERE op <> 'DELETE'
+"""
+
+
+def weighted_reservoir(
+    docs: DataFrame,
+    weight_col: str,
+    group_col: str,
+    id_col: str = "doc_id",
+    k: int = 50,
+    max_weight: int = 8,
+) -> DataFrame:
+    """Exact weight-proportional sampling WITHOUT replacement, per group.
+
+    Each row holds ``w`` lottery tickets (``w`` = small-integer weight); each
+    ticket is an independent deterministic uniform (md5 of ``id:i``); a row's
+    priority is its best (minimum) ticket. Ranking rows by priority is
+    EXACTLY sequential weighted sampling without replacement: the global
+    minimum ticket is uniform over all Σw tickets, so the first pick lands on
+    row i with probability w_i/Σw, and so on conditionally — the
+    Efraimidis–Spirakis guarantee with integer-only arithmetic (no ln/pow,
+    so bit-identical across engines).
+
+    Scale shape: tickets are a per-row ``transform`` + ``array_min`` fused
+    into the scan (no explode, no shuffle); selection is two-phase top-k —
+    local top-k per (group, salt) bucket, then final top-k per group — so a
+    single giant group never funnels the corpus through one partition.
+    """
+    w_int = F.col(weight_col).cast("int")
+    priority = F.expr(
+        f"""array_min(transform(sequence(0, CAST({weight_col} AS INT) - 1),
+        i -> CAST(conv(substring(md5(concat(CAST({id_col} AS STRING), ':',
+                  CAST(i AS STRING))), 1, 8), 16, 10) AS BIGINT)))"""
+    )
+    base = docs.select(
+        F.col(id_col),
+        F.col(group_col),
+        w_int.cast("long").alias("w"),
+        priority.alias("priority"),
+    )
+    salt = F.pmod(F.xxhash64(id_col), F.lit(64))
+    local_w = W.partitionBy(group_col, salt).orderBy("priority", id_col)
+    pruned = (
+        base.withColumn("_lrk", F.row_number().over(local_w))
+        .where(F.col("_lrk") <= k)
+        .drop("_lrk")
+    )
+    final_w = W.partitionBy(group_col).orderBy("priority", id_col)
+    return (
+        pruned.withColumn("rk", F.row_number().over(final_w).cast("long"))
+        .where(F.col("rk") <= k)
+    )
+
+
+def reservoir_oracle_sql(
+    weight_expr: str, group_col: str, id_col: str = "doc_id", k: int = 50
+) -> str:
+    """DuckDB oracle: same tickets, single-phase rank (same result set)."""
+    return f"""
+WITH base AS (
+  SELECT {id_col}, {group_col},
+         CAST({weight_expr} AS BIGINT) AS w,
+         list_min(list_transform(range(CAST({weight_expr} AS INT)),
+           i -> ('0x' || substr(md5(CAST({id_col} AS VARCHAR) || ':' ||
+                 CAST(i AS VARCHAR)), 1, 8))::BIGINT)) AS priority
+  FROM documents
+),
+ranked AS (
+  SELECT *, CAST(row_number() OVER (PARTITION BY {group_col}
+            ORDER BY priority, {id_col}) AS BIGINT) AS rk
+  FROM base
+)
+SELECT {id_col}, {group_col}, w, priority, rk FROM ranked WHERE rk <= {k}
+"""
+
+
+def zorder_bits_sql(b1: str, b2: str, nbits: int = 8) -> str:
+    """Portable SQL for the Morton (Z-order) interleave of two ``nbits``-bit
+    bucket ids — pure integer arithmetic (floor-div + mod), identical text on
+    Spark SQL and DuckDB. ``b1`` owns the odd (high) bit positions."""
+    terms = []
+    for i in range(nbits):
+        terms.append(f"(CAST(floor(({b1}) / {1 << i}) AS BIGINT) % 2) * {1 << (2 * i + 1)}")
+        terms.append(f"(CAST(floor(({b2}) / {1 << i}) AS BIGINT) % 2) * {1 << (2 * i)}")
+    return " + ".join(terms)
+
+
+def zorder_layout(
+    events: DataFrame, n_shards: int = 32, nbits: int = 8
+) -> DataFrame:
+    """Z-order file-layout key over (user bucket, time-of-day bucket).
+
+    At 100 TB the win is data skipping: writing shards sorted by the Morton
+    code co-locates rows close in BOTH dimensions, so min/max footer stats
+    prune scans filtered on either ``user_id`` ranges or time-of-day windows
+    (the multi-dimensional clustering Delta/Iceberg OPTIMIZE ZORDER performs).
+    Pure per-row integer arithmetic fused into the scan; the only shuffle a
+    real writer would add is the final ``repartitionByRange(shard, zval)``.
+    """
+    b1 = "CAST(user_id % 256 AS BIGINT)"
+    b2 = "CAST(hour(ts) * 10 + CAST(floor(minute(ts) / 6) AS INT) AS BIGINT)"
+    z = zorder_bits_sql(b1, b2, nbits)
+    cell = (1 << (2 * nbits)) // n_shards
+    return events.select(
+        "event_id",
+        F.expr(b1).alias("b_user"),
+        F.expr(b2).alias("b_time"),
+        F.expr(z).cast("long").alias("zval"),
+        F.expr(f"CAST(floor(({z}) / {cell}) AS BIGINT)").alias("shard"),
+    )
+
+
+def zorder_oracle_sql(n_shards: int = 32, nbits: int = 8) -> str:
+    b1 = "CAST(user_id % 256 AS BIGINT)"
+    b2 = "CAST(hour(ts) * 10 + CAST(floor(minute(ts) / 6) AS INT) AS BIGINT)"
+    z = zorder_bits_sql(b1, b2, nbits)
+    cell = (1 << (2 * nbits)) // n_shards
+    return f"""
+SELECT event_id,
+       {b1} AS b_user,
+       {b2} AS b_time,
+       CAST({z} AS BIGINT) AS zval,
+       CAST(floor(({z}) / {cell}) AS BIGINT) AS shard
+FROM events
+"""

@@ -74,6 +74,7 @@ from pgcapture_spark.querydefs import (  # noqa: E402,F401
     pipeline as _qd_pipeline,
     media as _qd_media,
     vector as _qd_vector,
+    history as _qd_history,
 )
 
 # The driver verifies the FIRST ~50 registry entries each round. Rounds 1+2
@@ -99,7 +100,9 @@ from pgcapture_spark.querydefs import (  # noqa: E402,F401
 # events_interval_overlap_join, agg_hist_quantile_merge,
 # corpus_export_pipeline, dedup_containment, corpus_interleave,
 # sim_knn_graph, corpus_perplexity_buckets, cdc_corpus_refresh_select,
-# events_markov_transitions) — put those first next round, pad with
+# events_markov_transitions) and the r3 fifth wave (cdc_scd2_history,
+# cdc_time_travel, cdc_churn_stats, sample_weighted_reservoir,
+# events_zorder_layout, ...) — put those first next round, pad with
 # canaries.
 _WINDOW: tuple[str, ...] = (
     # round-1 failures, fixed in r2 but rotated out before re-check

@@ -1,0 +1,173 @@
+"""CDC-downstream history analytics: SCD2 dimension build, point-in-time
+time travel, churn stats — the warehouse artifacts a pgcapture consumer
+maintains from the stream (the reference ships per-event old/new images for
+exactly this: pb/pgcapture.proto:24-51, pkg/decode/decoder.go:84-118) — plus
+the weighted-reservoir sample and Z-order layout for the curation pipeline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pgcapture_spark.catalog import CDC_COLS, register_views
+from pgcapture_spark.fixtures.cdc_feed import (
+    DUCKDB,
+    cdc_customer_sql,
+    cdc_lineitem_sql,
+    cdc_orders_sql,
+)
+from pgcapture_spark.operators.apply import apply_oracle_sql, cdc_apply
+from pgcapture_spark.operators.history import (
+    reservoir_oracle_sql,
+    scd2_history,
+    scd2_oracle_sql,
+    weighted_reservoir,
+    zorder_layout,
+    zorder_oracle_sql,
+)
+from pgcapture_spark.queries import _feed, q
+
+# ------------------------------------------------------------------ SCD2
+
+
+@q(
+    "cdc_scd2_history",
+    scd2_oracle_sql(cdc_customer_sql(DUCKDB), "customer", "c_custkey", CDC_COLS["customer"]),
+    "SCD type-2 dimension from the customer feed: one version row per"
+    " non-DELETE event with the running EFFECTIVE image (TOAST inheritance"
+    " from the prior version / snapshot, explicit NULLs kept),"
+    " valid_from/valid_to interval, is_current — the consumer-side artifact"
+    " the reference's old/new images exist to enable (pb/pgcapture.proto:"
+    "24-51). One exchange on the key, reused by every window.",
+)
+def cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, ("customer",))
+    return scd2_history(
+        spark.table("customer"),
+        _feed(spark, sf_dir, "customer"),
+        "c_custkey",
+        CDC_COLS["customer"],
+    )
+
+
+# ------------------------------------------------------------ time travel
+
+_PIN_LSN = 2147483648  # 2^31 — mid-keyspace, same pin as cdc_resume_filter
+
+
+@q(
+    "cdc_time_travel",
+    apply_oracle_sql(
+        f"SELECT * FROM ({cdc_customer_sql(DUCKDB)}) WHERE lsn <= {_PIN_LSN}",
+        "customer",
+        "c_custkey",
+        CDC_COLS["customer"],
+    ),
+    "Point-in-time snapshot (time travel): the table AS OF a pinned LSN —"
+    " the apply fold over only the change prefix lsn <= 2^31"
+    " (pkg/sink/postgres.go:207-278 replayed to a cursor, the DBLog"
+    " read-your-writes contract). The LSN predicate pushes into the feed"
+    " scan before the single key-fold shuffle.",
+)
+def cdc_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, ("customer",))
+    feed = _feed(spark, sf_dir, "customer").where(F.col("lsn") <= _PIN_LSN)
+    return cdc_apply(spark.table("customer"), feed, "c_custkey", CDC_COLS["customer"])
+
+
+# ------------------------------------------------------------- churn stats
+
+
+def _churn_duck(feed_sql: str, table: str, key_expr: str) -> str:
+    return f"""
+SELECT '{table}' AS table_name, op, CAST(hour(commit_ts) AS INT) AS hr,
+       count(*) AS n_events,
+       count(DISTINCT {key_expr}) AS n_keys,
+       count(DISTINCT lsn) AS n_txs
+FROM ({feed_sql}) GROUP BY op, hr
+"""
+
+
+@q(
+    "cdc_churn_stats",
+    " UNION ALL ".join(
+        (
+            _churn_duck(cdc_customer_sql(DUCKDB), "customer", "c_custkey"),
+            _churn_duck(cdc_orders_sql(DUCKDB), "orders", "o_orderkey"),
+            _churn_duck(
+                cdc_lineitem_sql(DUCKDB),
+                "lineitem",
+                "CAST(l_orderkey AS VARCHAR) || '|' || CAST(l_linenumber AS VARCHAR)",
+            ),
+        )
+    ),
+    "Operational churn statistics per (table, op, hour): event count,"
+    " distinct keys touched, distinct transactions — the replication"
+    " monitoring rollup next to cdc_replication_lag (A9,"
+    " pkg/sink/postgres.go:662-675). Three partial-aggregated groupBys,"
+    " union of tiny results.",
+)
+def cdc_churn_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    outs = []
+    for table, key_expr in (
+        ("customer", F.col("c_custkey").cast("string")),
+        ("orders", F.col("o_orderkey").cast("string")),
+        (
+            "lineitem",
+            F.concat_ws("|", F.col("l_orderkey").cast("string"),
+                        F.col("l_linenumber").cast("string")),
+        ),
+    ):
+        feed = _feed(spark, sf_dir, table)
+        outs.append(
+            feed.groupBy(
+                F.lit(table).alias("table_name"),
+                "op",
+                F.hour("commit_ts").cast("int").alias("hr"),
+            ).agg(
+                F.count("*").alias("n_events"),
+                F.countDistinct(key_expr).alias("n_keys"),
+                F.countDistinct("lsn").alias("n_txs"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionAll(o)
+    return out
+
+
+# ------------------------------------------- weighted reservoir + Z-order
+
+_W_EXPR_SPARK = "1 + least(7, CAST(floor(n_chars / 500) AS INT))"
+_W_EXPR_DUCK = "1 + least(7, CAST(floor(n_chars / 500) AS INT))"
+
+
+@q(
+    "sample_weighted_reservoir",
+    reservoir_oracle_sql(_W_EXPR_DUCK, "lang", "doc_id", 50),
+    "North-star: EXACT weight-proportional sampling without replacement per"
+    " language (Efraimidis–Spirakis semantics via integer lottery tickets —"
+    " min of w deterministic md5 uniforms per doc; first pick lands on doc i"
+    " with probability w_i/Σw, exactly). No ln/pow (cross-engine"
+    " bit-identical); per-row tickets fused into the scan; two-phase salted"
+    " top-k so one giant language never funnels through a single partition.",
+)
+def sample_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, ("documents",))
+    docs = spark.table("documents").withColumn("_w", F.expr(_W_EXPR_SPARK))
+    return weighted_reservoir(docs, "_w", "lang", "doc_id", k=50)
+
+
+@q(
+    "events_zorder_layout",
+    zorder_oracle_sql(),
+    "North-star: Z-order (Morton) layout key over (user bucket, time-of-day"
+    " bucket) — the multi-dimensional clustering that makes parquet footer"
+    " min/max stats prune scans on EITHER dimension at 100 TB (Delta/Iceberg"
+    " OPTIMIZE ZORDER). Pure integer bit-interleave fused into the scan;"
+    " a writer adds only repartitionByRange(shard, zval).",
+)
+def events_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, ("events",))
+    return zorder_layout(spark.table("events"))
