@@ -137,6 +137,125 @@ def cdc_churn_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+# --------------------------------------------------------- snapshot diff
+
+
+def _diff_duck() -> str:
+    cols = CDC_COLS["customer"]
+    feed = cdc_customer_sql(DUCKDB)
+    snap_a = apply_oracle_sql(
+        f"SELECT * FROM ({feed}) WHERE lsn <= {_PIN_LSN}",
+        "customer", "c_custkey", cols,
+    )
+    snap_b = apply_oracle_sql(feed, "customer", "c_custkey", cols)
+    changed = ",\n    ".join(
+        f"CASE WHEN a.{c} IS DISTINCT FROM b.{c} THEN '{c}' END" for c in cols
+    )
+    any_diff = " OR ".join(f"a.{c} IS DISTINCT FROM b.{c}" for c in cols)
+    return f"""
+WITH snap_a AS ({snap_a}), snap_b AS ({snap_b})
+SELECT COALESCE(a.c_custkey, b.c_custkey) AS c_custkey,
+       CASE WHEN a.c_custkey IS NULL THEN 'ADDED'
+            WHEN b.c_custkey IS NULL THEN 'REMOVED'
+            ELSE 'CHANGED' END AS status,
+       CASE WHEN a.c_custkey IS NULL OR b.c_custkey IS NULL THEN ''
+            ELSE concat_ws(',', {changed}) END AS changed_cols
+FROM snap_a a FULL OUTER JOIN snap_b b ON a.c_custkey = b.c_custkey
+WHERE a.c_custkey IS NULL OR b.c_custkey IS NULL OR {any_diff}
+"""
+
+
+@q(
+    "cdc_snapshot_diff",
+    _diff_duck(),
+    "Snapshot diff between two points in time: the table AS OF lsn=2^31 vs"
+    " AS OF the full log — per key ADDED / REMOVED / CHANGED with the list"
+    " of changed columns (NULL-safe IS DISTINCT FROM). The audit artifact"
+    " behind schema-change reviews and replication validation; both sides"
+    " share one feed scan, one full-outer join on the key.",
+)
+def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, ("customer",))
+    cols = CDC_COLS["customer"]
+    feed = _feed(spark, sf_dir, "customer")
+    snap = spark.table("customer")
+    a = cdc_apply(snap, feed.where(F.col("lsn") <= _PIN_LSN), "c_custkey", cols).alias("a")
+    b = cdc_apply(snap, feed, "c_custkey", cols).alias("b")
+    joined = a.join(b, F.col("a.c_custkey") == F.col("b.c_custkey"), "full_outer")
+    changed = F.concat_ws(
+        ",",
+        *[
+            F.when(~F.col(f"a.{c}").eqNullSafe(F.col(f"b.{c}")), F.lit(c))
+            for c in cols
+        ],
+    )
+    any_diff = None
+    for c in cols:
+        d = ~F.col(f"a.{c}").eqNullSafe(F.col(f"b.{c}"))
+        any_diff = d if any_diff is None else (any_diff | d)
+    status = (
+        F.when(F.col("a.c_custkey").isNull(), F.lit("ADDED"))
+        .when(F.col("b.c_custkey").isNull(), F.lit("REMOVED"))
+        .otherwise(F.lit("CHANGED"))
+    )
+    return joined.where(
+        F.col("a.c_custkey").isNull() | F.col("b.c_custkey").isNull() | any_diff
+    ).select(
+        F.coalesce(F.col("a.c_custkey"), F.col("b.c_custkey")).alias("c_custkey"),
+        status.alias("status"),
+        F.when(
+            F.col("a.c_custkey").isNull() | F.col("b.c_custkey").isNull(), F.lit("")
+        ).otherwise(changed).alias("changed_cols"),
+    )
+
+
+# ------------------------------------------------------ FK consistency
+
+
+def _fk_duck() -> str:
+    cust = apply_oracle_sql(
+        cdc_customer_sql(DUCKDB), "customer", "c_custkey", CDC_COLS["customer"]
+    )
+    ords = apply_oracle_sql(
+        cdc_orders_sql(DUCKDB), "orders", "o_orderkey", CDC_COLS["orders"]
+    )
+    return f"""
+WITH cust AS ({cust}), ords AS ({ords})
+SELECT o.o_custkey, count(*) AS n_orphan_orders
+FROM ords o LEFT JOIN cust c ON o.o_custkey = c.c_custkey
+WHERE c.c_custkey IS NULL
+GROUP BY o.o_custkey
+"""
+
+
+@q(
+    "cdc_fk_consistency",
+    _fk_duck(),
+    "Cross-table referential-integrity audit AFTER replay: orders whose"
+    " o_custkey no longer resolves in the applied customer snapshot"
+    " (deleted customers, never-inserted references) — the consistency"
+    " check a replica operator runs after cross-table apply"
+    " (pkg/sink/postgres.go apply order gives no FK ordering guarantee)."
+    " Anti-join on the key, then a tiny grouped count.",
+)
+def cdc_fk_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, ("customer", "orders"))
+    cust = cdc_apply(
+        spark.table("customer"),
+        _feed(spark, sf_dir, "customer"),
+        "c_custkey",
+        CDC_COLS["customer"],
+    )
+    ords = cdc_apply(
+        spark.table("orders"),
+        _feed(spark, sf_dir, "orders"),
+        "o_orderkey",
+        CDC_COLS["orders"],
+    )
+    orphans = ords.join(cust, ords["o_custkey"] == cust["c_custkey"], "left_anti")
+    return orphans.groupBy("o_custkey").agg(F.count("*").alias("n_orphan_orders"))
+
+
 # ------------------------------------------- weighted reservoir + Z-order
 
 _W_EXPR_SPARK = "1 + least(7, CAST(floor(n_chars / 500) AS INT))"

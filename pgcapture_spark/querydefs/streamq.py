@@ -520,7 +520,7 @@ def cdc_apply_proto_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     state = SnapshotState(spark, f"{d}/state")
     tx_state = SnapshotState(spark, f"{d}/txreg")
     query = apply_wire_stream(
-        read_feed_stream(spark, feed_dir, schema, max_files_per_trigger=2),
+        read_feed_stream(spark, feed_dir, schema, max_files_per_trigger=3),
         state,
         tx_state,
         snapshot,
@@ -558,7 +558,7 @@ def cdc_apply_proto_multi_streamed(spark: SparkSession, sf_dir: str) -> DataFram
     state = MultiTableState(spark, f"{d}/state", ["customer", "orders"])
     tx_state = SnapshotState(spark, f"{d}/txreg")
     query = apply_wire_stream_multi(
-        read_feed_stream(spark, f"{d}/wire", schema, max_files_per_trigger=2),
+        read_feed_stream(spark, f"{d}/wire", schema, max_files_per_trigger=3),
         state,
         tx_state,
         {"customer": spark.table("customer"), "orders": spark.table("orders")},
@@ -597,7 +597,7 @@ def cdc_apply_pgoutput_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     tx_state = SnapshotState(spark, f"{d}/txreg")
     rel_state = SnapshotState(spark, f"{d}/relcache")
     query = apply_pgoutput_stream(
-        read_feed_stream(spark, f"{d}/wire", schema, max_files_per_trigger=2),
+        read_feed_stream(spark, f"{d}/wire", schema, max_files_per_trigger=3),
         state,
         tx_state,
         rel_state,

@@ -38,6 +38,14 @@ def get_spark(
         # of many distinct plan shapes, silently recompiling stages (measured
         # 2-3 s per large expression tree); the cache is driver-side and small
         .config("spark.sql.codegen.cache.maxEntries", "5000")
+        # the CDC apply fold is N parallel max_by(struct, ord) aggregates —
+        # struct buffers force SortAggregate, and its whole-stage-generated
+        # method for a wide fold blows past the JIT huge-method limit, so the
+        # "generated" code runs as uncompiled bytecode: measured 2-5x SLOWER
+        # than Spark's interpreted sort-agg path at both sf0.001 and sf0.1
+        # (14.6s -> 3.3s on the 11-column binary composite apply). Hash
+        # aggregates keep codegen; only SortAggregate opts out.
+        .config("spark.sql.codegen.aggregate.sortAggregate.enabled", "false")
         # events.parquet stores TIMESTAMP(NANOS); read as long + convert in catalog.load
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         # write micros, not INT96: Arrow/pyarrow readers (the pgcapture_feed
