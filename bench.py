@@ -125,6 +125,14 @@ HEADLINE = [
     "cdc_churn_stats",
     "sample_weighted_reservoir",
     "events_zorder_layout",
+    # r3 sixth wave: retrieval pair, PIT join, integer PageRank, compaction
+    # planner
+    "text_bm25_topk",
+    "text_inverted_index",
+    "events_pit_scd2_join",
+    "sim_pagerank",
+    "cdc_compaction_plan",
+    "events_watermark_sizing",
 ]
 
 

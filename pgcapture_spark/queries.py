@@ -75,6 +75,7 @@ from pgcapture_spark.querydefs import (  # noqa: E402,F401
     media as _qd_media,
     vector as _qd_vector,
     history as _qd_history,
+    retrieval as _qd_retrieval,
 )
 
 # The driver verifies the FIRST ~50 registry entries each round. Rounds 1+2
@@ -92,6 +93,8 @@ from pgcapture_spark.querydefs import (  # noqa: E402,F401
 # tpch_q2/q11/q15/q20, cdc_apply_from_pglogical, and the r3 second wave
 # (text_quality_rules, corpus_mix_sample, corpus_stats,
 # dedup_editdist_verify, dedup_semantic, text_bpe_tokenize) and the r3
+# sixth wave (text_bm25_topk, text_inverted_index, events_pit_scd2_join,
+# sim_pagerank, cdc_compaction_plan, events_watermark_sizing) and the r3
 # third wave (text_line_dedup, corpus_shard_plan, kmeans_embed,
 # sim_ivfpq_ann, corpus_dsir_weights, cdc_apply_from_proto, cdc_apply_proto_streamed, cdc_checkpoint_keys, ts_ewma, cdc_apply_proto_multi_streamed, cdc_apply_from_proto_text, corpus_domain_cap, cdc_apply_pgoutput_streamed, ...)
 # and the r3 fourth wave (dedup_substring, text_nb_quality, ts_resample_ohlc,

@@ -290,3 +290,80 @@ def sample_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
 def events_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir, ("events",))
     return zorder_layout(spark.table("events"))
+
+
+# --------------------------------------------- point-in-time (PIT) join
+
+
+def _pit_duck() -> str:
+    scd2 = scd2_oracle_sql(
+        cdc_customer_sql(DUCKDB), "customer", "c_custkey", CDC_COLS["customer"]
+    )
+    return f"""
+WITH scd2 AS ({scd2})
+SELECT e.event_id, e.user_id, e.ts, e.event_type,
+       v.version, v.c_acctbal, v.c_mktsegment,
+       v.version IS NOT NULL AS matched
+FROM events e LEFT JOIN scd2 v
+  ON v.c_custkey = e.user_id AND v.valid_from <= e.ts
+ AND (v.valid_to IS NULL OR e.ts < v.valid_to)
+"""
+
+
+@q(
+    "events_pit_scd2_join",
+    _pit_duck(),
+    "Point-in-time (temporal) join: each event joined to the customer SCD2"
+    " version VALID AT the event timestamp — the feature-store /"
+    " training-label join that prevents feature leakage (the reason the"
+    " reference ships per-event old/new images: pb/pgcapture.proto:24-51)."
+    " NOT an interval pair join: version rows and events union on the key,"
+    " one ordered window carries the last version image onto each event, so"
+    " the cost is two key-hash exchanges and zero pair explosion at 100 TB"
+    " (same shape as events_asof_join, querydefs/asofq.py).",
+)
+def events_pit_scd2_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    register_views(spark, sf_dir, ("customer", "events"))
+    scd2 = scd2_history(
+        spark.table("customer"),
+        _feed(spark, sf_dir, "customer"),
+        "c_custkey",
+        CDC_COLS["customer"],
+    )
+    v = scd2.select(
+        F.col("c_custkey").alias("k"),
+        F.col("valid_from").alias("t"),
+        F.lit(0).alias("kind"),
+        F.struct("version", "valid_to", "c_acctbal", "c_mktsegment").alias("img"),
+    )
+    e = spark.table("events").select(
+        F.col("user_id").alias("k"),
+        F.col("ts").alias("t"),
+        F.lit(1).alias("kind"),
+        "event_id",
+        "event_type",
+    )
+    u = v.unionByName(e, allowMissingColumns=True)
+    w = (
+        W.partitionBy("k")
+        .orderBy("t", "kind", F.col("img.version"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    carried = u.withColumn("_img", F.last("img", ignorenulls=True).over(w)).where(
+        F.col("kind") == 1
+    )
+    valid = F.col("_img").isNotNull() & (
+        F.col("_img.valid_to").isNull() | (F.col("t") < F.col("_img.valid_to"))
+    )
+    return carried.select(
+        "event_id",
+        F.col("k").alias("user_id"),
+        F.col("t").alias("ts"),
+        "event_type",
+        F.when(valid, F.col("_img.version")).alias("version"),
+        F.when(valid, F.col("_img.c_acctbal")).alias("c_acctbal"),
+        F.when(valid, F.col("_img.c_mktsegment")).alias("c_mktsegment"),
+        valid.alias("matched"),
+    )

@@ -346,3 +346,142 @@ def ts_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(z).alias("z_q"),
         F.expr(f"coalesce(abs({z}) > 2.0, FALSE)").alias("is_outlier"),
     )
+
+
+# ------------------------------------------------------- compaction planner
+
+# Log-maintenance planning (the batch analog of sources/feed.compact_log and
+# the reference's Pulsar topic retention): group the change log into LSN
+# segments, estimate bytes, and bin-pack consecutive segments into
+# target-sized compaction groups. The prefix sum is the two-phase distributed
+# scan from operators/packing.packed_batches (range partition → local cumsum
+# → broadcast per-partition offsets), NEVER one global single-task window —
+# the planner itself scales to a 100 TB log listing.
+_SEG_SHIFT = 16_777_216  # lsn span per segment (2^24 → ≤256 segments)
+_BIN_TARGET = 262_144  # compaction group target bytes
+
+
+def _compaction_duck() -> str:
+    from pgcapture_spark.fixtures.cdc_feed import cdc_lineitem_sql
+
+    return f"""
+WITH feed AS ({cdc_lineitem_sql(DUCKDB)}),
+seg AS (
+  SELECT lsn // {_SEG_SHIFT} AS seg_id,
+         CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(sum(120 + length(present)) AS BIGINT) AS est_bytes
+  FROM feed GROUP BY 1),
+c AS (
+  SELECT seg_id, n_rows, est_bytes,
+         CAST(COALESCE(sum(est_bytes) OVER (ORDER BY seg_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS start_offset
+  FROM seg)
+SELECT seg_id, n_rows, est_bytes, start_offset,
+       CAST(start_offset // {_BIN_TARGET} AS BIGINT) AS bin_id
+FROM c
+"""
+
+
+@q(
+    "cdc_compaction_plan",
+    _compaction_duck(),
+    "Log-compaction planning: LSN-range segments of the lineitem change log"
+    " (seg = lsn DIV 2^24) with exact byte estimates, bin-packed into 256 KiB"
+    " compaction groups by a running prefix sum — the OPTIMIZE/retention"
+    " planner a log store runs continuously (sources/feed.compact_log is the"
+    " executor; the reference's Pulsar retention is the managed analog)."
+    " The cumsum is packed_batches' two-phase distributed scan, not a"
+    " single-task global window.",
+)
+def cdc_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pgcapture_spark.operators.packing import packed_batches
+
+    seg = (
+        _feed(spark, sf_dir, "lineitem")
+        .groupBy(F.expr(f"lsn DIV {_SEG_SHIFT}").alias("seg_id"))
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum(F.lit(120) + F.length("present")).cast("long").alias("est_bytes"),
+        )
+    )
+    packed = packed_batches(
+        seg,
+        budget=_BIN_TARGET,
+        order_col="seg_id",
+        tokens_col="est_bytes",
+        extra_cols=("n_rows",),
+    )
+    return packed.select(
+        "seg_id",
+        "n_rows",
+        "est_bytes",
+        F.col("start_offset").cast("long").alias("start_offset"),
+        F.col("batch_id").cast("long").alias("bin_id"),
+    )
+
+
+# ----------------------------------------------------- watermark sizing
+
+# How late does data actually arrive? Replay the event stream in a modeled
+# arrival order (per-source-partition; each event's queue position is
+# perturbed by a deterministic md5 jitter of up to 24 sequence slots — the
+# interleaving noise a watermark must absorb, and invariant to data density
+# so the model behaves identically at every SF), track the running
+# per-partition watermark, and report the lateness distribution per event
+# type. p95_late_s IS the watermark-delay recommendation for the
+# streaming queries (streamq.py uses withWatermark — this op is how an
+# operator picks the number). Integer seconds end-to-end (anchored
+# timestampdiff — NTZ-safe in both engines); the running max
+# partitions by the source partition (never one global single-task window);
+# percentile_disc is exact and cross-engine.
+_LATENESS_TPL = """
+WITH base AS (
+  SELECT event_id, event_type, user_id % 8 AS part,
+         {epoch_s} AS ts_s,
+         event_id + {md5mod24} AS arr_key
+  FROM events),
+wm AS (
+  SELECT event_type,
+         CAST(greatest(0, COALESCE(max(ts_s) OVER (PARTITION BY part
+              ORDER BY arr_key, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) - ts_s, 0))
+              AS BIGINT) AS late_s
+  FROM base)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(*) FILTER (WHERE late_s > 0) AS BIGINT) AS n_late,
+       CAST(max(late_s) AS BIGINT) AS max_late_s,
+       CAST(percentile_disc(0.95) WITHIN GROUP (ORDER BY late_s) AS BIGINT)
+         AS p95_late_s
+FROM wm GROUP BY event_type
+"""
+
+_LATENESS_DUCK = _LATENESS_TPL.format(
+    epoch_s="date_diff('second', TIMESTAMP '2024-01-01 00:00:00', ts)",
+    md5mod24="(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8))::BIGINT % 24)",
+)
+
+_LATENESS_SPARK = _LATENESS_TPL.format(
+    epoch_s="timestampdiff(SECOND, TIMESTAMP_NTZ '2024-01-01 00:00:00', ts)",
+    md5mod24=(
+        "(CAST(conv(substring(md5(CAST(event_id AS STRING)), 1, 8), 16, 10)"
+        " AS BIGINT) % 24)"
+    ),
+)
+
+
+@q(
+    "events_watermark_sizing",
+    _LATENESS_DUCK,
+    "Streaming-ops audit: replay events in modeled per-partition arrival"
+    " order (deterministic md5 jitter of ≤24 queue slots) against the"
+    " running watermark"
+    " and report the lateness distribution per event type — n_late,"
+    " max_late_s, and the p95 that BECOMES the withWatermark delay for the"
+    " streaming queries. Running max is per-source-partition (scale-safe);"
+    " all arithmetic integer seconds; percentile_disc exact cross-engine.",
+)
+def events_watermark_sizing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, ("events",))
+    return spark.sql(_LATENESS_SPARK)

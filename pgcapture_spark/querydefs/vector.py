@@ -928,3 +928,91 @@ def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir, ("embeddings",))
     return knn_graph(spark.table("embeddings"), k=3, nbits=6)
+
+
+# ---------------------------------------------------- PageRank on the graph
+
+# PageRank over the k-NN graph in INTEGER rank units: total mass 1e9 is
+# split evenly, each of 3 power iterations moves q//outdeg along every edge
+# and re-injects floor(0.15e9/N) teleport mass. All arithmetic is BIGINT
+# (// and DIV are integer division), so the per-iteration sums are
+# order-independent and the result hash-matches across engines exactly —
+# no float accumulation anywhere.
+_PR_UNIT = 1_000_000_000
+_PR_ITERS = 3
+
+
+def _pagerank_duck() -> str:
+    it_prev = "r0"
+    steps = []
+    for i in range(1, _PR_ITERS + 1):
+        steps.append(
+            f"""s{i} AS (
+  SELECT e.dst_id AS vec_id, CAST(sum(r.q // d.d) AS BIGINT) AS c
+  FROM edges e JOIN {it_prev} r ON r.vec_id = e.src_id
+  JOIN deg d ON d.src_id = e.src_id
+  GROUP BY e.dst_id),
+r{i} AS (
+  SELECT n.vec_id,
+         CAST((15::BIGINT * {_PR_UNIT}) // (100 * cnt.n)
+              + (85::BIGINT * COALESCE(s{i}.c, 0)) // 100 AS BIGINT) AS q
+  FROM nodes n CROSS JOIN cnt LEFT JOIN s{i} ON s{i}.vec_id = n.vec_id)"""
+        )
+        it_prev = f"r{i}"
+    return f"""
+WITH knn AS ({_DUCK_KNN_GRAPH}),
+edges AS (SELECT src_id, dst_id FROM knn),
+nodes AS (SELECT vec_id FROM embeddings),
+cnt AS (SELECT count(*) AS n FROM nodes),
+deg AS (SELECT src_id, count(*) AS d FROM edges GROUP BY src_id),
+r0 AS (SELECT vec_id, CAST({_PR_UNIT} // cnt.n AS BIGINT) AS q FROM nodes CROSS JOIN cnt),
+{",".join(steps)}
+SELECT vec_id, q AS q_pagerank FROM {it_prev}
+"""
+
+
+@q(
+    "sim_pagerank",
+    _pagerank_duck(),
+    "North-star: PageRank centrality over the k-NN similarity graph (3 power"
+    " iterations, damping 0.85) — the graph-quality signal used to pick"
+    " representative documents from near-dup clusters. Rank mass is INTEGER"
+    " units end-to-end (q DIV outdeg per edge, integer teleport), so every"
+    " per-node sum is order-independent and cross-engine exact. Each"
+    " iteration is one edge-join + one dst aggregation; the edge list with"
+    " degrees is persisted once so the LSH candidate join runs once, not per"
+    " iteration. At 100 TB you checkpoint ranks between iterations — the"
+    " per-iteration shape (join on src, agg on dst) is the scale-correct"
+    " one; no broadcast of the rank vector, no driver-side state.",
+)
+def sim_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pgcapture_spark.operators.similarity import knn_graph
+
+    register_views(spark, sf_dir, ("embeddings",))
+    emb = spark.table("embeddings")
+    edges = knn_graph(emb, k=3, nbits=6).select("src_id", "dst_id")
+    deg = edges.groupBy("src_id").agg(F.count("*").alias("d"))
+    ed = edges.join(deg, on="src_id").persist()
+    nodes = emb.select("vec_id")
+    cnt = nodes.agg(F.count("*").alias("n"))
+    ranks = nodes.join(F.broadcast(cnt)).select(
+        "vec_id", F.expr(f"{_PR_UNIT}L DIV n").alias("q")
+    )
+    for _ in range(_PR_ITERS):
+        contrib = (
+            ed.join(ranks, ed["src_id"] == ranks["vec_id"])
+            .groupBy("dst_id")
+            .agg(F.sum(F.expr("q DIV d")).alias("c"))
+        )
+        ranks = (
+            nodes.join(F.broadcast(cnt))
+            .join(contrib, nodes["vec_id"] == contrib["dst_id"], "left")
+            .select(
+                "vec_id",
+                F.expr(
+                    f"(15L * {_PR_UNIT}L) DIV (100L * n)"
+                    " + (85L * COALESCE(c, 0L)) DIV 100L"
+                ).alias("q"),
+            )
+        )
+    return ranks.select("vec_id", F.col("q").alias("q_pagerank"))

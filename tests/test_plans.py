@@ -400,3 +400,65 @@ def test_corpus_refresh_fuses_apply_and_gate(spark):
     tree = plan_tree(spark, "cdc_corpus_refresh_select")
     assert "CartesianProduct" not in tree
     assert "BroadcastNestedLoopJoin" not in tree
+
+
+def test_bm25_filters_terms_before_aggregation(spark):
+    """The query-term IN filter must run below both shuffles (only matched
+    tokens aggregate), and the top-k must be a distributed TakeOrdered."""
+    tree = plan_tree(spark, "text_bm25_topk")
+    assert "TakeOrderedAndProject" in tree
+    assert "CartesianProduct" not in tree
+    # tf and df aggregations are partial (map-side combine before exchange)
+    assert tree.count("HashAggregate") >= 4
+
+
+def test_inverted_index_topk_is_distributed(spark):
+    """Top-50 terms come from TakeOrdered, never a vocabulary-wide
+    single-partition window."""
+    tree = plan_tree(spark, "text_inverted_index")
+    assert "TakeOrderedAndProject" in tree
+
+
+def test_pit_join_is_union_window_not_interval_join(spark):
+    """The PIT SCD2 join must be the union+ordered-window shape: zero
+    interval pair joins, no nested-loop, windows partitioned by the key."""
+    tree = plan_tree(spark, "events_pit_scd2_join")
+    assert "CartesianProduct" not in tree
+    assert "BroadcastNestedLoopJoin" not in tree
+    plan = plan_str(spark, "events_pit_scd2_join")
+    # every window spec names the key as its partition column (no global
+    # single-task window anywhere in the as-of carry)
+    import re as _re
+
+    for spec in _re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
+        assert spec.startswith(("c_custkey", "k#")), spec
+
+
+def test_pagerank_no_cartesian_and_bounded_exchanges(spark):
+    """3 integer power iterations: each is one src equi-join + one dst
+    aggregation; the count scalar rides a 1-row broadcast. No cartesian
+    product over nodes, no full-graph broadcast."""
+    tree = plan_tree(spark, "sim_pagerank")
+    assert "CartesianProduct" not in tree
+
+
+def test_compaction_plan_prefix_sum_is_two_phase(spark):
+    """The planner's cumsum uses packed_batches' per-range-partition window
+    plus a broadcast offset join — never one global single-task window over
+    the segment listing (the only SinglePartition window runs on the tiny
+    one-row-per-range-partition totals)."""
+    plan = plan_str(spark, "cdc_compaction_plan")
+    # the data-sized cumsum window partitions by the range-partition id
+    assert "windowspecdefinition(_pid" in plan
+    # the offsets come back via broadcast, not a shuffle join
+    assert "BroadcastHashJoin" in plan
+
+
+def test_watermark_sizing_window_is_partitioned(spark):
+    """The running watermark max partitions by the source partition — a
+    global arrival-order window would serialize the stream through one
+    task."""
+    plan = plan_str(spark, "events_watermark_sizing")
+    assert "windowspecdefinition(part#" in plan
+    tree = plan_tree(spark, "events_watermark_sizing")
+    assert tree.count("Window") == 1

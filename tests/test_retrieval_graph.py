@@ -1,0 +1,137 @@
+"""Contract tests for the retrieval / graph / planning operators added in
+this wave: BM25 top-k, the inverted-index build, the point-in-time SCD2
+join, integer PageRank, and the compaction planner.
+
+Cross-engine value parity is covered by test_oracle_parity; these pin the
+invariants the oracle comparison can't express (mass conservation, interval
+validity, bin monotonicity, posting-list capping).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pgcapture_spark.queries import REGISTRY
+from tests.conftest import SF_SMALL
+
+
+class TestBM25:
+    def test_scores_positive_and_ranked(self, spark):
+        out = REGISTRY["text_bm25_topk"].fn(spark, SF_SMALL).collect()
+        assert 0 < len(out) <= 20
+        ranks = [r["rank"] for r in out]
+        assert ranks == sorted(ranks) == list(range(1, len(out) + 1))
+        scores = [r["q_bm25"] for r in out]
+        assert scores == sorted(scores, reverse=True)
+        assert all(s > 0 for s in scores)
+        assert all(1 <= r["n_terms_hit"] <= 4 for r in out)
+
+    def test_more_matched_terms_never_hurts_rank_ties(self, spark):
+        # determinism: running twice yields identical rows
+        a = REGISTRY["text_bm25_topk"].fn(spark, SF_SMALL).collect()
+        b = REGISTRY["text_bm25_topk"].fn(spark, SF_SMALL).collect()
+        assert a == b
+
+
+class TestInvertedIndex:
+    def test_postings_sorted_capped_and_df_consistent(self, spark):
+        out = REGISTRY["text_inverted_index"].fn(spark, SF_SMALL).collect()
+        assert 0 < len(out) <= 50
+        for r in out:
+            entries = r["postings"].split(",")
+            assert len(entries) == min(r["df"], 100)
+            doc_ids = [int(e.split(":")[0]) for e in entries]
+            assert doc_ids == sorted(doc_ids)
+            tfs = [int(e.split(":")[1]) for e in entries]
+            assert all(t >= 1 for t in tfs)
+            assert r["cf"] >= r["df"] >= 5
+
+
+class TestPITJoin:
+    def test_every_event_appears_once(self, spark):
+        ev = spark.read.parquet(f"{SF_SMALL}/events.parquet")
+        out = REGISTRY["events_pit_scd2_join"].fn(spark, SF_SMALL)
+        assert out.count() == ev.count()
+        assert out.select("event_id").distinct().count() == ev.count()
+
+    def test_matched_versions_are_valid_at_ts(self, spark):
+        out = REGISTRY["events_pit_scd2_join"].fn(spark, SF_SMALL)
+        # joined back to the SCD2 table, the matched version's interval
+        # must contain ts
+        scd2 = REGISTRY["cdc_scd2_history"].fn(spark, SF_SMALL).select(
+            F.col("c_custkey").alias("user_id"),
+            "version",
+            "valid_from",
+            "valid_to",
+        )
+        bad = (
+            out.where("matched")
+            .join(scd2, on=["user_id", "version"])
+            .where(
+                (F.col("ts") < F.col("valid_from"))
+                | (F.col("valid_to").isNotNull() & (F.col("ts") >= F.col("valid_to")))
+            )
+        )
+        assert bad.count() == 0
+
+    def test_unmatched_rows_have_null_payload(self, spark):
+        out = REGISTRY["events_pit_scd2_join"].fn(spark, SF_SMALL)
+        assert (
+            out.where(~F.col("matched"))
+            .where(
+                F.col("version").isNotNull()
+                | F.col("c_acctbal").isNotNull()
+                | F.col("c_mktsegment").isNotNull()
+            )
+            .count()
+            == 0
+        )
+
+
+class TestPageRank:
+    def test_mass_conserved_within_rounding(self, spark):
+        out = REGISTRY["sim_pagerank"].fn(spark, SF_SMALL)
+        n = out.count()
+        total = out.agg(F.sum("q_pagerank")).collect()[0][0]
+        # teleport floor + per-edge integer division each lose < 1 unit per
+        # node/edge per iteration; with 3 iterations and <=3 out-edges the
+        # total drift is bounded well under n * 10 units
+        assert abs(total - 1_000_000_000) < n * 10 + 3 * (3 * n + n)
+
+    def test_all_nodes_present_and_floor_mass(self, spark):
+        out = REGISTRY["sim_pagerank"].fn(spark, SF_SMALL)
+        emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+        n = emb.count()
+        assert out.count() == n
+        base = (15 * 1_000_000_000) // (100 * n)
+        assert out.agg(F.min("q_pagerank")).collect()[0][0] >= base
+
+
+class TestCompactionPlan:
+    def test_bins_monotone_and_offsets_exact(self, spark):
+        rows = sorted(
+            REGISTRY["cdc_compaction_plan"].fn(spark, SF_SMALL).collect(),
+            key=lambda r: r["seg_id"],
+        )
+        assert rows
+        cum = 0
+        prev_bin = 0
+        for r in rows:
+            assert r["start_offset"] == cum
+            assert r["bin_id"] == cum // 262_144
+            assert r["bin_id"] >= prev_bin
+            prev_bin = r["bin_id"]
+            cum += r["est_bytes"]
+            assert r["n_rows"] > 0 and r["est_bytes"] > 0
+
+
+class TestWatermarkSizing:
+    def test_lateness_bounded_by_jitter(self, spark):
+        out = REGISTRY["events_watermark_sizing"].fn(spark, SF_SMALL).collect()
+        assert out
+        for r in out:
+            assert 0 <= r["p95_late_s"] <= r["max_late_s"]
+            assert 0 <= r["n_late"] <= r["n_events"]
+        # the modeled jitter must actually produce SOME late data, or the
+        # operator is vacuous
+        assert sum(r["n_late"] for r in out) > 0
