@@ -222,3 +222,124 @@ SELECT event_id,
        CAST(floor(({z}) / {cell}) AS BIGINT) AS shard
 FROM events
 """
+
+
+def scd2_apply_batch(
+    versions: DataFrame | None,
+    snapshot: DataFrame,
+    batch: DataFrame,
+    key: str,
+    cols: list[str],
+) -> DataFrame:
+    """One incremental SCD2 maintenance step: merge a micro-batch of change
+    events into the running version table, so that replaying the feed batch
+    by batch converges to :func:`scd2_history` of the whole feed (the same
+    incremental-equals-batch contract the apply pipeline has).
+
+    Per batch: (1) the latest version row per touched key seeds the
+    effective-image fold (TOAST-absent columns inherit from it, else from the
+    initial snapshot); (2) the still-open latest version of a touched key is
+    CLOSED at the batch's first event commit_ts for that key (the lead() the
+    batch algorithm would have seen); (3) new version rows continue the
+    per-key version numbering. Untouched keys' rows pass through unchanged.
+
+    Scale shape: one key-hash exchange over the BATCH (windows + joins all
+    share it), one equi-join against the version state pruned to touched
+    keys, and the state union — O(batch + touched-key versions) per step,
+    never a full-state rewrite of untouched keys' content.
+    """
+    from pgcapture_spark.operators.apply import present_contains
+
+    snap = snapshot.select(key, *[F.col(c).alias(f"_snap_{c}") for c in cols])
+
+    if versions is not None:
+        last_w = W.partitionBy(key).orderBy(F.col("version").desc())
+        prior = (
+            versions.withColumn("_rn", F.row_number().over(last_w))
+            .where(F.col("_rn") == 1)
+            .select(
+                key,
+                F.col("version").alias("_pv"),
+                F.col("valid_to").alias("_pvt"),
+                *[F.col(c).alias(f"_prior_{c}") for c in cols],
+            )
+        )
+    else:
+        prior = None
+
+    ev = batch.join(snap, on=key, how="left")
+    if prior is not None:
+        ev = ev.join(prior, on=key, how="left")
+    else:
+        ev = ev.withColumn("_pv", F.lit(None).cast("long")).withColumn(
+            "_pvt", F.lit(None).cast("timestamp")
+        )
+        for c in cols:
+            dt = dict(batch.dtypes)[c]
+            ev = ev.withColumn(f"_prior_{c}", F.lit(None).cast(dt))
+
+    img_w = (
+        W.partitionBy(key).orderBy("ord").rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    lead_w = W.partitionBy(key).orderBy("ord")
+    out = ev
+    for c in cols:
+        set_c = F.when(present_contains(c), F.struct(F.col(c).alias("v")))
+        eff = F.last(set_c, ignorenulls=True).over(img_w)
+        out = out.withColumn(
+            f"_eff_{c}",
+            F.when(eff.isNotNull(), eff["v"]).otherwise(
+                F.when(F.col("_pv").isNotNull(), F.col(f"_prior_{c}")).otherwise(
+                    F.col(f"_snap_{c}")
+                )
+            ),
+        )
+    out = out.withColumn("_valid_to", F.lead("commit_ts").over(lead_w))
+    out = out.where(F.col("op") != "DELETE")
+    ver_w = W.partitionBy(key).orderBy("ord")
+    new_rows = out.select(
+        key,
+        (F.coalesce(F.col("_pv"), F.lit(0)) + F.row_number().over(ver_w))
+        .cast("long")
+        .alias("version"),
+        F.col("commit_ts").alias("valid_from"),
+        F.col("_valid_to").alias("valid_to"),
+        F.col("_valid_to").isNull().alias("is_current"),
+        *[F.col(f"_eff_{c}").alias(c) for c in cols],
+    )
+
+    if versions is None:
+        return new_rows
+
+    # close the open latest version of every touched key at the batch's
+    # first event commit_ts (what lead() would have produced in one shot)
+    firsts = batch.groupBy(key).agg(
+        F.min_by("commit_ts", "ord").alias("_first_ts"),
+        F.max(F.lit(1)).alias("_touched"),
+    )
+    lastv = (
+        versions.groupBy(key).agg(F.max("version").alias("_maxv"))
+    )
+    upd = (
+        versions.join(firsts, on=key, how="left")
+        .join(lastv, on=key)
+        .withColumn(
+            "_close",
+            (F.col("_touched") == 1)
+            & F.col("valid_to").isNull()
+            & (F.col("version") == F.col("_maxv")),
+        )
+        .select(
+            key,
+            "version",
+            "valid_from",
+            F.when(F.col("_close"), F.col("_first_ts"))
+            .otherwise(F.col("valid_to"))
+            .alias("valid_to"),
+            (
+                F.when(F.col("_close"), F.lit(False)).otherwise(F.col("is_current"))
+            ).alias("is_current"),
+            *cols,
+        )
+    )
+    return upd.unionByName(new_rows)

@@ -24,6 +24,7 @@ from pgcapture_spark.fixtures.cdc_feed import (
     debounce_feed_sql,
 )
 from pgcapture_spark.operators.apply import apply_oracle_sql
+from pgcapture_spark.operators.history import scd2_oracle_sql
 from pgcapture_spark.queries import _feed, q
 from pgcapture_spark.sources.feed import materialize_feed, read_feed_stream
 from pgcapture_spark.streaming.debounce_state import stateful_debounce
@@ -702,3 +703,39 @@ def ts_ohlc_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id bigint, bucket timestamp, n_events bigint, open_cents bigint,"
         " high_cents bigint, low_cents bigint, close_cents bigint, sum_cents bigint"
     ).parquet(f"{d}/out")
+
+
+@q(
+    "cdc_scd2_streamed",
+    scd2_oracle_sql(
+        cdc_customer_sql(DUCKDB), "customer", "c_custkey", CDC_COLS["customer"]
+    ),
+    "Streaming SCD2 maintenance: the customer feed replayed through"
+    " readStream → foreachBatch scd2_apply_batch into versioned state —"
+    " open versions of touched keys close at the batch's first event,"
+    " version numbering continues across batches, TOAST inheritance seeds"
+    " from the latest stored version. Converges to the SAME oracle as the"
+    " one-shot cdc_scd2_history (incremental ≡ batch, the A5 contract"
+    " applied to the dimension table).",
+)
+def cdc_scd2_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pgcapture_spark.streaming.pipeline import scd2_stream
+
+    register_views(spark, sf_dir, ("customer",))
+    snapshot = spark.table("customer")
+    feed = _feed(spark, sf_dir, "customer")
+    d = tempfile.mkdtemp(prefix="pgcs_q_scd2s_")
+    feed_dir = f"{d}/feed"
+    materialize_feed(feed, feed_dir, n_segments=6)
+    schema = spark.read.parquet(feed_dir).schema
+    state = SnapshotState(spark, f"{d}/state")
+    query = scd2_stream(
+        read_feed_stream(spark, feed_dir, schema, max_files_per_trigger=3),
+        state,
+        snapshot,
+        "c_custkey",
+        CDC_COLS["customer"],
+        f"{d}/ckpt",
+    )
+    query.awaitTermination(300)
+    return state.read()

@@ -474,3 +474,39 @@ def apply_pgoutput_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def scd2_stream(
+    feed_stream: DataFrame,
+    state: SnapshotState,
+    initial_snapshot: DataFrame,
+    key: str,
+    cols: list[str],
+    checkpoint_dir: str,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Streaming SCD2 maintenance: each micro-batch incrementally merges into
+    the running version table via :func:`operators.history.scd2_apply_batch`
+    (close open versions of touched keys, append continued-numbered new
+    versions). Replayed batches are no-ops via the SnapshotState batch-id
+    gate, same exactly-once contract as ``apply_stream``. Converges to the
+    one-shot ``scd2_history`` of the whole feed — the warehouse-side
+    dimension stays continuously current as the reference's change stream
+    flows (pb/pgcapture.proto:24-51 old/new images exist for exactly this)."""
+    from pgcapture_spark.operators.history import scd2_apply_batch
+
+    def _batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id <= state.last_batch():
+            return
+        current = state.read()
+        new_table = scd2_apply_batch(current, initial_snapshot, batch_df, key, cols)
+        state.commit(new_table, batch_id)
+
+    writer = feed_stream.writeStream.foreachBatch(_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime="0 seconds")
+    return writer.start()

@@ -581,3 +581,50 @@ class TestApplyPgoutputStream:
             assert batch.exceptAll(state.read()).count() == 0
         finally:
             shutil.rmtree(d, ignore_errors=True)
+
+
+def test_streaming_scd2_converges_and_is_idempotent(spark, tmpdir):
+    """Incremental SCD2 (per-micro-batch version-table merge) must equal the
+    one-shot scd2_history of the whole feed, and replays must be no-ops."""
+    from pgcapture_spark.operators.history import scd2_history
+    from pgcapture_spark.streaming.pipeline import scd2_stream
+
+    register_views(spark, SF_SMALL, ("customer",))
+    snapshot = spark.table("customer")
+    feed = _feed(spark, SF_SMALL, "customer")
+    expected = scd2_history(snapshot, feed, "c_custkey", CDC_COLS["customer"])
+
+    feed_dir = f"{tmpdir}/feed"
+    materialize_feed(feed, feed_dir, n_segments=6)
+    schema = spark.read.parquet(feed_dir).schema
+
+    state = SnapshotState(spark, f"{tmpdir}/state")
+    q = scd2_stream(
+        read_feed_stream(spark, feed_dir, schema, max_files_per_trigger=2),
+        state,
+        snapshot,
+        "c_custkey",
+        CDC_COLS["customer"],
+        f"{tmpdir}/ckpt",
+    )
+    q.awaitTermination(120)
+
+    final = state.read()
+    assert final.exceptAll(expected).count() == 0
+    assert expected.exceptAll(final).count() == 0
+
+    # replay against the same state: batch-id gate makes it a no-op
+    last = state.last_batch()
+    q2 = scd2_stream(
+        read_feed_stream(spark, feed_dir, schema, max_files_per_trigger=2),
+        state,
+        snapshot,
+        "c_custkey",
+        CDC_COLS["customer"],
+        f"{tmpdir}/ckpt2",
+    )
+    q2.awaitTermination(120)
+    assert state.last_batch() == last
+    final2 = state.read()
+    assert final2.exceptAll(expected).count() == 0
+    assert expected.exceptAll(final2).count() == 0
