@@ -133,6 +133,11 @@ HEADLINE = [
     "sim_pagerank",
     "cdc_compaction_plan",
     "events_watermark_sizing",
+    # r3 seventh wave: streamed SCD2, dedup eval harness, LWW merge, MIPS
+    "cdc_scd2_streamed",
+    "dedup_lsh_eval",
+    "cdc_multi_source_lww",
+    "sim_mips_topk",
 ]
 
 

@@ -472,3 +472,92 @@ def containment_pairs(
         .where(F.col("containment") >= threshold)
         .select("contained_id", "container_id", "inter_cnt", "n_contained", "containment")
     )
+
+
+def lsh_candidate_pairs(
+    docs: DataFrame, k: int = 8, bands: int = 4, min_agree: int = 2
+) -> DataFrame:
+    """The CANDIDATE half of :func:`minhash_lsh_pairs` — bucket-join pairs
+    with their signature-agreement count, WITHOUT Jaccard verification.
+    Exposed separately so the evaluation harness can measure the candidate
+    generator's precision/recall against exact ground truth (returns
+    (a_id, b_id, agree) with agree >= ``min_agree`` of ``k`` signatures)."""
+    rows_per_band = k // bands
+    base = (
+        with_shingles(docs)
+        .where(F.size("shingles") > 0)
+        .withColumn("_hs", F.expr(BASE_HASH_EXPR))
+        .select("doc_id", *_sig_cols(k))
+    )
+    band_hashes = F.array(
+        *[
+            F.md5(
+                F.concat_ws(
+                    "|", *[f"sig_{b * rows_per_band + r}" for r in range(rows_per_band)]
+                )
+            )
+            for b in range(bands)
+        ]
+    )
+    buckets = base.select(
+        "doc_id", F.posexplode(band_hashes).alias("band_idx", "band_hash")
+    )
+    cand = (
+        buckets.alias("a")
+        .join(buckets.alias("b"), ["band_idx", "band_hash"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+        .distinct()
+    )
+    a_side = base.select(
+        F.col("doc_id").alias("a_id"),
+        *[F.col(f"sig_{i}").alias(f"_sa_{i}") for i in range(k)],
+    )
+    b_side = base.select(
+        F.col("doc_id").alias("b_id"),
+        *[F.col(f"sig_{i}").alias(f"_sb_{i}") for i in range(k)],
+    )
+    return (
+        cand.join(a_side, "a_id")
+        .join(b_side, "b_id")
+        .withColumn(
+            "agree",
+            sum(
+                F.when(F.col(f"_sa_{i}") == F.col(f"_sb_{i}"), 1).otherwise(0)
+                for i in range(k)
+            ).cast("int"),
+        )
+        .where(F.col("agree") >= min_agree)
+        .select("a_id", "b_id", "agree")
+    )
+
+
+def exact_jaccard_pairs_uncapped(docs: DataFrame, threshold: float = 0.1) -> DataFrame:
+    """Exact ground-truth near-dup pairs: inverted-index candidates with NO
+    df cap (complete — any pair with jaccard >= threshold shares a shingle),
+    verified by true Jaccard. This is the EVALUATION arm only: at corpus
+    scale you run it on a sample, never the full table (the df-capped
+    production path is ngram_jaccard_pairs)."""
+    s = shingle_sets(docs)
+    sizes = s.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    a = s.select(F.col("doc_id").alias("a_id"), "shingle")
+    b = s.select(F.col("doc_id").alias("b_id"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .where(F.col("a_id") < F.col("b_id"))
+        .groupBy("a_id", "b_id")
+        .agg(F.count("*").alias("inter_cnt"))
+    )
+    na = sizes.select(F.col("doc_id").alias("a_id"), F.col("n_shingles").alias("_na"))
+    nb = sizes.select(F.col("doc_id").alias("b_id"), F.col("n_shingles").alias("_nb"))
+    return (
+        inter.join(na, "a_id")
+        .join(nb, "b_id")
+        .withColumn(
+            "jaccard",
+            F.col("inter_cnt")
+            / (F.col("_na") + F.col("_nb") - F.col("inter_cnt")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("a_id", "b_id", "jaccard")
+    )

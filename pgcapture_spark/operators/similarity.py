@@ -612,3 +612,37 @@ def knn_graph(
             (F.floor(F.col("raw") * quant + F.lit(0.5)) / quant).alias("score"),
         )
     )
+
+
+def mips_topk(
+    embeddings: DataFrame, query_pred: str, k: int = 5, quant: int = 1_000_000
+) -> DataFrame:
+    """Exact top-k MAXIMUM INNER PRODUCT search (MIPS) — the retrieval
+    contract of dot-product-trained embedding models, distinct from cosine
+    when vectors are unnormalized (a long vector can beat a better-aligned
+    short one). Same scale shape as :func:`cosine_topk`: broadcast the tiny
+    query set, stream the corpus, per-row sequential-fold dot product,
+    per-query rank window. At index scale MIPS reduces to cosine by the
+    norm-augmentation transform (append sqrt(M² − |x|²) to each corpus
+    vector, 0 to queries) and then any cosine ANN (sign-LSH/IVF/PQ here)
+    applies; this operator is the exact reference those indexes are measured
+    against (sim_ann_recall pattern)."""
+    base = _as_double(embeddings).select("vec_id", "emb_d")
+    queries = base.where(query_pred).select(
+        F.col("vec_id").alias("query_id"), F.col("emb_d").alias("q_emb")
+    )
+    pairs = base.join(F.broadcast(queries), F.col("vec_id") != F.col("query_id"))
+    scored = pairs.withColumn(
+        "raw_score", F.expr(DOT_EXPR.format(a="q_emb", b="emb_d"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("raw_score").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "rank",
+            (F.floor(F.col("raw_score") * quant + F.lit(0.5)) / quant).alias("score"),
+        )
+    )

@@ -367,3 +367,111 @@ def events_pit_scd2_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(valid, F.col("_img.c_mktsegment")).alias("c_mktsegment"),
         valid.alias("matched"),
     )
+
+
+# ----------------------------------------- multi-source LWW conflict merge
+
+# Two replication sources feeding ONE logical table (the active-active /
+# multi-region scenario the single-origin reference leaves to the consumer).
+# Region 0 is the fixture feed; region 1 is a second-writer stream derived
+# from it — one UPDATE per updated key, clock-skewed +1 h (even lsn) or
+# -1 h (odd lsn) with a bumped c_acctbal — so wall-clock LWW genuinely
+# resolves BOTH ways: region 1 wins where its clock ran ahead, region 0
+# where it lagged. Events re-order under the LWW total order
+# (commit_ts, region, seq) and the standard idempotent fold applies the
+# winning sequence.
+
+_LWW_ORD_DUCK = "CAST((epoch_us(commit_ts) * 2 + region) * 100 + seq AS BIGINT)"
+_LWW_ORD_SPARK = "CAST((unix_micros(commit_ts) * 2 + region) * 100 + seq AS BIGINT)"
+
+_LWW_SKEW = (
+    "CASE WHEN lsn % 2 = 0 THEN commit_ts + INTERVAL 1 HOUR"
+    " ELSE commit_ts - INTERVAL 1 HOUR END"
+)
+
+
+def _lww_region_b(feed_sql: str, str_t: str, int_t: str) -> str:
+    return f"""
+SELECT lsn, 1 AS seq, ord, {_LWW_SKEW} AS commit_ts, 'UPDATE' AS op, c_custkey,
+       CAST(NULL AS {str_t}) AS c_name, CAST(NULL AS {int_t}) AS c_nationkey,
+       c_acctbal + 1000.0 AS c_acctbal, CAST(NULL AS {str_t}) AS c_mktsegment,
+       CAST(NULL AS BIGINT) AS old_c_custkey, 'c_custkey,c_acctbal' AS present
+FROM ({feed_sql}) WHERE op = 'UPDATE' AND seq = 1
+"""
+
+
+_LWW_COLS = (
+    "lsn, seq, ord, commit_ts, op, c_custkey, c_name, c_nationkey,"
+    " c_acctbal, c_mktsegment, old_c_custkey, present"
+)
+
+
+def _lww_duck() -> str:
+    feed = cdc_customer_sql(DUCKDB)
+    b = _lww_region_b(feed, "VARCHAR", "INTEGER")
+    combined = (
+        f"SELECT {_LWW_COLS}, 0 AS region FROM ({feed})"
+        f" UNION ALL SELECT {_LWW_COLS}, 1 AS region FROM ({b})"
+    )
+    mod_feed = f"SELECT * REPLACE ({_LWW_ORD_DUCK} AS ord) FROM ({combined})"
+    applied = apply_oracle_sql(mod_feed, "customer", "c_custkey", CDC_COLS["customer"])
+    return f"""
+WITH applied AS ({applied}),
+f AS (SELECT c_custkey, CAST(region AS BIGINT) AS region, {_LWW_ORD_DUCK} AS ord
+      FROM ({combined})),
+conf AS (SELECT c_custkey, CAST(arg_max(region, ord) AS BIGINT) AS winning_region
+         FROM f GROUP BY c_custkey HAVING count(DISTINCT region) = 2)
+SELECT a.*, c.winning_region FROM applied a JOIN conf c USING (c_custkey)
+"""
+
+
+@q(
+    "cdc_multi_source_lww",
+    _lww_duck(),
+    "Multi-source last-writer-wins merge: the feed plus a clock-skewed"
+    " second-writer stream (region 1: one bumped-acctbal UPDATE per updated"
+    " key, ±1 h skew by lsn parity) re-ordered by the LWW key"
+    " (commit_ts, region, seq) and folded with the same idempotent apply —"
+    " the conflict-resolution contract an active-active consumer layers on"
+    " top of per-origin ordering (the reference guarantees order per origin"
+    " only; pkg/source/postgres.go:224-231). Output: the merged image of"
+    " every key BOTH regions wrote, with the winning region — wins split"
+    " both ways by construction. One re-stamped ord expression, the shared"
+    " one-shuffle fold, a tiny conflict-key join.",
+)
+def cdc_multi_source_lww(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, ("customer",))
+    a = _feed(spark, sf_dir, "customer")
+    b = a.where("op = 'UPDATE' AND seq = 1").select(
+        "lsn",
+        F.lit(1).alias("seq"),
+        "ord",
+        F.expr(_LWW_SKEW).alias("commit_ts"),
+        F.lit("UPDATE").alias("op"),
+        "c_custkey",
+        F.lit(None).cast("string").alias("c_name"),
+        F.lit(None).cast("int").alias("c_nationkey"),
+        (F.col("c_acctbal") + 1000.0).alias("c_acctbal"),
+        F.lit(None).cast("string").alias("c_mktsegment"),
+        F.lit(None).cast("bigint").alias("old_c_custkey"),
+        F.lit("c_custkey,c_acctbal").alias("present"),
+    )
+    cols = [c.strip() for c in _LWW_COLS.split(",")]
+    combined = (
+        a.select(*cols).withColumn("region", F.lit(0))
+        .unionByName(b.select(*cols).withColumn("region", F.lit(1)))
+        .withColumn("ord", F.expr(_LWW_ORD_SPARK))
+    )
+    merged = cdc_apply(
+        spark.table("customer"), combined, "c_custkey", CDC_COLS["customer"]
+    )
+    conf = (
+        combined.groupBy("c_custkey")
+        .agg(
+            F.expr("CAST(max_by(region, ord) AS BIGINT)").alias("winning_region"),
+            F.countDistinct("region").alias("_nr"),
+        )
+        .where(F.col("_nr") == 2)
+        .drop("_nr")
+    )
+    return merged.join(conf, on="c_custkey")

@@ -1353,3 +1353,103 @@ def corpus_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             " WHEN q_mean <= b2 THEN 'middle' ELSE 'tail' END"
         ).alias("ppl_bucket"),
     )
+
+
+# ------------------------------------------------- dedup evaluation harness
+
+_EVAL_MIN_AGREE = 2  # of 8 signatures (est_sim >= 0.25)
+
+def _duck_lsh_eval_sql(k: int = 8, bands: int = 4) -> str:
+    from pgcapture_spark.operators.dedup import MINHASH_P, minhash_ab
+
+    rpb = k // bands
+    sigs = ",\n       ".join(
+        f"list_min(list_transform(hs, h -> ({a} * h + {b}) % {MINHASH_P})) AS sig_{i}"
+        for i, (a, b) in enumerate(minhash_ab(k))
+    )
+    band_rows = "\nUNION ALL\n".join(
+        "SELECT doc_id, {b} AS band_idx, md5({parts}) AS band_hash FROM sigs".format(
+            b=b,
+            parts=" || '|' || ".join(
+                f"CAST(sig_{b * rpb + r} AS VARCHAR)" for r in range(rpb)
+            ),
+        )
+        for b in range(bands)
+    )
+    agree = " + ".join(
+        f"(CASE WHEN sa.sig_{i} = sb.sig_{i} THEN 1 ELSE 0 END)" for i in range(k)
+    )
+    return f"""
+WITH sh AS ({_DUCK_DOCS_SH}),
+hashed AS (SELECT doc_id, list_transform(shingles,
+             s -> ('0x' || substr(md5(s), 1, 8))::BIGINT % 1073741824) AS hs
+           FROM sh),
+sigs AS (SELECT doc_id, {sigs} FROM hashed),
+banded AS ({band_rows}),
+cand AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
+         FROM banded a JOIN banded b USING (band_idx, band_hash)
+         WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+pred AS (SELECT c.a_id, c.b_id
+         FROM cand c JOIN sigs sa ON sa.doc_id = c.a_id
+         JOIN sigs sb ON sb.doc_id = c.b_id
+         WHERE ({agree}) >= {_EVAL_MIN_AGREE}),
+s AS ({_DUCK_SHINGLE_SETS}),
+sizes AS (SELECT doc_id, count(*) AS n_shingles FROM s GROUP BY 1),
+inter AS (SELECT sa2.doc_id AS a_id, sb2.doc_id AS b_id, count(*) AS inter_cnt
+          FROM s sa2 JOIN s sb2 ON sb2.shingle = sa2.shingle
+           AND sa2.doc_id < sb2.doc_id
+          GROUP BY 1, 2),
+truth AS (
+  SELECT i.a_id, i.b_id
+  FROM inter i JOIN sizes za ON za.doc_id = i.a_id
+  JOIN sizes zb ON zb.doc_id = i.b_id
+  WHERE CAST(i.inter_cnt AS DOUBLE)
+        / (za.n_shingles + zb.n_shingles - i.inter_cnt) >= 0.1),
+hit AS (SELECT a_id, b_id FROM pred INTERSECT SELECT a_id, b_id FROM truth)
+SELECT CAST((SELECT count(*) FROM truth) AS BIGINT) AS n_truth,
+       CAST((SELECT count(*) FROM pred) AS BIGINT) AS n_pred,
+       CAST((SELECT count(*) FROM hit) AS BIGINT) AS n_hit,
+       CAST(1000 * (SELECT count(*) FROM hit)
+            // GREATEST((SELECT count(*) FROM pred), 1) AS BIGINT)
+         AS precision_milli,
+       CAST(1000 * (SELECT count(*) FROM hit)
+            // GREATEST((SELECT count(*) FROM truth), 1) AS BIGINT)
+         AS recall_milli
+"""
+
+
+@q(
+    "dedup_lsh_eval",
+    _duck_lsh_eval_sql(),
+    "North-star evaluation harness: precision/recall of the MinHash-LSH"
+    " candidate generator (agree>=2 of 8 signatures) against EXACT ground"
+    " truth — uncapped inverted-index pairs verified by true Jaccard>=0.1."
+    " The quality contract behind dedup_minhash_lsh, the near-dup analog of"
+    " sim_ann_recall. Ground truth is the evaluation arm (run on a sample"
+    " at corpus scale); metrics are integer milli-units, order-independent.",
+)
+def dedup_lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pgcapture_spark.operators.dedup import (
+        exact_jaccard_pairs_uncapped,
+        lsh_candidate_pairs,
+    )
+
+    register_views(spark, sf_dir, ("documents",))
+    docs = spark.table("documents")
+    pred = lsh_candidate_pairs(docs, k=8, bands=4, min_agree=_EVAL_MIN_AGREE).select(
+        "a_id", "b_id"
+    )
+    truth = exact_jaccard_pairs_uncapped(docs, threshold=0.1).select("a_id", "b_id")
+    hit = pred.intersect(truth)
+    counts = (
+        truth.agg(F.count("*").cast("long").alias("n_truth"))
+        .join(pred.agg(F.count("*").cast("long").alias("n_pred")))
+        .join(hit.agg(F.count("*").cast("long").alias("n_hit")))
+    )
+    return counts.select(
+        "n_truth",
+        "n_pred",
+        "n_hit",
+        F.expr("1000L * n_hit DIV GREATEST(n_pred, 1L)").alias("precision_milli"),
+        F.expr("1000L * n_hit DIV GREATEST(n_truth, 1L)").alias("recall_milli"),
+    )

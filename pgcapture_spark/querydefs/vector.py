@@ -1016,3 +1016,40 @@ def sim_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return ranks.select("vec_id", F.col("q").alias("q_pagerank"))
+
+
+# ------------------------------------------------------------- MIPS top-k
+
+_DUCK_MIPS = f"""
+WITH d AS (SELECT vec_id, list_transform(embedding, v -> CAST(v AS DOUBLE)) AS e
+           FROM embeddings),
+queries AS (SELECT vec_id AS query_id, e AS qe FROM d WHERE vec_id % 50 = 0),
+scored AS (
+  SELECT q.query_id, n.vec_id AS neighbor_id,
+         list_sum(list_transform(range(1, 65), i -> q.qe[i] * n.e[i])) AS raw
+  FROM queries q JOIN d n ON n.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, raw,
+         row_number() OVER (PARTITION BY query_id ORDER BY raw DESC, neighbor_id)
+           AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank, floor(raw * 1000000 + 0.5) / 1000000 AS score
+FROM ranked WHERE rank <= 5
+"""
+
+
+@q(
+    "sim_mips_topk",
+    _DUCK_MIPS,
+    "North-star: exact maximum-inner-product top-5 (the dot-product retrieval"
+    " contract, ≠ cosine on unnormalized vectors) — broadcast queries ×"
+    " corpus scan; the norm-augmentation reduction to cosine ANN is the"
+    " indexed path, this is its exact reference.",
+)
+def sim_mips_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pgcapture_spark.operators.similarity import mips_topk
+
+    register_views(spark, sf_dir, ("embeddings",))
+    return mips_topk(spark.table("embeddings"), "vec_id % 50 = 0", k=5)

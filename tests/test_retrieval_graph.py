@@ -135,3 +135,60 @@ class TestWatermarkSizing:
         # the modeled jitter must actually produce SOME late data, or the
         # operator is vacuous
         assert sum(r["n_late"] for r in out) > 0
+
+
+class TestLWWMerge:
+    def test_conflicted_keys_only_and_regions_split(self, spark):
+        out = REGISTRY["cdc_multi_source_lww"].fn(spark, SF_SMALL)
+        rows = out.collect()
+        assert rows
+        assert all(r["winning_region"] in (0, 1) for r in rows)
+        # both regions must actually win somewhere, or the tiebreak is vacuous
+        assert len({r["winning_region"] for r in rows}) == 2
+
+    def test_subset_of_plain_apply(self, spark):
+        # LWW reorders UPDATE folds but the surviving KEY SET matches the
+        # plain apply (same INSERT/DELETE events regardless of order here,
+        # since the fixture deletes are terminal per key)
+        from pgcapture_spark.catalog import CDC_COLS, register_views
+        from pgcapture_spark.operators.apply import cdc_apply
+        from pgcapture_spark.queries import _feed
+
+        register_views(spark, SF_SMALL, ("customer",))
+        plain = cdc_apply(
+            spark.table("customer"),
+            _feed(spark, SF_SMALL, "customer"),
+            "c_custkey",
+            CDC_COLS["customer"],
+        ).select("c_custkey")
+        lww_keys = (
+            REGISTRY["cdc_multi_source_lww"].fn(spark, SF_SMALL).select("c_custkey")
+        )
+        assert lww_keys.exceptAll(plain).count() == 0
+
+
+class TestDedupEval:
+    def test_metrics_consistent(self, spark):
+        r = REGISTRY["dedup_lsh_eval"].fn(spark, SF_SMALL).collect()[0]
+        assert r["n_hit"] <= min(r["n_truth"], r["n_pred"])
+        assert 0 <= r["precision_milli"] <= 1000
+        assert 0 <= r["recall_milli"] <= 1000
+        assert r["precision_milli"] == 1000 * r["n_hit"] // max(r["n_pred"], 1)
+        assert r["recall_milli"] == 1000 * r["n_hit"] // max(r["n_truth"], 1)
+
+
+class TestMIPS:
+    def test_differs_from_cosine_and_is_ranked(self, spark):
+        mips = REGISTRY["sim_mips_topk"].fn(spark, SF_SMALL).collect()
+        assert mips
+        per_q = {}
+        for r in mips:
+            per_q.setdefault(r["query_id"], []).append((r["rank"], r["score"]))
+        for q_id, rs in per_q.items():
+            rs.sort()
+            scores = [s for _, s in rs]
+            assert scores == sorted(scores, reverse=True)
+        # every query returns a full, deterministic top-5
+        assert all(len(rs) == 5 for rs in per_q.values())
+        again = REGISTRY["sim_mips_topk"].fn(spark, SF_SMALL).collect()
+        assert sorted(map(tuple, mips)) == sorted(map(tuple, again))
