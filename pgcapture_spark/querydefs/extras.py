@@ -147,9 +147,17 @@ from pgcapture_spark.operators.generic_feed import (  # noqa: E402
     " oracle as cdc_apply_customer).",
 )
 def cdc_apply_from_binary_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pgcapture_spark.sources.feed import cached_fixture_parquet
+
     register_views(spark, sf_dir, ("customer",))
-    typed = _feed(spark, sf_dir, "customer")
-    wire = to_binary_feed(typed, CUSTOMER_FIELD_OIDS, old_key=("old_c_custkey", "c_custkey", 20))
+    wire = cached_fixture_parquet(
+        spark, sf_dir, "binfeed_cust",
+        lambda: to_binary_feed(
+            _feed(spark, sf_dir, "customer"),
+            CUSTOMER_FIELD_OIDS,
+            old_key=("old_c_custkey", "c_custkey", 20),
+        ),
+    )
     # the apply consumes every column, so one fused decode crossing beats the
     # lazy prunable path regardless of width
     decoded = decode_binary_feed(
@@ -202,9 +210,15 @@ _LI_OLD_KEYS = [
     " (l_orderkey, l_linenumber) — same oracle as the typed composite apply.",
 )
 def cdc_apply_from_binary_feed_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pgcapture_spark.sources.feed import cached_fixture_parquet
+
     register_views(spark, sf_dir, ("lineitem",))
-    typed = _feed(spark, sf_dir, "lineitem")
-    wire = to_binary_feed(typed, LINEITEM_FIELD_OIDS, old_key=_LI_OLD_KEYS)
+    wire = cached_fixture_parquet(
+        spark, sf_dir, "binfeed_li",
+        lambda: to_binary_feed(
+            _feed(spark, sf_dir, "lineitem"), LINEITEM_FIELD_OIDS, old_key=_LI_OLD_KEYS
+        ),
+    )
     decoded = decode_binary_feed(wire, LINEITEM_FIELD_OIDS, old_key=_LI_OLD_KEYS)
     decoded = decoded.withColumn(
         "l_orderkey", F.coalesce(F.col("l_orderkey"), F.col("old_l_orderkey"))
@@ -391,9 +405,29 @@ def cdc_apply_from_pglogical(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def customer_wire_frames(spark: SparkSession, sf_dir: str, dialect: str):
     """Fixture edge for the frame dialects: render the customer feed as
-    actual pgoutput / pglogical_output frame bytes. Returns (frames,
-    frames_bc, rel_frame): full ordered stream (R + rows + B/C), the
-    tx-frame branch, and the one-row relation frame."""
+    actual pgoutput / pglogical_output frame bytes — materialized ONCE per
+    (dialect, sf) per process (the log pre-exists for a real consumer).
+    Returns (frames, frames_bc, rel_frame): full ordered stream
+    (R + rows + B/C), the tx-frame branch, and the one-row relation frame."""
+    from pgcapture_spark.sources.feed import cached_fixture_parquet
+
+    frames = cached_fixture_parquet(
+        spark, sf_dir, f"wire_{dialect}_frames",
+        lambda: _customer_wire_frames_build(spark, sf_dir, dialect)[0],
+    )
+    frames_bc = cached_fixture_parquet(
+        spark, sf_dir, f"wire_{dialect}_bc",
+        lambda: _customer_wire_frames_build(spark, sf_dir, dialect)[1],
+    )
+    rel_frame = cached_fixture_parquet(
+        spark, sf_dir, f"wire_{dialect}_rel",
+        lambda: _customer_wire_frames_build(spark, sf_dir, dialect)[2],
+    )
+    return frames, frames_bc, rel_frame
+
+
+def _customer_wire_frames_build(spark: SparkSession, sf_dir: str, dialect: str):
+    """The actual frame synthesis (see customer_wire_frames)."""
     from pgcapture_spark.functions import pglogical, pgoutput
     from pgcapture_spark.functions.pgtypes import ENCODERS, MICROS_Y2K_SHIFT
     from pgcapture_spark.operators.generic_feed import CUSTOMER_FIELD_OIDS
@@ -672,11 +706,23 @@ def proto_customer_messages(spark: SparkSession, sf_dir: str):
     alone (for batch-side Begin parsing without touching the row stream)."""
     from pgcapture_spark.operators.generic_feed import CUSTOMER_FIELD_OIDS
 
+    from pgcapture_spark.sources.feed import cached_fixture_parquet
+
     register_views(spark, sf_dir, ("customer",))
-    typed = _feed(spark, sf_dir, "customer")
-    rows = _proto_rows(typed, "customer", CUSTOMER_FIELD_OIDS, "c_custkey", "old_c_custkey")
-    frames_bc = _proto_tx_frames(typed)
-    return rows.unionAll(frames_bc), frames_bc
+
+    def _build_msgs():
+        typed = _feed(spark, sf_dir, "customer")
+        rows = _proto_rows(
+            typed, "customer", CUSTOMER_FIELD_OIDS, "c_custkey", "old_c_custkey"
+        )
+        return rows.unionAll(_proto_tx_frames(typed))
+
+    def _build_bc():
+        return _proto_tx_frames(_feed(spark, sf_dir, "customer"))
+
+    msgs = cached_fixture_parquet(spark, sf_dir, "proto_cust_msgs", _build_msgs)
+    frames_bc = cached_fixture_parquet(spark, sf_dir, "proto_cust_bc", _build_bc)
+    return msgs, frames_bc
 
 
 @q(
@@ -785,16 +831,31 @@ def proto_multi_messages(spark: SparkSession, sf_dir: str):
     """ONE protobuf Message stream carrying customer AND orders changes — one
     lsn space for the whole stream (the replication-slot model), Begin/Commit
     deduped per lsn across tables, commit time = the tx's max row commit_ts."""
-    register_views(spark, sf_dir, ("customer", "orders"))
-    tc = _feed(spark, sf_dir, "customer")
-    to = _feed(spark, sf_dir, "orders")
     from pgcapture_spark.operators.generic_feed import CUSTOMER_FIELD_OIDS
+    from pgcapture_spark.sources.feed import cached_fixture_parquet
 
-    rows_c = _proto_rows(tc, "customer", CUSTOMER_FIELD_OIDS, "c_custkey", "old_c_custkey")
-    rows_o = _proto_rows(to, "orders", ORDERS_FIELD_OIDS, "o_orderkey", "old_o_orderkey")
-    both = tc.select("lsn", "commit_ts").unionAll(to.select("lsn", "commit_ts"))
-    frames_bc = _proto_tx_frames(both)
-    return rows_c.unionAll(rows_o).unionAll(frames_bc), frames_bc
+    register_views(spark, sf_dir, ("customer", "orders"))
+
+    def _frames_bc():
+        tc = _feed(spark, sf_dir, "customer")
+        to = _feed(spark, sf_dir, "orders")
+        both = tc.select("lsn", "commit_ts").unionAll(to.select("lsn", "commit_ts"))
+        return _proto_tx_frames(both)
+
+    def _build_msgs():
+        tc = _feed(spark, sf_dir, "customer")
+        to = _feed(spark, sf_dir, "orders")
+        rows_c = _proto_rows(
+            tc, "customer", CUSTOMER_FIELD_OIDS, "c_custkey", "old_c_custkey"
+        )
+        rows_o = _proto_rows(
+            to, "orders", ORDERS_FIELD_OIDS, "o_orderkey", "old_o_orderkey"
+        )
+        return rows_c.unionAll(rows_o).unionAll(_frames_bc())
+
+    msgs = cached_fixture_parquet(spark, sf_dir, "proto_multi_msgs", _build_msgs)
+    frames_bc = cached_fixture_parquet(spark, sf_dir, "proto_multi_bc", _frames_bc)
+    return msgs, frames_bc
 
 
 @q(
@@ -812,12 +873,21 @@ def cdc_apply_from_proto_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pgcapture_spark.functions.pgtypes import MICROS_Y2K_SHIFT
     from pgcapture_spark.operators.generic_feed import CUSTOMER_FIELD_OIDS
 
+    from pgcapture_spark.sources.feed import cached_fixture_parquet
+
     register_views(spark, sf_dir, ("customer",))
-    typed = _feed(spark, sf_dir, "customer")
     cols = CUSTOMER_FIELD_OIDS
-    rows = _proto_rows(typed, "customer", cols, "c_custkey", "old_c_custkey", fmt="t")
-    frames_bc = _proto_tx_frames(typed)
-    msgs = rows.unionAll(frames_bc)
+
+    def _build_text_msgs():
+        typed = _feed(spark, sf_dir, "customer")
+        rows = _proto_rows(typed, "customer", cols, "c_custkey", "old_c_custkey", fmt="t")
+        return rows.unionAll(_proto_tx_frames(typed))
+
+    msgs = cached_fixture_parquet(spark, sf_dir, "proto_cust_text_msgs", _build_text_msgs)
+    frames_bc = cached_fixture_parquet(
+        spark, sf_dir, "proto_cust_bc",
+        lambda: _proto_tx_frames(_feed(spark, sf_dir, "customer")),
+    )
 
     parsed = msgs.select("lsn", "seq", "ord", pw.parse_messages_udf()("data").alias("f"))
     begin_ts = (

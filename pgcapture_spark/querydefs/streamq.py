@@ -511,12 +511,15 @@ def cdc_apply_proto_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pgcapture_spark.querydefs.extras import proto_customer_messages
     from pgcapture_spark.streaming.pipeline import apply_wire_stream
 
+    from pgcapture_spark.sources.feed import cached_fixture_segments
+
     register_views(spark, sf_dir, ("customer",))
     snapshot = spark.table("customer")
-    msgs, _ = proto_customer_messages(spark, sf_dir)
     d = tempfile.mkdtemp(prefix="pgcs_q_proto_stream_")
-    feed_dir = f"{d}/wire"
-    materialize_feed(msgs, feed_dir, n_segments=6)
+    feed_dir = cached_fixture_segments(
+        spark, sf_dir, "proto_cust",
+        lambda: proto_customer_messages(spark, sf_dir)[0], n_segments=6,
+    )
     schema = spark.read.parquet(feed_dir).schema
     state = SnapshotState(spark, f"{d}/state")
     tx_state = SnapshotState(spark, f"{d}/txreg")
@@ -552,14 +555,18 @@ def cdc_apply_proto_multi_streamed(spark: SparkSession, sf_dir: str) -> DataFram
     from pgcapture_spark.streaming.multi import MultiTableState
     from pgcapture_spark.streaming.pipeline import apply_wire_stream_multi
 
-    msgs, _ = proto_multi_messages(spark, sf_dir)
+    from pgcapture_spark.sources.feed import cached_fixture_segments
+
     d = tempfile.mkdtemp(prefix="pgcs_q_proto_multi_")
-    materialize_feed(msgs, f"{d}/wire", n_segments=6)
-    schema = spark.read.parquet(f"{d}/wire").schema
+    wire_dir = cached_fixture_segments(
+        spark, sf_dir, "proto_multi",
+        lambda: proto_multi_messages(spark, sf_dir)[0], n_segments=6,
+    )
+    schema = spark.read.parquet(wire_dir).schema
     state = MultiTableState(spark, f"{d}/state", ["customer", "orders"])
     tx_state = SnapshotState(spark, f"{d}/txreg")
     query = apply_wire_stream_multi(
-        read_feed_stream(spark, f"{d}/wire", schema, max_files_per_trigger=3),
+        read_feed_stream(spark, wire_dir, schema, max_files_per_trigger=3),
         state,
         tx_state,
         {"customer": spark.table("customer"), "orders": spark.table("orders")},
@@ -588,17 +595,21 @@ def cdc_apply_pgoutput_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pgcapture_spark.querydefs.extras import customer_wire_frames
     from pgcapture_spark.streaming.pipeline import apply_pgoutput_stream
 
+    from pgcapture_spark.sources.feed import cached_fixture_segments
+
     register_views(spark, sf_dir, ("customer",))
     snapshot = spark.table("customer")
-    frames, _, _ = customer_wire_frames(spark, sf_dir, "pgoutput")
     d = tempfile.mkdtemp(prefix="pgcs_q_pgout_stream_")
-    materialize_feed(frames, f"{d}/wire", n_segments=6)
-    schema = spark.read.parquet(f"{d}/wire").schema
+    wire_dir = cached_fixture_segments(
+        spark, sf_dir, "pgout_frames",
+        lambda: customer_wire_frames(spark, sf_dir, "pgoutput")[0], n_segments=6,
+    )
+    schema = spark.read.parquet(wire_dir).schema
     state = SnapshotState(spark, f"{d}/state")
     tx_state = SnapshotState(spark, f"{d}/txreg")
     rel_state = SnapshotState(spark, f"{d}/relcache")
     query = apply_pgoutput_stream(
-        read_feed_stream(spark, f"{d}/wire", schema, max_files_per_trigger=3),
+        read_feed_stream(spark, wire_dir, schema, max_files_per_trigger=3),
         state,
         tx_state,
         rel_state,
