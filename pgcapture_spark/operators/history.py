@@ -38,7 +38,18 @@ def scd2_history(
     """
     snap = snapshot.select(key, *[F.col(c).alias(f"_snap_{c}") for c in cols])
     ev = changes.join(snap, on=key, how="left")
+    return _scd2_fold(
+        ev, key, cols, fallback=lambda c: F.col(f"_snap_{c}"), version_base=F.lit(0)
+    )
 
+
+def _scd2_fold(ev: DataFrame, key: str, cols: list[str], fallback, version_base):
+    """Shared SCD2 effective-image fold (used by both the one-shot history
+    build and the incremental maintenance step, so the 'incremental ≡ batch'
+    convergence contract can't drift): running last(set) image per column
+    with ``fallback(c)`` below it, valid_to = lead(commit_ts), DELETE rows
+    consumed, version = ``version_base`` + per-key ordinal. All windows share
+    one key exchange."""
     img_w = (
         W.partitionBy(key).orderBy("ord").rowsBetween(W.unboundedPreceding, W.currentRow)
     )
@@ -48,14 +59,14 @@ def scd2_history(
         set_c = F.when(present_contains(c), F.struct(F.col(c).alias("v")))
         eff = F.last(set_c, ignorenulls=True).over(img_w)
         out = out.withColumn(
-            f"_eff_{c}", F.when(eff.isNotNull(), eff["v"]).otherwise(F.col(f"_snap_{c}"))
+            f"_eff_{c}", F.when(eff.isNotNull(), eff["v"]).otherwise(fallback(c))
         )
     out = out.withColumn("_valid_to", F.lead("commit_ts").over(lead_w))
     out = out.where(F.col("op") != "DELETE")
     ver_w = W.partitionBy(key).orderBy("ord")
     return out.select(
         key,
-        F.row_number().over(ver_w).cast("long").alias("version"),
+        (version_base + F.row_number().over(ver_w)).cast("long").alias("version"),
         F.col("commit_ts").alias("valid_from"),
         F.col("_valid_to").alias("valid_to"),
         F.col("_valid_to").isNull().alias("is_current"),
@@ -124,17 +135,22 @@ def weighted_reservoir(
     into the scan (no explode, no shuffle); selection is two-phase top-k —
     local top-k per (group, salt) bucket, then final top-k per group — so a
     single giant group never funnels the corpus through one partition.
+
+    Weights are clamped to ``[1, max_weight]`` AFTER excluding non-positive
+    weights entirely (zero tickets = never sampled). The exclusion matters:
+    Spark's ``sequence(0, w-1)`` DESCENDS for w <= 0 (default step -1), which
+    would hand a zero-weight row phantom tickets instead of none.
     """
-    w_int = F.col(weight_col).cast("int")
+    w_clamped = f"least(CAST({weight_col} AS INT), {int(max_weight)})"
     priority = F.expr(
-        f"""array_min(transform(sequence(0, CAST({weight_col} AS INT) - 1),
+        f"""array_min(transform(sequence(0, {w_clamped} - 1),
         i -> CAST(conv(substring(md5(concat(CAST({id_col} AS STRING), ':',
                   CAST(i AS STRING))), 1, 8), 16, 10) AS BIGINT)))"""
     )
-    base = docs.select(
+    base = docs.where(F.col(weight_col).cast("int") > 0).select(
         F.col(id_col),
         F.col(group_col),
-        w_int.cast("long").alias("w"),
+        F.expr(w_clamped).cast("long").alias("w"),
         priority.alias("priority"),
     )
     salt = F.pmod(F.xxhash64(id_col), F.lit(64))
@@ -152,17 +168,24 @@ def weighted_reservoir(
 
 
 def reservoir_oracle_sql(
-    weight_expr: str, group_col: str, id_col: str = "doc_id", k: int = 50
+    weight_expr: str,
+    group_col: str,
+    id_col: str = "doc_id",
+    k: int = 50,
+    max_weight: int = 8,
 ) -> str:
-    """DuckDB oracle: same tickets, single-phase rank (same result set)."""
+    """DuckDB oracle: same tickets (same clamp + w<=0 exclusion),
+    single-phase rank (same result set)."""
+    w_clamped = f"least(CAST({weight_expr} AS INT), {int(max_weight)})"
     return f"""
 WITH base AS (
   SELECT {id_col}, {group_col},
-         CAST({weight_expr} AS BIGINT) AS w,
-         list_min(list_transform(range(CAST({weight_expr} AS INT)),
+         CAST({w_clamped} AS BIGINT) AS w,
+         list_min(list_transform(range({w_clamped}),
            i -> ('0x' || substr(md5(CAST({id_col} AS VARCHAR) || ':' ||
                  CAST(i AS VARCHAR)), 1, 8))::BIGINT)) AS priority
   FROM documents
+  WHERE CAST({weight_expr} AS INT) > 0
 ),
 ranked AS (
   SELECT *, CAST(row_number() OVER (PARTITION BY {group_col}
@@ -199,13 +222,16 @@ def zorder_layout(
     b1 = "CAST(user_id % 256 AS BIGINT)"
     b2 = "CAST(hour(ts) * 10 + CAST(floor(minute(ts) / 6) AS INT) AS BIGINT)"
     z = zorder_bits_sql(b1, b2, nbits)
-    cell = (1 << (2 * nbits)) // n_shards
+    # shard = floor(zval * n_shards / 2^(2 nbits)) — exactly n_shards ids for
+    # ANY n_shards (a fixed cell width would emit an n_shards+1'th runt shard
+    # whenever 2^(2 nbits) % n_shards != 0)
+    zspace = 1 << (2 * nbits)
     return events.select(
         "event_id",
         F.expr(b1).alias("b_user"),
         F.expr(b2).alias("b_time"),
         F.expr(z).cast("long").alias("zval"),
-        F.expr(f"CAST(floor(({z}) / {cell}) AS BIGINT)").alias("shard"),
+        F.expr(f"CAST(floor(({z}) * {n_shards} / {zspace}) AS BIGINT)").alias("shard"),
     )
 
 
@@ -213,13 +239,13 @@ def zorder_oracle_sql(n_shards: int = 32, nbits: int = 8) -> str:
     b1 = "CAST(user_id % 256 AS BIGINT)"
     b2 = "CAST(hour(ts) * 10 + CAST(floor(minute(ts) / 6) AS INT) AS BIGINT)"
     z = zorder_bits_sql(b1, b2, nbits)
-    cell = (1 << (2 * nbits)) // n_shards
+    zspace = 1 << (2 * nbits)
     return f"""
 SELECT event_id,
        {b1} AS b_user,
        {b2} AS b_time,
        CAST({z} AS BIGINT) AS zval,
-       CAST(floor(({z}) / {cell}) AS BIGINT) AS shard
+       CAST(floor(CAST(({z}) AS BIGINT) * {n_shards} / {zspace}) AS BIGINT) AS shard
 FROM events
 """
 
@@ -248,8 +274,6 @@ def scd2_apply_batch(
     keys, and the state union — O(batch + touched-key versions) per step,
     never a full-state rewrite of untouched keys' content.
     """
-    from pgcapture_spark.operators.apply import present_contains
-
     snap = snapshot.select(key, *[F.col(c).alias(f"_snap_{c}") for c in cols])
 
     if versions is not None:
@@ -260,7 +284,6 @@ def scd2_apply_batch(
             .select(
                 key,
                 F.col("version").alias("_pv"),
-                F.col("valid_to").alias("_pvt"),
                 *[F.col(c).alias(f"_prior_{c}") for c in cols],
             )
         )
@@ -271,41 +294,19 @@ def scd2_apply_batch(
     if prior is not None:
         ev = ev.join(prior, on=key, how="left")
     else:
-        ev = ev.withColumn("_pv", F.lit(None).cast("long")).withColumn(
-            "_pvt", F.lit(None).cast("timestamp")
-        )
+        ev = ev.withColumn("_pv", F.lit(None).cast("long"))
         for c in cols:
             dt = dict(batch.dtypes)[c]
             ev = ev.withColumn(f"_prior_{c}", F.lit(None).cast(dt))
 
-    img_w = (
-        W.partitionBy(key).orderBy("ord").rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
-    lead_w = W.partitionBy(key).orderBy("ord")
-    out = ev
-    for c in cols:
-        set_c = F.when(present_contains(c), F.struct(F.col(c).alias("v")))
-        eff = F.last(set_c, ignorenulls=True).over(img_w)
-        out = out.withColumn(
-            f"_eff_{c}",
-            F.when(eff.isNotNull(), eff["v"]).otherwise(
-                F.when(F.col("_pv").isNotNull(), F.col(f"_prior_{c}")).otherwise(
-                    F.col(f"_snap_{c}")
-                )
-            ),
-        )
-    out = out.withColumn("_valid_to", F.lead("commit_ts").over(lead_w))
-    out = out.where(F.col("op") != "DELETE")
-    ver_w = W.partitionBy(key).orderBy("ord")
-    new_rows = out.select(
+    new_rows = _scd2_fold(
+        ev,
         key,
-        (F.coalesce(F.col("_pv"), F.lit(0)) + F.row_number().over(ver_w))
-        .cast("long")
-        .alias("version"),
-        F.col("commit_ts").alias("valid_from"),
-        F.col("_valid_to").alias("valid_to"),
-        F.col("_valid_to").isNull().alias("is_current"),
-        *[F.col(f"_eff_{c}").alias(c) for c in cols],
+        cols,
+        fallback=lambda c: F.when(
+            F.col("_pv").isNotNull(), F.col(f"_prior_{c}")
+        ).otherwise(F.col(f"_snap_{c}")),
+        version_base=F.coalesce(F.col("_pv"), F.lit(0)),
     )
 
     if versions is None:

@@ -409,21 +409,12 @@ def customer_wire_frames(spark: SparkSession, sf_dir: str, dialect: str):
     (dialect, sf) per process (the log pre-exists for a real consumer).
     Returns (frames, frames_bc, rel_frame): full ordered stream
     (R + rows + B/C), the tx-frame branch, and the one-row relation frame."""
-    from pgcapture_spark.sources.feed import cached_fixture_parquet
+    from pgcapture_spark.sources.feed import cached_fixture_parquet_tuple
 
-    frames = cached_fixture_parquet(
-        spark, sf_dir, f"wire_{dialect}_frames",
-        lambda: _customer_wire_frames_build(spark, sf_dir, dialect)[0],
+    return cached_fixture_parquet_tuple(
+        spark, sf_dir, f"wire_{dialect}",
+        lambda: _customer_wire_frames_build(spark, sf_dir, dialect), 3,
     )
-    frames_bc = cached_fixture_parquet(
-        spark, sf_dir, f"wire_{dialect}_bc",
-        lambda: _customer_wire_frames_build(spark, sf_dir, dialect)[1],
-    )
-    rel_frame = cached_fixture_parquet(
-        spark, sf_dir, f"wire_{dialect}_rel",
-        lambda: _customer_wire_frames_build(spark, sf_dir, dialect)[2],
-    )
-    return frames, frames_bc, rel_frame
 
 
 def _customer_wire_frames_build(spark: SparkSession, sf_dir: str, dialect: str):
@@ -706,23 +697,19 @@ def proto_customer_messages(spark: SparkSession, sf_dir: str):
     alone (for batch-side Begin parsing without touching the row stream)."""
     from pgcapture_spark.operators.generic_feed import CUSTOMER_FIELD_OIDS
 
-    from pgcapture_spark.sources.feed import cached_fixture_parquet
+    from pgcapture_spark.sources.feed import cached_fixture_parquet_tuple
 
     register_views(spark, sf_dir, ("customer",))
 
-    def _build_msgs():
+    def _build_both():
         typed = _feed(spark, sf_dir, "customer")
         rows = _proto_rows(
             typed, "customer", CUSTOMER_FIELD_OIDS, "c_custkey", "old_c_custkey"
         )
-        return rows.unionAll(_proto_tx_frames(typed))
+        frames_bc = _proto_tx_frames(typed)
+        return rows.unionAll(frames_bc), frames_bc
 
-    def _build_bc():
-        return _proto_tx_frames(_feed(spark, sf_dir, "customer"))
-
-    msgs = cached_fixture_parquet(spark, sf_dir, "proto_cust_msgs", _build_msgs)
-    frames_bc = cached_fixture_parquet(spark, sf_dir, "proto_cust_bc", _build_bc)
-    return msgs, frames_bc
+    return cached_fixture_parquet_tuple(spark, sf_dir, "proto_cust", _build_both, 2)
 
 
 @q(
@@ -832,17 +819,11 @@ def proto_multi_messages(spark: SparkSession, sf_dir: str):
     lsn space for the whole stream (the replication-slot model), Begin/Commit
     deduped per lsn across tables, commit time = the tx's max row commit_ts."""
     from pgcapture_spark.operators.generic_feed import CUSTOMER_FIELD_OIDS
-    from pgcapture_spark.sources.feed import cached_fixture_parquet
+    from pgcapture_spark.sources.feed import cached_fixture_parquet_tuple
 
     register_views(spark, sf_dir, ("customer", "orders"))
 
-    def _frames_bc():
-        tc = _feed(spark, sf_dir, "customer")
-        to = _feed(spark, sf_dir, "orders")
-        both = tc.select("lsn", "commit_ts").unionAll(to.select("lsn", "commit_ts"))
-        return _proto_tx_frames(both)
-
-    def _build_msgs():
+    def _build_both():
         tc = _feed(spark, sf_dir, "customer")
         to = _feed(spark, sf_dir, "orders")
         rows_c = _proto_rows(
@@ -851,11 +832,11 @@ def proto_multi_messages(spark: SparkSession, sf_dir: str):
         rows_o = _proto_rows(
             to, "orders", ORDERS_FIELD_OIDS, "o_orderkey", "old_o_orderkey"
         )
-        return rows_c.unionAll(rows_o).unionAll(_frames_bc())
+        both = tc.select("lsn", "commit_ts").unionAll(to.select("lsn", "commit_ts"))
+        frames_bc = _proto_tx_frames(both)
+        return rows_c.unionAll(rows_o).unionAll(frames_bc), frames_bc
 
-    msgs = cached_fixture_parquet(spark, sf_dir, "proto_multi_msgs", _build_msgs)
-    frames_bc = cached_fixture_parquet(spark, sf_dir, "proto_multi_bc", _frames_bc)
-    return msgs, frames_bc
+    return cached_fixture_parquet_tuple(spark, sf_dir, "proto_multi", _build_both, 2)
 
 
 @q(

@@ -118,7 +118,7 @@ def read_feed_stream(
 # process so repeated invocations (bench double passes, test retries)
 # measure CONSUMPTION. Keys include sf_dir, so different scale tiers never
 # collide; the builders are deterministic, so reuse is value-identical.
-_FIXTURE_CACHE: dict[tuple[str, str], str] = {}
+_FIXTURE_CACHE: dict[tuple[str, str], str | list[str]] = {}
 
 
 def cached_fixture_parquet(spark: SparkSession, sf_dir: str, kind: str, build):
@@ -133,6 +133,28 @@ def cached_fixture_parquet(spark: SparkSession, sf_dir: str, kind: str, build):
         build().write.mode("overwrite").parquet(d)
         _FIXTURE_CACHE[key] = d
     return spark.read.parquet(d)
+
+
+def cached_fixture_parquet_tuple(spark: SparkSession, sf_dir: str, kind: str, build, n: int):
+    """Multi-output variant: ``build()`` returns a tuple of ``n`` DataFrames
+    that share expensive upstream synthesis — ONE builder invocation writes
+    all ``n`` on a cold cache (three separate single-output caches would each
+    re-run the shared synthesis)."""
+    import tempfile
+
+    key = (f"tuple:{kind}:{n}", os.path.abspath(sf_dir))
+    dirs = _FIXTURE_CACHE.get(key)
+    if dirs is None or not all(os.path.isdir(d) for d in dirs):
+        root = tempfile.mkdtemp(prefix=f"pgcs_fixcache_{kind}_")
+        dfs = build()
+        assert len(dfs) == n
+        dirs = []
+        for i, df in enumerate(dfs):
+            d = os.path.join(root, f"d{i}")
+            df.write.mode("overwrite").parquet(d)
+            dirs.append(d)
+        _FIXTURE_CACHE[key] = dirs
+    return tuple(spark.read.parquet(d) for d in dirs)
 
 
 def cached_fixture_segments(
