@@ -138,6 +138,8 @@ HEADLINE = [
     "dedup_lsh_eval",
     "cdc_multi_source_lww",
     "sim_mips_topk",
+    # r3 eighth wave: audio windowing (the audio leg of multimodal)
+    "media_audio_windows",
 ]
 
 

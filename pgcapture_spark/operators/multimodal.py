@@ -248,3 +248,76 @@ def phash_neardup(media: DataFrame, nbits: int = 8) -> DataFrame:
             "other_hash",
         )
     )
+
+
+AUDIO_WINDOW_SCHEMA = (
+    "media_id long, win_idx long, win_start_ms long, n_samples int, "
+    "rms string, is_silence boolean"
+)
+
+
+def audio_window_energy(
+    media: DataFrame, win_ms: int = 500, n_fake_samples: int = 16
+) -> DataFrame:
+    """Audio chunking + per-window energy: the audio leg of the multimodal
+    contract (reference treats media as opaque bytea the consumer decodes;
+    decoders.py handles bytea passthrough — python/pgcapture/decoders.py).
+
+    Two stages, split exactly where a production pipeline splits them:
+
+    1. WINDOW PLAN — pure Catalyst (``sequence`` + ``explode``): one row per
+       (media_id, window) from ``meta_duration_ms``. This is the shuffle-able
+       work list; at 100 TB it distributes by window, not by blob, so a long
+       recording never serializes one task.
+    2. WINDOW DECODE — Arrow-batched ``mapInPandas`` over the plan rows. The
+       codec is STUBBED deterministically (samples = sha256(media_id:window)
+       digest bytes, a fake PCM frame): swap in torchaudio/soundfile reading
+       ``payload[offset(window):...]`` without touching the Spark plumbing.
+       RMS is emitted as a fixed 6-decimal string (driver canonicalizer
+       contract), ``is_silence`` = rms below 40% of max amplitude.
+    """
+    import math
+
+    plan = (
+        media.where(F.col("modality") == "audio")
+        .where(F.col("meta_duration_ms").isNotNull())
+        .select(
+            "media_id",
+            F.posexplode(
+                F.expr(f"sequence(0L, CAST(meta_duration_ms AS LONG) - 1, {win_ms}L)")
+            ).alias("win_idx", "win_start_ms"),
+        )
+    )
+
+    def _proc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                dig = hashlib.sha256(
+                    f"{row.media_id}:{row.win_start_ms}".encode()
+                ).digest()[:n_fake_samples]
+                mean_sq = sum(b * b for b in dig) / len(dig)
+                rms = math.sqrt(mean_sq)
+                out.append(
+                    (
+                        row.media_id,
+                        row.win_idx,
+                        row.win_start_ms,
+                        len(dig),
+                        f"{rms:.6f}",
+                        rms < 0.4 * 255.0,
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "media_id",
+                    "win_idx",
+                    "win_start_ms",
+                    "n_samples",
+                    "rms",
+                    "is_silence",
+                ],
+            )
+
+    return plan.mapInPandas(_proc, AUDIO_WINDOW_SCHEMA)

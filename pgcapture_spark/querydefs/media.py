@@ -193,3 +193,56 @@ def media_neardup_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pgcapture_spark.operators.multimodal import phash_neardup
 
     return phash_neardup(media_view(spark, sf_dir))
+
+
+_DUCK_AUDIO_WINDOWS = f"""
+WITH m AS (
+  SELECT doc_id AS media_id, n_chars * 8 AS dur
+  FROM documents
+  WHERE doc_id % 3 = 1
+),
+w AS (
+  SELECT media_id, unnest(range(0, CAST(dur AS BIGINT), 500)) AS win_start_ms
+  FROM m
+),
+s AS (
+  SELECT media_id, win_start_ms,
+         list_transform(range(16),
+           i -> ('0x' || substr(sha256(CAST(media_id AS VARCHAR) || ':' ||
+                 CAST(win_start_ms AS VARCHAR)), 2 * i + 1, 2))::INT) AS smp
+  FROM w
+)
+SELECT media_id,
+       CAST(win_start_ms // 500 AS BIGINT) AS win_idx,
+       CAST(win_start_ms AS BIGINT) AS win_start_ms,
+       CAST(16 AS INT) AS n_samples,
+       printf('%.6f', sqrt(list_sum(list_transform(smp, b -> b * b)) / 16.0)) AS rms,
+       sqrt(list_sum(list_transform(smp, b -> b * b)) / 16.0) < 102.0 AS is_silence
+FROM s
+"""
+
+
+@q(
+    "media_audio_windows",
+    _DUCK_AUDIO_WINDOWS,
+    "North-star: the audio leg of the multimodal contract — Catalyst window"
+    " plan (sequence+explode over meta_duration_ms, the shuffle-able work"
+    " list) + Arrow-batched mapInPandas per-window energy with a stubbed"
+    " deterministic codec (sha256 fake PCM frame; swap in torchaudio without"
+    " touching the Spark plumbing). RMS fixed 6-decimal string, silence flag"
+    " at 40% max amplitude.",
+)
+def media_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pgcapture_spark.operators.multimodal import audio_window_energy
+
+    register_views(spark, sf_dir, ("documents",))
+    m = spark.table("documents").select(
+        F.col("doc_id").alias("media_id"),
+        F.expr(_MODALITY.replace("media_id", "doc_id")).alias("modality"),
+        F.lit(None).cast("string").alias("mime"),
+        F.encode("text", "UTF-8").alias("payload"),
+        F.lit(None).cast("int").alias("meta_width"),
+        F.lit(None).cast("int").alias("meta_height"),
+        (F.col("n_chars") * 8).cast("int").alias("meta_duration_ms"),
+    )
+    return audio_window_energy(m, win_ms=500, n_fake_samples=16)

@@ -1436,15 +1436,28 @@ def dedup_lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir, ("documents",))
     docs = spark.table("documents")
-    pred = lsh_candidate_pairs(docs, k=8, bands=4, min_agree=_EVAL_MIN_AGREE).select(
-        "a_id", "b_id"
+    pred = (
+        lsh_candidate_pairs(docs, k=8, bands=4, min_agree=_EVAL_MIN_AGREE)
+        .select("a_id", "b_id")
+        .withColumn("in_pred", F.lit(1).cast("long"))
     )
-    truth = exact_jaccard_pairs_uncapped(docs, threshold=0.1).select("a_id", "b_id")
-    hit = pred.intersect(truth)
+    truth = (
+        exact_jaccard_pairs_uncapped(docs, threshold=0.1)
+        .select("a_id", "b_id")
+        .withColumn("in_truth", F.lit(1).cast("long"))
+    )
+    # full-outer tag join + ONE aggregation: each heavy lineage (banded LSH
+    # candidates, exact inverted-index truth) is evaluated exactly once —
+    # an intersect + three separate count aggs would run both twice
     counts = (
-        truth.agg(F.count("*").cast("long").alias("n_truth"))
-        .join(pred.agg(F.count("*").cast("long").alias("n_pred")))
-        .join(hit.agg(F.count("*").cast("long").alias("n_hit")))
+        pred.join(truth, on=["a_id", "b_id"], how="full")
+        .agg(
+            F.coalesce(F.sum("in_truth"), F.lit(0)).cast("long").alias("n_truth"),
+            F.coalesce(F.sum("in_pred"), F.lit(0)).cast("long").alias("n_pred"),
+            F.coalesce(F.sum(F.col("in_pred") * F.col("in_truth")), F.lit(0))
+            .cast("long")
+            .alias("n_hit"),
+        )
     )
     return counts.select(
         "n_truth",

@@ -37,3 +37,23 @@ def test_frame_sample_plan(spark):
     videos = [r for r in media.collect() if r.modality == "video"]
     assert len(plan) == len(videos) * 5  # 5000ms / 1000ms
     assert {r.frame_ts_ms for r in plan} == {0, 1000, 2000, 3000, 4000}
+
+
+def test_audio_window_energy(spark):
+    from pgcapture_spark.operators.multimodal import audio_window_energy
+
+    media = synthetic_media(spark, 9).selectExpr(
+        "media_id", "modality", "mime", "payload", "meta_width", "meta_height",
+        "CASE WHEN modality = 'audio' THEN 1800 ELSE meta_duration_ms END"
+        " AS meta_duration_ms",
+    )
+    out = audio_window_energy(media, win_ms=500).collect()
+    audios = [r for r in media.collect() if r.modality == "audio"]
+    # 1800 ms at 500 ms hop -> windows at 0/500/1000/1500
+    assert len(out) == len(audios) * 4
+    assert {r.win_start_ms for r in out} == {0, 500, 1000, 1500}
+    assert all(r.win_idx == r.win_start_ms // 500 for r in out)
+    assert all(r.n_samples == 16 for r in out)
+    # determinism: rerun is identical
+    again = sorted(map(tuple, audio_window_energy(media, win_ms=500).collect()))
+    assert again == sorted(map(tuple, out))
