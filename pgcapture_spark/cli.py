@@ -195,14 +195,9 @@ def _cmd_export(args) -> int:
         docs, min_quality=args.min_quality, min_tokens=args.min_tokens, langs=langs
     )
     packed = packed_batches(sel.select("doc_id", "n_tokens"), budget=args.budget)
-    out = packed.withColumn(
-        "shard",
-        (
-            F.conv(F.substring(F.md5(F.col("batch_id").cast("string")), 1, 8), 16, 10)
-            .cast("bigint")
-            % args.shards
-        ).cast("int"),
-    )
+    from pgcapture_spark.operators.textstats import shard_expr
+
+    out = packed.withColumn("shard", shard_expr("batch_id", args.shards))
     out.repartition(args.shards, "shard").write.mode("overwrite").partitionBy(
         "shard"
     ).parquet(args.out_dir)

@@ -214,9 +214,12 @@ def _decode_struct_udf(cols: list[tuple[str, int]], text: bool = False):
 
 
 def _extract_bin(arr_col: str, name: str):
-    """Pull one field's value bytes out of the wire array — pure Catalyst."""
+    """Pull one field's value bytes out of the wire array — pure Catalyst.
+    The field name can be wire-learned (quoted PG identifiers may contain
+    anything), so it is compared as a bound literal, never spliced into the
+    lambda's SQL text."""
     return F.try_element_at(
-        F.expr(f"filter({arr_col}, f -> f.name = '{name}')"), F.lit(1)
+        F.filter(F.col(arr_col), lambda f: f["name"] == F.lit(name)), F.lit(1)
     )["bin"]
 
 

@@ -62,16 +62,23 @@ def heavy_hitters(
 
     def mg_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         summary: dict = {}
+        n = 0
         for pdf in batches:
+            n += len(pdf)
             summary = _mg_merge(summary, pdf[col].value_counts(), capacity)
-        yield pd.DataFrame({col: list(summary.keys())})
+        # candidates AND this partition's row count in ONE pass (the count
+        # rides along as a sentinel row), so N needs no third corpus scan
+        yield pd.DataFrame({col: list(summary.keys()) + [None], "_n": [None] * len(summary) + [n]})
 
-    candidates = (
-        rows.select(col)
-        .mapInPandas(mg_partition, schema=f"{col} string")
-        .distinct()
-    )
-    total = rows.count()
+    # one scan: per-partition Misra-Gries summaries + row counts. The collect
+    # is sketch-sized (<= capacity + 1 rows per partition), the standard
+    # mergeable-summary shape — never the data itself.
+    sketch = rows.select(col).mapInPandas(
+        mg_partition, schema=f"{col} string, _n long"
+    ).collect()
+    total = sum(r["_n"] for r in sketch if r["_n"] is not None)
+    cand_vals = sorted({r[col] for r in sketch if r[col] is not None})
+    candidates = spark.createDataFrame([(v,) for v in cand_vals], f"{col} string")
     return (
         rows.join(F.broadcast(candidates), col, "left_semi")
         .groupBy(col)

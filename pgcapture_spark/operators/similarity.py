@@ -446,6 +446,8 @@ def kmeans_assign(
 
     Output: (vec_id, cluster, dist2q) after ``iters`` assignment rounds.
     """
+    if int(iters) < 1:
+        raise ValueError(f"iters must be >= 1 (got {iters}): round 1 IS the assignment")
     spark = embeddings.sparkSession
     normed = _as_double(embeddings).select("vec_id", "emb_d")
     init = normed.orderBy("vec_id").limit(k).collect()

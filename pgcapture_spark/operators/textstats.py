@@ -595,8 +595,15 @@ def bpe_tokenize(docs: DataFrame, k: int = 12) -> DataFrame:
     first_token_bpe)."""
     merges = bpe_merge_table(docs, k=k)
     apply_expr = "trim(regexp_replace(t, '(.)', '$1 '))"
+
+    def _sq(s: str) -> str:
+        # corpus-derived pairs are spliced as SQL string literals: escape
+        # backslashes and quotes or an apostrophe in a learned pair (it's,
+        # don't) produces malformed SQL and a ParseException
+        return s.replace("\\", "\\\\").replace("'", "\\'")
+
     for pair, merged in merges:
-        apply_expr = f"replace({apply_expr}, '{pair}', '{merged}')"
+        apply_expr = f"replace({apply_expr}, '{_sq(pair)}', '{_sq(merged)}')"
     df = with_tokens(ensure_parallelism(docs)).select(
         "doc_id",
         "tokens",
@@ -671,6 +678,17 @@ def line_dedup(docs: DataFrame, line_tokens: int = 10) -> DataFrame:
     )
 
 
+def shard_expr(key_col: str, n_shards: int):
+    """THE shard hash — md5(key)[0:8] as int, mod ``n_shards``. One
+    definition for every export path (doc shards, packed-batch shards, CLI):
+    change the hash here or engines silently disagree on shard layout."""
+    return (
+        F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % int(n_shards)
+    ).cast("int")
+
+
 def shard_assign(docs: DataFrame, n_shards: int = 8) -> DataFrame:
     """Deterministic training-export shard assignment: shard =
     md5(doc_id)[0:8] as int, mod ``n_shards`` — content-independent,
@@ -679,14 +697,7 @@ def shard_assign(docs: DataFrame, n_shards: int = 8) -> DataFrame:
     ``df.repartition(n_shards, "shard").write.partitionBy("shard")`` —
     per-row expression here, shuffle only at the writer.
     """
-    return docs.withColumn(
-        "shard",
-        (
-            F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
-            .cast("bigint")
-            % int(n_shards)
-        ).cast("int"),
-    )
+    return docs.withColumn("shard", shard_expr("doc_id", n_shards))
 
 
 def shard_plan(docs: DataFrame, n_shards: int = 8) -> DataFrame:

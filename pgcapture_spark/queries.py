@@ -39,7 +39,19 @@ REGISTRY: dict[str, Q] = {}
 
 def q(name: str, oracle: str | None, doc: str = ""):
     def deco(fn):
-        REGISTRY[name] = Q(fn=fn, oracle=oracle, doc=doc)
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            # a few queries persist() a shared branch of their returned plan
+            # (they cannot unpersist before the caller's action); dropping
+            # leftovers at the NEXT query's entry keeps long sessions
+            # (driver gate, local_gate, bench) from accumulating orphaned
+            # cache blocks. Cross-query reuse lives in parquet fixture
+            # caches, never in Spark cache, so this is always safe.
+            spark.catalog.clearCache()
+            return fn(spark, sf_dir)
+
+        wrapped.__name__ = fn.__name__
+        wrapped.__doc__ = fn.__doc__
+        REGISTRY[name] = Q(fn=wrapped, oracle=oracle, doc=doc)
         return fn
 
     return deco

@@ -294,19 +294,14 @@ def corpus_export_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     packed = packed_batches(
         sel.select("doc_id", "n_tokens"), budget=_EXPORT_BUDGET
     )
+    from pgcapture_spark.operators.textstats import shard_expr
+
     return packed.select(
         "doc_id",
         F.col("n_tokens").cast("bigint").alias("n_tokens"),
         "start_offset",
         "batch_id",
-        (
-            F.conv(
-                F.substring(F.md5(F.col("batch_id").cast("string")), 1, 8), 16, 10
-            ).cast("bigint")
-            % _EXPORT_SHARDS
-        )
-        .cast("int")
-        .alias("shard"),
+        shard_expr("batch_id", _EXPORT_SHARDS).alias("shard"),
     )
 
 

@@ -254,10 +254,14 @@ class _FeedStreamWriter(DataSourceStreamArrowWriter):
         import json
 
         staged = [m for m in messages if m is not None and m.rows > 0]
-        fingerprint = {
-            "files": len(staged),
-            "rows": sorted(m.rows for m in staged),
-        }
+        # fingerprint must be TASK-LAYOUT-INDEPENDENT: a same-lineage replay
+        # after a crash may split the identical input into a different number
+        # of tasks (different host cores / maxPartitionBytes), so per-file
+        # row distributions would wedge a legitimate replay. Total row count
+        # is invariant under re-splitting but still catches the
+        # restarted-batchId foreign-lineage case (different content).
+        total_rows = sum(m.rows for m in staged)
+        fingerprint = {"total_rows": total_rows}
         marker = self._marker(batchId)
         if os.path.exists(marker):
             with open(marker) as f:
@@ -265,10 +269,14 @@ class _FeedStreamWriter(DataSourceStreamArrowWriter):
             try:
                 recorded = json.loads(raw)
             except ValueError:  # pre-fingerprint marker: bare file count
-                recorded = {"files": int(raw), "rows": None}
-            same = recorded["files"] == fingerprint["files"] and (
-                recorded.get("rows") is None or recorded["rows"] == fingerprint["rows"]
-            )
+                recorded = {}
+            if "total_rows" in recorded:
+                rec_total = recorded["total_rows"]
+            elif isinstance(recorded.get("rows"), list):  # legacy per-file form
+                rec_total = sum(recorded["rows"])
+            else:
+                rec_total = None
+            same = rec_total is None or rec_total == total_rows
             if not same:
                 raise RuntimeError(
                     f"pgcapture_feed sink: batch {batchId} already committed to "

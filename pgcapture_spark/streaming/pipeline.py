@@ -16,6 +16,7 @@ is exactly that keyed buffer.)
 
 from __future__ import annotations
 
+import logging
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame
@@ -23,6 +24,8 @@ from pyspark.sql.streaming import StreamingQuery
 
 from pgcapture_spark.operators.apply import cdc_apply, last_image_window
 from pgcapture_spark.streaming.state import SnapshotState
+
+_LOG = logging.getLogger(__name__)
 
 
 def apply_stream(
@@ -252,7 +255,10 @@ def apply_wire_stream(
                 .drop("_commit_us")
             )
             decoded = decode_binary_feed(
-                generic, field_oids, old_key=(f"old_{key}", key, 20), fused=True
+                generic,
+                field_oids,
+                old_key=(f"old_{key}", key, dict(field_oids)[key]),
+                fused=True,
             ).withColumn(key, F.coalesce(F.col(key), F.col(f"old_{key}")))
             current = state.read()
             if current is None:
@@ -321,9 +327,8 @@ def apply_wire_stream_multi(
             for t in state.tables:
                 key = keys[t]
                 generic = (
-                    parsed.where(
-                        f"f.op IN ('INSERT', 'UPDATE', 'DELETE') AND f.table = '{t}'"
-                    )
+                    parsed.where("f.op IN ('INSERT', 'UPDATE', 'DELETE')")
+                    .where(F.col("f.table") == F.lit(t))
                     .select(
                         "lsn",
                         "seq",
@@ -342,7 +347,10 @@ def apply_wire_stream_multi(
                     .drop("_commit_us")
                 )
                 decoded = decode_binary_feed(
-                    generic, field_oids[t], old_key=(f"old_{key}", key, 20), fused=True
+                    generic,
+                    field_oids[t],
+                    old_key=(f"old_{key}", key, dict(field_oids[t])[key]),
+                    fused=True,
                 ).withColumn(key, F.coalesce(F.col(key), F.col(f"old_{key}")))
                 new[t] = cdc_apply(current[t], decoded, key, cols[t])
             state.commit(new, batch_id)
@@ -387,32 +395,73 @@ def apply_pgoutput_stream(
             return
         # 1) learn + persist relations from this batch's R frames (ord = -1
         # sorts them first; the filter is plain Catalyst, below the parse)
-        rels = (
+        from pyspark.sql import Window as W
+
+        rel_frames = (
             batch_df.where("ord = -1")
-            .select(parse_frames_udf()("data").alias("f"))
+            .select("lsn", "seq", parse_frames_udf()("data").alias("f"))
             .where("f.op = 'RELATION'")
-            .select(F.posexplode("f.rel_cols").alias("pos", "c"))
-            .select("pos", "c.name", "c.oid", "c.flag")
+        )
+        # several R frames for one relation inside a single micro-batch:
+        # the LAST (by wire order) wins, matching the reference's
+        # replace-on-every-R-message registry
+        last_w = W.partitionBy("f.rel_oid").orderBy(
+            F.col("lsn").desc(), F.col("seq").desc()
+        )
+        rels = (
+            rel_frames.withColumn("_rn", F.row_number().over(last_w))
+            .where("_rn = 1")
+            .select(F.col("f.rel_oid").alias("rel_oid"),
+                    F.posexplode("f.rel_cols").alias("pos", "c"))
+            .select("rel_oid", "pos", "c.name", "c.oid", "c.flag")
         )
         cache = rel_state.read()
         if cache is None:
             cache = rels
         else:
-            # a later Relation frame redefining a position WINS (the
-            # reference replaces its registry entry on every R message) —
-            # dropDuplicates would keep an arbitrary one of old/new
-            kept = cache.join(rels.select("pos"), "pos", "left_anti")
+            # a later Relation frame REPLACES the whole relation (the
+            # reference swaps its registry entry on every R message,
+            # pkg/decode/pgoutput.go:33-65): anti-join on rel_oid, not
+            # position, so a redefinition to FEWER columns leaves no stale
+            # tail positions behind
+            kept = cache.join(rels.select("rel_oid").distinct(), "rel_oid", "left_anti")
             cache = rels.unionByName(kept)
         if batch_id > rel_state.last_batch():
             rel_state.commit(cache, batch_id)
-        learned = sorted(
-            ((r["pos"], r["name"], r["oid"], bool(r["flag"] & 1)) for r in
-             rel_state.read().collect())
-        )
-        if not learned:
+        by_rel: dict[int, list] = {}
+        for r in rel_state.read().collect():
+            by_rel.setdefault(r["rel_oid"], []).append(
+                (r["pos"], r["name"], r["oid"], bool(r["flag"] & 1))
+            )
+        if not by_rel:
             return  # nothing decodable before the first Relation frame
+        # single-table consumer: pick the relation covering the expected
+        # columns; quarantine (log + carry state forward) instead of crashing
+        # on foreign relations or unusable identities
+        want = set(cols)
+        matches = [
+            oid for oid, lrn in by_rel.items()
+            if want <= {n for _, n, _, _ in lrn}
+        ]
+        if len(matches) != 1:
+            _LOG.warning(
+                "apply_pgoutput_stream: %d relations cover expected columns %r "
+                "(cached rel_oids %r); skipping batch %d",
+                len(matches), sorted(want), sorted(by_rel), batch_id,
+            )
+            return
+        rel_oid = matches[0]
+        learned = sorted(by_rel[rel_oid])
         field_oids = [(n, o) for _, n, o, _ in learned]
-        [key] = [n for _, n, _, is_key in learned if is_key]
+        key_fields = [(n, o) for _, n, o, is_key in learned if is_key]
+        if len(key_fields) != 1:
+            _LOG.warning(
+                "apply_pgoutput_stream: relation %d has replica identity %r; "
+                "single-column keys only — skipping batch %d",
+                rel_oid, [n for n, _ in key_fields], batch_id,
+            )
+            return
+        [(key, key_oid)] = key_fields
         cols_lit = "array(" + ", ".join(
             f"named_struct('name', '{n}', 'oid', {o})" for _, n, o, _ in learned
         ) + ")"
@@ -439,6 +488,7 @@ def apply_pgoutput_stream(
             )
             generic = (
                 parsed.where("f.op IN ('INSERT', 'UPDATE', 'DELETE')")
+                .where(F.col("f.rel_oid") == F.lit(rel_oid))
                 .select(
                     "lsn",
                     "seq",
@@ -459,7 +509,7 @@ def apply_pgoutput_stream(
                 .drop("_commit_us")
             )
             decoded = decode_binary_feed(
-                generic, field_oids, old_key=(f"old_{key}", key, 20), fused=True
+                generic, field_oids, old_key=(f"old_{key}", key, key_oid), fused=True
             ).withColumn(key, F.coalesce(F.col(key), F.col(f"old_{key}")))
             current = state.read()
             if current is None:

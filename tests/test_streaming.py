@@ -582,6 +582,104 @@ class TestApplyPgoutputStream:
         finally:
             shutil.rmtree(d, ignore_errors=True)
 
+    def test_foreign_relation_isolated_and_redefinition_replaces(self, spark):
+        """Two wire-robustness contracts: (1) a SECOND relation's R frame and
+        row events in the same stream must not cross-wire into the customer
+        schema (rows are filtered by rel_oid, the relation is picked by
+        column coverage); (2) a later R frame REDEFINING the relation with
+        fewer columns replaces the cache entry wholesale — no stale tail
+        positions — and a relation that no longer covers the expected
+        columns quarantines (state carried forward) instead of crashing."""
+        from pyspark.sql import functions as F
+
+        from pgcapture_spark.functions.pgoutput import (
+            build_begin,
+            build_commit,
+            build_relation,
+            build_row_change,
+        )
+        from pgcapture_spark.functions.pgtypes import ENCODERS
+        from pgcapture_spark.querydefs.extras import customer_wire_frames
+        from pgcapture_spark.streaming.pipeline import apply_pgoutput_stream
+
+        register_views(spark, SF_SMALL, ("customer",))
+        frames, _, _ = customer_wire_frames(spark, SF_SMALL, "pgoutput")
+        max_lsn = frames.agg(F.max("lsn")).collect()[0][0]
+        lsn2 = int(max_lsn) + 1
+        intruder = [
+            (0, 1, -1, bytearray(build_relation(
+                777, "public", "intruder", "d",
+                [("i_id", 20, True), ("i_v", 25, False)],
+            ))),
+            (lsn2, 0, lsn2 * 100, bytearray(build_begin(lsn2, 1_000_000, 7))),
+            (lsn2, 1, lsn2 * 100 + 1, bytearray(build_row_change(
+                "I", 777, [("b", ENCODERS[20](123)), ("t", b"x")]
+            ))),
+            (lsn2, 99, lsn2 * 100 + 99, bytearray(build_commit(lsn2, lsn2, 1_000_000))),
+        ]
+        intruder_df = spark.createDataFrame(
+            intruder, "lsn bigint, seq int, ord bigint, data binary"
+        )
+        d = tempfile.mkdtemp(prefix="pgcs_t_pgout_intruder_")
+        try:
+            materialize_feed(frames.unionAll(intruder_df), f"{d}/wire", n_segments=4)
+            schema = spark.read.parquet(f"{d}/wire").schema
+            state = SnapshotState(spark, f"{d}/state")
+            tx_state = SnapshotState(spark, f"{d}/txreg")
+            rel_state = SnapshotState(spark, f"{d}/relcache")
+            q = apply_pgoutput_stream(
+                read_feed_stream(spark, f"{d}/wire", schema, max_files_per_trigger=2),
+                state, tx_state, rel_state,
+                spark.table("customer"), CDC_COLS["customer"], f"{d}/ckpt",
+            )
+            q.awaitTermination(300)
+            # intruder rows never cross-wire: converged == plain batch apply
+            batch = cdc_apply(
+                spark.table("customer"), _feed(spark, SF_SMALL, "customer"),
+                "c_custkey", CDC_COLS["customer"],
+            )
+            assert state.read().exceptAll(batch).count() == 0
+            assert batch.exceptAll(state.read()).count() == 0
+            cache = rel_state.read().collect()
+            assert {r["rel_oid"] for r in cache} == {16385, 777}
+
+            # phase 2 (fresh stream): a LATER R frame redefining 16385 with
+            # FEWER columns arrives in the same batch as the original — the
+            # last one (by wire order) wins wholesale, leaving no stale tail
+            # positions; the reduced relation no longer covers the expected
+            # columns -> every batch quarantines and the snapshot stays at
+            # the initial state instead of crashing or applying wrongly
+            redef = spark.createDataFrame(
+                [(0, 9, -1, bytearray(build_relation(
+                    16385, "public", "customer", "d",
+                    [("c_custkey", 20, True), ("c_name", 25, False)],
+                )))],
+                "lsn bigint, seq int, ord bigint, data binary",
+            )
+            materialize_feed(frames.unionAll(redef), f"{d}/wire2", n_segments=3)
+            state2 = SnapshotState(spark, f"{d}/state2")
+            tx2 = SnapshotState(spark, f"{d}/txreg2")
+            rel2 = SnapshotState(spark, f"{d}/relcache2")
+            q2 = apply_pgoutput_stream(
+                read_feed_stream(spark, f"{d}/wire2", schema, max_files_per_trigger=2),
+                state2, tx2, rel2,
+                spark.table("customer"), CDC_COLS["customer"], f"{d}/ckpt2",
+            )
+            q2.awaitTermination(300)
+            after = sorted(
+                (r["pos"], r["name"]) for r in rel2.read().collect()
+                if r["rel_oid"] == 16385
+            )
+            assert after == [(0, "c_custkey"), (1, "c_name")]  # no stale tail
+            got2 = state2.read()
+            if got2 is not None:  # nothing ever applied under quarantine
+                snap = spark.table("customer")
+                assert got2.exceptAll(snap).count() == 0
+                assert snap.exceptAll(got2).count() == 0
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
+
+
 
 def test_streaming_scd2_converges_and_is_idempotent(spark, tmpdir):
     """Incremental SCD2 (per-micro-batch version-table merge) must equal the
