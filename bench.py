@@ -138,8 +138,10 @@ HEADLINE = [
     "dedup_lsh_eval",
     "cdc_multi_source_lww",
     "sim_mips_topk",
-    # r3 eighth wave: audio windowing (the audio leg of multimodal)
+    # r3 eighth wave: audio windowing (the audio leg of multimodal),
+    # continuous-ingest LSH dedup
     "media_audio_windows",
+    "dedup_incremental_streamed",
 ]
 
 

@@ -561,3 +561,41 @@ def exact_jaccard_pairs_uncapped(docs: DataFrame, threshold: float = 0.1) -> Dat
         .where(F.col("jaccard") >= threshold)
         .select("a_id", "b_id", "jaccard")
     )
+
+
+def lsh_bucket_rows(docs: DataFrame, k: int = 8, bands: int = 4) -> DataFrame:
+    """The banded-LSH index rows an INCREMENTAL dedup maintains as state:
+    one row per (doc, band) carrying the band's bucket hash plus the full
+    signature vector for verification — (doc_id, band_idx, band_hash, sigs).
+
+    Per-row projection fused into the scan (signatures + band hashes are
+    the same universal-hash MinHash as :func:`minhash_lsh_pairs`); the only
+    join an ingest batch pays is the (band_idx, band_hash) equi-join against
+    this state — O(batch x bucket collisions), never a corpus rescan."""
+    rows_per_band = k // bands
+    base = (
+        with_shingles(docs)
+        .where(F.size("shingles") > 0)
+        .withColumn("_hs", F.expr(BASE_HASH_EXPR))
+        .select("doc_id", *_sig_cols(k))
+    )
+    band_hashes = F.array(
+        *[
+            F.md5(
+                F.concat_ws(
+                    "|", *[f"sig_{b * rows_per_band + r}" for r in range(rows_per_band)]
+                )
+            )
+            for b in range(bands)
+        ]
+    )
+    return base.select(
+        "doc_id",
+        F.array(*[F.col(f"sig_{i}") for i in range(k)]).alias("sigs"),
+        F.posexplode(band_hashes).alias("band_idx", "band_hash"),
+    )
+
+
+SIG_AGREE_EXPR = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> IF(x = y, 1, 0)), 0, (acc, v) -> acc + v)"
+)

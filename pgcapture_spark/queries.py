@@ -109,6 +109,7 @@ from pgcapture_spark.querydefs import (  # noqa: E402,F401
 # sim_pagerank, cdc_compaction_plan, events_watermark_sizing) and the r3
 # seventh wave (cdc_scd2_streamed, dedup_lsh_eval, cdc_multi_source_lww,
 # sim_mips_topk) and the r3
+# eighth wave (media_audio_windows, dedup_incremental_streamed) and the r3
 # third wave (text_line_dedup, corpus_shard_plan, kmeans_embed,
 # sim_ivfpq_ann, corpus_dsir_weights, cdc_apply_from_proto, cdc_apply_proto_streamed, cdc_checkpoint_keys, ts_ewma, cdc_apply_proto_multi_streamed, cdc_apply_from_proto_text, corpus_domain_cap, cdc_apply_pgoutput_streamed, ...)
 # and the r3 fourth wave (dedup_substring, text_nb_quality, ts_resample_ohlc,

@@ -398,3 +398,80 @@ def cdc_corpus_refresh_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.table("documents"), feed, "doc_id", ["text", "lang", "source", "n_chars"]
     )
     return corpus_select(applied, min_quality=0.5, min_tokens=20, langs=("en", "de"))
+
+
+# --------------------------------------------- streaming ingest dedup
+
+from pgcapture_spark.querydefs.textops import duck_lsh_keepfirst_sql  # noqa: E402
+
+
+@q(
+    "dedup_incremental_streamed",
+    duck_lsh_keepfirst_sql(),
+    "North-star: CONTINUOUS-INGEST near-dup dedup — document segments arrive"
+    " as a stream (doc_id-ordered, a few per micro-batch); each batch's LSH"
+    " bucket rows equi-join the accumulated signature state (plus the batch"
+    " itself), a doc is rejected iff a lower-id doc agrees on >=2 of 8"
+    " MinHash signatures in a shared band bucket, and ALL batch signatures"
+    " append to state (seen, not just accepted — rejected docs still shadow"
+    " later dups). Converges to the batch keep-first LSH dedup exactly;"
+    " ingest cost is O(batch x bucket collisions), never a corpus rescan.",
+)
+def dedup_incremental_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from pgcapture_spark.operators.dedup import SIG_AGREE_EXPR, lsh_bucket_rows
+    from pgcapture_spark.sources.feed import materialize_feed
+
+    register_views(spark, sf_dir, ("documents",))
+    d = tempfile.mkdtemp(prefix="pgcs_q_dedupstream_")
+    docs = spark.table("documents").select("doc_id", "text")
+    materialize_feed(docs, f"{d}/segs", n_segments=4, order_col="doc_id")
+    schema = spark.read.parquet(f"{d}/segs").schema
+    state_dir, out_dir = f"{d}/sigstate", f"{d}/accepted"
+    os.makedirs(state_dir)
+    os.makedirs(out_dir)
+
+    agree = SIG_AGREE_EXPR.format(a="a_sigs", b="sigs")
+
+    def _batch(bdf: DataFrame, bid: int) -> None:
+        sp = bdf.sparkSession
+        buckets = lsh_bucket_rows(bdf).localCheckpoint(eager=True)
+        prior = buckets.select(
+            F.col("doc_id").alias("a_id"),
+            F.col("sigs").alias("a_sigs"),
+            "band_idx",
+            "band_hash",
+        )
+        if any(f.endswith(".parquet") for f in os.listdir(state_dir)):
+            seen = sp.read.parquet(state_dir).select(
+                F.col("doc_id").alias("a_id"),
+                F.col("sigs").alias("a_sigs"),
+                "band_idx",
+                "band_hash",
+            )
+            prior = prior.unionByName(seen)
+        rejected = (
+            buckets.join(prior, ["band_idx", "band_hash"])
+            .where(F.col("a_id") < F.col("doc_id"))
+            .where(F.expr(agree) >= 2)
+            .select("doc_id")
+            .distinct()
+        )
+        bdf.join(rejected, "doc_id", "left_anti").select("doc_id").write.mode(
+            "append"
+        ).parquet(out_dir)
+        buckets.write.mode("append").parquet(state_dir)
+
+    query = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "2")
+        .parquet(f"{d}/segs")
+        .writeStream.foreachBatch(_batch)
+        .option("checkpointLocation", f"{d}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(300)
+    return spark.read.parquet(out_dir)

@@ -1359,7 +1359,11 @@ def corpus_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _EVAL_MIN_AGREE = 2  # of 8 signatures (est_sim >= 0.25)
 
-def _duck_lsh_eval_sql(k: int = 8, bands: int = 4) -> str:
+def _duck_lsh_pred_cte(k: int = 8, bands: int = 4, min_agree: int = _EVAL_MIN_AGREE) -> str:
+    """The shared CTE chain shingles -> minhash sigs -> banded buckets ->
+    candidate pairs -> agreement-verified pairs (``pred``), used by both the
+    eval harness and the keep-first oracles — ONE definition of the LSH
+    candidate semantics on the DuckDB side."""
     from pgcapture_spark.operators.dedup import MINHASH_P, minhash_ab
 
     rpb = k // bands
@@ -1379,8 +1383,7 @@ def _duck_lsh_eval_sql(k: int = 8, bands: int = 4) -> str:
     agree = " + ".join(
         f"(CASE WHEN sa.sig_{i} = sb.sig_{i} THEN 1 ELSE 0 END)" for i in range(k)
     )
-    return f"""
-WITH sh AS ({_DUCK_DOCS_SH}),
+    return f"""sh AS ({_DUCK_DOCS_SH}),
 hashed AS (SELECT doc_id, list_transform(shingles,
              s -> ('0x' || substr(md5(s), 1, 8))::BIGINT % 1073741824) AS hs
            FROM sh),
@@ -1392,7 +1395,23 @@ cand AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
 pred AS (SELECT c.a_id, c.b_id
          FROM cand c JOIN sigs sa ON sa.doc_id = c.a_id
          JOIN sigs sb ON sb.doc_id = c.b_id
-         WHERE ({agree}) >= {_EVAL_MIN_AGREE}),
+         WHERE ({agree}) >= {min_agree})"""
+
+
+def duck_lsh_keepfirst_sql(k: int = 8, bands: int = 4) -> str:
+    """Oracle for the streamed keep-first dedup: a doc survives iff NO
+    lower-id doc is an agreement-verified LSH candidate against it."""
+    return f"""
+WITH {_duck_lsh_pred_cte(k, bands)}
+SELECT d.doc_id
+FROM documents d
+WHERE d.doc_id NOT IN (SELECT b_id FROM pred)
+"""
+
+
+def _duck_lsh_eval_sql(k: int = 8, bands: int = 4) -> str:
+    return f"""
+WITH {_duck_lsh_pred_cte(k, bands)},
 s AS ({_DUCK_SHINGLE_SETS}),
 sizes AS (SELECT doc_id, count(*) AS n_shingles FROM s GROUP BY 1),
 inter AS (SELECT sa2.doc_id AS a_id, sb2.doc_id AS b_id, count(*) AS inter_cnt
