@@ -462,3 +462,42 @@ def test_watermark_sizing_window_is_partitioned(spark):
     assert "windowspecdefinition(part#" in plan
     tree = plan_tree(spark, "events_watermark_sizing")
     assert tree.count("Window") == 1
+
+
+def test_audio_windows_plan_is_explode_then_arrow_map(spark):
+    """The audio leg's scale shape: the window plan (sequence+explode) and
+    the Arrow decode stage run WITHOUT any exchange — work distributes by
+    the parquet scan's own partitioning; no shuffle-by-blob, no collect."""
+    tree = plan_tree(spark, "media_audio_windows")
+    assert "MapInPandas" in tree
+    assert "Generate" in tree
+    assert "posexplode" in plan_str(spark, "media_audio_windows")
+    assert "Exchange" not in tree
+    assert "CartesianProduct" not in tree
+
+
+def test_lsh_bucket_rows_no_keyed_shuffle(spark):
+    """The streamed dedup's per-batch index build must stay a fused per-row
+    projection: signatures + band hashes compute map-side with NO keyed
+    (hash) shuffle before the state equi-join — the only exchange allowed
+    is ensure_parallelism's round-robin widening for tiny inputs, which
+    disappears at real split counts."""
+    from pgcapture_spark.catalog import register_views
+    from pgcapture_spark.operators.dedup import lsh_bucket_rows
+
+    register_views(spark, SF_SMALL, ("documents",))
+    df = lsh_bucket_rows(spark.table("documents"))
+    full = spark._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "hashpartitioning" not in full
+    assert "rangepartitioning" not in full
+    assert "posexplode" in full
+
+
+def test_heavy_hitters_recount_broadcasts_candidates(spark):
+    """Pass 2 of Misra-Gries must semi-join the corpus against BROADCAST
+    candidates (sketch-sized), never shuffle the corpus by value."""
+    tree = plan_tree(spark, "agg_heavy_hitters")
+    assert "BroadcastHashJoin" in tree and "LeftSemi" in tree
+    assert "SortMergeJoin" not in tree
