@@ -1,0 +1,110 @@
+"""Bloom-filter join pre-filtering — the runtime-filter pattern expressed
+explicitly as DataFrame ops.
+
+At 100 TB the expensive part of a selective join is shuffling the big (probe)
+side: every probe row pays the exchange even though most will not match. The
+classic fix (Spark's own `runtime.bloomFilter` / Trino's dynamic filters) is
+to build a Bloom filter over the build side's join keys and filter the probe
+side *before* its shuffle — false positives are later removed by the exact
+join, so the result is identical while the shuffled volume drops to roughly
+the matching fraction.
+
+This module builds the filter distributed and applies it JVM-side:
+
+1. build side → k=4 ``xxhash64(key, seed_i) pmod m`` bit positions per key,
+   exploded and aggregated ``groupBy(pos DIV 64).agg(bit_or(1 << pos%64))`` —
+   a shuffle of k·|build| ints into at most m/64 words (map-side combine
+   makes the exchange tiny),
+2. the ≤ m/64 set words are collected (bounded by the CONSTANT m — 4096
+   longs for m=2^18, independent of data size, same contract as the IVF
+   centroid collect) and densified into one ``array<long>`` literal,
+3. probe side → the same k positions, each tested with
+   ``element_at(bloom, pos DIV 64 + 1) & (1 << pos%64)`` — pure codegen'd
+   long arithmetic against a broadcast literal, no Python, no join,
+4. the surviving probe rows flow into the EXACT join, which removes the
+   false positives.
+
+The oracle is the plain join: the bloom stage must be invisible in the
+result. Reference tie-in: none (the reference has no relational joins); this
+is a north-star scale operator per SURVEY §2.7's join row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_SEEDS = (0x9E3779B1, 0x85EBCA77, 0xC2B2AE3D, 0x27D4EB2F)
+
+
+def _positions(key: Column, m_bits: int) -> list[Column]:
+    """k deterministic bit positions for a key: xxhash64 with k seeds."""
+    return [F.pmod(F.xxhash64(key, F.lit(seed)), F.lit(m_bits)) for seed in _SEEDS]
+
+
+def bloom_build(build: DataFrame, key: str, m_bits: int = 1 << 18) -> list[int]:
+    """Aggregate the build side's keys into an m_bits Bloom bitmap, returned
+    as a dense ``m_bits // 64`` long list (the broadcastable literal).
+
+    The only driver materialization is the set-word list — bounded by the
+    constant m_bits/64, never by |build|.
+    """
+    pos = F.explode(F.array(*_positions(F.col(key), m_bits))).alias("pos")
+    words = (
+        build.select(pos)
+        .groupBy((F.col("pos") / 64).cast("long").alias("w"))
+        .agg(
+            F.bit_or(
+                F.call_function(
+                    "shiftleft", F.lit(1).cast("long"), (F.col("pos") % 64).cast("int")
+                )
+            ).alias("bits")
+        )
+        .collect()
+    )
+    dense = [0] * (m_bits // 64)
+    for r in words:
+        dense[r["w"]] = r["bits"]
+    return dense
+
+
+def bloom_probe_filter(probe: DataFrame, key: str, bloom: list[int], m_bits: int) -> DataFrame:
+    """Keep probe rows whose key tests positive in ``bloom`` (all k bits set).
+
+    The bitmap rides as ONE array<long> literal inside the codegen'd filter —
+    broadcast with the task binary, no shuffle, no Python boundary.
+    """
+    lit = F.lit(bloom)
+    tests = [
+        (
+            F.element_at(lit, ((p / 64).cast("long") + 1).cast("int"))
+            .bitwiseAND(
+                F.call_function("shiftleft", F.lit(1).cast("long"), (p % 64).cast("int"))
+            )
+            != 0
+        )
+        for p in _positions(F.col(key), m_bits)
+    ]
+    cond = tests[0]
+    for t in tests[1:]:
+        cond = cond & t
+    return probe.where(cond)
+
+
+def bloom_prefilter_join(
+    probe: DataFrame,
+    build: DataFrame,
+    key: str,
+    m_bits: int = 1 << 18,
+    how: str = "inner",
+) -> DataFrame:
+    """Exact ``probe ⋈ build`` with a Bloom pre-filter on the probe side.
+
+    Row-identical to ``probe.join(build, key, how)`` for inner/semi joins:
+    bloom false positives are removed by the exact join; true matches always
+    test positive (no false negatives by construction).
+    """
+    bloom = bloom_build(build, key, m_bits)
+    return bloom_probe_filter(probe, key, bloom, m_bits).join(
+        F.broadcast(build), on=key, how=how
+    )

@@ -99,3 +99,112 @@ SELECT {entity}, bkt, coalesce(n, 0) AS n_events, n IS NULL AS is_gap,
          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf_value
 FROM j
 """
+
+
+# ----------------------------------------------- linear interpolation fill
+
+_INTERP_CASE = """
+CASE WHEN prev_c IS NOT NULL AND next_c IS NOT NULL AND next_b > prev_b
+     THEN floor((prev_c + (next_c - prev_c)
+                 * (CAST({dh_prev} AS DOUBLE) / {dh_span}))
+          * 10000.0 + 0.5) / 1000000.0
+     WHEN prev_c IS NOT NULL THEN CAST(prev_c AS DOUBLE) / 100.0
+     WHEN next_c IS NOT NULL THEN CAST(next_c AS DOUBLE) / 100.0
+END
+"""
+
+
+def gapfill_interp(events: DataFrame, entity: str = "user_id", bucket: str = "hour") -> DataFrame:
+    """Dense per-entity bucket series with LINEAR interpolation across gaps
+    (head/tail extended flat) — the hypertable ``interpolate()`` analog to
+    :func:`gapfill_locf`.
+
+    Bucket observations are exact integer cents (``arg_max`` under the same
+    deterministic ``ORD_SPARK`` order as LOCF); the interpolated double is
+    derived from exact ints by an expression tree mirrored verbatim in the
+    DuckDB oracle, then quantized to 1e-6. Same scale shape as LOCF: ONE
+    entity-key shuffle shared by the bucket agg, the spine join, and BOTH
+    direction windows (forward last + backward first are frames over the
+    same partitioning)."""
+    hourly = (
+        events.withColumn("_ord", F.expr(ORD_SPARK))
+        .groupBy(entity, F.date_trunc(bucket, "ts").alias("bkt"))
+        .agg(
+            F.count("*").alias("_n"),
+            F.expr(
+                "max_by(CAST(floor(value * 100 + 0.5) AS BIGINT), _ord)"
+            ).alias("_obs_c"),
+        )
+    )
+    spine = (
+        hourly.groupBy(entity)
+        .agg(F.min("bkt").alias("_mn"), F.max("bkt").alias("_mx"))
+        .select(
+            entity,
+            F.explode(F.expr(f"sequence(_mn, _mx, interval 1 {bucket})")).alias("bkt"),
+        )
+    )
+    joined = spine.join(hourly, on=[entity, "bkt"], how="left")
+    wb = Window.partitionBy(entity).orderBy("bkt")
+    back = wb.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    fwd = wb.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    obs_bkt = F.when(F.col("_obs_c").isNotNull(), F.col("bkt"))
+    d = joined.select(
+        entity,
+        "bkt",
+        F.col("_n").isNull().alias("is_gap"),
+        F.last("_obs_c", ignorenulls=True).over(back).alias("prev_c"),
+        F.last(obs_bkt, ignorenulls=True).over(back).alias("prev_b"),
+        F.first("_obs_c", ignorenulls=True).over(fwd).alias("next_c"),
+        F.first(obs_bkt, ignorenulls=True).over(fwd).alias("next_b"),
+    )
+    interp = _INTERP_CASE.format(
+        dh_prev="timestampdiff(HOUR, prev_b, bkt)",
+        dh_span="timestampdiff(HOUR, prev_b, next_b)",
+    )
+    return d.select(
+        entity, "bkt", "is_gap", F.expr(interp).alias("interp_q")
+    )
+
+
+def gapfill_interp_oracle_sql(where: str, entity: str = "user_id", bucket: str = "hour") -> str:
+    """DuckDB oracle mirroring :func:`gapfill_interp` expression-for-
+    expression (exact cents in, one shared double tree out)."""
+    interp = _INTERP_CASE.format(
+        dh_prev="date_diff('hour', prev_b, bkt)",
+        dh_span="date_diff('hour', prev_b, next_b)",
+    )
+    return f"""
+WITH e AS (SELECT *, {ORD_DUCK} AS ord FROM events WHERE {where}),
+hourly AS (
+  SELECT {entity}, date_trunc('{bucket}', ts) AS bkt, count(*) AS n,
+         arg_max(CAST(floor(value * 100 + 0.5) AS BIGINT), ord) AS obs_c
+  FROM e GROUP BY 1, 2
+),
+bounds AS (SELECT {entity}, min(bkt) AS mn, max(bkt) AS mx FROM hourly GROUP BY 1),
+spine AS (
+  SELECT {entity}, unnest(generate_series(mn, mx, INTERVAL 1 {bucket})) AS bkt
+  FROM bounds
+),
+j AS (
+  SELECT s.{entity}, s.bkt, h.n, h.obs_c
+  FROM spine s LEFT JOIN hourly h ON h.{entity} = s.{entity} AND h.bkt = s.bkt
+),
+d AS (
+  SELECT {entity}, bkt, n IS NULL AS is_gap,
+         last_value(obs_c IGNORE NULLS) OVER (
+           PARTITION BY {entity} ORDER BY bkt
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_c,
+         last_value(CASE WHEN obs_c IS NOT NULL THEN bkt END IGNORE NULLS) OVER (
+           PARTITION BY {entity} ORDER BY bkt
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_b,
+         first_value(obs_c IGNORE NULLS) OVER (
+           PARTITION BY {entity} ORDER BY bkt
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_c,
+         first_value(CASE WHEN obs_c IS NOT NULL THEN bkt END IGNORE NULLS) OVER (
+           PARTITION BY {entity} ORDER BY bkt
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_b
+  FROM j
+)
+SELECT {entity}, bkt, is_gap, {interp} AS interp_q FROM d
+"""

@@ -485,3 +485,34 @@ _LATENESS_SPARK = _LATENESS_TPL.format(
 def events_watermark_sizing(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir, ("events",))
     return spark.sql(_LATENESS_SPARK)
+
+
+# ------------------------------------------------- linear interpolation
+
+_ITP_WHERE = "user_id % 20 = 9"
+
+
+@q(
+    "ts_interpolate_linear",
+    None,  # set just below (import ordering)
+    "North-star time-series: dense bucket spine with LINEAR interpolation"
+    " across gaps (hypertable interpolate(), vs LOCF) — exact integer-cents"
+    " observations, one entity shuffle shared by agg + spine join + both"
+    " direction windows, interpolated double from a mirrored expression"
+    " tree quantized 1e-6.",
+)
+def ts_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pgcapture_spark.operators.gapfill import gapfill_interp
+
+    register_views(spark, sf_dir, ("events",))
+    return gapfill_interp(spark.table("events").where(_ITP_WHERE))
+
+
+def _set_itp_oracle() -> None:
+    from pgcapture_spark.operators.gapfill import gapfill_interp_oracle_sql
+    from pgcapture_spark.queries import REGISTRY
+
+    REGISTRY["ts_interpolate_linear"].oracle = gapfill_interp_oracle_sql(_ITP_WHERE)
+
+
+_set_itp_oracle()

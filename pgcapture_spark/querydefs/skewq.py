@@ -73,3 +73,45 @@ def events_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)")).cast("double") / 100.0
         ).alias("sum_value"),
     )
+
+
+# ------------------------------------------------- bloom-prefilter join
+
+# rev in exact 1e-4 units (the tpch_more _CENTS convention)
+_BLOOM_REV = "CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5) AS BIGINT)"
+
+_DUCK_BLOOM_JOIN = f"""
+SELECT p_brand,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(sum({_BLOOM_REV}) AS DOUBLE) / 10000.0 AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_size = 1
+GROUP BY p_brand
+"""
+
+
+@q(
+    "join_bloom_prefilter",
+    _DUCK_BLOOM_JOIN,
+    "Scale: Bloom-prefiltered selective join — the build side's keys are"
+    " aggregated distributed into an m-bit bitmap (bit_or of shifted longs,"
+    " constant-bounded collect), the probe side is filtered by k codegen'd"
+    " bit tests BEFORE any exchange, and the exact join removes the false"
+    " positives — row-identical to the plain join with the probe shuffle cut"
+    " to the matching fraction (Spark runtime-filter semantics, explicit).",
+)
+def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pgcapture_spark.operators.bloomjoin import bloom_prefilter_join
+
+    register_views(spark, sf_dir, ("lineitem", "part"))
+    probe = spark.table("lineitem").select(
+        "l_partkey", F.expr(_BLOOM_REV).alias("rev")
+    )
+    build = spark.table("part").where("p_size = 1").select("p_partkey", "p_brand")
+    joined = bloom_prefilter_join(
+        probe.withColumnRenamed("l_partkey", "p_partkey"), build, "p_partkey"
+    )
+    return joined.groupBy("p_brand").agg(
+        F.count("*").cast("long").alias("n_lines"),
+        (F.sum("rev").cast("double") / 10000.0).alias("revenue"),
+    )

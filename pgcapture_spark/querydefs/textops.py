@@ -1485,3 +1485,64 @@ def dedup_lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("1000L * n_hit DIV GREATEST(n_pred, 1L)").alias("precision_milli"),
         F.expr("1000L * n_hit DIV GREATEST(n_truth, 1L)").alias("recall_milli"),
     )
+
+
+# --------------------------------------------- cross-source contamination
+
+_DUCK_XSOURCE = f"""
+WITH sh AS (
+  SELECT DISTINCT doc_id, source, unnest(shingles) AS shingle
+  FROM (SELECT doc_id, source, {_DUCK_SHINGLES} AS shingles
+        FROM (SELECT doc_id, source, {_DUCK_TOKENS} AS tokens FROM documents))
+),
+df AS (SELECT shingle FROM sh GROUP BY shingle
+       HAVING count(*) BETWEEN 2 AND 64),
+ss AS (SELECT s.shingle, s.source, CAST(count(*) AS BIGINT) AS n
+       FROM sh s JOIN df USING (shingle) GROUP BY 1, 2)
+SELECT a.source AS src_a, b.source AS src_b,
+       CAST(count(*) AS BIGINT) AS n_shared_shingles,
+       CAST(sum(a.n * b.n) AS BIGINT) AS n_doc_pairs
+FROM ss a JOIN ss b ON a.shingle = b.shingle AND a.source < b.source
+GROUP BY 1, 2
+"""
+
+
+@q(
+    "corpus_cross_source_overlap",
+    _DUCK_XSOURCE,
+    "Curation diagnostic: the cross-source contamination matrix — for every"
+    " source pair, how many 3-gram shingles (document frequency capped to"
+    " [2, 64], the stop-shingle prune shared with dedup_ngram_jaccard) appear"
+    " in both, and how many document pairs they connect. The self-join runs"
+    " on per-(shingle, source) COUNTS, never exploded doc pairs — the pair"
+    " count is Σ n_a·n_b, so a 100 TB corpus joins |shingles|-sized sides.",
+)
+def corpus_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pgcapture_spark.operators.textstats import with_shingles
+
+    register_views(spark, sf_dir, ("documents",))
+    sh = (
+        with_shingles(spark.table("documents"))
+        .where(F.size("shingles") > 0)
+        .select("doc_id", "source", F.explode(F.array_distinct("shingles")).alias("shingle"))
+    )
+    df_ok = (
+        sh.groupBy("shingle")
+        .agg(F.count("*").alias("_df"))
+        .where((F.col("_df") >= 2) & (F.col("_df") <= 64))
+        .select("shingle")
+    )
+    ss = (
+        sh.join(df_ok, "shingle")
+        .groupBy("shingle", "source")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    a, b = ss.alias("a"), ss.alias("b")
+    return (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.source") < F.col("b.source")))
+        .groupBy(F.col("a.source").alias("src_a"), F.col("b.source").alias("src_b"))
+        .agg(
+            F.count("*").cast("long").alias("n_shared_shingles"),
+            F.sum(F.col("a.n") * F.col("b.n")).cast("long").alias("n_doc_pairs"),
+        )
+    )

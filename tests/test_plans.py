@@ -501,3 +501,49 @@ def test_heavy_hitters_recount_broadcasts_candidates(spark):
     tree = plan_tree(spark, "agg_heavy_hitters")
     assert "BroadcastHashJoin" in tree and "LeftSemi" in tree
     assert "SortMergeJoin" not in tree
+
+
+def test_bloom_prefilter_probe_filters_before_join(spark):
+    """join_bloom_prefilter: the probe side must carry the k-bit-test filter
+    BELOW the join (pre-shuffle), the bitmap as a literal (no extra join or
+    shuffle to distribute it), and the exact join stays broadcast."""
+    tree = plan_tree(spark, "join_bloom_prefilter")
+    assert tree.count("BroadcastHashJoin") == 1
+    assert "SortMergeJoin" not in tree and "CartesianProduct" not in tree
+    plan = plan_str(spark, "join_bloom_prefilter")
+    # the bit tests are codegen'd xxhash64 probes in a Filter above the
+    # lineitem scan, inside the same stage (no exchange between them)
+    filt = next(
+        m.group(0)
+        for m in re.finditer(r"\(\d+\) Filter.*?(?=\n\(\d+\)|\Z)", plan, re.S)
+        if "xxhash64" in m.group(0)
+    )
+    assert filt.count("xxhash64") >= 4  # all k probes fused in one filter
+    li = next(s for s in scan_sections(plan) if "lineitem" in s)
+    read = re.search(r"ReadSchema: struct<([^>]*)>", li).group(1)
+    assert "l_quantity" not in read  # pruning survives the bloom filter
+
+
+def test_interpolate_windows_share_entity_partitioning(spark):
+    """ts_interpolate_linear: forward and backward windows must run over ONE
+    entity partitioning — no second exchange between the two Window nodes."""
+    tree = plan_tree(spark, "ts_interpolate_linear")
+    windows = [ln for ln in tree.split("\n") if "Window" in ln]
+    assert len(windows) >= 1
+    # slice the tree between the first and last Window node: no Exchange
+    first = tree.index(windows[0])
+    last = tree.index(windows[-1])
+    assert "Exchange" not in tree[first:last]
+
+
+def test_cross_source_overlap_joins_counts_not_docs(spark):
+    """corpus_cross_source_overlap: the self-join input is the per-(shingle,
+    source) COUNT aggregate (post-aggregation), never exploded doc rows, and
+    the df-cap filter runs before the join."""
+    tree = plan_tree(spark, "corpus_cross_source_overlap")
+    assert "CartesianProduct" not in tree
+    # pair aggregation sees an already-aggregated join: HashAggregate nodes
+    # for (shingle,source) counts appear below the final join in the tree
+    join_pos = tree.index("SortMergeJoin") if "SortMergeJoin" in tree else tree.index("Join")
+    below = tree[join_pos:]
+    assert "HashAggregate" in below
