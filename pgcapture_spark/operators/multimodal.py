@@ -321,3 +321,63 @@ def audio_window_energy(
             )
 
     return plan.mapInPandas(_proc, AUDIO_WINDOW_SCHEMA)
+
+
+# ------------------------------------------------------------ scene cuts
+
+SCENE_FRAME_SCHEMA = "media_id long, frame_ts_ms long, luma int"
+
+
+def scene_cuts(media: DataFrame, every_ms: int = 1000, threshold: int = 96) -> DataFrame:
+    """Video scene-cut detection over the sampled frame plan — the third
+    modality leg (image=resize, audio=window energy, video=THIS).
+
+    Same two-stage split as :func:`audio_window_energy`:
+
+    1. FRAME PLAN — :func:`frame_sample_plan` (pure Catalyst sequence +
+       explode): one row per (media_id, frame_ts_ms); distributes by frame,
+       so a 3-hour recording never serializes one task.
+    2. FRAME DECODE — Arrow-batched ``mapInPandas`` emitting one mean-luma
+       int per frame. The codec is STUBBED deterministically (luma = first
+       sha256(media_id:frame_ts) byte); swap in a real keyframe decoder
+       without touching the plan, the window, or the output contract.
+
+    Cuts = frames whose luma jumps >= ``threshold`` against the previous
+    sampled frame (lag window over the media key — ONE shuffle, the same
+    per-entity partitioning every time-series op here uses)."""
+    from pyspark.sql import Window as W
+
+    plan = frame_sample_plan(media, every_ms=every_ms)
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            lumas = [
+                hashlib.sha256(f"{m}:{t}".encode()).digest()[0]
+                for m, t in zip(pdf["media_id"], pdf["frame_ts_ms"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "frame_ts_ms": pdf["frame_ts_ms"],
+                    "luma": pd.array(lumas, dtype="int32"),
+                }
+            )
+
+    frames = plan.mapInPandas(_decode, SCENE_FRAME_SCHEMA)
+    w = W.partitionBy("media_id").orderBy("frame_ts_ms")
+    d = frames.select(
+        "media_id",
+        "frame_ts_ms",
+        "luma",
+        F.lag("luma").over(w).alias("prev_luma"),
+    )
+    return d.where(
+        F.col("prev_luma").isNotNull()
+        & (F.abs(F.col("luma") - F.col("prev_luma")) >= threshold)
+    ).select(
+        "media_id",
+        "frame_ts_ms",
+        "prev_luma",
+        "luma",
+        (F.col("luma") - F.col("prev_luma")).cast("int").alias("delta"),
+    )

@@ -246,3 +246,38 @@ def media_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_chars") * 8).cast("int").alias("meta_duration_ms"),
     )
     return audio_window_energy(m, win_ms=500, n_fake_samples=16)
+
+
+# ------------------------------------------------------------ scene cuts
+
+_DUCK_SCENE_CUTS = """
+WITH v AS (SELECT doc_id AS media_id, n_chars * 10 AS dur
+           FROM documents WHERE doc_id % 3 = 2),
+f AS (SELECT media_id, unnest(range(0, CAST(dur AS BIGINT), 1000)) AS frame_ts_ms
+      FROM v),
+l AS (SELECT media_id, frame_ts_ms,
+             ('0x' || substr(sha256(CAST(media_id AS VARCHAR) || ':' ||
+                             CAST(frame_ts_ms AS VARCHAR)), 1, 2))::INT AS luma
+      FROM f),
+d AS (SELECT media_id, frame_ts_ms, luma,
+             lag(luma) OVER (PARTITION BY media_id ORDER BY frame_ts_ms) AS prev_luma
+      FROM l)
+SELECT media_id, CAST(frame_ts_ms AS BIGINT) AS frame_ts_ms,
+       CAST(prev_luma AS INT) AS prev_luma, CAST(luma AS INT) AS luma,
+       CAST(luma - prev_luma AS INT) AS delta
+FROM d WHERE prev_luma IS NOT NULL AND abs(luma - prev_luma) >= 96
+"""
+
+
+@q(
+    "media_scene_cuts",
+    _DUCK_SCENE_CUTS,
+    "North-star: the video leg of the multimodal contract — scene-cut"
+    " detection over the sampled frame plan (Catalyst sequence+explode work"
+    " list, Arrow-batched mapInPandas stub keyframe decode, lag window on"
+    " the media key); cut = luma jump >= 96 between adjacent sampled frames.",
+)
+def media_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pgcapture_spark.operators.multimodal import scene_cuts
+
+    return scene_cuts(media_view(spark, sf_dir), every_ms=1000, threshold=96)

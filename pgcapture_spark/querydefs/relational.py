@@ -633,3 +633,50 @@ FROM c JOIN rt USING (from_type)
 def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir, ("events",))
     return spark.sql(_TRANSITIONS_SQL)
+
+
+# ------------------------------------------------------------- user growth
+
+# Exact running distinct users without any sketch: a user contributes to the
+# cumulative count exactly from their first-activity day, so cum_users(day) =
+# Σ n_new over days <= day. Heavy work is two user_id-keyed aggregates (the
+# min-day map reuses the partitioning); the running sum's single-partition
+# window is over the DAY spine — calendar-bounded (365 rows/year) regardless
+# of event volume, the same contract as cdc_compaction_plan's segment axis.
+_GROWTH_TPL = """
+WITH f AS (SELECT user_id, date_trunc('day', min(ts)) AS first_day
+           FROM events GROUP BY user_id),
+new_u AS (SELECT first_day AS day, CAST(count(*) AS BIGINT) AS n_new
+          FROM f GROUP BY 1),
+act AS (SELECT date_trunc('day', ts) AS day,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS n_active,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM events GROUP BY 1)
+SELECT a.day, a.n_events, a.n_active,
+       COALESCE(n.n_new, 0) AS n_new,
+       CAST(sum(COALESCE(n.n_new, 0)) OVER (ORDER BY a.day
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS cum_users
+FROM act a LEFT JOIN new_u n ON a.day = n.day
+"""
+
+_GROWTH_ORACLE = _GROWTH_TPL.replace(
+    "date_trunc('day', ts)", "CAST(date_trunc('day', ts) AS TIMESTAMP)"
+).replace(
+    "date_trunc('day', min(ts))", "CAST(date_trunc('day', min(ts)) AS TIMESTAMP)"
+)
+
+
+@q(
+    "events_cumulative_users",
+    _GROWTH_ORACLE,
+    "§2.7 relational: growth accounting — daily events, distinct actives,"
+    " first-time users, and the EXACT cumulative distinct-user count via the"
+    " first-seen-day identity (a user counts from their min-activity day, so"
+    " the running total is a prefix sum over new-user counts — no sketch, no"
+    " re-scan per day). The only global window runs over the calendar-bounded"
+    " day spine.",
+)
+def events_cumulative_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, ("events",))
+    return spark.sql(_GROWTH_TPL)

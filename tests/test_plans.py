@@ -547,3 +547,23 @@ def test_cross_source_overlap_joins_counts_not_docs(spark):
     join_pos = tree.index("SortMergeJoin") if "SortMergeJoin" in tree else tree.index("Join")
     below = tree[join_pos:]
     assert "HashAggregate" in below
+
+
+def test_scene_cuts_plan_is_explode_then_arrow_map_then_window(spark):
+    """media_scene_cuts: frame plan (explode) feeds ONE Arrow-batched python
+    map, then a single media-key window — no per-row python UDF, no extra
+    exchange between the map and the lag window beyond the media key."""
+    tree = plan_tree(spark, "media_scene_cuts")
+    assert "MapInPandas" in tree or "ArrowEvalPython" in tree
+    assert "BatchEvalPython" not in tree  # never row-at-a-time python
+    assert tree.count("Window") == 1
+    assert "Generate" in tree  # the sequence+explode frame plan
+
+
+def test_cumulative_users_single_partition_window_on_day_spine_only(spark):
+    """events_cumulative_users: the heavy aggregates are user/day keyed; the
+    single-partition running sum sits on the day spine (post-aggregation),
+    so exactly one SinglePartition exchange and it feeds the final window."""
+    plan = plan_str(spark, "events_cumulative_users")
+    assert plan.count("SinglePartition") == 1
+    assert plan_tree(spark, "events_cumulative_users").count("Window") == 1
