@@ -142,6 +142,13 @@ HEADLINE = [
     # continuous-ingest LSH dedup
     "media_audio_windows",
     "dedup_incremental_streamed",
+    # r3 ninth wave: bloom-prefilter join, linear-interp gapfill,
+    # cross-source contamination, scene cuts, growth accounting
+    "join_bloom_prefilter",
+    "ts_interpolate_linear",
+    "corpus_cross_source_overlap",
+    "media_scene_cuts",
+    "events_cumulative_users",
 ]
 
 

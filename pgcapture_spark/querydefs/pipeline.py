@@ -475,3 +475,95 @@ def dedup_incremental_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     query.awaitTermination(300)
     return spark.read.parquet(out_dir)
+
+
+# ------------------------------------------------------- keep-best dedup
+
+# Keep-BEST representative per near-dup cluster (vs the keep-first policy of
+# corpus_select_neardup / the streamed ingest dedup): the survivor is the
+# highest-quality member, quality quantized to integer millionths so the
+# cluster argmax is engine-exact. Real curation keeps the best copy, not the
+# first-crawled one.
+_DUCK_KEEPBEST = f"""
+WITH RECURSIVE
+pairs AS ({{pairs}}),
+edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+          UNION ALL
+          SELECT b_id AS src, a_id AS dst FROM pairs),
+cc(node, lbl) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.dst, c.lbl FROM cc c JOIN edges e ON e.src = c.node
+),
+comp AS (SELECT node AS doc_id, min(lbl) AS canonical_id FROM cc GROUP BY node),
+qs AS (SELECT doc_id, CAST(floor(quality * 1000000 + 0.5) AS BIGINT)
+         AS score_micro
+       FROM ({{quality}})),
+j AS (SELECT c.doc_id, c.canonical_id, qs.score_micro
+      FROM comp c JOIN qs USING (doc_id)),
+r AS (SELECT *,
+             row_number() OVER (PARTITION BY canonical_id
+                                ORDER BY score_micro DESC, doc_id) AS rn,
+             count(*) OVER (PARTITION BY canonical_id) AS cluster_size
+      FROM j)
+SELECT canonical_id, doc_id AS kept_doc_id, score_micro AS best_score_micro,
+       CAST(cluster_size AS BIGINT) AS cluster_size,
+       CAST(cluster_size - 1 AS BIGINT) AS n_dropped
+FROM r WHERE rn = 1
+"""
+
+
+def _duck_keepbest_sql() -> str:
+    from pgcapture_spark.querydefs.textops import _DUCK_QUALITY
+
+    return _DUCK_KEEPBEST.format(pairs=_duck_minhash_sql(), quality=_DUCK_QUALITY)
+
+
+@q(
+    "corpus_dedup_keepbest",
+    None,  # set below once textops is importable (module import cycle)
+    "North-star curation policy: keep-BEST-quality per near-dup cluster —"
+    " MinHash+LSH pairs → connected components → per-cluster argmax of the"
+    " composite quality score (integer millionths, doc_id tie-break)."
+    " Cluster argmax is ONE canonical_id-keyed window over the component"
+    " map; singleton clusters pass through with n_dropped = 0.",
+)
+def corpus_dedup_keepbest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from pgcapture_spark.operators.dedup import connected_components, minhash_lsh_pairs
+    from pgcapture_spark.operators.textstats import quality_score
+
+    register_views(spark, sf_dir, ("documents",))
+    docs = spark.table("documents")
+    pairs = minhash_lsh_pairs(docs, threshold=0.1).select("a_id", "b_id")
+    comp = connected_components(docs.select("doc_id"), pairs)
+    scored = quality_score(docs).select(
+        "doc_id",
+        F.expr("CAST(floor(quality * 1000000 + 0.5) AS BIGINT)").alias("score_micro"),
+    )
+    j = comp.join(scored, "doc_id")
+    w = W.partitionBy("canonical_id")
+    r = j.select(
+        "*",
+        F.row_number()
+        .over(w.orderBy(F.col("score_micro").desc(), F.col("doc_id")))
+        .alias("rn"),
+        F.count("*").over(w).alias("cluster_size"),
+    )
+    return r.where(F.col("rn") == 1).select(
+        "canonical_id",
+        F.col("doc_id").alias("kept_doc_id"),
+        F.col("score_micro").alias("best_score_micro"),
+        F.col("cluster_size").cast("long").alias("cluster_size"),
+        (F.col("cluster_size") - 1).cast("long").alias("n_dropped"),
+    )
+
+
+def _set_keepbest_oracle() -> None:
+    from pgcapture_spark.queries import REGISTRY
+
+    REGISTRY["corpus_dedup_keepbest"].oracle = _duck_keepbest_sql()
+
+
+_set_keepbest_oracle()
