@@ -149,6 +149,8 @@ HEADLINE = [
     "corpus_cross_source_overlap",
     "media_scene_cuts",
     "events_cumulative_users",
+    "corpus_dedup_keepbest",
+    "sim_dim_standardize",
 ]
 
 

@@ -1053,3 +1053,88 @@ def sim_mips_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir, ("embeddings",))
     return mips_topk(spark.table("embeddings"), "vec_id % 50 = 0", k=5)
+
+
+# --------------------------------------------- per-dimension standardization
+
+# Feature standardization (z-score per embedding dimension) with ENGINE-EXACT
+# statistics: elements are quantized to integer micro-units first, so the
+# per-dim sums are exact bigints (order-independent across any shuffle), and
+# the z doubles come from one mirrored expression tree. The per-dim stats
+# table is D rows (embedding width, data-size-independent) gathered into one
+# broadcastable array row; normalization is then per-row, zero additional
+# shuffle. At extreme scale the xq² sums approach bigint range before
+# anything else does (n·(4e6)² per dim) — switch the ss accumulator to
+# DECIMAL(38,0) past ~1e5 rows per the docstring contract.
+_STD_SPARK = """
+WITH e AS (SELECT vec_id,
+                  transform(embedding,
+                    x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS xq
+           FROM embeddings),
+d AS (SELECT vec_id, dim, x FROM e LATERAL VIEW posexplode(xq) t AS dim, x),
+st AS (SELECT dim, CAST(count(*) AS BIGINT) AS n, sum(x) AS s, sum(x * x) AS ss
+       FROM d GROUP BY dim),
+arr AS (SELECT transform(array_sort(collect_list(struct(dim, s))), y -> y.s) AS s_arr,
+               transform(array_sort(collect_list(struct(dim, ss))), y -> y.ss) AS ss_arr,
+               max(n) AS n
+        FROM st),
+z AS (SELECT vec_id,
+             transform(sequence(1, size(xq)), i ->
+               (CAST(element_at(xq, i) AS DOUBLE)
+                  - CAST(element_at(arr.s_arr, i) AS DOUBLE) / arr.n)
+               / sqrt(greatest(
+                   (CAST(arr.n AS DOUBLE) * element_at(arr.ss_arr, i)
+                      - CAST(element_at(arr.s_arr, i) AS DOUBLE)
+                        * element_at(arr.s_arr, i))
+                   / (CAST(arr.n AS DOUBLE) * arr.n), 1e-30))) AS zv
+      FROM e CROSS JOIN arr)
+SELECT vec_id,
+       floor(sqrt(aggregate(zv, CAST(0.0 AS DOUBLE), (a, x) -> a + x * x))
+             * 1000000 + 0.5) / 1000000 AS z_l2_q,
+       floor(aggregate(zv, CAST(0.0 AS DOUBLE), (a, x) -> greatest(a, abs(x)))
+             * 1000000 + 0.5) / 1000000 AS max_abs_z_q
+FROM z
+"""
+
+_STD_DUCK = """
+WITH e AS (SELECT vec_id,
+                  list_transform(embedding,
+                    x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS xq
+           FROM embeddings),
+d AS (SELECT vec_id, unnest(range(1, len(xq) + 1)) AS dim, unnest(xq) AS x FROM e),
+st AS (SELECT dim, CAST(count(*) AS BIGINT) AS n, sum(x) AS s, sum(x * x) AS ss
+       FROM d GROUP BY dim),
+arr AS (SELECT list(s ORDER BY dim) AS s_arr, list(ss ORDER BY dim) AS ss_arr,
+               max(n) AS n
+        FROM st),
+z AS (SELECT vec_id,
+             list_transform(range(1, len(xq) + 1), i ->
+               (CAST(xq[i] AS DOUBLE) - CAST(arr.s_arr[i] AS DOUBLE) / arr.n)
+               / sqrt(greatest(
+                   (CAST(arr.n AS DOUBLE) * arr.ss_arr[i]
+                      - CAST(arr.s_arr[i] AS DOUBLE) * arr.s_arr[i])
+                   / (CAST(arr.n AS DOUBLE) * arr.n), 1e-30))) AS zv
+      FROM e CROSS JOIN arr)
+SELECT vec_id,
+       floor(sqrt(CAST(list_reduce(list_transform(zv, x -> x * x),
+                                   (a, b) -> a + b) AS DOUBLE))
+             * 1000000 + 0.5) / 1000000 AS z_l2_q,
+       floor(list_reduce(list_transform(zv, x -> abs(x)),
+                         (a, b) -> greatest(a, b))
+             * 1000000 + 0.5) / 1000000 AS max_abs_z_q
+FROM z
+"""
+
+
+@q(
+    "sim_dim_standardize",
+    _STD_DUCK,
+    "North-star: per-dimension z-score standardization of the embedding"
+    " corpus — exact integer-microunit sums per dim (order-independent under"
+    " any shuffle), the D-row stats table gathered into ONE broadcast array"
+    " row, per-row normalization with a mirrored IEEE expression tree;"
+    " reports per-vector standardized L2 and max |z| quantized 1e-6.",
+)
+def sim_dim_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, ("embeddings",))
+    return spark.sql(_STD_SPARK)
