@@ -529,8 +529,6 @@ def _duck_keepbest_sql() -> str:
     " map; singleton clusters pass through with n_dropped = 0.",
 )
 def corpus_dedup_keepbest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window as W
-
     from pgcapture_spark.operators.dedup import connected_components, minhash_lsh_pairs
     from pgcapture_spark.operators.textstats import quality_score
 
@@ -543,19 +541,20 @@ def corpus_dedup_keepbest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(floor(quality * 1000000 + 0.5) AS BIGINT)").alias("score_micro"),
     )
     j = comp.join(scored, "doc_id")
-    w = W.partitionBy("canonical_id")
-    r = j.select(
-        "*",
-        F.row_number()
-        .over(w.orderBy(F.col("score_micro").desc(), F.col("doc_id")))
-        .alias("rn"),
-        F.count("*").over(w).alias("cluster_size"),
+    # cluster argmax as ONE aggregation (max_by over a (score, -doc_id)
+    # ordering struct) — map-side partial combine, no per-cluster sort; a
+    # window-rank formulation would shuffle AND sort every row
+    r = j.groupBy("canonical_id").agg(
+        F.expr(
+            "max_by(struct(doc_id, score_micro), struct(score_micro, -doc_id))"
+        ).alias("best"),
+        F.count("*").cast("long").alias("cluster_size"),
     )
-    return r.where(F.col("rn") == 1).select(
+    return r.select(
         "canonical_id",
-        F.col("doc_id").alias("kept_doc_id"),
-        F.col("score_micro").alias("best_score_micro"),
-        F.col("cluster_size").cast("long").alias("cluster_size"),
+        F.col("best.doc_id").alias("kept_doc_id"),
+        F.col("best.score_micro").alias("best_score_micro"),
+        "cluster_size",
         (F.col("cluster_size") - 1).cast("long").alias("n_dropped"),
     )
 

@@ -569,12 +569,10 @@ def test_cumulative_users_single_partition_window_on_day_spine_only(spark):
     assert plan_tree(spark, "events_cumulative_users").count("Window") == 1
 
 
-def test_keepbest_single_cluster_window(spark):
-    """corpus_dedup_keepbest: rank + size share ONE canonical_id window
-    partitioning (no second exchange between the two window functions), and
-    candidate generation stays bucket-joined (no cartesian)."""
+def test_keepbest_cluster_argmax_is_one_aggregation(spark):
+    """corpus_dedup_keepbest: the per-cluster argmax is a max_by aggregation
+    (map-side partial combine), NEVER a window rank that would sort every
+    row; candidate generation stays bucket-joined (no cartesian)."""
     tree = plan_tree(spark, "corpus_dedup_keepbest")
     assert "CartesianProduct" not in tree
-    windows = [ln for ln in tree.split("\n") if "Window" in ln]
-    first, last = tree.index(windows[0]), tree.index(windows[-1])
-    assert "Exchange" not in tree[first:last]
+    assert "Window" not in tree
