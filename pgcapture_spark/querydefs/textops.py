@@ -1526,17 +1526,24 @@ def corpus_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.size("shingles") > 0)
         .select("doc_id", "source", F.explode(F.array_distinct("shingles")).alias("shingle"))
     )
+    # aggregate ONCE to (shingle, source) counts; df per shingle is then the
+    # sum over sources of those counts. The counts table is consumed three
+    # times (df branch + both sides of the pair self-join), so it is
+    # persisted — post-aggregation it is bounded by distinct shingles x
+    # sources, never corpus rows; without it the tokenize+explode lineage
+    # runs four times.
+    ss0 = (
+        sh.groupBy("shingle", "source")
+        .agg(F.count("*").cast("long").alias("n"))
+        .persist()
+    )
     df_ok = (
-        sh.groupBy("shingle")
-        .agg(F.count("*").alias("_df"))
+        ss0.groupBy("shingle")
+        .agg(F.sum("n").alias("_df"))
         .where((F.col("_df") >= 2) & (F.col("_df") <= 64))
         .select("shingle")
     )
-    ss = (
-        sh.join(df_ok, "shingle")
-        .groupBy("shingle", "source")
-        .agg(F.count("*").cast("long").alias("n"))
-    )
+    ss = ss0.join(df_ok, "shingle")
     a, b = ss.alias("a"), ss.alias("b")
     return (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.source") < F.col("b.source")))
