@@ -151,6 +151,7 @@ HEADLINE = [
     "events_cumulative_users",
     "corpus_dedup_keepbest",
     "sim_dim_standardize",
+    "text_oov_rate",
 ]
 
 

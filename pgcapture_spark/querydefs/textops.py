@@ -1553,3 +1553,60 @@ def corpus_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("a.n") * F.col("b.n")).cast("long").alias("n_doc_pairs"),
         )
     )
+
+
+# ------------------------------------------------------- vocabulary coverage
+
+_OOV_VOCAB_N = 256
+
+# deterministic vocab: top-N tokens by (global count DESC, token ASC). The
+# vocab is a CONSTANT-N table — broadcast to the per-token membership join;
+# the per-doc rate then folds in the doc_id aggregate. rank (not row_number)
+# would admit >N on count ties, so the tie-break is part of the contract.
+_DUCK_OOV = f"""
+WITH tok AS (SELECT doc_id, unnest({_DUCK_TOKENS}) AS token FROM documents),
+cnt AS (SELECT token, count(*) AS c FROM tok GROUP BY token),
+vocab AS (SELECT token FROM cnt
+          ORDER BY c DESC, token ASC LIMIT {_OOV_VOCAB_N}),
+tagged AS (SELECT t.doc_id,
+                  CASE WHEN v.token IS NULL THEN 1 ELSE 0 END AS is_oov
+           FROM tok t LEFT JOIN vocab v ON t.token = v.token)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(is_oov) AS BIGINT) AS n_oov,
+       floor(CAST(sum(is_oov) AS DOUBLE) / count(*) * 1000000 + 0.5)
+         / 1000000 AS oov_rate_q
+FROM tagged GROUP BY doc_id
+"""
+
+
+@q(
+    "text_oov_rate",
+    _DUCK_OOV,
+    "North-star tokenizer diagnostics: per-document out-of-vocabulary rate"
+    " against a corpus-derived top-256 vocab (count DESC, token ASC"
+    " tie-break) — the vocab is constant-N so membership is a broadcast"
+    " join; token counts and the per-doc fold are the only shuffles. The"
+    " coverage signal that sizes a tokenizer's vocab before training.",
+)
+def text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pgcapture_spark.operators.textstats import token_rows
+
+    register_views(spark, sf_dir, ("documents",))
+    tok = token_rows(spark.table("documents"))
+    vocab = (
+        tok.groupBy("token")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.col("c").desc(), F.col("token").asc())
+        .limit(_OOV_VOCAB_N)
+        .select("token")
+    )
+    tagged = tok.join(F.broadcast(vocab.withColumn("_v", F.lit(1))), "token", "left")
+    return tagged.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_tokens"),
+        F.sum(F.when(F.col("_v").isNull(), 1).otherwise(0)).cast("long").alias("n_oov"),
+        F.expr(
+            "floor(CAST(sum(CASE WHEN _v IS NULL THEN 1 ELSE 0 END) AS DOUBLE)"
+            " / count(*) * 1000000 + 0.5) / 1000000"
+        ).alias("oov_rate_q"),
+    )
