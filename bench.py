@@ -152,6 +152,7 @@ HEADLINE = [
     "corpus_dedup_keepbest",
     "sim_dim_standardize",
     "text_oov_rate",
+    "sim_centroid_outliers",
 ]
 
 

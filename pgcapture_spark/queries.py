@@ -114,7 +114,8 @@ from pgcapture_spark.querydefs import (  # noqa: E402,F401
 # sim_ivfpq_ann, corpus_dsir_weights, cdc_apply_from_proto, cdc_apply_proto_streamed, cdc_checkpoint_keys, ts_ewma, cdc_apply_proto_multi_streamed, cdc_apply_from_proto_text, corpus_domain_cap, cdc_apply_pgoutput_streamed, ...)
 # and the r3 ninth wave (join_bloom_prefilter, ts_interpolate_linear,
 # corpus_cross_source_overlap, media_scene_cuts, events_cumulative_users,
-# corpus_dedup_keepbest, sim_dim_standardize, text_oov_rate)
+# corpus_dedup_keepbest, sim_dim_standardize, text_oov_rate,
+# sim_centroid_outliers)
 # and the r3 fourth wave (dedup_substring, text_nb_quality, ts_resample_ohlc,
 # ts_rolling_zscore, ts_ohlc_streamed, text_bigram_surprisal, events_funnel,
 # events_retention_cohorts, media_neardup_phash,

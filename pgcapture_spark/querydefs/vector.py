@@ -1138,3 +1138,81 @@ FROM z
 def sim_dim_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir, ("embeddings",))
     return spark.sql(_STD_SPARK)
+
+
+# --------------------------------------------- per-label centroid outliers
+
+# Embedding-quality audit: distance of every vector to its LABEL centroid,
+# top-5 farthest per label = the mislabeled/corrupt candidates a curation
+# pass reviews. Centroids come from exact integer micro-unit sums (the
+# sim_dim_standardize contract — order-independent under any shuffle); the
+# per-vector distance is one mirrored IEEE fold over the label's centroid
+# array (labels are bounded, so the centroid table broadcasts); ranking ties
+# break by vec_id. Distances stay in integer micro-units.
+_CO_DIST = (
+    "(CAST(element_at(xq, i) AS DOUBLE)"
+    " - CAST(element_at(c.s_arr, i) AS DOUBLE) / c.n)"
+)
+_CO_SPARK = f"""
+WITH e AS (SELECT vec_id, label,
+                  transform(embedding,
+                    x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS xq
+           FROM embeddings),
+d AS (SELECT label, dim, x FROM e LATERAL VIEW posexplode(xq) t AS dim, x),
+st AS (SELECT label, dim, CAST(count(*) AS BIGINT) AS n, sum(x) AS s
+       FROM d GROUP BY label, dim),
+c AS (SELECT label, transform(array_sort(collect_list(struct(dim, s))), y -> y.s) AS s_arr,
+             max(n) AS n
+      FROM st GROUP BY label),
+z AS (SELECT vec_id, e.label,
+             sqrt(aggregate(transform(sequence(1, size(xq)),
+                                      i -> {_CO_DIST} * {_CO_DIST}),
+                            CAST(0.0 AS DOUBLE), (a, v) -> a + v)) AS dist
+      FROM e JOIN c ON e.label = c.label),
+r AS (SELECT label, vec_id, dist,
+             row_number() OVER (PARTITION BY label
+                                ORDER BY dist DESC, vec_id) AS rn
+      FROM z)
+SELECT label, vec_id, CAST(floor(dist + 0.5) AS BIGINT) AS dist_micro,
+       CAST(rn AS INT) AS rn
+FROM r WHERE rn <= 5
+"""
+
+_CO_DIST_DUCK = "(CAST(xq[i] AS DOUBLE) - CAST(c.s_arr[i] AS DOUBLE) / c.n)"
+_CO_DUCK = f"""
+WITH e AS (SELECT vec_id, label,
+                  list_transform(embedding,
+                    x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS xq
+           FROM embeddings),
+d AS (SELECT label, unnest(range(1, len(xq) + 1)) AS dim, unnest(xq) AS x FROM e),
+st AS (SELECT label, dim, CAST(count(*) AS BIGINT) AS n, sum(x) AS s
+       FROM d GROUP BY label, dim),
+c AS (SELECT label, list(s ORDER BY dim) AS s_arr, max(n) AS n
+      FROM st GROUP BY label),
+z AS (SELECT vec_id, e.label,
+             sqrt(CAST(list_reduce(list_transform(range(1, len(xq) + 1),
+                                     i -> {_CO_DIST_DUCK} * {_CO_DIST_DUCK}),
+                                   (a, b) -> a + b) AS DOUBLE)) AS dist
+      FROM e JOIN c ON e.label = c.label),
+r AS (SELECT label, vec_id, dist,
+             row_number() OVER (PARTITION BY label
+                                ORDER BY dist DESC, vec_id) AS rn
+      FROM z)
+SELECT label, vec_id, CAST(floor(dist + 0.5) AS BIGINT) AS dist_micro,
+       CAST(rn AS INT) AS rn
+FROM r WHERE rn <= 5
+"""
+
+
+@q(
+    "sim_centroid_outliers",
+    _CO_DUCK,
+    "North-star embedding-quality audit: top-5 farthest vectors from their"
+    " label centroid — exact integer micro-unit centroid sums (shuffle-order"
+    " independent), centroid table broadcast (labels bounded), one mirrored"
+    " IEEE distance fold per vector, per-label rank with vec_id tie-break;"
+    " the mislabeled/corrupt-embedding review queue.",
+)
+def sim_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, ("embeddings",))
+    return spark.sql(_CO_SPARK)
