@@ -576,3 +576,33 @@ def test_keepbest_cluster_argmax_is_one_aggregation(spark):
     tree = plan_tree(spark, "corpus_dedup_keepbest")
     assert "CartesianProduct" not in tree
     assert "Window" not in tree
+
+
+def test_standardize_stats_gather_is_broadcast_single_row(spark):
+    """sim_dim_standardize: the per-dim stats gather into ONE row that joins
+    back by broadcast (nested-loop over a single row, never a shuffled
+    cross); exactly one posexplode Generate feeds the stats aggregate."""
+    tree = plan_tree(spark, "sim_dim_standardize")
+    assert tree.count("Generate") == 1
+    assert "CartesianProduct" not in tree
+    assert "SortMergeJoin" not in tree
+
+
+def test_oov_vocab_is_topk_then_broadcast(spark):
+    """text_oov_rate: the top-256 vocab comes from TakeOrderedAndProject
+    (per-partition heap, never a global sort) and membership is a broadcast
+    join against the constant-N vocab."""
+    tree = plan_tree(spark, "text_oov_rate")
+    assert "TakeOrderedAndProject" in tree
+    assert "BroadcastHashJoin" in tree
+    assert "SortMergeJoin" not in tree
+
+
+def test_centroid_outliers_broadcast_centroids_one_window(spark):
+    """sim_centroid_outliers: the bounded centroid table broadcasts to the
+    per-vector distance join; per-label ranking is one window; candidate
+    generation never goes cartesian."""
+    tree = plan_tree(spark, "sim_centroid_outliers")
+    assert "BroadcastHashJoin" in tree
+    assert tree.count("Window") == 1 or "WindowGroupLimit" in tree
+    assert "CartesianProduct" not in tree
