@@ -12,8 +12,10 @@ from pyspark.sql import functions as F
 
 from pgcapture_spark.fixtures.cdc_feed import (
     DUCKDB,
+    SPARK,
     cdc_customer_sql,
     cdc_lineitem_sql,
+    cdc_orders_sql,
     metrics_feed_sql,
 )
 from pgcapture_spark.functions.pgtypes import pg_decode_udf
@@ -894,3 +896,43 @@ def cdc_apply_from_proto_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         generic, cols, old_key=("old_c_custkey", "c_custkey", 20), fused=True, text=True
     ).withColumn("c_custkey", F.coalesce(F.col("c_custkey"), F.col("old_c_custkey")))
     return cdc_apply(spark.table("customer"), decoded, "c_custkey", CDC_COLS["customer"])
+
+
+# ------------------------------------------------------- tx framing stats
+
+def _tx_stats_sql(feed_sql: str) -> str:
+    """Shared (Spark == DuckDB) tx-framing report over a rendered feed."""
+    return f"""
+WITH f AS ({feed_sql}),
+tx AS (SELECT lsn,
+              CAST(count(*) AS BIGINT) AS n_changes,
+              CAST(sum(CASE WHEN op = 'INSERT' THEN 1 ELSE 0 END) AS BIGINT) AS n_ins,
+              CAST(sum(CASE WHEN op = 'UPDATE' THEN 1 ELSE 0 END) AS BIGINT) AS n_upd,
+              CAST(sum(CASE WHEN op = 'DELETE' THEN 1 ELSE 0 END) AS BIGINT) AS n_del,
+              CAST(max(seq) AS BIGINT) AS max_seq,
+              CAST(min(seq) AS BIGINT) AS min_seq
+       FROM f GROUP BY lsn)
+SELECT n_changes AS tx_size,
+       CAST(count(*) AS BIGINT) AS n_txs,
+       CAST(sum(n_ins) AS BIGINT) AS n_inserts,
+       CAST(sum(n_upd) AS BIGINT) AS n_updates,
+       CAST(sum(n_del) AS BIGINT) AS n_deletes,
+       CAST(sum(CASE WHEN min_seq = 1 AND max_seq = n_changes
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_gapless
+FROM tx GROUP BY n_changes
+"""
+
+
+@q(
+    "cdc_tx_stats",
+    _tx_stats_sql(cdc_orders_sql(DUCKDB)),
+    "A5 telemetry: the transaction-framing report — changes grouped back"
+    " into their Begin/Commit transactions by lsn (the reference's pending-tx"
+    " assembly, pkg/source/postgres.go:165-248, as ONE aggregation with"
+    " map-side combine), then the tx-size histogram with op mix and a"
+    " seq-gaplessness check (min_seq = 1 AND max_seq = size — the invariant"
+    " the (lsn, seq) total order rests on).",
+)
+def cdc_tx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, ("orders",))
+    return spark.sql(_tx_stats_sql(cdc_orders_sql(SPARK)))
