@@ -153,6 +153,8 @@ HEADLINE = [
     "sim_dim_standardize",
     "text_oov_rate",
     "sim_centroid_outliers",
+    "cdc_tx_stats",
+    "text_zipf_slope",
 ]
 
 

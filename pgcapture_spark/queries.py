@@ -115,7 +115,7 @@ from pgcapture_spark.querydefs import (  # noqa: E402,F401
 # and the r3 ninth wave (join_bloom_prefilter, ts_interpolate_linear,
 # corpus_cross_source_overlap, media_scene_cuts, events_cumulative_users,
 # corpus_dedup_keepbest, sim_dim_standardize, text_oov_rate,
-# sim_centroid_outliers)
+# sim_centroid_outliers, cdc_tx_stats, text_zipf_slope)
 # and the r3 fourth wave (dedup_substring, text_nb_quality, ts_resample_ohlc,
 # ts_rolling_zscore, ts_ohlc_streamed, text_bigram_surprisal, events_funnel,
 # events_retention_cohorts, media_neardup_phash,

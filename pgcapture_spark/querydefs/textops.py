@@ -1610,3 +1610,84 @@ def text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             " / count(*) * 1000000 + 0.5) / 1000000"
         ).alias("oov_rate_q"),
     )
+
+
+# ------------------------------------------------------------ Zipf slope
+
+_ZIPF_TOP_N = 1000
+
+# Least-squares fit of ln(freq) against ln(rank) over the top-N tokens — the
+# corpus-health diagnostic (natural text tracks slope ~ -1; synthetic or
+# boilerplate-heavy corpora drift off). Token counts are exact ints; the
+# top-N table is CONSTANT-N (rank ties broken by token, same contract as
+# text_oov_rate's vocab); the regression sums fold over ONE rank-ordered
+# array in a single row, so the double accumulation order is identical in
+# both engines (the 1000-element collect is bounded, like the IVF centroid
+# gather).
+_DUCK_ZIPF = f"""
+WITH tok AS (SELECT unnest({_DUCK_TOKENS}) AS token FROM documents),
+cnt AS (SELECT token, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY token),
+top0 AS (SELECT token, c FROM cnt ORDER BY c DESC, token ASC LIMIT {_ZIPF_TOP_N}),
+top AS (SELECT c, row_number() OVER (ORDER BY c DESC, token ASC) AS r FROM top0),
+arr AS (SELECT list(ln(CAST(r AS DOUBLE)) ORDER BY r) AS xs,
+               list(ln(CAST(c AS DOUBLE)) ORDER BY r) AS ys,
+               CAST(count(*) AS BIGINT) AS n
+        FROM top),
+s AS (SELECT n,
+             list_reduce(xs, (a, b) -> a + b) AS sx,
+             list_reduce(ys, (a, b) -> a + b) AS sy,
+             list_reduce(list_transform(xs, x -> x * x), (a, b) -> a + b) AS sxx,
+             list_reduce(list_transform(range(1, len(xs) + 1),
+                                        i -> xs[i] * ys[i]), (a, b) -> a + b) AS sxy
+      FROM arr)
+SELECT n,
+       floor((n * sxy - sx * sy) / (n * sxx - sx * sx) * 1000000 + 0.5)
+         / 1000000 AS slope_q,
+       floor((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n
+             * 1000000 + 0.5) / 1000000 AS intercept_q
+FROM s
+"""
+
+_SPARK_ZIPF = f"""
+WITH tok AS (SELECT explode({{tokens}}) AS token FROM documents),
+cnt AS (SELECT token, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY token),
+top0 AS (SELECT token, c FROM cnt ORDER BY c DESC, token ASC LIMIT {_ZIPF_TOP_N}),
+top AS (SELECT c, row_number() OVER (ORDER BY c DESC, token ASC) AS r FROM top0),
+arr AS (SELECT transform(array_sort(collect_list(struct(r, CAST(r AS DOUBLE) AS rd, CAST(c AS DOUBLE) AS cd))),
+                         y -> ln(y.rd)) AS xs,
+               transform(array_sort(collect_list(struct(r, CAST(r AS DOUBLE) AS rd, CAST(c AS DOUBLE) AS cd))),
+                         y -> ln(y.cd)) AS ys,
+               CAST(count(*) AS BIGINT) AS n
+        FROM top),
+s AS (SELECT n,
+             aggregate(xs, CAST(0.0 AS DOUBLE), (a, b) -> a + b) AS sx,
+             aggregate(ys, CAST(0.0 AS DOUBLE), (a, b) -> a + b) AS sy,
+             aggregate(transform(xs, x -> x * x), CAST(0.0 AS DOUBLE),
+                       (a, b) -> a + b) AS sxx,
+             aggregate(zip_with(xs, ys, (x, y) -> x * y), CAST(0.0 AS DOUBLE),
+                       (a, b) -> a + b) AS sxy
+      FROM arr)
+SELECT n,
+       floor((n * sxy - sx * sy) / (n * sxx - sx * sx) * 1000000 + 0.5)
+         / 1000000 AS slope_q,
+       floor((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n
+             * 1000000 + 0.5) / 1000000 AS intercept_q
+FROM s
+"""
+
+
+@q(
+    "text_zipf_slope",
+    _DUCK_ZIPF,
+    "North-star corpus-health diagnostic: least-squares Zipf slope of"
+    " ln(freq) vs ln(rank) over the top-1000 tokens (count DESC, token"
+    " tie-break) — natural text sits near -1, synthetic/boilerplate corpora"
+    " drift. Exact integer counts; the regression folds over ONE bounded"
+    " rank-ordered array so the double accumulation order matches across"
+    " engines.",
+)
+def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pgcapture_spark.operators.textstats import TOKENS_EXPR
+
+    register_views(spark, sf_dir, ("documents",))
+    return spark.sql(_SPARK_ZIPF.format(tokens=TOKENS_EXPR))
