@@ -114,8 +114,15 @@ def bloom_prefilter_join(
 
     Row-identical to ``probe.join(build, key, how)`` for inner/semi joins:
     bloom false positives are removed by the exact join; true matches always
-    test positive (no false negatives by construction).
+    test positive (no false negatives by construction). Any other join type
+    (left/full/anti) is NOT result-preserving under a probe-side prefilter —
+    probe rows failing the bloom test would silently vanish — so it errors.
     """
+    if how.replace("_", "").lower() not in {"inner", "semi", "leftsemi"}:
+        raise ValueError(
+            f"bloom_prefilter_join: how={how!r} is not result-preserving under "
+            "a probe-side bloom prefilter; use 'inner' or 'left_semi'"
+        )
     bloom = bloom_build(build, key, m_bits)
     return bloom_probe_filter(probe, key, bloom, m_bits).join(
         F.broadcast(build), on=key, how=how

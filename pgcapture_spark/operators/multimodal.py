@@ -280,7 +280,9 @@ def audio_window_energy(
 
     plan = (
         media.where(F.col("modality") == "audio")
-        .where(F.col("meta_duration_ms").isNotNull())
+        # meta_duration_ms = 0 would make sequence(0, -1, win) raise; empty
+        # media must degrade to zero windows like the SQL range() oracle
+        .where(F.col("meta_duration_ms").isNotNull() & (F.col("meta_duration_ms") > 0))
         .select(
             "media_id",
             F.posexplode(

@@ -616,6 +616,7 @@ def cdc_apply_pgoutput_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
         snapshot,
         CDC_COLS["customer"],
         f"{d}/ckpt",
+        table="customer",
     )
     query.awaitTermination(300)
     return state.read()

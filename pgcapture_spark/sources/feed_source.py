@@ -188,9 +188,26 @@ class _FeedBatchReader(DataSourceReader):
 
 
 class _StagedFile(WriterCommitMessage):
-    def __init__(self, path: str, rows: int):
+    def __init__(self, path: str, rows: int, xsum: int = 0):
         self.path = path
         self.rows = rows
+        self.xsum = xsum  # order-independent content checksum (mod 2**64 sum)
+
+
+def _content_xsum(batch) -> int:
+    """Order- and task-layout-independent content checksum of an Arrow batch:
+    per-row 64-bit hashes summed mod 2**64. Summation commutes across rows,
+    batches, files, and tasks, so any re-split of the same logical rows yields
+    the same value — while any content change moves it (the restarted-batchId
+    foreign-lineage case a bare row count cannot catch)."""
+    import pandas as pd
+
+    pdf = batch.to_pandas()
+    # hash_pandas_object needs hashable, string-encodable cells; stringify
+    # everything (binary columns repr deterministically) — this is a
+    # fingerprint, not a codec, so the exact encoding only has to be stable.
+    hashes = pd.util.hash_pandas_object(pdf.astype(str), index=False)
+    return int(hashes.astype("uint64").sum()) & 0xFFFFFFFFFFFFFFFF
 
 
 class _FeedStreamWriter(DataSourceStreamArrowWriter):
@@ -231,13 +248,15 @@ class _FeedStreamWriter(DataSourceStreamArrowWriter):
         import pyarrow.parquet as pq
 
         staged = os.path.join(self.path, ".staging", f"{uuid.uuid4().hex}.parquet")
-        writer, rows = None, 0
+        writer, rows, xsum = None, 0, 0
         try:
             for batch in iterator:
                 if writer is None:
                     writer = pq.ParquetWriter(staged, batch.schema)
                 writer.write_batch(batch)
                 rows += batch.num_rows
+                if batch.num_rows:
+                    xsum = (xsum + _content_xsum(batch)) & 0xFFFFFFFFFFFFFFFF
         finally:
             if writer is not None:
                 writer.close()
@@ -245,7 +264,7 @@ class _FeedStreamWriter(DataSourceStreamArrowWriter):
             if os.path.exists(staged):
                 os.remove(staged)
             return _StagedFile("", 0)
-        return _StagedFile(staged, rows)
+        return _StagedFile(staged, rows, xsum)
 
     def _marker(self, batch_id: int) -> str:
         return os.path.join(self.path, f"_commit_{batch_id:012d}")
@@ -258,10 +277,13 @@ class _FeedStreamWriter(DataSourceStreamArrowWriter):
         # after a crash may split the identical input into a different number
         # of tasks (different host cores / maxPartitionBytes), so per-file
         # row distributions would wedge a legitimate replay. Total row count
-        # is invariant under re-splitting but still catches the
-        # restarted-batchId foreign-lineage case (different content).
+        # plus an order-independent per-row-hash sum is invariant under any
+        # re-split of the same rows but moves on ANY content change — so a
+        # restarted-batchId foreign lineage is caught even when its row
+        # count happens to collide.
         total_rows = sum(m.rows for m in staged)
-        fingerprint = {"total_rows": total_rows}
+        total_xsum = sum(getattr(m, "xsum", 0) for m in staged) & 0xFFFFFFFFFFFFFFFF
+        fingerprint = {"total_rows": total_rows, "xsum": total_xsum}
         marker = self._marker(batchId)
         if os.path.exists(marker):
             with open(marker) as f:
@@ -277,6 +299,8 @@ class _FeedStreamWriter(DataSourceStreamArrowWriter):
             else:
                 rec_total = None
             same = rec_total is None or rec_total == total_rows
+            if same and "xsum" in recorded:  # content check when both sides have it
+                same = recorded["xsum"] == total_xsum
             if not same:
                 raise RuntimeError(
                     f"pgcapture_feed sink: batch {batchId} already committed to "

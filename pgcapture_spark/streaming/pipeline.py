@@ -373,6 +373,8 @@ def apply_pgoutput_stream(
     initial_snapshot: DataFrame,
     cols: list[str],
     checkpoint_dir: str,
+    table: str | None = None,
+    max_consecutive_skips: int = 3,
 ) -> StreamingQuery:
     """Streamed pgoutput consumer: micro-batches of RAW pgoutput frame bytes.
     The in-band Relation frame (first in log order) is learned and PERSISTED
@@ -383,12 +385,45 @@ def apply_pgoutput_stream(
     pgoutput tuple carries no names — position is meaning); presence model:
     'u' = absent TOAST, 'n' = present NULL. The identity key comes from the
     relation's flag bits, so NOTHING table-specific is hard-coded in the
-    consumer — schema, key, and types all arrive on the wire."""
+    consumer — schema, key, and types all arrive on the wire.
+
+    Relation selection: the registry keys relations by the R frame's
+    ``relname`` (the reference keys its registry by namespace/name + oid,
+    pkg/decode/pgoutput.go:33-65); pass ``table`` to pin the consumer to that
+    name. ``table=None`` falls back to unique-column-coverage selection (only
+    safe when at most one cached relation can cover ``cols``).
+
+    Undecodable batches are NOT silently dropped: the raw frames are parked
+    under ``{checkpoint_dir}/deadletter/batch_<id>`` before the checkpoint
+    advances, and after ``max_consecutive_skips`` consecutive parked batches
+    the stream fails loudly (the counter is driver-local and resets on
+    restart — a restart re-reads the log from the persisted snapshot state,
+    so nothing is lost either way)."""
+    import os as _os
+
     from pyspark.sql import functions as F
 
     from pgcapture_spark.functions.pgoutput import parse_frames_udf
     from pgcapture_spark.functions.pgtypes import MICROS_Y2K_SHIFT
     from pgcapture_spark.operators.generic_feed import decode_binary_feed
+
+    skip_streak = {"n": 0}
+
+    def _quarantine(batch_df: DataFrame, batch_id: int, why: str) -> None:
+        dead = _os.path.join(checkpoint_dir, "deadletter", f"batch_{batch_id:012d}")
+        batch_df.write.mode("overwrite").parquet(dead)
+        skip_streak["n"] += 1
+        _LOG.warning(
+            "apply_pgoutput_stream: %s; batch %d parked at %s (%d consecutive)",
+            why, batch_id, dead, skip_streak["n"],
+        )
+        if skip_streak["n"] >= max_consecutive_skips:
+            raise RuntimeError(
+                f"apply_pgoutput_stream: {skip_streak['n']} consecutive batches "
+                f"quarantined (last: {why}); raw frames are parked under "
+                f"{_os.path.join(checkpoint_dir, 'deadletter')} — refusing to "
+                "keep advancing the checkpoint past undecodable data."
+            )
 
     def _batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_id <= state.last_batch():
@@ -412,10 +447,16 @@ def apply_pgoutput_stream(
             rel_frames.withColumn("_rn", F.row_number().over(last_w))
             .where("_rn = 1")
             .select(F.col("f.rel_oid").alias("rel_oid"),
+                    F.col("f.rel_name").alias("rel_name"),
                     F.posexplode("f.rel_cols").alias("pos", "c"))
-            .select("rel_oid", "pos", "c.name", "c.oid", "c.flag")
+            .select("rel_oid", "rel_name", "pos", "c.name", "c.oid", "c.flag")
         )
         cache = rel_state.read()
+        if cache is not None and "rel_name" not in cache.columns:
+            # pre-rel_name cache from an older lineage: carry it forward with
+            # an unknown name (name-pinned selection will then quarantine
+            # rather than guess)
+            cache = cache.withColumn("rel_name", F.lit(None).cast("string"))
         if cache is None:
             cache = rels
         else:
@@ -429,25 +470,39 @@ def apply_pgoutput_stream(
         if batch_id > rel_state.last_batch():
             rel_state.commit(cache, batch_id)
         by_rel: dict[int, list] = {}
+        rel_names: dict[int, str | None] = {}
         for r in rel_state.read().collect():
             by_rel.setdefault(r["rel_oid"], []).append(
                 (r["pos"], r["name"], r["oid"], bool(r["flag"] & 1))
             )
+            rel_names[r["rel_oid"]] = r["rel_name"] if "rel_name" in r else None
         if not by_rel:
-            return  # nothing decodable before the first Relation frame
-        # single-table consumer: pick the relation covering the expected
-        # columns; quarantine (log + carry state forward) instead of crashing
-        # on foreign relations or unusable identities
+            if batch_df.where("ord <> -1").limit(1).count() > 0:
+                _quarantine(
+                    batch_df, batch_id,
+                    "row events arrived before any Relation frame",
+                )
+            return  # keyframe-only batch before the first Relation frame
+        # single-table consumer: key the registry by the R frame's relname
+        # (the reference keys by namespace/name + oid); among same-named
+        # relations the coverage check disambiguates dropped/recreated oids.
+        # table=None falls back to coverage-only selection.
         want = set(cols)
+        candidates = (
+            [oid for oid, nm in rel_names.items() if nm == table]
+            if table is not None
+            else list(by_rel)
+        )
         matches = [
-            oid for oid, lrn in by_rel.items()
-            if want <= {n for _, n, _, _ in lrn}
+            oid for oid in candidates
+            if want <= {n for _, n, _, _ in by_rel[oid]}
         ]
         if len(matches) != 1:
-            _LOG.warning(
-                "apply_pgoutput_stream: %d relations cover expected columns %r "
-                "(cached rel_oids %r); skipping batch %d",
-                len(matches), sorted(want), sorted(by_rel), batch_id,
+            _quarantine(
+                batch_df, batch_id,
+                f"{len(matches)} relations named {table!r} cover expected "
+                f"columns {sorted(want)!r} (cached relations "
+                f"{sorted((o, rel_names.get(o)) for o in by_rel)!r})",
             )
             return
         rel_oid = matches[0]
@@ -455,10 +510,10 @@ def apply_pgoutput_stream(
         field_oids = [(n, o) for _, n, o, _ in learned]
         key_fields = [(n, o) for _, n, o, is_key in learned if is_key]
         if len(key_fields) != 1:
-            _LOG.warning(
-                "apply_pgoutput_stream: relation %d has replica identity %r; "
-                "single-column keys only — skipping batch %d",
-                rel_oid, [n for n, _ in key_fields], batch_id,
+            _quarantine(
+                batch_df, batch_id,
+                f"relation {rel_oid} has replica identity "
+                f"{[n for n, _ in key_fields]!r}; single-column keys only",
             )
             return
         [(key, key_oid)] = key_fields
@@ -515,6 +570,7 @@ def apply_pgoutput_stream(
             if current is None:
                 current = initial_snapshot
             state.commit(cdc_apply(current, decoded, key, cols), batch_id)
+            skip_streak["n"] = 0
         finally:
             parsed.unpersist()
 

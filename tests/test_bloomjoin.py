@@ -50,3 +50,16 @@ def test_semi_join_form(spark):
     semi = bloom_prefilter_join(probe, build, "k", M, how="left_semi")
     assert {r["k"] for r in semi.collect()} == set(range(50))
     assert semi.columns == ["k", "v"]
+
+
+def test_outer_join_forms_rejected(spark):
+    """left/full/anti joins are not result-preserving under a probe-side
+    prefilter (bloom-negative probe rows would vanish) — must raise, not
+    silently drop rows."""
+    import pytest
+
+    build = spark.range(0, 10).withColumnRenamed("id", "k")
+    probe = spark.range(0, 100).withColumnRenamed("id", "k")
+    for how in ("left", "full", "left_anti", "right"):
+        with pytest.raises(ValueError, match="not result-preserving"):
+            bloom_prefilter_join(probe, build, "k", M, how=how)

@@ -344,3 +344,45 @@ def test_binary_feed_decode_is_column_pruned(spark):
     full_udfs = len(set(re.findall(r"pythonUDF\d+", full_plan)))
     assert narrow_udfs < full_udfs, (plan, full_plan)
     assert narrow_udfs <= 2, f"expected ≤2 python UDFs in pruned plan, got {narrow_udfs}"
+
+
+def test_sink_same_rowcount_foreign_lineage_fails(spark, feed_dir, tmpdir):
+    """The harder foreign-lineage case: a second writer lineage delivering the
+    SAME row count but DIFFERENT content (here: every seq shifted by +1000)
+    must be caught by the order-independent content checksum in the commit
+    marker — a bare total-row-count fingerprint would let it commit silently."""
+    import os
+
+    from pyspark.errors import StreamingQueryException
+
+    out_dir = f"{tmpdir}/log"
+    os.makedirs(out_dir, exist_ok=True)
+
+    def run(ckpt: str, transform):
+        src = (
+            spark.readStream.format("pgcapture_feed")
+            .option("path", feed_dir)
+            .option("maxFilesPerTrigger", "4")
+            .load()
+        )
+        q = (
+            transform(src)
+            .writeStream.format("pgcapture_feed")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    from pyspark.sql import functions as F
+
+    run(f"{tmpdir}/ck0", lambda df: df)
+    n = spark.read.parquet(feed_dir).count()
+    assert spark.read.parquet(out_dir).count() == n
+    with pytest.raises(StreamingQueryException, match="different content fingerprint"):
+        run(f"{tmpdir}/ck1", lambda df: df.withColumn("seq", F.col("seq") + 1000))
+    assert spark.read.parquet(out_dir).count() == n  # log not corrupted

@@ -57,3 +57,29 @@ def test_audio_window_energy(spark):
     # determinism: rerun is identical
     again = sorted(map(tuple, audio_window_energy(media, win_ms=500).collect()))
     assert again == sorted(map(tuple, out))
+
+
+def test_audio_window_energy_zero_duration_degrades(spark):
+    """A zero-duration audio row must produce zero windows (like the SQL
+    range(0, 0, hop) oracle), not an 'Illegal sequence boundaries' crash."""
+    from pyspark.sql import functions as F
+
+    from pgcapture_spark.operators.multimodal import audio_window_energy
+
+    media = synthetic_media(spark, 9).selectExpr(
+        "media_id", "modality", "mime", "payload", "meta_width", "meta_height",
+        "CASE WHEN modality = 'audio' THEN 0 ELSE meta_duration_ms END"
+        " AS meta_duration_ms",
+    )
+    assert audio_window_energy(media, win_ms=500).count() == 0
+    # mixed: non-empty audio rows keep their windows while empty ones drop
+    audio_ids = sorted(r.media_id for r in media.collect() if r.modality == "audio")
+    keep = audio_ids[0]
+    mixed = media.withColumn(
+        "meta_duration_ms",
+        F.when(F.col("media_id") == keep, F.lit(1000))
+        .otherwise(F.col("meta_duration_ms")),
+    )
+    out = audio_window_energy(mixed, win_ms=500).collect()
+    assert {r.media_id for r in out} == {keep}
+    assert sorted(r.win_start_ms for r in out) == [0, 500]

@@ -726,3 +726,43 @@ def test_streaming_scd2_converges_and_is_idempotent(spark, tmpdir):
     final2 = state.read()
     assert final2.exceptAll(expected).count() == 0
     assert expected.exceptAll(final2).count() == 0
+
+
+def test_pgoutput_stream_deadletter_and_fail_after_n(spark):
+    """Undecodable batches park their raw frames under
+    {ckpt}/deadletter/batch_* BEFORE the checkpoint advances, and after
+    max_consecutive_skips consecutive parked batches the stream fails loudly
+    instead of silently applying nothing forever (a consumer pinned to a
+    table name the wire never carries must not drop the feed on the floor)."""
+    import glob
+
+    from pyspark.errors import StreamingQueryException
+
+    from pgcapture_spark.querydefs.extras import customer_wire_frames
+    from pgcapture_spark.streaming.pipeline import apply_pgoutput_stream
+
+    register_views(spark, SF_SMALL, ("customer",))
+    frames, _, _ = customer_wire_frames(spark, SF_SMALL, "pgoutput")
+    d = tempfile.mkdtemp(prefix="pgcs_t_pgout_dead_")
+    try:
+        materialize_feed(frames, f"{d}/wire", n_segments=8)
+        schema = spark.read.parquet(f"{d}/wire").schema
+        state = SnapshotState(spark, f"{d}/state")
+        tx_state = SnapshotState(spark, f"{d}/txreg")
+        rel_state = SnapshotState(spark, f"{d}/relcache")
+        q = apply_pgoutput_stream(
+            read_feed_stream(spark, f"{d}/wire", schema, max_files_per_trigger=1),
+            state, tx_state, rel_state,
+            spark.table("customer"), CDC_COLS["customer"], f"{d}/ckpt",
+            table="no_such_table", max_consecutive_skips=3,
+        )
+        with pytest.raises(StreamingQueryException, match="consecutive batches quarantined"):
+            q.awaitTermination(300)
+        parked = glob.glob(f"{d}/ckpt/deadletter/batch_*")
+        assert len(parked) == 3  # every skipped batch parked before the raise
+        for p in parked:  # parked frames are the raw wire rows, re-playable
+            assert spark.read.parquet(p).columns == ["lsn", "seq", "ord", "data"]
+        # nothing was ever applied under quarantine
+        assert state.read() is None
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
