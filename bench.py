@@ -4,6 +4,14 @@ on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
 
 Each query is forced end-to-end with the noop sink (computes every column —
 count() would let Catalyst prune the work).
+
+Cross-round comparability note: absolute per-query numbers drift with session
+context (OS page cache on the parquet inputs, python-worker reuse, JIT state
+accumulated by EARLIER queries in the run). Round-3 flagged dedup_minhash_lsh
+as a 1.54x "regression" (0.92s -> 1.41s); an isolated A/B at sf0.1 showed
+round-2 code 1.94s vs current 1.72s on the same host — no code regression,
+the 0.92s was a warm-session artifact. Treat <2x swings on sub-2s queries as
+noise unless they reproduce isolated.
 """
 
 from __future__ import annotations
