@@ -210,7 +210,10 @@ def _argmin_cell_expr():
 
 
 def semantic_dedup(
-    embeddings: DataFrame, threshold: float = 0.30, quant: int = 1_000_000
+    embeddings: DataFrame,
+    threshold: float = 0.30,
+    quant: int = 1_000_000,
+    codebook: list[tuple[int, list[float]]] | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (cf. Abbas et al. 2023,
     "SemDeDup: Data-efficient learning at web-scale through semantic
@@ -228,9 +231,21 @@ def semantic_dedup(
     same aggregation.
 
     Output: (vec_id, witness_id, cell, cosine) — one row per DROPPED vector.
+
+    ``codebook``: a LOCAL (label, vector) list to use as the coarse quantizer
+    — e.g. :func:`kmeans_codebook` with k ∝ corpus size. The default (None)
+    keeps the label-centroid quantizer, whose fixed k = #labels makes cells
+    grow linearly with the corpus: fine for a labeled eval set, wrong at
+    100 TB where the within-cell O(cell²) self-join needs k to scale.
     """
     normed = with_norm(embeddings).select("vec_id", "emb_d", "norm")
-    cents_row = _local_quantizer(embeddings)
+    if codebook is not None:
+        cents_row = embeddings.sparkSession.createDataFrame(
+            [(sorted((int(l), [float(v) for v in e]) for l, e in codebook),)],
+            "cents array<struct<c_label:int,c_e:array<double>>>",
+        )
+    else:
+        cents_row = _local_quantizer(embeddings)
     cells = (
         normed.join(F.broadcast(cents_row))
         .withColumn("cell", _argmin_cell_expr())
@@ -446,37 +461,31 @@ def kmeans_assign(
 
     Output: (vec_id, cluster, dist2q) after ``iters`` assignment rounds.
     """
+    assigned = _kmeans_final_assign(embeddings, k=k, iters=iters)
+    return assigned.select(
+        "vec_id",
+        "cluster",
+        (F.floor(F.col("d2") * quant + F.lit(0.5)) / quant).alias("dist2q"),
+    )
+
+
+def kmeans_codebook(
+    embeddings: DataFrame, k: int = 8, iters: int = 2
+) -> list[tuple[int, list[float]]]:
+    """The codebook ``kmeans_assign``'s FINAL assignment round uses:
+    deterministic lowest-vec_id init + ``iters - 1`` decimal-exact Lloyd
+    update rounds. Returned as a k-bounded LOCAL list (label, vector) —
+    driver/broadcast-resident at any corpus scale, the trained coarse
+    quantizer that plugs into :func:`semantic_dedup` / IVF so cell count
+    scales with the corpus instead of being pinned to #labels."""
     if int(iters) < 1:
         raise ValueError(f"iters must be >= 1 (got {iters}): round 1 IS the assignment")
-    spark = embeddings.sparkSession
     normed = _as_double(embeddings).select("vec_id", "emb_d")
     init = normed.orderBy("vec_id").limit(k).collect()
     cents_local = [(j, [float(v) for v in r["emb_d"]]) for j, r in enumerate(init)]
-
-    def _with_assign(cents):
-        cents_row = spark.createDataFrame(
-            [(cents,)], "cents array<struct<c_label:int,c_e:array<double>>>"
-        )
-        best = F.expr(
-            "array_min(transform(cents, c -> "
-            f"struct({DIST2_EXPR.format(a='emb_d', b='c.c_e')} AS d2, c.c_label AS lbl)))"
-        )
-        return (
-            normed.join(F.broadcast(cents_row))
-            .withColumn("_best", best)
-            .select(
-                "vec_id",
-                "emb_d",
-                F.col("_best.lbl").alias("cluster"),
-                F.col("_best.d2").alias("d2"),
-            )
-        )
-
     scaled = F.expr("CAST(floor(val * 1000000000 + 0.5) AS BIGINT)")
-    for it in range(int(iters)):
-        assigned = _with_assign(cents_local)
-        if it == int(iters) - 1:
-            break
+    for _ in range(int(iters) - 1):
+        assigned = _broadcast_argmin_assign(normed, cents_local)
         means = (
             assigned.select("cluster", F.posexplode("emb_d").alias("dim", "val"))
             .groupBy("cluster", "dim")
@@ -495,11 +504,37 @@ def kmeans_assign(
             .collect()
         )
         cents_local = sorted((int(r["cluster"]), [float(v) for v in r["c_e"]]) for r in means)
-    return assigned.select(
-        "vec_id",
-        "cluster",
-        (F.floor(F.col("d2") * quant + F.lit(0.5)) / quant).alias("dist2q"),
+    return cents_local
+
+
+def _broadcast_argmin_assign(
+    normed: DataFrame, cents_local: list[tuple[int, list[float]]]
+) -> DataFrame:
+    """One Lloyd assignment round: nearest-centroid argmin as a per-row
+    expression over ONE broadcast row of centroids, fused into the scan."""
+    spark = normed.sparkSession
+    cents_row = spark.createDataFrame(
+        [(cents_local,)], "cents array<struct<c_label:int,c_e:array<double>>>"
     )
+    best = F.expr(
+        "array_min(transform(cents, c -> "
+        f"struct({DIST2_EXPR.format(a='emb_d', b='c.c_e')} AS d2, c.c_label AS lbl)))"
+    )
+    return (
+        normed.join(F.broadcast(cents_row))
+        .withColumn("_best", best)
+        .select(
+            "vec_id",
+            "emb_d",
+            F.col("_best.lbl").alias("cluster"),
+            F.col("_best.d2").alias("d2"),
+        )
+    )
+
+
+def _kmeans_final_assign(embeddings: DataFrame, k: int, iters: int) -> DataFrame:
+    normed = _as_double(embeddings).select("vec_id", "emb_d")
+    return _broadcast_argmin_assign(normed, kmeans_codebook(embeddings, k, iters))
 
 
 def ivfpq_topk(

@@ -797,6 +797,72 @@ SELECT vec_id, cluster, floor(d2 * 1000000 + 0.5) / 1000000 AS dist2q FROM (
 """
 
 
+# SemDeDup over a TRAINED k-means codebook (the scale path: k grows with the
+# corpus instead of being pinned to #labels). Codebook = kmeans_embed's k=8 /
+# iters=2 deterministic Lloyd run; then the standard within-cell cosine dedup.
+_DUCK_SEMDEDUP_KMEANS = f"""
+WITH e AS (SELECT vec_id, list_transform(embedding, v -> CAST(v AS DOUBLE)) AS ed
+           FROM embeddings),
+init AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS c_label,
+                ed AS c_e
+         FROM e ORDER BY vec_id LIMIT 8),
+d1 AS (SELECT e.vec_id, e.ed, c.c_label,
+              list_sum(list_transform(range(1, 65),
+                       i -> (e.ed[i] - c.c_e[i]) * (e.ed[i] - c.c_e[i]))) AS d2
+       FROM e CROSS JOIN init c),
+a1 AS (SELECT vec_id, ed, c_label AS cluster FROM (
+         SELECT vec_id, ed, c_label,
+                row_number() OVER (PARTITION BY vec_id ORDER BY d2, c_label) AS rn
+         FROM d1) WHERE rn = 1),
+ex1 AS (SELECT cluster, i - 1 AS dim, ed[i] AS val FROM a1, range(1, 65) t(i)),
+cd1 AS (SELECT cluster, dim,
+               CAST(sum(CAST(floor(val * 1000000000 + 0.5) AS BIGINT)) AS DOUBLE)
+                 / 1000000000.0 / count(*) AS mean_val
+        FROM ex1 GROUP BY cluster, dim),
+c1 AS (SELECT cluster AS c_label, list(mean_val ORDER BY dim) AS c_e
+       FROM cd1 GROUP BY cluster),
+normed AS ({_DUCK_NORMED}),
+d2r AS (SELECT n.vec_id, c.c_label,
+               list_sum(list_transform(range(1, 65),
+                        i -> (n.e[i] - c.c_e[i]) * (n.e[i] - c.c_e[i]))) AS d2
+        FROM normed n CROSS JOIN c1 c),
+assign AS (SELECT vec_id, c_label AS cell FROM (
+             SELECT vec_id, c_label,
+                    row_number() OVER (PARTITION BY vec_id ORDER BY d2, c_label) AS rn
+             FROM d2r) WHERE rn = 1),
+cells AS (SELECT n.vec_id, n.e, n.norm, a.cell FROM normed n JOIN assign a USING (vec_id)),
+pairs AS (
+  SELECT b.vec_id, a.vec_id AS witness_cand, a.cell,
+         list_sum(list_transform(range(1, 65), i -> a.e[i] * b.e[i])) / (a.norm * b.norm)
+           AS raw
+  FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id < b.vec_id
+)
+SELECT vec_id, min(witness_cand) AS witness_id, cell,
+       floor(min_by(raw, witness_cand) * 1000000 + 0.5) / 1000000 AS cosine
+FROM pairs WHERE raw >= 0.30
+GROUP BY vec_id, cell
+"""
+
+
+@q(
+    "dedup_semantic_kmeans",
+    _DUCK_SEMDEDUP_KMEANS,
+    "North-star: SemDeDup with a TRAINED k-means coarse quantizer (the"
+    " kmeans_embed codebook, k=8 iters=2, deterministic) instead of label"
+    " centroids — the 100 TB shape, where k scales with the corpus so the"
+    " within-cell O(cell^2) self-join stays bounded. Codebook broadcast,"
+    " per-row argmin fused into the scan, one cell shuffle.",
+)
+def dedup_semantic_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pgcapture_spark.operators.similarity import kmeans_codebook, semantic_dedup
+
+    register_views(spark, sf_dir, ("embeddings",))
+    emb = spark.table("embeddings")
+    return semantic_dedup(
+        emb, threshold=0.30, codebook=kmeans_codebook(emb, k=8, iters=2)
+    )
+
+
 @q(
     "kmeans_embed",
     _DUCK_KMEANS,

@@ -295,6 +295,16 @@ def test_semantic_dedup_single_cell_shuffle(spark):
     assert "BroadcastNestedLoopJoin" in tree or "BroadcastHashJoin" in tree
 
 
+def test_semantic_dedup_kmeans_broadcast_codebook(spark):
+    """Trained-codebook SemDeDup keeps the SemDeDup plan contract: the k-means
+    codebook rides as ONE broadcast row (argmin fused into the scan), and the
+    only corpus joins are cell-keyed — candidate pairs bounded by cell size,
+    never a cartesian blowup."""
+    tree = plan_tree(spark, "dedup_semantic_kmeans")
+    assert "CartesianProduct" not in tree
+    assert "BroadcastNestedLoopJoin" in tree or "BroadcastHashJoin" in tree
+
+
 def test_bpe_tokenize_apply_is_single_projection(spark):
     """The merge application is literal string replaces in ONE projection —
     no Python eval, no join against a merge table."""
