@@ -20,6 +20,7 @@ from pgcapture_spark.catalog import CDC_COLS, register_views
 from pgcapture_spark.fixtures.cdc_feed import (
     DUCKDB,
     cdc_customer_sql,
+    cdc_orders_sql,
     debounce_expected_sql,
     debounce_feed_sql,
 )
@@ -548,6 +549,16 @@ def cdc_apply_proto_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     " tests/test_streaming.py::TestApplyWireStreamMulti.",
 )
 def cdc_apply_proto_multi_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _proto_multi_snapshots(spark, sf_dir)["customer"]
+
+
+# one converged run per (process, sf_dir): both table-side queries read the
+# same manifest — parquet-backed fixture-style cache, never Spark cache
+_PROTO_MULTI_DIRS: dict[str, str] = {}
+
+
+def _proto_multi_snapshots(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    import os
     import tempfile
 
     from pgcapture_spark.operators.generic_feed import CUSTOMER_FIELD_OIDS
@@ -557,26 +568,43 @@ def cdc_apply_proto_multi_streamed(spark: SparkSession, sf_dir: str) -> DataFram
 
     from pgcapture_spark.sources.feed import cached_fixture_segments
 
-    d = tempfile.mkdtemp(prefix="pgcs_q_proto_multi_")
-    wire_dir = cached_fixture_segments(
-        spark, sf_dir, "proto_multi",
-        lambda: proto_multi_messages(spark, sf_dir)[0], n_segments=6,
-    )
-    schema = spark.read.parquet(wire_dir).schema
-    state = MultiTableState(spark, f"{d}/state", ["customer", "orders"])
-    tx_state = SnapshotState(spark, f"{d}/txreg")
-    query = apply_wire_stream_multi(
-        read_feed_stream(spark, wire_dir, schema, max_files_per_trigger=3),
-        state,
-        tx_state,
-        {"customer": spark.table("customer"), "orders": spark.table("orders")},
-        {"customer": "c_custkey", "orders": "o_orderkey"},
-        {"customer": CUSTOMER_FIELD_OIDS, "orders": ORDERS_FIELD_OIDS},
-        {"customer": CDC_COLS["customer"], "orders": CDC_COLS["orders"]},
-        f"{d}/ckpt",
-    )
-    query.awaitTermination(300)
-    return state.read()["customer"]
+    register_views(spark, sf_dir, ("customer", "orders"))
+    key = os.path.abspath(sf_dir)
+    d = _PROTO_MULTI_DIRS.get(key)
+    if d is None or not os.path.isdir(f"{d}/state"):
+        d = tempfile.mkdtemp(prefix="pgcs_q_proto_multi_")
+        wire_dir = cached_fixture_segments(
+            spark, sf_dir, "proto_multi",
+            lambda: proto_multi_messages(spark, sf_dir)[0], n_segments=6,
+        )
+        schema = spark.read.parquet(wire_dir).schema
+        state = MultiTableState(spark, f"{d}/state", ["customer", "orders"])
+        tx_state = SnapshotState(spark, f"{d}/txreg")
+        query = apply_wire_stream_multi(
+            read_feed_stream(spark, wire_dir, schema, max_files_per_trigger=3),
+            state,
+            tx_state,
+            {"customer": spark.table("customer"), "orders": spark.table("orders")},
+            {"customer": "c_custkey", "orders": "o_orderkey"},
+            {"customer": CUSTOMER_FIELD_OIDS, "orders": ORDERS_FIELD_OIDS},
+            {"customer": CDC_COLS["customer"], "orders": CDC_COLS["orders"]},
+            f"{d}/ckpt",
+        )
+        query.awaitTermination(300)
+        _PROTO_MULTI_DIRS[key] = d
+    return MultiTableState(spark, f"{d}/state", ["customer", "orders"]).read()
+
+
+@q(
+    "cdc_apply_proto_multi_streamed_orders",
+    apply_oracle_sql(cdc_orders_sql(DUCKDB), "orders", "o_orderkey", CDC_COLS["orders"]),
+    "The ORDERS side of the multi-table protobuf stream: same converged"
+    " manifest as cdc_apply_proto_multi_streamed (one atomic multi-snapshot"
+    " commit per micro-batch) — both tables of the dispatch are now"
+    " oracle-checked, not just customer.",
+)
+def cdc_apply_proto_multi_streamed_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _proto_multi_snapshots(spark, sf_dir)["orders"]
 
 
 @q(
@@ -614,6 +642,52 @@ def cdc_apply_pgoutput_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
         tx_state,
         rel_state,
         snapshot,
+        CDC_COLS["customer"],
+        f"{d}/ckpt",
+        table="customer",
+    )
+    query.awaitTermination(300)
+    return state.read()
+
+
+@q(
+    "cdc_apply_pglogical_streamed",
+    apply_oracle_sql(cdc_customer_sql(DUCKDB), "customer", "c_custkey", CDC_COLS["customer"]),
+    "D5 streaming: RAW pglogical_output frame bytes readStream'd in"
+    " micro-batches — the dialect's R frame carries names/order only"
+    " (pkg/decode/pglogical.go:120-146), so types and the identity key come"
+    " from the schema registry while relation name + column order are"
+    " learned from the wire and persisted across batches; converges to the"
+    " one-shot typed apply oracle.",
+)
+def cdc_apply_pglogical_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from pgcapture_spark.operators.generic_feed import CUSTOMER_FIELD_OIDS
+    from pgcapture_spark.querydefs.extras import customer_wire_frames
+    from pgcapture_spark.streaming.pipeline import apply_pglogical_stream
+
+    from pgcapture_spark.sources.feed import cached_fixture_segments
+
+    register_views(spark, sf_dir, ("customer",))
+    snapshot = spark.table("customer")
+    d = tempfile.mkdtemp(prefix="pgcs_q_pglog_stream_")
+    wire_dir = cached_fixture_segments(
+        spark, sf_dir, "pglog_frames",
+        lambda: customer_wire_frames(spark, sf_dir, "pglogical")[0], n_segments=6,
+    )
+    schema = spark.read.parquet(wire_dir).schema
+    state = SnapshotState(spark, f"{d}/state")
+    tx_state = SnapshotState(spark, f"{d}/txreg")
+    rel_state = SnapshotState(spark, f"{d}/relcache")
+    query = apply_pglogical_stream(
+        read_feed_stream(spark, wire_dir, schema, max_files_per_trigger=3),
+        state,
+        tx_state,
+        rel_state,
+        snapshot,
+        "c_custkey",
+        CUSTOMER_FIELD_OIDS,
         CDC_COLS["customer"],
         f"{d}/ckpt",
         table="customer",

@@ -582,6 +582,198 @@ def apply_pgoutput_stream(
     )
 
 
+def apply_pglogical_stream(
+    frame_stream: DataFrame,
+    state: SnapshotState,
+    tx_state: SnapshotState,
+    rel_state: SnapshotState,
+    initial_snapshot: DataFrame,
+    key: str,
+    field_oids: list[tuple[str, int]],
+    cols: list[str],
+    checkpoint_dir: str,
+    table: str | None = None,
+    max_consecutive_skips: int = 3,
+) -> StreamingQuery:
+    """Streamed pglogical_output consumer — the reference's SECOND wire
+    dialect, streamed. Same shape as :func:`apply_pgoutput_stream` with the
+    dialect's split of duties (pkg/decode/pglogical.go:120-146): the R frame
+    carries COLUMN NAMES only (no type OIDs, no identity flags), so column
+    types and the identity key come from the caller's schema registry
+    (``field_oids`` + ``key`` — the PGXSchemaLoader role), while column
+    ORDER and the relation name still arrive on the wire and are learned +
+    persisted across batches. A learned column name missing from the registry
+    quarantines the batch (dead-letter + fail-after-N, not silent skip)."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from pgcapture_spark.functions.pglogical import parse_frames_udf
+    from pgcapture_spark.functions.pgtypes import MICROS_Y2K_SHIFT
+    from pgcapture_spark.operators.generic_feed import decode_binary_feed
+
+    oid_of = dict(field_oids)
+    skip_streak = {"n": 0}
+
+    def _quarantine(batch_df: DataFrame, batch_id: int, why: str) -> None:
+        dead = _os.path.join(checkpoint_dir, "deadletter", f"batch_{batch_id:012d}")
+        batch_df.write.mode("overwrite").parquet(dead)
+        skip_streak["n"] += 1
+        _LOG.warning(
+            "apply_pglogical_stream: %s; batch %d parked at %s (%d consecutive)",
+            why, batch_id, dead, skip_streak["n"],
+        )
+        if skip_streak["n"] >= max_consecutive_skips:
+            raise RuntimeError(
+                f"apply_pglogical_stream: {skip_streak['n']} consecutive batches "
+                f"quarantined (last: {why}); raw frames are parked under "
+                f"{_os.path.join(checkpoint_dir, 'deadletter')} — refusing to "
+                "keep advancing the checkpoint past undecodable data."
+            )
+
+    def _batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id <= state.last_batch():
+            return
+        from pyspark.sql import Window as W
+
+        # 1) learn + persist relations (name + column ORDER; no types on the
+        # wire in this dialect)
+        rel_frames = (
+            batch_df.where("ord = -1")
+            .select("lsn", "seq", parse_frames_udf()("data").alias("f"))
+            .where("f.op = 'RELATION'")
+        )
+        last_w = W.partitionBy("f.rel_oid").orderBy(
+            F.col("lsn").desc(), F.col("seq").desc()
+        )
+        rels = (
+            rel_frames.withColumn("_rn", F.row_number().over(last_w))
+            .where("_rn = 1")
+            .select(F.col("f.rel_oid").alias("rel_oid"),
+                    F.col("f.rel_name").alias("rel_name"),
+                    F.posexplode("f.rel_cols").alias("pos", "c"))
+            .select("rel_oid", "rel_name", "pos", "c.name")
+        )
+        cache = rel_state.read()
+        if cache is None:
+            cache = rels
+        else:
+            kept = cache.join(rels.select("rel_oid").distinct(), "rel_oid", "left_anti")
+            cache = rels.unionByName(kept)
+        if batch_id > rel_state.last_batch():
+            rel_state.commit(cache, batch_id)
+        by_rel: dict[int, list] = {}
+        rel_names: dict[int, str | None] = {}
+        for r in rel_state.read().collect():
+            by_rel.setdefault(r["rel_oid"], []).append((r["pos"], r["name"]))
+            rel_names[r["rel_oid"]] = r["rel_name"]
+        if not by_rel:
+            if batch_df.where("ord <> -1").limit(1).count() > 0:
+                _quarantine(
+                    batch_df, batch_id,
+                    "row events arrived before any Relation frame",
+                )
+            return
+        want = set(cols)
+        candidates = (
+            [oid for oid, nm in rel_names.items() if nm == table]
+            if table is not None
+            else list(by_rel)
+        )
+        matches = [
+            oid for oid in candidates
+            if want <= {n for _, n in by_rel[oid]}
+        ]
+        if len(matches) != 1:
+            _quarantine(
+                batch_df, batch_id,
+                f"{len(matches)} relations named {table!r} cover expected "
+                f"columns {sorted(want)!r} (cached relations "
+                f"{sorted((o, rel_names.get(o)) for o in by_rel)!r})",
+            )
+            return
+        rel_oid = matches[0]
+        learned_names = [n for _, n in sorted(by_rel[rel_oid])]
+        unknown = [n for n in learned_names if n not in oid_of]
+        if unknown:
+            _quarantine(
+                batch_df, batch_id,
+                f"wire columns {unknown!r} not in the schema registry "
+                f"({sorted(oid_of)!r})",
+            )
+            return
+        learned = [(n, oid_of[n]) for n in learned_names]
+        if key not in learned_names:
+            _quarantine(
+                batch_df, batch_id,
+                f"identity key {key!r} absent from wire columns {learned_names!r}",
+            )
+            return
+        cols_lit = "array(" + ", ".join(
+            f"named_struct('name', '{n}', 'oid', {o})" for n, o in learned
+        ) + ")"
+        # 2) tx registry from Begin frames
+        parsed = batch_df.where("ord <> -1").select(
+            "lsn", "seq", "ord", parse_frames_udf()("data").alias("f")
+        ).persist()
+        try:
+            begins = parsed.where("f.op = 'BEGIN'").select(
+                "lsn", F.col("f.commit_us").alias("_commit_us")
+            )
+            reg = tx_state.read()
+            reg = begins if reg is None else reg.unionByName(begins)
+            reg = reg.dropDuplicates(["lsn"])
+            if batch_id > tx_state.last_batch():
+                tx_state.commit(reg, batch_id)
+            reg = tx_state.read()
+            # 3) zip tuples with (wire order, registry types), decode, fold
+            zip_tpl = (
+                "transform(filter(zip_with(f.{side}, " + cols_lit + ", (t, c) ->"
+                " named_struct('name', c.name, 'oid', c.oid, 'bin', t.bin,"
+                " 'fmt', t.format)), x -> {keep}),"
+                " x -> named_struct('name', x.name, 'oid', x.oid, 'bin', x.bin))"
+            )
+            generic = (
+                parsed.where("f.op IN ('INSERT', 'UPDATE', 'DELETE')")
+                .where(F.col("f.rel_oid") == F.lit(rel_oid))
+                .select(
+                    "lsn",
+                    "seq",
+                    "ord",
+                    F.col("f.op").alias("op"),
+                    F.expr(zip_tpl.format(side="new_tuple", keep="x.fmt <> 'u'")).alias(
+                        "fields"
+                    ),
+                    F.expr(
+                        zip_tpl.format(side="old_tuple", keep="x.fmt IN ('b', 't')")
+                    ).alias("old_fields"),
+                )
+                .join(F.broadcast(reg), "lsn", "left")
+                .withColumn(
+                    "commit_ts",
+                    F.timestamp_micros(F.col("_commit_us") + F.lit(MICROS_Y2K_SHIFT)),
+                )
+                .drop("_commit_us")
+            )
+            decoded = decode_binary_feed(
+                generic, learned, old_key=(f"old_{key}", key, oid_of[key]), fused=True
+            ).withColumn(key, F.coalesce(F.col(key), F.col(f"old_{key}")))
+            current = state.read()
+            if current is None:
+                current = initial_snapshot
+            state.commit(cdc_apply(current, decoded, key, cols), batch_id)
+            skip_streak["n"] = 0
+        finally:
+            parsed.unpersist()
+
+    return (
+        frame_stream.writeStream.foreachBatch(_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def scd2_stream(
     feed_stream: DataFrame,
     state: SnapshotState,

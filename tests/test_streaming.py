@@ -766,3 +766,63 @@ def test_pgoutput_stream_deadletter_and_fail_after_n(spark):
         assert state.read() is None
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_pglogical_stream_relation_cache_and_registry_split(spark):
+    """The pglogical dialect's split of duties, streamed: batch 0's R frame
+    carries names/order only; later batches (one file per trigger) decode
+    positional tuples against the PERSISTED name cache zipped with the
+    caller's type registry, converging to the batch apply. A registry missing
+    a wire column must quarantine, not mis-decode."""
+    import glob
+
+    from pyspark.errors import StreamingQueryException
+
+    from pgcapture_spark.operators.generic_feed import CUSTOMER_FIELD_OIDS
+    from pgcapture_spark.querydefs.extras import customer_wire_frames
+    from pgcapture_spark.streaming.pipeline import apply_pglogical_stream
+
+    register_views(spark, SF_SMALL, ("customer",))
+    frames, _, _ = customer_wire_frames(spark, SF_SMALL, "pglogical")
+    d = tempfile.mkdtemp(prefix="pgcs_t_pglog_stream_")
+    try:
+        materialize_feed(frames, f"{d}/wire", n_segments=8)
+        schema = spark.read.parquet(f"{d}/wire").schema
+        state = SnapshotState(spark, f"{d}/state")
+        tx_state = SnapshotState(spark, f"{d}/txreg")
+        rel_state = SnapshotState(spark, f"{d}/relcache")
+        q = apply_pglogical_stream(
+            read_feed_stream(spark, f"{d}/wire", schema, max_files_per_trigger=1),
+            state, tx_state, rel_state,
+            spark.table("customer"), "c_custkey", CUSTOMER_FIELD_OIDS,
+            CDC_COLS["customer"], f"{d}/ckpt", table="customer",
+        )
+        q.awaitTermination(300)
+        cache = sorted((r["pos"], r["name"]) for r in rel_state.read().collect())
+        assert [n for _, n in cache] == [n for n, _ in CUSTOMER_FIELD_OIDS]
+        batch = cdc_apply(
+            spark.table("customer"),
+            _feed(spark, SF_SMALL, "customer"),
+            "c_custkey",
+            CDC_COLS["customer"],
+        )
+        assert state.read().exceptAll(batch).count() == 0
+        assert batch.exceptAll(state.read()).count() == 0
+
+        # registry missing a wire column -> quarantine + loud failure
+        state2 = SnapshotState(spark, f"{d}/state2")
+        tx2 = SnapshotState(spark, f"{d}/txreg2")
+        rel2 = SnapshotState(spark, f"{d}/relcache2")
+        q2 = apply_pglogical_stream(
+            read_feed_stream(spark, f"{d}/wire", schema, max_files_per_trigger=1),
+            state2, tx2, rel2,
+            spark.table("customer"), "c_custkey", CUSTOMER_FIELD_OIDS[:-1],
+            CDC_COLS["customer"], f"{d}/ckpt2", table="customer",
+            max_consecutive_skips=2,
+        )
+        with pytest.raises(StreamingQueryException, match="not in the schema registry"):
+            q2.awaitTermination(300)
+        assert len(glob.glob(f"{d}/ckpt2/deadletter/batch_*")) == 2
+        assert state2.read() is None
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
