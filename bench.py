@@ -91,6 +91,7 @@ HEADLINE = [
     "corpus_stats",
     "dedup_editdist_verify",
     "dedup_semantic",
+    "dedup_semantic_kmeans",
     "text_bpe_tokenize",
     # corpus line-level dedup + export shard manifest
     "text_line_dedup",
@@ -101,6 +102,8 @@ HEADLINE = [
     "corpus_dsir_weights",
     "cdc_apply_from_proto",
     "cdc_apply_proto_streamed",
+    "cdc_apply_pglogical_streamed",
+    "cdc_apply_proto_multi_streamed_orders",
     "cdc_checkpoint_keys",
     "ts_ewma",
     "cdc_apply_proto_multi_streamed",
@@ -182,14 +185,26 @@ def main() -> None:
     # the steady-state number a long-running cluster job would see. If the two
     # passes disagree badly (transient host noise), take a tie-break third.
     timings: dict[str, float] = {}
+    from pgcapture_spark.querydefs.streamq import _PROTO_MULTI_DIRS
+
+    # queries sharing a converged-run cache must pay their true cost per
+    # timed run, or the pipeline cost silently vanishes from the totals
+    _CACHED_RUN_RESETS = {
+        "cdc_apply_proto_multi_streamed": _PROTO_MULTI_DIRS,
+        "cdc_apply_proto_multi_streamed_orders": _PROTO_MULTI_DIRS,
+    }
     for name in HEADLINE:
         fn = REGISTRY[name].fn
         runs: list[float] = []
         for _ in range(2):
+            if name in _CACHED_RUN_RESETS:
+                _CACHED_RUN_RESETS[name].clear()
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             runs.append(time.perf_counter() - t0)
         if max(runs) > 1.4 * min(runs):
+            if name in _CACHED_RUN_RESETS:
+                _CACHED_RUN_RESETS[name].clear()
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             runs.append(time.perf_counter() - t0)

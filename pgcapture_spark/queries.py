@@ -90,107 +90,86 @@ from pgcapture_spark.querydefs import (  # noqa: E402,F401
     retrieval as _qd_retrieval,
 )
 
-# The driver verifies the FIRST ~50 registry entries each round. Rounds 1+2
-# drove 73/119 queries green (CORRECTNESS_r01/r02); this round's window is the
-# 46 queries that have never received a driver-green row — all of tpch_more,
-# windows_more, sketches, skewq, every vector query, the relational/textops
-# tail, and the four round-1 failures whose fixes were only proven locally —
-# padded with the four most load-bearing already-green applies as canaries.
-# Verified coverage accumulates across rounds instead of re-checking greens.
+# The driver verifies the FIRST ~50 registry entries each round. Rounds 1-3
+# drove 122/197 queries green (CORRECTNESS_r01/r02/r03 — r3 was 50/50).
+# ROUND-4 WINDOW: all 50 slots go to never-driver-verified queries, wire
+# dialects first (they guard ~600 lines of hand-rolled byte parsing), then
+# the corpus-curation family, the TPC-H tail, CDC history, dedup, text,
+# vector. Three queries are NEW this round and land directly in the window
+# (freeze discipline: nothing new goes into the unverified pool):
+# cdc_apply_pglogical_streamed, cdc_apply_proto_multi_streamed_orders,
+# dedup_semantic_kmeans. Verified coverage accumulates across rounds.
 #
-# ROUND-4 ROTATION PLAN: if CORRECTNESS_r03 comes back green, the only
-# never-driver-verified queries left are the ones added after this window was
-# frozen — corpus_select_pipeline, corpus_select_neardup,
-# corpus_select_streamed, agg_heavy_hitters, bpe_merge_candidates,
-# tpch_q2/q11/q15/q20, cdc_apply_from_pglogical, and the r3 second wave
-# (text_quality_rules, corpus_mix_sample, corpus_stats,
-# dedup_editdist_verify, dedup_semantic, text_bpe_tokenize) and the r3
-# sixth wave (text_bm25_topk, text_inverted_index, events_pit_scd2_join,
-# sim_pagerank, cdc_compaction_plan, events_watermark_sizing) and the r3
-# seventh wave (cdc_scd2_streamed, dedup_lsh_eval, cdc_multi_source_lww,
-# sim_mips_topk) and the r3
-# eighth wave (media_audio_windows, dedup_incremental_streamed) and the r3
-# third wave (text_line_dedup, corpus_shard_plan, kmeans_embed,
-# sim_ivfpq_ann, corpus_dsir_weights, cdc_apply_from_proto, cdc_apply_proto_streamed, cdc_checkpoint_keys, ts_ewma, cdc_apply_proto_multi_streamed, cdc_apply_from_proto_text, corpus_domain_cap, cdc_apply_pgoutput_streamed, ...)
-# and the r3 ninth wave (join_bloom_prefilter, ts_interpolate_linear,
-# corpus_cross_source_overlap, media_scene_cuts, events_cumulative_users,
-# corpus_dedup_keepbest, sim_dim_standardize, text_oov_rate,
-# sim_centroid_outliers, cdc_tx_stats, text_zipf_slope)
-# and the r3 fourth wave (dedup_substring, text_nb_quality, ts_resample_ohlc,
-# ts_rolling_zscore, ts_ohlc_streamed, text_bigram_surprisal, events_funnel,
-# events_retention_cohorts, media_neardup_phash,
-# events_interval_overlap_join, agg_hist_quantile_merge,
-# corpus_export_pipeline, dedup_containment, corpus_interleave,
-# sim_knn_graph, corpus_perplexity_buckets, cdc_corpus_refresh_select,
-# events_markov_transitions) and the r3 fifth wave (cdc_scd2_history,
-# cdc_time_travel, cdc_churn_stats, sample_weighted_reservoir,
-# events_zorder_layout, ...) — put those first next round, pad with
-# canaries.
+# ROUND-5 RESIDUE (the ~29 still-unverified after this window — put these
+# first next round, pad with canaries): cdc_tx_stats, events_interval_overlap_join,
+# ts_ewma, ts_resample_ohlc, ts_rolling_zscore, ts_interpolate_linear,
+# ts_ohlc_streamed, cdc_compaction_plan, events_watermark_sizing,
+# events_funnel, events_retention_cohorts, events_markov_transitions,
+# events_cumulative_users, text_bigram_surprisal, text_oov_rate,
+# text_zipf_slope, bpe_merge_candidates, text_bpe_tokenize,
+# agg_hist_quantile_merge, join_bloom_prefilter, media_neardup_phash,
+# media_audio_windows, media_scene_cuts, sim_knn_graph, sim_pagerank,
+# sim_mips_topk, sim_dim_standardize, sim_centroid_outliers,
+# sample_weighted_reservoir, events_zorder_layout.
 _WINDOW: tuple[str, ...] = (
-    # round-1 failures, fixed in r2 but rotated out before re-check
-    "events_running_window",
-    "sample_stratified",
-    "media_features_pandas",
-    "text_array_gauntlet",
-    # TPC-H tail (13) — never in a driver window
-    "tpch_q4_order_priority",
-    "tpch_q7_volume_shipping",
-    "tpch_q8_market_share",
-    "tpch_q9_product_profit",
-    "tpch_q12_priority_lines",
-    "tpch_q13_customer_distribution",
-    "tpch_q14_promo_revenue",
-    "tpch_q16_supplier_cnt",
-    "tpch_q17_small_qty",
-    "tpch_q18_large_orders",
-    "tpch_q19_disjunctive",
-    "tpch_q21_waiting_supplier",
-    "tpch_q22_idle_customers",
-    # relational / setops / scalar tail
-    "events_topk_per_user",
-    "events_sessionize",
-    "events_json_extract",
-    "setops_union_agg",
-    "setops_except_intersect",
-    "agg_approx_distinct",
-    "agg_rollup",
-    "scalar_gauntlet",
-    # textops tail (new in r2)
-    "text_decontaminate",
-    "text_unigram_surprisal",
-    # sketches / skew
-    "agg_hll_sketch_merge",
-    "events_topk_salted",
-    "events_salted_join",
-    # windows_more
-    "events_window_gauntlet",
-    "events_range_frame",
-    "agg_cube",
-    "agg_grouping_sets",
-    "agg_percentile_contract",
-    "agg_pivot_counts",
-    # pipeline additions
-    "dedup_clusters_star",
-    # vector suite (12)
-    "sim_cosine_topk",
-    "sim_signlsh_ann",
-    "dedup_embed_cosine",
-    "sim_ivf_ann",
-    "sim_label_centroids",
-    "ts_similarity_topk",
-    "sim_pq_adc_ann",
-    "sim_quantize_int8",
-    "sim_ann_recall",
-    # new this round: in-band Relation-message schema learning (no DDL text),
-    # the ANN recall tuning table, and the pgoutput wire-framing end-to-end
-    # (a superset exercise of the typed customer apply, which the driver's
-    # entry() smoke still covers directly)
-    "cdc_relation_learn",
-    "sim_ann_tuning",
-    "cdc_apply_from_pgoutput",
-    # already-green canary: the composite binary apply whose decode path was
-    # fused this round
-    "cdc_apply_from_binary_feed_composite",
+    # wire dialects (pglogical + protobuf + streamed pgoutput): the
+    # reference's actual on-wire surface, never driver-checked
+    "cdc_apply_from_pglogical",
+    "cdc_apply_pglogical_streamed",
+    "cdc_apply_from_proto",
+    "cdc_apply_proto_streamed",
+    "cdc_apply_proto_multi_streamed",
+    "cdc_apply_proto_multi_streamed_orders",
+    "cdc_apply_from_proto_text",
+    "cdc_checkpoint_keys",
+    "cdc_apply_pgoutput_streamed",
+    # corpus-curation family (entire family post-freeze in r3)
+    "corpus_select_pipeline",
+    "corpus_select_neardup",
+    "corpus_select_streamed",
+    "corpus_export_pipeline",
+    "corpus_mix_sample",
+    "corpus_stats",
+    "corpus_dsir_weights",
+    "corpus_domain_cap",
+    "corpus_perplexity_buckets",
+    "corpus_interleave",
+    "corpus_shard_plan",
+    "corpus_cross_source_overlap",
+    "cdc_corpus_refresh_select",
+    # TPC-H tail
+    "tpch_q2_min_cost_supplier",
+    "tpch_q11_important_stock",
+    "tpch_q15_top_supplier",
+    "tpch_q20_excess_share_supplier",
+    # CDC history / temporal
+    "cdc_scd2_history",
+    "cdc_time_travel",
+    "cdc_churn_stats",
+    "cdc_multi_source_lww",
+    "cdc_snapshot_diff",
+    "cdc_fk_consistency",
+    "events_pit_scd2_join",
+    "cdc_scd2_streamed",
+    # dedup tail
+    "dedup_editdist_verify",
+    "dedup_containment",
+    "dedup_substring",
+    "dedup_semantic",
+    "dedup_semantic_kmeans",
+    "dedup_lsh_eval",
+    "dedup_incremental_streamed",
+    "corpus_dedup_keepbest",
+    # text tail
+    "text_quality_rules",
+    "text_nb_quality",
+    "text_line_dedup",
+    "text_bm25_topk",
+    "text_inverted_index",
+    # vector / sketch tail
+    "kmeans_embed",
+    "sim_ivfpq_ann",
+    "agg_heavy_hitters",
 )
 
 
