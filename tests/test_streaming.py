@@ -826,3 +826,75 @@ def test_pglogical_stream_relation_cache_and_registry_split(spark):
         assert state2.read() is None
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+@pytest.mark.parametrize("dialect", ["pgoutput", "pglogical"])
+def test_wire_stream_restart_decodes_from_persisted_relation_cache(spark, dialect):
+    """Restart contract for the wire-dialect consumers: phase 1 consumes the
+    first half of the log (including the only Relation frame) and stops;
+    phase 2 restarts with the SAME checkpoint + states over the grown log.
+    Later batches carry NO R frame, so phase 2 can only decode through the
+    PERSISTED relation cache — converging to the batch apply proves the
+    registry survives restarts (the reference keeps its decoder registry
+    in-process and re-learns on reconnect; we persist instead)."""
+    import os
+
+    from pgcapture_spark.operators.generic_feed import CUSTOMER_FIELD_OIDS
+    from pgcapture_spark.querydefs.extras import customer_wire_frames
+    from pgcapture_spark.streaming.pipeline import (
+        apply_pglogical_stream,
+        apply_pgoutput_stream,
+    )
+
+    register_views(spark, SF_SMALL, ("customer",))
+    frames, _, _ = customer_wire_frames(spark, SF_SMALL, dialect)
+    d = tempfile.mkdtemp(prefix=f"pgcs_t_wire_restart_{dialect}_")
+    try:
+        materialize_feed(frames, f"{d}/all", n_segments=8)
+        parts = sorted(
+            f for f in os.listdir(f"{d}/all")
+            if f.startswith("part-") and not f.endswith(".crc")
+        )
+        os.makedirs(f"{d}/wire")
+        for name in parts[:4]:
+            src = f"{d}/all/{name}"
+            shutil.copy2(src, f"{d}/wire/{name}")
+        schema = spark.read.parquet(f"{d}/all").schema
+        state = SnapshotState(spark, f"{d}/state")
+        tx_state = SnapshotState(spark, f"{d}/txreg")
+        rel_state = SnapshotState(spark, f"{d}/relcache")
+
+        def start():
+            stream = read_feed_stream(
+                spark, f"{d}/wire", schema, max_files_per_trigger=2
+            )
+            if dialect == "pgoutput":
+                return apply_pgoutput_stream(
+                    stream, state, tx_state, rel_state, spark.table("customer"),
+                    CDC_COLS["customer"], f"{d}/ckpt", table="customer",
+                )
+            return apply_pglogical_stream(
+                stream, state, tx_state, rel_state, spark.table("customer"),
+                "c_custkey", CUSTOMER_FIELD_OIDS, CDC_COLS["customer"],
+                f"{d}/ckpt", table="customer",
+            )
+
+        q = start()
+        q.awaitTermination(300)
+        mid = state.last_batch()
+        assert mid >= 0
+        # the log grows while the consumer is down (no new R frames arrive)
+        for name in parts[4:]:
+            shutil.copy2(f"{d}/all/{name}", f"{d}/wire/{name}")
+        q2 = start()
+        q2.awaitTermination(300)
+        assert state.last_batch() > mid
+        batch = cdc_apply(
+            spark.table("customer"), _feed(spark, SF_SMALL, "customer"),
+            "c_custkey", CDC_COLS["customer"],
+        )
+        final = state.read()
+        assert final.exceptAll(batch).count() == 0
+        assert batch.exceptAll(final).count() == 0
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
