@@ -166,6 +166,10 @@ HEADLINE = [
     "sim_centroid_outliers",
     "cdc_tx_stats",
     "text_zipf_slope",
+    # r4 additions: leakage-safe split, MMR re-rank, Count-Min sketch
+    "corpus_split_leakage_safe",
+    "sim_mmr_rerank",
+    "agg_countmin_topk",
 ]
 
 

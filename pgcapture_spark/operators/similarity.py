@@ -469,6 +469,121 @@ def kmeans_assign(
     )
 
 
+def mmr_rerank(
+    embeddings: DataFrame,
+    query_pred: str,
+    pool: int = 5,
+    k: int = 3,
+    lam_tenths: int = 7,
+    quant: int = 1_000_000,
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein 1998) of
+    each query's cosine top-``pool`` candidates: greedily pick ``k`` results
+    maximizing λ·relevance − (1−λ)·max-similarity-to-already-picked —
+    the diversity pass between ANN retrieval and the consumer.
+
+    Determinism contract: relevance and pairwise cosines are floor-quantized
+    to integers (×``quant``) and the greedy objective is evaluated in scaled
+    INTEGER arithmetic (λ in tenths: score = λ₁₀·rel_q − (10−λ₁₀)·maxsim_q),
+    so selection and scores are bit-identical across engines and layouts.
+    The greedy loop is unrolled ``k`` steps as relational stages — each step
+    is one bounded join over the ≤``pool``-row per-query candidate sets, so
+    at 100 TB the cost is (#queries × pool²), never corpus-shaped; the
+    corpus-shaped work (the top-pool retrieval) stays one broadcast probe.
+
+    Output: (query_id, rank, neighbor_id, mmr_q) — mmr_q is the scaled
+    integer objective (rank 1 = λ₁₀·rel_q, nothing picked yet).
+    """
+    if k != 3:
+        raise ValueError("mmr_rerank unrolls exactly k=3 selection steps")
+    base = with_norm(embeddings).select("vec_id", "emb_d", "norm")
+    queries = base.where(query_pred).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("emb_d").alias("q_emb"),
+        F.col("norm").alias("q_norm"),
+    )
+    rel_q = F.floor(
+        F.expr(DOT_EXPR.format(a="q_emb", b="emb_d"))
+        / (F.col("q_norm") * F.col("norm")) * quant + F.lit(0.5)
+    ).cast("bigint")
+    scored = (
+        base.join(F.broadcast(queries), F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("nid"),
+                rel_q.alias("rel_q"), "emb_d", "norm")
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("rel_q").desc(), F.col("nid"))
+    pool_df = (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= pool)
+        .drop("_rn")
+    )
+    a = pool_df.select("query_id", F.col("nid").alias("a_id"), F.col("rel_q").alias("a_rel"),
+                       F.col("emb_d").alias("a_e"), F.col("norm").alias("a_n"))
+    b = pool_df.select("query_id", F.col("nid").alias("b_id"),
+                       F.col("emb_d").alias("b_e"), F.col("norm").alias("b_n"))
+    sim_q = F.floor(
+        F.expr(DOT_EXPR.format(a="a_e", b="b_e")) / (F.col("a_n") * F.col("b_n"))
+        * quant + F.lit(0.5)
+    ).cast("bigint")
+    psim = (
+        a.join(b, on="query_id").where(F.col("a_id") != F.col("b_id"))
+        .select("query_id", "a_id", "b_id", sim_q.alias("sim_q"))
+    )
+    cand = pool_df.select("query_id", "nid", "rel_q")
+    lam, com = int(lam_tenths), 10 - int(lam_tenths)
+
+    def _argmax(df: DataFrame, score_col: str) -> DataFrame:
+        ww = W.partitionBy("query_id").orderBy(F.col(score_col).desc(), F.col("nid"))
+        return (
+            df.withColumn("_rn", F.row_number().over(ww))
+            .where("_rn = 1").drop("_rn")
+        )
+
+    s1 = _argmax(
+        cand.withColumn("mmr_q", F.lit(lam) * F.col("rel_q")), "mmr_q"
+    ).select("query_id", F.col("nid").alias("s1_id"), F.col("mmr_q").alias("s1_q"))
+    c2 = (
+        cand.join(s1, on="query_id").where(F.col("nid") != F.col("s1_id"))
+        .join(
+            psim.select("query_id", F.col("a_id").alias("nid"),
+                        F.col("b_id").alias("s1_id"), F.col("sim_q").alias("sim1")),
+            on=["query_id", "nid", "s1_id"],
+        )
+        .withColumn("mmr_q", F.lit(lam) * F.col("rel_q") - F.lit(com) * F.col("sim1"))
+    )
+    s2 = _argmax(c2, "mmr_q").select(
+        "query_id", "s1_id", F.col("nid").alias("s2_id"), F.col("mmr_q").alias("s2_q")
+    )
+    c3 = (
+        cand.join(s2.join(s1.select("query_id", "s1_id"), on=["query_id", "s1_id"]),
+                  on="query_id")
+        .where((F.col("nid") != F.col("s1_id")) & (F.col("nid") != F.col("s2_id")))
+        .join(
+            psim.select("query_id", F.col("a_id").alias("nid"),
+                        F.col("b_id").alias("s1_id"), F.col("sim_q").alias("sim1")),
+            on=["query_id", "nid", "s1_id"],
+        )
+        .join(
+            psim.select("query_id", F.col("a_id").alias("nid"),
+                        F.col("b_id").alias("s2_id"), F.col("sim_q").alias("sim2")),
+            on=["query_id", "nid", "s2_id"],
+        )
+        .withColumn(
+            "mmr_q",
+            F.lit(lam) * F.col("rel_q")
+            - F.lit(com) * F.greatest(F.col("sim1"), F.col("sim2")),
+        )
+    )
+    s3 = _argmax(c3, "mmr_q")
+    out1 = s1.select("query_id", F.lit(1).alias("rank"),
+                     F.col("s1_id").alias("neighbor_id"), F.col("s1_q").alias("mmr_q"))
+    out2 = s2.select("query_id", F.lit(2).alias("rank"),
+                     F.col("s2_id").alias("neighbor_id"), F.col("s2_q").alias("mmr_q"))
+    out3 = s3.select("query_id", F.lit(3).alias("rank"),
+                     F.col("nid").alias("neighbor_id"), "mmr_q")
+    return out1.unionByName(out2).unionByName(out3)
+
+
 def kmeans_codebook(
     embeddings: DataFrame, k: int = 8, iters: int = 2
 ) -> list[tuple[int, list[float]]]:

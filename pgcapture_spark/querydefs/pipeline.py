@@ -76,6 +76,51 @@ def dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DUCK_SPLIT = f"""
+WITH RECURSIVE
+pairs AS ({_duck_minhash_sql()}),
+edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+          UNION ALL
+          SELECT b_id AS src, a_id AS dst FROM pairs),
+cc(node, lbl) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.dst, c.lbl FROM cc c JOIN edges e ON e.src = c.node
+),
+comp AS (SELECT node AS doc_id, min(lbl) AS canonical_id FROM cc GROUP BY node)
+SELECT doc_id, canonical_id,
+       CASE WHEN ('0x' || substr(md5('split|' || CAST(canonical_id AS VARCHAR)), 1, 8))::BIGINT % 10 = 0
+            THEN 'val' ELSE 'train' END AS split
+FROM comp
+"""
+
+
+@q(
+    "corpus_split_leakage_safe",
+    _DUCK_SPLIT,
+    "North-star: leakage-safe train/validation split — the holdout decision"
+    " hashes the near-dup CLUSTER canonical (md5, bit-reproducible), never"
+    " the document, so a near-duplicate can never straddle the split and"
+    " leak validation content into training. Naive split-by-doc-hash is the"
+    " classic eval-contamination bug this op exists to prevent; same"
+    " min-label components as dedup_clusters, split assignment is a pure"
+    " projection on top.",
+)
+def corpus_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, ("documents",))
+    comp = near_dup_clusters(spark.table("documents"), threshold=0.1).select(
+        "doc_id", "canonical_id"
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("split|"),
+               F.col("canonical_id").cast("string"))), 1, 8), 16, 10)
+        .cast("bigint") % 10
+    )
+    return comp.withColumn(
+        "split", F.when(bucket == 0, F.lit("val")).otherwise(F.lit("train"))
+    )
+
+
 # ------------------------------------------------------- sequence packing
 
 _PACK_BUDGET = 4096

@@ -258,3 +258,88 @@ def agg_hist_quantile_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             ((F.min("bin") + 1) * 1.0).alias("est_hi"),
         )
     )
+
+
+_CM_D, _CM_W = 4, 1024
+
+_CM_DUCK = rf"""
+WITH tok AS (
+  SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                            t -> len(t) > 0)) AS token
+  FROM documents
+),
+cells AS (
+  SELECT r.i,
+         ('0x' || substr(md5('cm' || CAST(r.i AS VARCHAR) || '|' || token), 1, 8))::BIGINT
+           % {_CM_W} AS cell
+  FROM tok CROSS JOIN range(0, {_CM_D}) r(i)
+),
+sketch AS (SELECT i, cell, CAST(count(*) AS BIGINT) AS c FROM cells GROUP BY i, cell),
+exact AS (SELECT token, CAST(count(*) AS BIGINT) AS exact_cnt FROM tok GROUP BY token),
+top20 AS (SELECT token, exact_cnt FROM (
+            SELECT *, row_number() OVER (ORDER BY exact_cnt DESC, token) AS rn
+            FROM exact) WHERE rn <= 20),
+est AS (
+  SELECT t.token, t.exact_cnt, min(s.c) AS cm_est
+  FROM top20 t CROSS JOIN range(0, {_CM_D}) r(i)
+  JOIN sketch s
+    ON s.i = r.i
+   AND s.cell = ('0x' || substr(md5('cm' || CAST(r.i AS VARCHAR) || '|' || t.token), 1, 8))::BIGINT
+                % {_CM_W}
+  GROUP BY t.token, t.exact_cnt
+)
+SELECT token, exact_cnt, cm_est, cm_est >= exact_cnt AS overestimates
+FROM est
+"""
+
+
+@q(
+    "agg_countmin_topk",
+    _CM_DUCK,
+    "North-star: Count-Min sketch point queries — d=4 x w=1024 cell counts"
+    " built in ONE pass (portable md5 row hashes, map-side combined into a"
+    " fixed 4096-cell table regardless of corpus size, mergeable by cell-wise"
+    " sum), then the top-20 tokens' estimates = min over rows of their cells."
+    " Deterministic hashing makes the sketch bit-identical across engines,"
+    " so estimates value-match exactly; the exact-count arm is the"
+    " verification contract (overestimates must always hold — CM never"
+    " undercounts).",
+)
+def agg_countmin_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pgcapture_spark.operators.textstats import token_rows
+
+    register_views(spark, sf_dir, ("documents",))
+    toks = token_rows(spark.table("documents")).select("token")
+
+    def cell(i_col):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("cm"), i_col.cast("string"),
+                                   F.lit("|"), F.col("token"))),
+                    1, 8,
+                ), 16, 10,
+            ).cast("bigint") % _CM_W
+        )
+
+    cells = toks.select(
+        F.posexplode(F.array(*[cell(F.lit(i)) for i in range(_CM_D)])).alias("i", "cell")
+    )
+    sketch = cells.groupBy("i", "cell").agg(F.count("*").alias("c"))
+    exact = toks.groupBy("token").agg(F.count("*").alias("exact_cnt"))
+    # global top-20 via TakeOrdered (distributed heap), not a one-partition
+    # full-vocabulary window
+    top20 = exact.orderBy(F.desc("exact_cnt"), "token").limit(20)
+    probes = top20.select(
+        "token", "exact_cnt",
+        F.posexplode(F.array(*[F.lit(i) for i in range(_CM_D)])).alias("_p", "i"),
+    ).withColumn("cell", cell(F.col("i"))).drop("_p")
+    est = (
+        sketch.join(F.broadcast(probes), on=["i", "cell"])
+        .groupBy("token", "exact_cnt")
+        .agg(F.min("c").alias("cm_est"))
+    )
+    return est.select(
+        "token", "exact_cnt", "cm_est",
+        (F.col("cm_est") >= F.col("exact_cnt")).alias("overestimates"),
+    )

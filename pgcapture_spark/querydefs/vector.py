@@ -797,6 +797,92 @@ SELECT vec_id, cluster, floor(d2 * 1000000 + 0.5) / 1000000 AS dist2q FROM (
 """
 
 
+# MMR re-rank: 3-step greedy unrolled as relational stages; all arithmetic on
+# floor-quantized integers so selection is bit-identical across engines.
+_DUCK_MMR = f"""
+WITH normed AS ({_DUCK_NORMED}),
+queries AS (SELECT vec_id AS query_id, e AS qe, norm AS qn FROM normed
+            WHERE vec_id % 25 = 3),
+scored AS (
+  SELECT q.query_id, n.vec_id AS nid, n.e, n.norm,
+         CAST(floor(list_sum(list_transform(range(1, 65), i -> q.qe[i] * n.e[i]))
+                    / (q.qn * n.norm) * 1000000 + 0.5) AS BIGINT) AS rel_q
+  FROM queries q JOIN normed n ON n.vec_id <> q.query_id
+),
+pool AS (
+  SELECT query_id, nid, e, norm, rel_q FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY rel_q DESC, nid) AS rn
+    FROM scored) WHERE rn <= 5
+),
+psim AS (
+  SELECT a.query_id, a.nid AS a_id, b.nid AS b_id,
+         CAST(floor(list_sum(list_transform(range(1, 65), i -> a.e[i] * b.e[i]))
+                    / (a.norm * b.norm) * 1000000 + 0.5) AS BIGINT) AS sim_q
+  FROM pool a JOIN pool b ON a.query_id = b.query_id AND a.nid <> b.nid
+),
+s1 AS (
+  SELECT query_id, nid AS s1_id, 7 * rel_q AS s1_q FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY 7 * rel_q DESC, nid) AS rn
+    FROM pool) WHERE rn = 1
+),
+c2 AS (
+  SELECT p.query_id, p.nid, s1.s1_id,
+         7 * p.rel_q - 3 * ps.sim_q AS mmr_q
+  FROM pool p
+  JOIN s1 ON s1.query_id = p.query_id AND p.nid <> s1.s1_id
+  JOIN psim ps ON ps.query_id = p.query_id AND ps.a_id = p.nid
+              AND ps.b_id = s1.s1_id
+),
+s2 AS (
+  SELECT query_id, s1_id, nid AS s2_id, mmr_q AS s2_q FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY mmr_q DESC, nid) AS rn
+    FROM c2) WHERE rn = 1
+),
+c3 AS (
+  SELECT p.query_id, p.nid,
+         7 * p.rel_q - 3 * greatest(p1.sim_q, p2.sim_q) AS mmr_q
+  FROM pool p
+  JOIN s2 ON s2.query_id = p.query_id
+         AND p.nid <> s2.s1_id AND p.nid <> s2.s2_id
+  JOIN psim p1 ON p1.query_id = p.query_id AND p1.a_id = p.nid
+              AND p1.b_id = s2.s1_id
+  JOIN psim p2 ON p2.query_id = p.query_id AND p2.a_id = p.nid
+              AND p2.b_id = s2.s2_id
+),
+s3 AS (
+  SELECT query_id, nid AS s3_id, mmr_q AS s3_q FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY mmr_q DESC, nid) AS rn
+    FROM c3) WHERE rn = 1
+)
+SELECT query_id, 1 AS rank, s1_id AS neighbor_id, s1_q AS mmr_q FROM s1
+UNION ALL
+SELECT query_id, 2 AS rank, s2_id AS neighbor_id, s2_q AS mmr_q FROM s2
+UNION ALL
+SELECT query_id, 3 AS rank, s3_id AS neighbor_id, s3_q AS mmr_q FROM s3
+"""
+
+
+@q(
+    "sim_mmr_rerank",
+    _DUCK_MMR,
+    "North-star: MMR diversity re-rank (Carbonell-Goldstein) of each query's"
+    " cosine top-5 pool — greedy pick-3 maximizing 0.7*relevance -"
+    " 0.3*max-sim-to-picked, unrolled as three bounded relational stages in"
+    " scaled integer arithmetic (bit-identical selection across engines)."
+    " Per-query cost is pool-squared, never corpus-shaped; the corpus-shaped"
+    " retrieval stays one broadcast probe.",
+)
+def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pgcapture_spark.operators.similarity import mmr_rerank
+
+    register_views(spark, sf_dir, ("embeddings",))
+    return mmr_rerank(spark.table("embeddings"), "vec_id % 25 = 3", pool=5, k=3)
+
+
 # SemDeDup over a TRAINED k-means codebook (the scale path: k grows with the
 # corpus instead of being pinned to #labels). Codebook = kmeans_embed's k=8 /
 # iters=2 deterministic Lloyd run; then the standard within-cell cosine dedup.

@@ -616,3 +616,32 @@ def test_centroid_outliers_broadcast_centroids_one_window(spark):
     assert "BroadcastHashJoin" in tree
     assert tree.count("Window") == 1 or "WindowGroupLimit" in tree
     assert "CartesianProduct" not in tree
+
+
+def test_mmr_rerank_broadcast_queries_no_cartesian(spark):
+    """The corpus-shaped stage is ONE broadcast probe (query set broadcast);
+    every greedy-step join is keyed on query_id over pool-bounded rows —
+    no cartesian product, no Python."""
+    tree = plan_tree(spark, "sim_mmr_rerank")
+    assert "CartesianProduct" not in tree
+    assert "Broadcast" in tree
+    assert "BatchEvalPython" not in tree and "ArrowEvalPython" not in tree
+
+
+def test_countmin_sketch_fixed_size_and_broadcast_probe(spark):
+    """Sketch build is one partial-agg'd pass (fixed 4x1024 cells); the
+    top-20 probe side is broadcast against the sketch — no corpus-shaped
+    join, no Python."""
+    tree = plan_tree(spark, "agg_countmin_topk")
+    assert "CartesianProduct" not in tree
+    assert "BroadcastHashJoin" in tree
+    assert "BatchEvalPython" not in tree and "ArrowEvalPython" not in tree
+
+
+def test_leakage_safe_split_is_projection_over_components(spark):
+    """Split assignment must add NO new shuffle beyond the cluster
+    resolution it builds on (same exchange count as dedup_clusters)."""
+    base = plan_str(spark, "dedup_clusters", mode="simple")
+    split = plan_str(spark, "corpus_split_leakage_safe", mode="simple")
+    assert split.count("Exchange") <= base.count("Exchange")
+    assert "CartesianProduct" not in split
