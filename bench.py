@@ -170,6 +170,8 @@ HEADLINE = [
     "corpus_split_leakage_safe",
     "sim_mmr_rerank",
     "agg_countmin_topk",
+    "agg_heavy_hitters_streamed",
+    "events_hll_sliding_uniques",
 ]
 
 

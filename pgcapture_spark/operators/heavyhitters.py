@@ -92,3 +92,45 @@ def threshold(total: int, frac: float) -> Column:
     """The threshold as the same double-precision product both engines
     compute, so boundary comparisons agree bit-for-bit."""
     return F.lit(float(frac)) * F.lit(int(total))
+
+
+def mg_partition_summaries(
+    rows: DataFrame, col: str, capacity: int
+) -> tuple[dict, int]:
+    """One pass over ``rows``: per-partition Misra-Gries summaries (the same
+    bounded fold as :func:`heavy_hitters` pass 1) collected WITH their
+    residual weights and merged driver-side into one summary dict. The
+    collect is sketch-sized (≤ partitions × capacity rows, never data);
+    returns (summary, n_rows). Summaries produced this way are mergeable:
+    folding them into an accumulated summary with the same decrement rule
+    keeps the global error ≤ N/(capacity+1) (the mergeable-summaries bound),
+    so the accumulated key set stays a superset of every true heavy hitter —
+    the contract the streamed variant leans on."""
+    from collections.abc import Iterator
+
+    def part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        summary: dict = {}
+        n = 0
+        for pdf in batches:
+            n += len(pdf)
+            summary = _mg_merge(summary, pdf[col].value_counts(), capacity)
+        yield pd.DataFrame(
+            {
+                col: list(summary.keys()) + [None],
+                "w": list(summary.values()) + [None],
+                "_n": [None] * len(summary) + [n],
+            }
+        )
+
+    sketch = rows.select(col).mapInPandas(
+        part, schema=f"{col} string, w long, _n long"
+    ).collect()
+    total = sum(r["_n"] for r in sketch if r["_n"] is not None)
+    merged: dict = {}
+    for r in sketch:
+        if r[col] is not None:
+            merged[r[col]] = merged.get(r[col], 0) + int(r["w"])
+    if len(merged) > capacity:
+        d = sorted(merged.values(), reverse=True)[capacity]
+        merged = {t: c - d for t, c in merged.items() if c - d > 0}
+    return merged, total

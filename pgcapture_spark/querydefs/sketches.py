@@ -343,3 +343,148 @@ def agg_countmin_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "token", "exact_cnt", "cm_est",
         (F.col("cm_est") >= F.col("exact_cnt")).alias("overestimates"),
     )
+
+
+@q(
+    "agg_heavy_hitters_streamed",
+    _HH_DUCK,
+    "North-star: CONTINUOUS-INGEST heavy hitters — document segments arrive"
+    " as a stream; each micro-batch folds into a PERSISTED Misra-Gries"
+    " summary (sketch-sized state, merged under the decrement rule whose"
+    " error bound is additive across merges, so the accumulated key set"
+    " remains a candidate SUPERSET), then one exact recount of candidates"
+    " over the corpus. Converges to the batch agg_heavy_hitters / the naive"
+    " GROUP BY oracle exactly; per-batch cost is batch-sized, state is"
+    " capacity-bounded forever.",
+)
+def agg_heavy_hitters_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import json
+    import os
+    import tempfile
+
+    from pgcapture_spark.operators.heavyhitters import (
+        _mg_merge,
+        mg_partition_summaries,
+        threshold,
+    )
+    from pgcapture_spark.operators.textstats import token_rows
+    from pgcapture_spark.sources.feed import materialize_feed
+
+    register_views(spark, sf_dir, ("documents",))
+    d = tempfile.mkdtemp(prefix="pgcs_q_hhstream_")
+    docs = spark.table("documents").select("doc_id", "text")
+    materialize_feed(docs, f"{d}/segs", n_segments=4, order_col="doc_id")
+    schema = spark.read.parquet(f"{d}/segs").schema
+    state_file = f"{d}/mg_state.json"
+    capacity = 1000
+
+    def _batch(bdf: DataFrame, bid: int) -> None:
+        state = {"summary": {}, "n": 0, "last_batch": -1}
+        if os.path.exists(state_file):
+            with open(state_file) as f:
+                state = json.load(f)
+        if bid <= state["last_batch"]:
+            return  # replayed batch — already folded (consistent gate)
+        batch_summary, batch_n = mg_partition_summaries(
+            token_rows(bdf).select("token"), "token", capacity
+        )
+        import pandas as pd
+
+        merged = _mg_merge(
+            dict(state["summary"]), pd.Series(batch_summary), capacity
+        )
+        tmp = state_file + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(
+                {"summary": merged, "n": state["n"] + batch_n, "last_batch": bid}, f
+            )
+        os.replace(tmp, state_file)
+
+    query = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{d}/segs")
+        .writeStream.foreachBatch(_batch)
+        .option("checkpointLocation", f"{d}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(300)
+    with open(state_file) as f:
+        state = json.load(f)
+    cand = spark.createDataFrame(
+        [(t,) for t in sorted(state["summary"])], "token string"
+    )
+    toks = token_rows(spark.table("documents")).select("token")
+    return (
+        toks.join(F.broadcast(cand), "token", "left_semi")
+        .groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+        .where(F.col("cnt") >= threshold(state["n"], 0.002))
+    )
+
+
+# Sliding-window re-aggregation from STORED daily sketches — the actual
+# reason sketches are stored: any window is answered by merging window-many
+# per-day sketches (O(days x types x window) tiny merges), never by
+# rescanning raw events per window. The exact arm below is the verification
+# harness only.
+_HLL_SLIDING_DUCK = """
+WITH d AS (SELECT event_type, date_trunc('day', ts) AS day, user_id FROM events),
+days AS (SELECT DISTINCT event_type, day FROM d)
+SELECT dy.event_type, dy.day, CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_exact,
+       true AS merged_within_5pct
+FROM days dy
+JOIN d e ON e.event_type = dy.event_type
+        AND e.day BETWEEN dy.day - INTERVAL 2 DAY AND dy.day
+GROUP BY 1, 2
+"""
+
+
+@q(
+    "events_hll_sliding_uniques",
+    _HLL_SLIDING_DUCK,
+    "North-star: 3-day sliding distinct users per (event_type, day) answered"
+    " by MERGING stored daily HLL sketches (a window-bounded self-join over"
+    " the tiny sketch table + hll_union_agg), never rescanning events per"
+    " window; estimate contract-checked within 5% of the exact arm.",
+)
+def events_hll_sliding_uniques(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, ("events",))
+    ev = spark.table("events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.hll_sketch_agg("user_id", F.lit(14)).alias("sk"))
+    t = daily.select(F.col("event_type").alias("t_type"), F.col("day").alias("t_day"))
+    merged = (
+        t.join(
+            daily,
+            (F.col("event_type") == F.col("t_type"))
+            & (F.col("day") >= F.col("t_day") - F.expr("INTERVAL 2 DAYS"))
+            & (F.col("day") <= F.col("t_day")),
+        )
+        .groupBy("t_type", "t_day")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("_est"))
+    )
+    spine = ev.select("event_type", F.date_trunc("day", "ts").alias("day"), "user_id")
+    exact = (
+        t.join(
+            spine,
+            (F.col("event_type") == F.col("t_type"))
+            & (F.col("day") >= F.col("t_day") - F.expr("INTERVAL 2 DAYS"))
+            & (F.col("day") <= F.col("t_day")),
+        )
+        .groupBy("t_type", "t_day")
+        .agg(F.countDistinct("user_id").alias("n_exact"))
+    )
+    return (
+        merged.join(exact, on=["t_type", "t_day"])
+        .select(
+            F.col("t_type").alias("event_type"),
+            F.col("t_day").alias("day"),
+            "n_exact",
+            (
+                F.abs(F.col("_est") - F.col("n_exact")) <= 0.05 * F.col("n_exact")
+            ).alias("merged_within_5pct"),
+        )
+    )

@@ -645,3 +645,11 @@ def test_leakage_safe_split_is_projection_over_components(spark):
     split = plan_str(spark, "corpus_split_leakage_safe", mode="simple")
     assert split.count("Exchange") <= base.count("Exchange")
     assert "CartesianProduct" not in split
+
+
+def test_sliding_hll_no_cartesian_no_python(spark):
+    """The sliding merge is a window-bounded range join over the tiny daily
+    sketch table; nothing crosses to Python, nothing goes cartesian."""
+    tree = plan_tree(spark, "events_hll_sliding_uniques")
+    assert "CartesianProduct" not in tree
+    assert "BatchEvalPython" not in tree and "ArrowEvalPython" not in tree
