@@ -172,6 +172,8 @@ HEADLINE = [
     "agg_countmin_topk",
     "agg_heavy_hitters_streamed",
     "events_hll_sliding_uniques",
+    "sample_coreset_kcenter",
+    "media_dedup_exact",
 ]
 
 

@@ -281,3 +281,41 @@ def media_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pgcapture_spark.operators.multimodal import scene_cuts
 
     return scene_cuts(media_view(spark, sf_dir), every_ms=1000, threshold=96)
+
+
+_DUCK_MEDIA_DEDUP = f"""
+WITH m AS (SELECT doc_id AS media_id,
+                  {_MODALITY.replace("media_id", "doc_id")} AS modality,
+                  sha256(text) AS content_sha256
+           FROM documents)
+SELECT content_sha256, modality,
+       CAST(count(*) AS BIGINT) AS n_copies,
+       min(media_id) AS keeper_id
+FROM m GROUP BY content_sha256, modality
+HAVING count(*) >= 2
+"""
+
+
+@q(
+    "media_dedup_exact",
+    _DUCK_MEDIA_DEDUP,
+    "North-star: exact media dedup by CONTENT hash — sha256 over the opaque"
+    " binary payload (the blob-store dedup key), grouped per modality;"
+    " keep-lowest-id survivor policy, duplicate groups reported with copy"
+    " counts. One hash projection fused into the scan + one hash-agg"
+    " shuffle; payload bytes never shuffle (only the 32-byte digest does) —"
+    " the property that makes this viable on petabyte media columns.",
+)
+def media_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = media_view(spark, sf_dir)
+    return (
+        media.select(
+            "media_id", "modality", F.sha2("payload", 256).alias("content_sha256")
+        )
+        .groupBy("content_sha256", "modality")
+        .agg(
+            F.count("*").alias("n_copies"),
+            F.min("media_id").alias("keeper_id"),
+        )
+        .where(F.col("n_copies") >= 2)
+    )

@@ -797,6 +797,79 @@ SELECT vec_id, cluster, floor(d2 * 1000000 + 0.5) / 1000000 AS dist2q FROM (
 """
 
 
+def _duck_kcenter(k: int = 5) -> str:
+    """Unrolled greedy k-center (Gonzalez) in DuckDB: seed = lowest vec_id,
+    each step picks the point FARTHEST from its nearest chosen center
+    (quantized integer distances, vec_id tie-break)."""
+    dist_q = ("CAST(floor(list_sum(list_transform(range(1, 65),"
+              " i -> (x.ed[i] - {c}.ed[i]) * (x.ed[i] - {c}.ed[i])))"
+              " * 1000000 + 0.5) AS BIGINT)")
+    parts = ["WITH e AS (SELECT vec_id, list_transform(embedding, v -> CAST(v AS DOUBLE)) AS ed FROM embeddings),",
+             "c1 AS (SELECT vec_id, ed FROM e ORDER BY vec_id LIMIT 1),",
+             "d1 AS (SELECT x.vec_id, x.ed, " + dist_q.format(c="c1")
+             + " AS dmin FROM e x CROSS JOIN c1 WHERE x.vec_id <> c1.vec_id),"]
+    for r in range(2, k + 1):
+        parts.append(
+            f"c{r} AS (SELECT vec_id, ed, dmin FROM d{r-1} ORDER BY dmin DESC, vec_id LIMIT 1),"
+        )
+        if r < k:
+            parts.append(
+                f"d{r} AS (SELECT x.vec_id, x.ed, least(x.dmin, " + dist_q.format(c=f"c{r}")
+                + f" ) AS dmin FROM d{r-1} x CROSS JOIN c{r} WHERE x.vec_id <> c{r}.vec_id),"
+            )
+    parts[-1] = parts[-1].rstrip(",")
+    sel = ["SELECT 1 AS rank, vec_id, CAST(0 AS BIGINT) AS dmin_q FROM c1"]
+    for r in range(2, k + 1):
+        sel.append(f"SELECT {r} AS rank, vec_id, dmin AS dmin_q FROM c{r}")
+    return "\n".join(parts) + "\n" + "\nUNION ALL\n".join(sel)
+
+
+@q(
+    "sample_coreset_kcenter",
+    _duck_kcenter(5),
+    "North-star: greedy k-center coreset selection (Gonzalez) — the"
+    " diversity-sampling primitive of data-selection pipelines: k passes,"
+    " each a broadcast of the chosen centers folded into a per-row"
+    " min-distance expression + ONE distributed argmax (quantized integer"
+    " distances, vec_id tie-break, k-bounded collects only). The farthest-"
+    "point chain is bit-identical across engines.",
+)
+def sample_coreset_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pgcapture_spark.operators.similarity import DIST2_EXPR, _as_double
+
+    register_views(spark, sf_dir, ("embeddings",))
+    k = 5
+    e = _as_double(spark.table("embeddings")).select("vec_id", "emb_d")
+    seed = e.orderBy("vec_id").limit(1).collect()[0]
+    centers = [(1, int(seed["vec_id"]), [float(v) for v in seed["emb_d"]], 0)]
+    for r in range(2, k + 1):
+        cents_row = spark.createDataFrame(
+            [([c[2] for c in centers],)], "cents array<array<double>>"
+        )
+        dmin = F.expr(
+            "array_min(transform(cents, c -> CAST(floor("
+            + DIST2_EXPR.format(a="emb_d", b="c")
+            + " * 1000000 + 0.5) AS BIGINT)))"
+        )
+        chosen = [c[1] for c in centers]
+        picked = (
+            e.where(~F.col("vec_id").isin(chosen))
+            .join(F.broadcast(cents_row))
+            .select("vec_id", "emb_d", dmin.alias("dmin"))
+            .orderBy(F.desc("dmin"), "vec_id")
+            .limit(1)
+            .collect()[0]
+        )
+        centers.append(
+            (r, int(picked["vec_id"]), [float(v) for v in picked["emb_d"]],
+             int(picked["dmin"]))
+        )
+    return spark.createDataFrame(
+        [(r, v, d) for r, v, _, d in centers],
+        "rank int, vec_id bigint, dmin_q bigint",
+    )
+
+
 # MMR re-rank: 3-step greedy unrolled as relational stages; all arithmetic on
 # floor-quantized integers so selection is bit-identical across engines.
 _DUCK_MMR = f"""

@@ -653,3 +653,13 @@ def test_sliding_hll_no_cartesian_no_python(spark):
     tree = plan_tree(spark, "events_hll_sliding_uniques")
     assert "CartesianProduct" not in tree
     assert "BatchEvalPython" not in tree and "ArrowEvalPython" not in tree
+
+
+def test_media_dedup_hashes_before_shuffle(spark):
+    """The sha256 projection must sit below the exchange — payload bytes
+    never shuffle, only digests do — and the agg is partial'd map-side."""
+    plan = plan_str(spark, "media_dedup_exact", mode="simple")
+    assert plan.count("Exchange") == 1
+    assert plan.count("HashAggregate") == 2
+    before_exchange = plan.split("Exchange")[-1]  # below the shuffle
+    assert "sha2" in before_exchange
