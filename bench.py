@@ -174,6 +174,8 @@ HEADLINE = [
     "events_hll_sliding_uniques",
     "sample_coreset_kcenter",
     "media_dedup_exact",
+    "sim_ood_knn_score",
+    "events_path_topk",
 ]
 
 

@@ -113,7 +113,8 @@ from pgcapture_spark.querydefs import (  # noqa: E402,F401
 # sample_weighted_reservoir, events_zorder_layout — plus the r4 late
 # additions corpus_split_leakage_safe, sim_mmr_rerank, agg_countmin_topk,
 # agg_heavy_hitters_streamed, events_hll_sliding_uniques,
-# sample_coreset_kcenter, media_dedup_exact (37 total, fits one window).
+# sample_coreset_kcenter, media_dedup_exact, sim_ood_knn_score,
+# events_path_topk (39 total, fits one window).
 _WINDOW: tuple[str, ...] = (
     # wire dialects (pglogical + protobuf + streamed pgoutput): the
     # reference's actual on-wire surface, never driver-checked

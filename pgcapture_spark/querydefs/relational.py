@@ -635,6 +635,37 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_TRANSITIONS_SQL)
 
 
+# ------------------------------------------------------------- top paths
+
+# Shared portable SQL: 3-event behavior paths per user (two leads over one
+# user_id-keyed window), global exact counts with map-side combine, top-20
+# via TakeOrdered (deterministic (count, path) tiebreak) — never a full sort.
+_PATHS_SQL = """
+WITH o AS (SELECT user_id, event_type, ts, event_id,
+                  lead(event_type, 1) OVER w AS e2,
+                  lead(event_type, 2) OVER w AS e3
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+p AS (SELECT event_type || '>' || e2 || '>' || e3 AS path
+      FROM o WHERE e3 IS NOT NULL),
+c AS (SELECT path, CAST(count(*) AS BIGINT) AS n FROM p GROUP BY path)
+SELECT path, n FROM c ORDER BY n DESC, path LIMIT 20
+"""
+
+
+@q(
+    "events_path_topk",
+    _PATHS_SQL,
+    "§2.7 relational: top-20 three-event behavior paths — the sequence-"
+    "pattern rollup (sankey/path analysis) one step beyond the first-order"
+    " transition matrix; one user_id window shuffle, exact path counts,"
+    " distributed top-k.",
+)
+def events_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, ("events",))
+    return spark.sql(_PATHS_SQL)
+
+
 # ------------------------------------------------------------- user growth
 
 # Exact running distinct users without any sketch: a user contributes to the

@@ -797,6 +797,75 @@ SELECT vec_id, cluster, floor(d2 * 1000000 + 0.5) / 1000000 AS dist2q FROM (
 """
 
 
+# OOD scoring: per-candidate sum of top-3 cosines to a REFERENCE set — the
+# in-distribution anchor (label 0). The reference rides as ONE broadcast row,
+# so scoring is a per-row expression fused into the candidate scan: zero
+# shuffle, cost linear in candidates x |reference|.
+_DUCK_OOD = f"""
+WITH normed AS ({_DUCK_NORMED}),
+lbl AS (SELECT vec_id, label FROM embeddings),
+refs AS (SELECT n.vec_id, n.e, n.norm FROM normed n JOIN lbl USING (vec_id)
+         WHERE lbl.label = 0),
+cands AS (SELECT n.vec_id, n.e, n.norm FROM normed n JOIN lbl USING (vec_id)
+          WHERE lbl.label <> 0),
+sims AS (
+  SELECT c.vec_id, r.vec_id AS ref_id,
+         CAST(floor(list_sum(list_transform(range(1, 65), i -> c.e[i] * r.e[i]))
+                    / (c.norm * r.norm) * 1000000 + 0.5) AS BIGINT) AS cos_q
+  FROM cands c CROSS JOIN refs r
+),
+ranked AS (
+  SELECT vec_id, cos_q,
+         row_number() OVER (PARTITION BY vec_id ORDER BY cos_q DESC, ref_id) AS rn
+  FROM sims
+)
+SELECT vec_id, CAST(sum(cos_q) AS BIGINT) AS sum_top3_cos_q
+FROM ranked WHERE rn <= 3 GROUP BY vec_id
+"""
+
+
+@q(
+    "sim_ood_knn_score",
+    _DUCK_OOD,
+    "North-star: out-of-distribution scoring — each candidate's summed top-3"
+    " cosine to the in-distribution REFERENCE set (label 0), the kNN-distance"
+    " OOD detector of data-quality pipelines. The reference set is ONE"
+    " broadcast row and the top-3 fold is a per-row array expression fused"
+    " into the candidate scan: zero shuffle, reference-bounded cost per row.",
+)
+def sim_ood_knn_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pgcapture_spark.operators.similarity import with_norm
+
+    register_views(spark, sf_dir, ("embeddings",))
+    base = with_norm(spark.table("embeddings")).select(
+        "vec_id", "label", "emb_d", "norm"
+    )
+    ref_rows = sorted(
+        (int(r["vec_id"]), [float(v) for v in r["emb_d"]], float(r["norm"]))
+        for r in base.where("label = 0").collect()
+    )
+    refs_row = spark.createDataFrame(
+        [(ref_rows,)], "refs array<struct<rid:bigint,e:array<double>,n:double>>"
+    )
+    # per-row: quantized cosine to every reference, (cos_q DESC, rid ASC)
+    # ordering via struct sort on (-cos_q, rid), top-3 summed
+    sims = (
+        "transform(refs, r -> struct("
+        "-CAST(floor(aggregate(zip_with(emb_d, r.e, (x, y) -> x * y),"
+        " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v) / (norm * r.n)"
+        " * 1000000 + 0.5) AS BIGINT) AS neg_q, r.rid AS rid))"
+    )
+    top3sum = (
+        f"aggregate(slice(array_sort({sims}), 1, 3),"
+        " CAST(0 AS BIGINT), (acc, s) -> acc - s.neg_q)"
+    )
+    return (
+        base.where("label <> 0")
+        .join(F.broadcast(refs_row))
+        .select("vec_id", F.expr(top3sum).alias("sum_top3_cos_q"))
+    )
+
+
 def _duck_kcenter(k: int = 5) -> str:
     """Unrolled greedy k-center (Gonzalez) in DuckDB: seed = lowest vec_id,
     each step picks the point FARTHEST from its nearest chosen center

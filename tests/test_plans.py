@@ -663,3 +663,23 @@ def test_media_dedup_hashes_before_shuffle(spark):
     assert plan.count("HashAggregate") == 2
     before_exchange = plan.split("Exchange")[-1]  # below the shuffle
     assert "sha2" in before_exchange
+
+
+def test_ood_score_zero_shuffle(spark):
+    """The reference set rides as one broadcast row; OOD scoring must add
+    NO exchange over the candidate scan and no Python."""
+    plan = plan_str(spark, "sim_ood_knn_score", mode="simple")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # the only exchanges allowed: the deliberate round-robin parallelism
+    # repartition and the reference broadcast — never a keyed shuffle
+    assert "hashpartitioning" not in plan
+    assert "rangepartitioning" not in plan
+    tree = plan_tree(spark, "sim_ood_knn_score")
+    assert "CartesianProduct" not in tree
+
+
+def test_path_topk_takeordered_not_full_sort(spark):
+    """Global top-20 must be a distributed TakeOrdered, not a total sort of
+    the path vocabulary."""
+    tree = plan_tree(spark, "events_path_topk")
+    assert "TakeOrderedAndProject" in tree
