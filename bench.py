@@ -176,6 +176,7 @@ HEADLINE = [
     "media_dedup_exact",
     "sim_ood_knn_score",
     "events_path_topk",
+    "corpus_length_curriculum",
 ]
 
 

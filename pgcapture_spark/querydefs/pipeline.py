@@ -397,6 +397,104 @@ def corpus_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------------- length curriculum
+
+_DUCK_CURRICULUM = f"""
+WITH t AS (SELECT doc_id, len({_DUCK_TOKENS}) AS n_tokens FROM documents),
+hist AS (SELECT n_tokens, count(*) AS cnt FROM t GROUP BY 1),
+cum AS (SELECT n_tokens,
+               CAST(sum(cnt) OVER (ORDER BY n_tokens) AS BIGINT) AS cum,
+               CAST(sum(cnt) OVER () AS BIGINT) AS n FROM hist),
+b AS (SELECT min(CASE WHEN cum >= ceil(n / 3.0) THEN n_tokens END) AS b1,
+             min(CASE WHEN cum >= ceil(2 * n / 3.0) THEN n_tokens END) AS b2
+      FROM cum),
+staged AS (
+  SELECT doc_id, n_tokens,
+         CASE WHEN n_tokens <= b.b1 THEN 0
+              WHEN n_tokens <= b.b2 THEN 1 ELSE 2 END AS stage_idx
+  FROM t CROSS JOIN b),
+k AS (SELECT doc_id, n_tokens, stage_idx,
+             CAST(stage_idx AS VARCHAR) || md5('curr|' || CAST(doc_id AS VARCHAR))
+               AS okey
+      FROM staged)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CASE stage_idx WHEN 0 THEN 'short' WHEN 1 THEN 'medium'
+            ELSE 'long' END AS stage,
+       CAST(row_number() OVER (ORDER BY okey, doc_id) - 1 AS BIGINT)
+         AS curriculum_pos
+FROM k
+"""
+
+
+@q(
+    "corpus_length_curriculum",
+    _DUCK_CURRICULUM,
+    "North-star: sequence-length curriculum — docs staged short/medium/long"
+    " by token-count TERCILES (thresholds from the sketch-sized length"
+    " histogram, broadcast back — never a corpus-wide rank), then ONE"
+    " deterministic global training order: stage-major, md5-shuffled within"
+    " stage, positioned by the two-phase distributed rank. The"
+    " easy-to-hard schedule every curriculum-training run needs"
+    " reproducibly.",
+)
+def corpus_length_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from pgcapture_spark.operators.packing import packed_batches
+
+    register_views(spark, sf_dir, ("documents",))
+    t = token_count(spark.table("documents")).select("doc_id", "n_tokens")
+    hist = t.groupBy("n_tokens").agg(F.count("*").alias("cnt"))
+    cum = hist.select(
+        "n_tokens",
+        F.sum("cnt").over(W.orderBy("n_tokens")).cast("bigint").alias("cum"),
+        F.sum("cnt").over(
+            W.orderBy("n_tokens").rowsBetween(
+                W.unboundedPreceding, W.unboundedFollowing
+            )
+        ).cast("bigint").alias("n"),
+    )
+    b = cum.agg(
+        F.min(F.when(F.col("cum") >= F.ceil(F.col("n") / 3.0), F.col("n_tokens")))
+        .alias("b1"),
+        F.min(F.when(F.col("cum") >= F.ceil(2 * F.col("n") / 3.0), F.col("n_tokens")))
+        .alias("b2"),
+    )
+    staged = t.join(F.broadcast(b)).select(
+        "doc_id",
+        "n_tokens",
+        F.when(F.col("n_tokens") <= F.col("b1"), 0)
+        .when(F.col("n_tokens") <= F.col("b2"), 1)
+        .otherwise(2)
+        .alias("stage_idx"),
+    )
+    keyed = staged.select(
+        "doc_id",
+        "n_tokens",
+        "stage_idx",
+        F.expr(
+            "CAST(stage_idx AS STRING) || md5(concat('curr|', CAST(doc_id AS STRING)))"
+        ).alias("okey"),
+        F.lit(1).alias("_w"),
+    )
+    ranked = packed_batches(
+        keyed,
+        budget=1 << 60,
+        order_col="okey",
+        tokens_col="_w",
+        extra_cols=("doc_id", "n_tokens", "stage_idx"),
+    )
+    return ranked.select(
+        "doc_id",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.when(F.col("stage_idx") == 0, "short")
+        .when(F.col("stage_idx") == 1, "medium")
+        .otherwise("long")
+        .alias("stage"),
+        F.col("start_offset").cast("bigint").alias("curriculum_pos"),
+    )
+
+
 # --------------------------------------------- CDC-maintained corpus refresh
 
 

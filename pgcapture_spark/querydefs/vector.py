@@ -921,14 +921,17 @@ def sample_coreset_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
             + " * 1000000 + 0.5) AS BIGINT)))"
         )
         chosen = [c[1] for c in centers]
-        picked = (
+        rows = (
             e.where(~F.col("vec_id").isin(chosen))
             .join(F.broadcast(cents_row))
             .select("vec_id", "emb_d", dmin.alias("dmin"))
             .orderBy(F.desc("dmin"), "vec_id")
             .limit(1)
-            .collect()[0]
+            .collect()
         )
+        if not rows:  # corpus smaller than k: mirror the oracle's empty arms
+            break
+        picked = rows[0]
         centers.append(
             (r, int(picked["vec_id"]), [float(v) for v in picked["emb_d"]],
              int(picked["dmin"]))

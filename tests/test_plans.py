@@ -683,3 +683,13 @@ def test_path_topk_takeordered_not_full_sort(spark):
     the path vocabulary."""
     tree = plan_tree(spark, "events_path_topk")
     assert "TakeOrderedAndProject" in tree
+
+
+def test_length_curriculum_broadcast_thresholds_no_python(spark):
+    """Tercile thresholds (one row) broadcast onto the doc scan; the only
+    corpus-shaped exchange is the rank's range partition — no Python, no
+    cartesian blowup."""
+    tree = plan_tree(spark, "corpus_length_curriculum")
+    assert "CartesianProduct" not in tree
+    assert "BatchEvalPython" not in tree and "ArrowEvalPython" not in tree
+    assert "Broadcast" in tree
