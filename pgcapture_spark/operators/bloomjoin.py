@@ -112,16 +112,22 @@ def bloom_prefilter_join(
 ) -> DataFrame:
     """Exact ``probe ⋈ build`` with a Bloom pre-filter on the probe side.
 
-    Row-identical to ``probe.join(build, key, how)`` for inner/semi joins:
-    bloom false positives are removed by the exact join; true matches always
-    test positive (no false negatives by construction). Any other join type
-    (left/full/anti) is NOT result-preserving under a probe-side prefilter —
-    probe rows failing the bloom test would silently vanish — so it errors.
+    Row-identical to ``probe.join(build, key, how)`` for join types that keep
+    NO unmatched probe rows — inner, semi, and right/right-outer (unmatched
+    build rows still surface with nulls; the probe rows the bloom drops are
+    guaranteed non-matching, so they contribute nothing to a right join
+    either): bloom false positives are removed by the exact join; true
+    matches always test positive (no false negatives by construction). Join
+    types that RETAIN unmatched probe rows (left/full/left_anti) are NOT
+    result-preserving under a probe-side prefilter — probe rows failing the
+    bloom test would silently vanish — so they error.
     """
-    if how.replace("_", "").lower() not in {"inner", "semi", "leftsemi"}:
+    if how.replace("_", "").lower() not in {
+        "inner", "semi", "leftsemi", "right", "rightouter",
+    }:
         raise ValueError(
             f"bloom_prefilter_join: how={how!r} is not result-preserving under "
-            "a probe-side bloom prefilter; use 'inner' or 'left_semi'"
+            "a probe-side bloom prefilter; use 'inner', 'left_semi', or 'right'"
         )
     bloom = bloom_build(build, key, m_bits)
     return bloom_probe_filter(probe, key, bloom, m_bits).join(

@@ -59,26 +59,15 @@ def heavy_hitters(
             f"{1.0 / (capacity + 1):.2e} for the candidate superset guarantee"
         )
     spark = rows.sparkSession
-
-    def mg_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        summary: dict = {}
-        n = 0
-        for pdf in batches:
-            n += len(pdf)
-            summary = _mg_merge(summary, pdf[col].value_counts(), capacity)
-        # candidates AND this partition's row count in ONE pass (the count
-        # rides along as a sentinel row), so N needs no third corpus scan
-        yield pd.DataFrame({col: list(summary.keys()) + [None], "_n": [None] * len(summary) + [n]})
-
-    # one scan: per-partition Misra-Gries summaries + row counts. The collect
-    # is sketch-sized (<= capacity + 1 rows per partition), the standard
-    # mergeable-summary shape — never the data itself.
-    sketch = rows.select(col).mapInPandas(
-        mg_partition, schema=f"{col} string, _n long"
-    ).collect()
-    total = sum(r["_n"] for r in sketch if r["_n"] is not None)
-    cand_vals = sorted({r[col] for r in sketch if r[col] is not None})
-    candidates = spark.createDataFrame([(v,) for v in cand_vals], f"{col} string")
+    # pass 1 is the SAME mergeable-summary fold the streamed variant uses —
+    # one implementation of the MG decrement/sentinel scheme to keep in sync.
+    # The merged summary's key set is still a superset of every true heavy
+    # hitter (merging MG summaries keeps global error ≤ N/(capacity+1), the
+    # mergeable-summaries bound), which is all pass 2 needs.
+    summary, total = mg_partition_summaries(rows, col, capacity)
+    candidates = spark.createDataFrame(
+        [(v,) for v in sorted(summary)], f"{col} string"
+    )
     return (
         rows.join(F.broadcast(candidates), col, "left_semi")
         .groupBy(col)
@@ -106,7 +95,6 @@ def mg_partition_summaries(
     keeps the global error ≤ N/(capacity+1) (the mergeable-summaries bound),
     so the accumulated key set stays a superset of every true heavy hitter —
     the contract the streamed variant leans on."""
-    from collections.abc import Iterator
 
     def part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         summary: dict = {}

@@ -123,7 +123,10 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
 
     return (
         media.where(F.col("modality") == "video")
-        .where(F.col("meta_duration_ms").isNotNull())
+        # meta_duration_ms = 0 would make sequence(0, -1, every) raise; a
+        # zero-length video degrades to no planned frames (same guard as
+        # audio_window_energy)
+        .where(F.col("meta_duration_ms").isNotNull() & (F.col("meta_duration_ms") > 0))
         .select(
             "media_id",
             F.explode(

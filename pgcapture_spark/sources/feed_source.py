@@ -199,14 +199,49 @@ def _content_xsum(batch) -> int:
     per-row 64-bit hashes summed mod 2**64. Summation commutes across rows,
     batches, files, and tasks, so any re-split of the same logical rows yields
     the same value — while any content change moves it (the restarted-batchId
-    foreign-lineage case a bare row count cannot catch)."""
-    import pandas as pd
+    foreign-lineage case a bare row count cannot catch).
 
-    pdf = batch.to_pandas()
-    # hash_pandas_object needs hashable, string-encodable cells; stringify
-    # everything (binary columns repr deterministically) — this is a
-    # fingerprint, not a codec, so the exact encoding only has to be stable.
-    hashes = pd.util.hash_pandas_object(pdf.astype(str), index=False)
+    Canonicalization happens at the ARROW level, per declared column type, not
+    after ``to_pandas``: pandas picks the batch dtype from the batch's *values*
+    (an int64 column converts to float64 only when that batch contains a null),
+    so the same logical row would hash as "7" in one task layout and "7.0" in
+    another and a legitimate crash-replay re-split would trip the
+    foreign-lineage guard. ``pc.cast(col, string)`` is driven by the column's
+    Arrow type alone, so every re-split of the same rows encodes identically.
+    """
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    cols = {}
+    for name, col in zip(batch.schema.names, batch.columns):
+        t = col.type
+        if pa.types.is_string(t) or pa.types.is_large_string(t):
+            cols[name] = col.to_pandas()  # object dtype in every layout
+        elif (
+            pa.types.is_binary(t)
+            or pa.types.is_large_binary(t)
+            or pa.types.is_fixed_size_binary(t)
+            or pa.types.is_nested(t)
+        ):
+            # routed by TYPE, never by a value-driven cast failure (binary
+            # casts succeed or fail per-value on UTF-8 validity, which would
+            # re-introduce layout dependence). ``to_pylist`` gives Python
+            # bytes / lists / dicts whose repr is exact and layout-invariant.
+            cols[name] = pd.Series(
+                [None if v is None else repr(v) for v in col.to_pylist()],
+                dtype=object,
+            )
+        else:
+            try:
+                # type-driven canonical text (ints stay "7", never "7.0")
+                cols[name] = pc.cast(col, pa.string()).to_pandas()
+            except pa.ArrowNotImplementedError:  # type-driven, not per-value
+                cols[name] = pd.Series(
+                    [None if v is None else repr(v) for v in col.to_pylist()],
+                    dtype=object,
+                )
+    hashes = pd.util.hash_pandas_object(pd.DataFrame(cols), index=False)
     return int(hashes.astype("uint64").sum()) & 0xFFFFFFFFFFFFFFFF
 
 

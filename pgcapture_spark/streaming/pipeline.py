@@ -365,7 +365,7 @@ def apply_wire_stream_multi(
     )
 
 
-def apply_pgoutput_stream(
+def _apply_wire_stream(
     frame_stream: DataFrame,
     state: SnapshotState,
     tx_state: SnapshotState,
@@ -373,37 +373,43 @@ def apply_pgoutput_stream(
     initial_snapshot: DataFrame,
     cols: list[str],
     checkpoint_dir: str,
-    table: str | None = None,
-    max_consecutive_skips: int = 3,
+    dialect: str,
+    parse_frames_udf,
+    project_rels,
+    migrate_cache,
+    resolve_schema,
+    table: str | None,
+    max_consecutive_skips: int,
 ) -> StreamingQuery:
-    """Streamed pgoutput consumer: micro-batches of RAW pgoutput frame bytes.
-    The in-band Relation frame (first in log order) is learned and PERSISTED
-    — later batches decode rows against the persisted relation cache, the
-    reference's PGOutputDecoder relation registry surviving the consumer's
-    restarts (pkg/decode/pgoutput.go:33-65). Begin times fold into the
-    cross-batch tx registry; tuples zip with the learned column list (the
-    pgoutput tuple carries no names — position is meaning); presence model:
-    'u' = absent TOAST, 'n' = present NULL. The identity key comes from the
-    relation's flag bits, so NOTHING table-specific is hard-coded in the
-    consumer — schema, key, and types all arrive on the wire.
+    """Shared core of the wire-dialect streamed consumers (pgoutput and
+    pglogical differ only in the frame parser, the R-frame projection, and
+    how column types / the identity key are resolved — everything else here
+    must stay dialect-identical or the two silently diverge).
 
-    Relation selection: the registry keys relations by the R frame's
-    ``relname`` (the reference keys its registry by namespace/name + oid,
-    pkg/decode/pgoutput.go:33-65); pass ``table`` to pin the consumer to that
-    name. ``table=None`` falls back to unique-column-coverage selection (only
-    safe when at most one cached relation can cover ``cols``).
+    Per micro-batch: (1) learn + persist Relation frames (replace-on-R, the
+    reference's registry semantics, pkg/decode/pgoutput.go:33-65); (2) fold
+    Begin frames into the cross-batch tx registry UNCONDITIONALLY — a B frame
+    split into its own micro-batch (its tx straddles the trigger boundary, or
+    precedes the first R frame) must still supply commit timestamps to rows
+    arriving in later batches; (3) if the batch carries no decodable row
+    events (only B/C framing), advance the checkpoint without touching the
+    relation selection — framing-only batches are NOT quarantine candidates;
+    (4) select the relation, decode, fold into the snapshot.
 
     Undecodable batches are NOT silently dropped: the raw frames are parked
     under ``{checkpoint_dir}/deadletter/batch_<id>`` before the checkpoint
     advances, and after ``max_consecutive_skips`` consecutive parked batches
     the stream fails loudly (the counter is driver-local and resets on
     restart — a restart re-reads the log from the persisted snapshot state,
-    so nothing is lost either way)."""
+    so nothing is lost either way).
+
+    ``resolve_schema(rel_oid, rows)`` returns either
+    ``("ok", field_oids, key, key_oid)`` or ``("err", reason)``.
+    """
     import os as _os
 
     from pyspark.sql import functions as F
 
-    from pgcapture_spark.functions.pgoutput import parse_frames_udf
     from pgcapture_spark.functions.pgtypes import MICROS_Y2K_SHIFT
     from pgcapture_spark.operators.generic_feed import decode_binary_feed
 
@@ -414,12 +420,12 @@ def apply_pgoutput_stream(
         batch_df.write.mode("overwrite").parquet(dead)
         skip_streak["n"] += 1
         _LOG.warning(
-            "apply_pgoutput_stream: %s; batch %d parked at %s (%d consecutive)",
-            why, batch_id, dead, skip_streak["n"],
+            "%s: %s; batch %d parked at %s (%d consecutive)",
+            dialect, why, batch_id, dead, skip_streak["n"],
         )
         if skip_streak["n"] >= max_consecutive_skips:
             raise RuntimeError(
-                f"apply_pgoutput_stream: {skip_streak['n']} consecutive batches "
+                f"{dialect}: {skip_streak['n']} consecutive batches "
                 f"quarantined (last: {why}); raw frames are parked under "
                 f"{_os.path.join(checkpoint_dir, 'deadletter')} — refusing to "
                 "keep advancing the checkpoint past undecodable data."
@@ -428,10 +434,10 @@ def apply_pgoutput_stream(
     def _batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_id <= state.last_batch():
             return
-        # 1) learn + persist relations from this batch's R frames (ord = -1
-        # sorts them first; the filter is plain Catalyst, below the parse)
         from pyspark.sql import Window as W
 
+        # 1) learn + persist relations from this batch's R frames (ord = -1
+        # sorts them first; the filter is plain Catalyst, below the parse)
         rel_frames = (
             batch_df.where("ord = -1")
             .select("lsn", "seq", parse_frames_udf()("data").alias("f"))
@@ -443,84 +449,31 @@ def apply_pgoutput_stream(
         last_w = W.partitionBy("f.rel_oid").orderBy(
             F.col("lsn").desc(), F.col("seq").desc()
         )
-        rels = (
-            rel_frames.withColumn("_rn", F.row_number().over(last_w))
-            .where("_rn = 1")
-            .select(F.col("f.rel_oid").alias("rel_oid"),
-                    F.col("f.rel_name").alias("rel_name"),
-                    F.posexplode("f.rel_cols").alias("pos", "c"))
-            .select("rel_oid", "rel_name", "pos", "c.name", "c.oid", "c.flag")
+        rels = project_rels(
+            rel_frames.withColumn("_rn", F.row_number().over(last_w)).where("_rn = 1")
         )
-        cache = rel_state.read()
-        if cache is not None and "rel_name" not in cache.columns:
-            # pre-rel_name cache from an older lineage: carry it forward with
-            # an unknown name (name-pinned selection will then quarantine
-            # rather than guess)
-            cache = cache.withColumn("rel_name", F.lit(None).cast("string"))
+        cache = migrate_cache(rel_state.read())
         if cache is None:
             cache = rels
         else:
-            # a later Relation frame REPLACES the whole relation (the
-            # reference swaps its registry entry on every R message,
-            # pkg/decode/pgoutput.go:33-65): anti-join on rel_oid, not
-            # position, so a redefinition to FEWER columns leaves no stale
-            # tail positions behind
+            # a later Relation frame REPLACES the whole relation: anti-join on
+            # rel_oid, not position, so a redefinition to FEWER columns leaves
+            # no stale tail positions behind
             kept = cache.join(rels.select("rel_oid").distinct(), "rel_oid", "left_anti")
             cache = rels.unionByName(kept)
         if batch_id > rel_state.last_batch():
             rel_state.commit(cache, batch_id)
         by_rel: dict[int, list] = {}
         rel_names: dict[int, str | None] = {}
-        for r in rel_state.read().collect():
-            by_rel.setdefault(r["rel_oid"], []).append(
-                (r["pos"], r["name"], r["oid"], bool(r["flag"] & 1))
-            )
-            rel_names[r["rel_oid"]] = r["rel_name"] if "rel_name" in r else None
-        if not by_rel:
-            if batch_df.where("ord <> -1").limit(1).count() > 0:
-                _quarantine(
-                    batch_df, batch_id,
-                    "row events arrived before any Relation frame",
-                )
-            return  # keyframe-only batch before the first Relation frame
-        # single-table consumer: key the registry by the R frame's relname
-        # (the reference keys by namespace/name + oid); among same-named
-        # relations the coverage check disambiguates dropped/recreated oids.
-        # table=None falls back to coverage-only selection.
-        want = set(cols)
-        candidates = (
-            [oid for oid, nm in rel_names.items() if nm == table]
-            if table is not None
-            else list(by_rel)
-        )
-        matches = [
-            oid for oid in candidates
-            if want <= {n for _, n, _, _ in by_rel[oid]}
-        ]
-        if len(matches) != 1:
-            _quarantine(
-                batch_df, batch_id,
-                f"{len(matches)} relations named {table!r} cover expected "
-                f"columns {sorted(want)!r} (cached relations "
-                f"{sorted((o, rel_names.get(o)) for o in by_rel)!r})",
-            )
-            return
-        rel_oid = matches[0]
-        learned = sorted(by_rel[rel_oid])
-        field_oids = [(n, o) for _, n, o, _ in learned]
-        key_fields = [(n, o) for _, n, o, is_key in learned if is_key]
-        if len(key_fields) != 1:
-            _quarantine(
-                batch_df, batch_id,
-                f"relation {rel_oid} has replica identity "
-                f"{[n for n, _ in key_fields]!r}; single-column keys only",
-            )
-            return
-        [(key, key_oid)] = key_fields
-        cols_lit = "array(" + ", ".join(
-            f"named_struct('name', '{n}', 'oid', {o})" for _, n, o, _ in learned
-        ) + ")"
-        # 2) tx registry from this batch's Begin frames
+        # collect the MERGED in-memory cache, not a re-read of rel_state: the
+        # persisted copy may predate the rel_name migration (and on a replay,
+        # this batch's own R frames are the definitions its rows decode under)
+        for r in cache.collect():
+            by_rel.setdefault(r["rel_oid"], []).append(r)
+            rel_names[r["rel_oid"]] = r["rel_name"]
+        # 2) tx registry from this batch's Begin frames — folded for EVERY
+        # batch, including pre-Relation and framing-only ones: commit
+        # timestamps must survive for rows arriving in later micro-batches
         parsed = batch_df.where("ord <> -1").select(
             "lsn", "seq", "ord", parse_frames_udf()("data").alias("f")
         ).persist()
@@ -534,7 +487,62 @@ def apply_pgoutput_stream(
             if batch_id > tx_state.last_batch():
                 tx_state.commit(reg, batch_id)
             reg = tx_state.read()
-            # 3) zip tuples with the learned relation, decode, fold
+            # 3) framing-only batches (B/C frames, no row events) advance the
+            # checkpoint cleanly — only actual I/U/D events can be "lost" and
+            # hence only they justify quarantine
+            has_rows = (
+                parsed.where("f.op IN ('INSERT', 'UPDATE', 'DELETE')")
+                .limit(1).count() > 0
+            )
+            if not has_rows:
+                return
+            if not by_rel:
+                _quarantine(
+                    batch_df, batch_id,
+                    "row events arrived before any Relation frame",
+                )
+                return
+            # single-table consumer: key the registry by the R frame's relname
+            # (the reference keys by namespace/name + oid); among same-named
+            # relations the coverage check disambiguates dropped/recreated
+            # oids. table=None falls back to coverage-only selection.
+            want = set(cols)
+            candidates = (
+                [oid for oid, nm in rel_names.items() if nm == table]
+                if table is not None
+                else list(by_rel)
+            )
+            if table is not None and not candidates:
+                # legacy cache migrated without names: its R frames live in
+                # already-consumed batches, so a NULL name can never be
+                # repaired in-band — fall back to coverage selection over the
+                # NULL-named entries rather than bricking the upgraded stream
+                candidates = [oid for oid, nm in rel_names.items() if nm is None]
+            matches = [
+                oid for oid in candidates
+                if want <= {row["name"] for row in by_rel[oid]}
+            ]
+            if len(matches) != 1:
+                _quarantine(
+                    batch_df, batch_id,
+                    f"{len(matches)} relations named {table!r} cover expected "
+                    f"columns {sorted(want)!r} (cached relations "
+                    f"{sorted((o, rel_names.get(o)) for o in by_rel)!r})",
+                )
+                return
+            rel_oid = matches[0]
+            resolved = resolve_schema(
+                rel_oid, sorted(by_rel[rel_oid], key=lambda row: row["pos"])
+            )
+            if resolved[0] != "ok":
+                _quarantine(batch_df, batch_id, resolved[1])
+                return
+            _, field_oids, key, key_oid = resolved
+            cols_lit = "array(" + ", ".join(
+                f"named_struct('name', '{n}', 'oid', {o})" for n, o in field_oids
+            ) + ")"
+            # 4) zip tuples with the learned relation, decode, fold.
+            # presence model: 'u' = absent TOAST, 'n' = present NULL
             zip_tpl = (
                 "transform(filter(zip_with(f.{side}, " + cols_lit + ", (t, c) ->"
                 " named_struct('name', c.name, 'oid', c.oid, 'bin', t.bin,"
@@ -582,6 +590,75 @@ def apply_pgoutput_stream(
     )
 
 
+def apply_pgoutput_stream(
+    frame_stream: DataFrame,
+    state: SnapshotState,
+    tx_state: SnapshotState,
+    rel_state: SnapshotState,
+    initial_snapshot: DataFrame,
+    cols: list[str],
+    checkpoint_dir: str,
+    table: str | None = None,
+    max_consecutive_skips: int = 3,
+) -> StreamingQuery:
+    """Streamed pgoutput consumer: micro-batches of RAW pgoutput frame bytes.
+    The in-band Relation frame (first in log order) is learned and PERSISTED
+    — later batches decode rows against the persisted relation cache, the
+    reference's PGOutputDecoder relation registry surviving the consumer's
+    restarts (pkg/decode/pgoutput.go:33-65). Begin times fold into the
+    cross-batch tx registry; tuples zip with the learned column list (the
+    pgoutput tuple carries no names — position is meaning). The identity key
+    comes from the relation's flag bits, so NOTHING table-specific is
+    hard-coded in the consumer — schema, key, and types all arrive on the
+    wire.
+
+    Relation selection: the registry keys relations by the R frame's
+    ``relname``; pass ``table`` to pin the consumer to that name.
+    ``table=None`` falls back to unique-column-coverage selection (only safe
+    when at most one cached relation can cover ``cols``). See
+    :func:`_apply_wire_stream` for the batch protocol shared with the
+    pglogical dialect (tx-registry folding, framing-only batches,
+    dead-letter quarantine)."""
+    from pyspark.sql import functions as F
+
+    from pgcapture_spark.functions.pgoutput import parse_frames_udf
+
+    def project_rels(deduped: DataFrame) -> DataFrame:
+        return (
+            deduped.select(F.col("f.rel_oid").alias("rel_oid"),
+                           F.col("f.rel_name").alias("rel_name"),
+                           F.posexplode("f.rel_cols").alias("pos", "c"))
+            .select("rel_oid", "rel_name", "pos", "c.name", "c.oid", "c.flag")
+        )
+
+    def migrate_cache(cache: DataFrame | None) -> DataFrame | None:
+        if cache is not None and "rel_name" not in cache.columns:
+            # pre-rel_name cache from an older lineage: carry it forward with
+            # an unknown name (the shared core's NULL-name coverage fallback
+            # then keeps a pinned consumer decoding instead of quarantining)
+            return cache.withColumn("rel_name", F.lit(None).cast("string"))
+        return cache
+
+    def resolve_schema(rel_oid: int, rows):
+        field_oids = [(r["name"], r["oid"]) for r in rows]
+        key_fields = [(r["name"], r["oid"]) for r in rows if r["flag"] & 1]
+        if len(key_fields) != 1:
+            return (
+                "err",
+                f"relation {rel_oid} has replica identity "
+                f"{[n for n, _ in key_fields]!r}; single-column keys only",
+            )
+        [(key, key_oid)] = key_fields
+        return ("ok", field_oids, key, key_oid)
+
+    return _apply_wire_stream(
+        frame_stream, state, tx_state, rel_state, initial_snapshot, cols,
+        checkpoint_dir, "apply_pgoutput_stream", parse_frames_udf,
+        project_rels, migrate_cache, resolve_schema, table,
+        max_consecutive_skips,
+    )
+
+
 def apply_pglogical_stream(
     frame_stream: DataFrame,
     state: SnapshotState,
@@ -603,174 +680,43 @@ def apply_pglogical_stream(
     (``field_oids`` + ``key`` — the PGXSchemaLoader role), while column
     ORDER and the relation name still arrive on the wire and are learned +
     persisted across batches. A learned column name missing from the registry
-    quarantines the batch (dead-letter + fail-after-N, not silent skip)."""
-    import os as _os
-
+    quarantines the batch (dead-letter + fail-after-N, not silent skip). See
+    :func:`_apply_wire_stream` for the shared batch protocol."""
     from pyspark.sql import functions as F
 
     from pgcapture_spark.functions.pglogical import parse_frames_udf
-    from pgcapture_spark.functions.pgtypes import MICROS_Y2K_SHIFT
-    from pgcapture_spark.operators.generic_feed import decode_binary_feed
 
     oid_of = dict(field_oids)
-    skip_streak = {"n": 0}
 
-    def _quarantine(batch_df: DataFrame, batch_id: int, why: str) -> None:
-        dead = _os.path.join(checkpoint_dir, "deadletter", f"batch_{batch_id:012d}")
-        batch_df.write.mode("overwrite").parquet(dead)
-        skip_streak["n"] += 1
-        _LOG.warning(
-            "apply_pglogical_stream: %s; batch %d parked at %s (%d consecutive)",
-            why, batch_id, dead, skip_streak["n"],
-        )
-        if skip_streak["n"] >= max_consecutive_skips:
-            raise RuntimeError(
-                f"apply_pglogical_stream: {skip_streak['n']} consecutive batches "
-                f"quarantined (last: {why}); raw frames are parked under "
-                f"{_os.path.join(checkpoint_dir, 'deadletter')} — refusing to "
-                "keep advancing the checkpoint past undecodable data."
-            )
-
-    def _batch(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_id <= state.last_batch():
-            return
-        from pyspark.sql import Window as W
-
-        # 1) learn + persist relations (name + column ORDER; no types on the
-        # wire in this dialect)
-        rel_frames = (
-            batch_df.where("ord = -1")
-            .select("lsn", "seq", parse_frames_udf()("data").alias("f"))
-            .where("f.op = 'RELATION'")
-        )
-        last_w = W.partitionBy("f.rel_oid").orderBy(
-            F.col("lsn").desc(), F.col("seq").desc()
-        )
-        rels = (
-            rel_frames.withColumn("_rn", F.row_number().over(last_w))
-            .where("_rn = 1")
-            .select(F.col("f.rel_oid").alias("rel_oid"),
-                    F.col("f.rel_name").alias("rel_name"),
-                    F.posexplode("f.rel_cols").alias("pos", "c"))
+    def project_rels(deduped: DataFrame) -> DataFrame:
+        return (
+            deduped.select(F.col("f.rel_oid").alias("rel_oid"),
+                           F.col("f.rel_name").alias("rel_name"),
+                           F.posexplode("f.rel_cols").alias("pos", "c"))
             .select("rel_oid", "rel_name", "pos", "c.name")
         )
-        cache = rel_state.read()
-        if cache is None:
-            cache = rels
-        else:
-            kept = cache.join(rels.select("rel_oid").distinct(), "rel_oid", "left_anti")
-            cache = rels.unionByName(kept)
-        if batch_id > rel_state.last_batch():
-            rel_state.commit(cache, batch_id)
-        by_rel: dict[int, list] = {}
-        rel_names: dict[int, str | None] = {}
-        for r in rel_state.read().collect():
-            by_rel.setdefault(r["rel_oid"], []).append((r["pos"], r["name"]))
-            rel_names[r["rel_oid"]] = r["rel_name"]
-        if not by_rel:
-            if batch_df.where("ord <> -1").limit(1).count() > 0:
-                _quarantine(
-                    batch_df, batch_id,
-                    "row events arrived before any Relation frame",
-                )
-            return
-        want = set(cols)
-        candidates = (
-            [oid for oid, nm in rel_names.items() if nm == table]
-            if table is not None
-            else list(by_rel)
-        )
-        matches = [
-            oid for oid in candidates
-            if want <= {n for _, n in by_rel[oid]}
-        ]
-        if len(matches) != 1:
-            _quarantine(
-                batch_df, batch_id,
-                f"{len(matches)} relations named {table!r} cover expected "
-                f"columns {sorted(want)!r} (cached relations "
-                f"{sorted((o, rel_names.get(o)) for o in by_rel)!r})",
-            )
-            return
-        rel_oid = matches[0]
-        learned_names = [n for _, n in sorted(by_rel[rel_oid])]
+
+    def resolve_schema(rel_oid: int, rows):
+        learned_names = [r["name"] for r in rows]
         unknown = [n for n in learned_names if n not in oid_of]
         if unknown:
-            _quarantine(
-                batch_df, batch_id,
+            return (
+                "err",
                 f"wire columns {unknown!r} not in the schema registry "
                 f"({sorted(oid_of)!r})",
             )
-            return
-        learned = [(n, oid_of[n]) for n in learned_names]
         if key not in learned_names:
-            _quarantine(
-                batch_df, batch_id,
+            return (
+                "err",
                 f"identity key {key!r} absent from wire columns {learned_names!r}",
             )
-            return
-        cols_lit = "array(" + ", ".join(
-            f"named_struct('name', '{n}', 'oid', {o})" for n, o in learned
-        ) + ")"
-        # 2) tx registry from Begin frames
-        parsed = batch_df.where("ord <> -1").select(
-            "lsn", "seq", "ord", parse_frames_udf()("data").alias("f")
-        ).persist()
-        try:
-            begins = parsed.where("f.op = 'BEGIN'").select(
-                "lsn", F.col("f.commit_us").alias("_commit_us")
-            )
-            reg = tx_state.read()
-            reg = begins if reg is None else reg.unionByName(begins)
-            reg = reg.dropDuplicates(["lsn"])
-            if batch_id > tx_state.last_batch():
-                tx_state.commit(reg, batch_id)
-            reg = tx_state.read()
-            # 3) zip tuples with (wire order, registry types), decode, fold
-            zip_tpl = (
-                "transform(filter(zip_with(f.{side}, " + cols_lit + ", (t, c) ->"
-                " named_struct('name', c.name, 'oid', c.oid, 'bin', t.bin,"
-                " 'fmt', t.format)), x -> {keep}),"
-                " x -> named_struct('name', x.name, 'oid', x.oid, 'bin', x.bin))"
-            )
-            generic = (
-                parsed.where("f.op IN ('INSERT', 'UPDATE', 'DELETE')")
-                .where(F.col("f.rel_oid") == F.lit(rel_oid))
-                .select(
-                    "lsn",
-                    "seq",
-                    "ord",
-                    F.col("f.op").alias("op"),
-                    F.expr(zip_tpl.format(side="new_tuple", keep="x.fmt <> 'u'")).alias(
-                        "fields"
-                    ),
-                    F.expr(
-                        zip_tpl.format(side="old_tuple", keep="x.fmt IN ('b', 't')")
-                    ).alias("old_fields"),
-                )
-                .join(F.broadcast(reg), "lsn", "left")
-                .withColumn(
-                    "commit_ts",
-                    F.timestamp_micros(F.col("_commit_us") + F.lit(MICROS_Y2K_SHIFT)),
-                )
-                .drop("_commit_us")
-            )
-            decoded = decode_binary_feed(
-                generic, learned, old_key=(f"old_{key}", key, oid_of[key]), fused=True
-            ).withColumn(key, F.coalesce(F.col(key), F.col(f"old_{key}")))
-            current = state.read()
-            if current is None:
-                current = initial_snapshot
-            state.commit(cdc_apply(current, decoded, key, cols), batch_id)
-            skip_streak["n"] = 0
-        finally:
-            parsed.unpersist()
+        return ("ok", [(n, oid_of[n]) for n in learned_names], key, oid_of[key])
 
-    return (
-        frame_stream.writeStream.foreachBatch(_batch)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
+    return _apply_wire_stream(
+        frame_stream, state, tx_state, rel_state, initial_snapshot, cols,
+        checkpoint_dir, "apply_pglogical_stream", parse_frames_udf,
+        project_rels, lambda cache: cache, resolve_schema, table,
+        max_consecutive_skips,
     )
 
 

@@ -53,13 +53,32 @@ def test_semi_join_form(spark):
 
 
 def test_outer_join_forms_rejected(spark):
-    """left/full/anti joins are not result-preserving under a probe-side
-    prefilter (bloom-negative probe rows would vanish) — must raise, not
-    silently drop rows."""
+    """Join types that RETAIN unmatched probe rows (left/full/anti) are not
+    result-preserving under a probe-side prefilter (bloom-negative probe rows
+    would vanish) — must raise, not silently drop rows."""
     import pytest
 
     build = spark.range(0, 10).withColumnRenamed("id", "k")
     probe = spark.range(0, 100).withColumnRenamed("id", "k")
-    for how in ("left", "full", "left_anti", "right"):
+    for how in ("left", "full", "left_anti"):
         with pytest.raises(ValueError, match="not result-preserving"):
             bloom_prefilter_join(probe, build, "k", M, how=how)
+
+
+def test_right_join_form_preserved(spark):
+    """A right join keeps NO unmatched probe rows, so the probe-side bloom
+    prefilter IS result-preserving for it: unmatched build rows still appear
+    (with null probe columns), and the bloom only drops probe rows that are
+    guaranteed non-matching."""
+    build = spark.range(0, 60).select(
+        F.col("id").alias("k"), (F.col("id") + 100).alias("b")
+    )
+    probe = spark.range(0, 40).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    got = bloom_prefilter_join(probe, build, "k", M, how="right")
+    want = probe.join(F.broadcast(build), on="k", how="right")
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+    # unmatched build rows (k in 40..59) survive with null v
+    assert got.where("v IS NULL").count() == 20

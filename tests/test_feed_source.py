@@ -386,3 +386,53 @@ def test_sink_same_rowcount_foreign_lineage_fails(spark, feed_dir, tmpdir):
     with pytest.raises(StreamingQueryException, match="different content fingerprint"):
         run(f"{tmpdir}/ck1", lambda df: df.withColumn("seq", F.col("seq") + 1000))
     assert spark.read.parquet(out_dir).count() == n  # log not corrupted
+
+
+def test_content_xsum_invariant_under_resplit():
+    """The commit-marker content checksum must be identical for ANY re-split
+    of the same logical rows into Arrow batches. The trap: pandas derives a
+    batch's numeric dtype from that batch's VALUES (an int64 column converts
+    to float64 only when the batch holds a null), so a value-level encoding
+    would hash "7" in one task layout and "7.0" in another and a legitimate
+    crash-replay re-split would trip the foreign-lineage guard. The checksum
+    canonicalizes per Arrow TYPE, so every split sums to the same value."""
+    import pyarrow as pa
+
+    from pgcapture_spark.sources.feed_source import _content_xsum
+
+    table = pa.table(
+        {
+            "k": pa.array([7, 8, None, 9], type=pa.int64()),
+            "f": pa.array([1.5, None, 2.5, 3.5], type=pa.float64()),
+            "s": pa.array(["a", "b", None, "d"], type=pa.string()),
+            "b": pa.array([b"\xff\x00", None, b"ok", b""], type=pa.binary()),
+            "arr": pa.array([[1, 2], None, [], [3]], type=pa.list_(pa.int64())),
+        }
+    )
+    MOD = 0xFFFFFFFFFFFFFFFF
+
+    def xsum_of_split(bounds):
+        total = 0
+        for lo, hi in bounds:
+            for b in table.slice(lo, hi - lo).to_batches():
+                total = (total + _content_xsum(b)) & MOD
+        return total
+
+    whole = xsum_of_split([(0, 4)])
+    # isolate the null-bearing rows vs mix them — dtype-flip trap layouts
+    assert xsum_of_split([(0, 2), (2, 4)]) == whole
+    assert xsum_of_split([(0, 1), (1, 2), (2, 3), (3, 4)]) == whole
+    assert xsum_of_split([(0, 3), (3, 4)]) == whole
+    # and content changes still move it
+    changed = pa.table(
+        {
+            "k": pa.array([7, 8, None, 10], type=pa.int64()),
+            "f": table["f"],
+            "s": table["s"],
+            "b": table["b"],
+            "arr": table["arr"],
+        }
+    )
+    assert (
+        sum(_content_xsum(b) for b in changed.to_batches()) & MOD
+    ) != whole

@@ -83,3 +83,27 @@ def test_audio_window_energy_zero_duration_degrades(spark):
     out = audio_window_energy(mixed, win_ms=500).collect()
     assert {r.media_id for r in out} == {keep}
     assert sorted(r.win_start_ms for r in out) == [0, 500]
+
+
+def test_frame_plan_zero_duration_degrades(spark):
+    """Same guard for the video frame-sampling plan: a zero-duration video
+    yields no planned frames instead of an 'Illegal sequence boundaries'
+    crash; positive-duration videos keep their frames."""
+    from pyspark.sql import functions as F
+
+    from pgcapture_spark.operators.multimodal import (
+        frame_sample_plan,
+        synthetic_media,
+    )
+
+    media = synthetic_media(spark, 9)
+    video_ids = sorted(r.media_id for r in media.collect() if r.modality == "video")
+    zeroed = media.withColumn(
+        "meta_duration_ms",
+        F.when(F.col("media_id") == video_ids[0], F.lit(0)).otherwise(
+            F.col("meta_duration_ms")
+        ),
+    )
+    out = frame_sample_plan(zeroed, every_ms=1000).collect()
+    assert video_ids[0] not in {r.media_id for r in out}
+    assert set(video_ids[1:]) <= {r.media_id for r in out}

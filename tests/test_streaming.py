@@ -898,3 +898,134 @@ def test_wire_stream_restart_decodes_from_persisted_relation_cache(spark, dialec
         assert batch.exceptAll(final).count() == 0
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_framing_only_batches_advance_without_quarantine(spark):
+    """Finding-4 regression: micro-batches containing ONLY transaction
+    framing (B/C frames — ord <> -1 but no I/U/D row events) must advance the
+    checkpoint cleanly, not count toward max_consecutive_skips. A consumer
+    started mid-log whose first triggers see only straddling-transaction
+    framing previously died with 'consecutive batches quarantined' after 3
+    such batches."""
+    import glob
+    import os
+    import time
+
+    from pyspark.sql import functions as F
+
+    from pgcapture_spark.functions.pgoutput import build_begin, build_commit
+    from pgcapture_spark.querydefs.extras import customer_wire_frames
+    from pgcapture_spark.streaming.pipeline import apply_pgoutput_stream
+
+    register_views(spark, SF_SMALL, ("customer",))
+    frames, _, _ = customer_wire_frames(spark, SF_SMALL, "pgoutput")
+    max_lsn = int(frames.agg(F.max("lsn")).collect()[0][0])
+    framing = []
+    for i in range(4):  # 4 framing-only transactions, no R frame, no rows
+        lsn = max_lsn + 1 + i
+        framing.append((lsn, 0, lsn * 100, bytearray(build_begin(lsn, 1_000_000, 7))))
+        framing.append(
+            (lsn, 99, lsn * 100 + 99, bytearray(build_commit(lsn, lsn, 1_000_000)))
+        )
+    framing_df = spark.createDataFrame(
+        framing, "lsn bigint, seq int, ord bigint, data binary"
+    )
+    d = tempfile.mkdtemp(prefix="pgcs_t_framing_only_")
+    try:
+        materialize_feed(framing_df, f"{d}/pre", n_segments=3)
+        materialize_feed(frames, f"{d}/main", n_segments=4)
+        # assemble the log so the 3 framing-only segments are the OLDEST
+        # files: with maxFilesPerTrigger=1 they become batches 0-2, all
+        # before the Relation frame ever arrives
+        os.makedirs(f"{d}/wire")
+        ordered = []
+        for prefix, src in (("a", f"{d}/pre"), ("b", f"{d}/main")):
+            for name in sorted(os.listdir(src)):
+                if name.startswith("part-") and not name.endswith(".crc"):
+                    dst = f"{d}/wire/part-{prefix}-{name[5:]}"
+                    shutil.copy(f"{src}/{name}", dst)
+                    ordered.append(dst)
+        t0 = time.time() - 10 * len(ordered)
+        for i, p in enumerate(ordered):
+            os.utime(p, (t0 + 10 * i, t0 + 10 * i))
+        schema = spark.read.parquet(f"{d}/wire").schema
+        state = SnapshotState(spark, f"{d}/state")
+        tx_state = SnapshotState(spark, f"{d}/txreg")
+        rel_state = SnapshotState(spark, f"{d}/relcache")
+        q = apply_pgoutput_stream(
+            read_feed_stream(spark, f"{d}/wire", schema, max_files_per_trigger=1),
+            state, tx_state, rel_state,
+            spark.table("customer"), CDC_COLS["customer"], f"{d}/ckpt",
+            table="customer", max_consecutive_skips=3,
+        )
+        q.awaitTermination(300)
+        assert glob.glob(f"{d}/ckpt/deadletter/batch_*") == []
+        # the framing-only begins still fold into the cross-batch tx registry
+        reg_lsns = {r["lsn"] for r in tx_state.read().collect()}
+        assert {max_lsn + 1 + i for i in range(4)} <= reg_lsns
+        batch = cdc_apply(
+            spark.table("customer"), _feed(spark, SF_SMALL, "customer"),
+            "c_custkey", CDC_COLS["customer"],
+        )
+        assert state.read().exceptAll(batch).count() == 0
+        assert batch.exceptAll(state.read()).count() == 0
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_legacy_nameless_relation_cache_keeps_decoding(spark):
+    """Finding-5 regression: a lineage whose persisted relation cache predates
+    the rel_name column (its R frames live in already-consumed batches, so
+    the name can never be re-learned in-band) must keep decoding via the
+    NULL-name coverage fallback when the consumer is pinned to a table name
+    — not quarantine every batch until the stream dies."""
+    import os
+
+    from pgcapture_spark.querydefs.extras import customer_wire_frames
+    from pgcapture_spark.streaming.pipeline import apply_pgoutput_stream
+
+    register_views(spark, SF_SMALL, ("customer",))
+    frames, _, _ = customer_wire_frames(spark, SF_SMALL, "pgoutput")
+    d = tempfile.mkdtemp(prefix="pgcs_t_nameless_cache_")
+    try:
+        materialize_feed(frames, f"{d}/all", n_segments=8)
+        parts = sorted(
+            f for f in os.listdir(f"{d}/all")
+            if f.startswith("part-") and not f.endswith(".crc")
+        )
+        os.makedirs(f"{d}/wire")
+        for name in parts[:4]:
+            shutil.copy2(f"{d}/all/{name}", f"{d}/wire/{name}")
+        schema = spark.read.parquet(f"{d}/all").schema
+        state = SnapshotState(spark, f"{d}/state")
+        tx_state = SnapshotState(spark, f"{d}/txreg")
+        rel_state = SnapshotState(spark, f"{d}/relcache")
+
+        def start():
+            return apply_pgoutput_stream(
+                read_feed_stream(spark, f"{d}/wire", schema, max_files_per_trigger=2),
+                state, tx_state, rel_state, spark.table("customer"),
+                CDC_COLS["customer"], f"{d}/ckpt", table="customer",
+                max_consecutive_skips=3,
+            )
+
+        q = start()
+        q.awaitTermination(300)
+        # simulate the pre-upgrade lineage: cache rows without rel_name
+        rel_state.commit(
+            rel_state.read().drop("rel_name"), rel_state.last_batch() + 1
+        )
+        # the log grows while the consumer is down; no new R frames arrive
+        for name in parts[4:]:
+            shutil.copy2(f"{d}/all/{name}", f"{d}/wire/{name}")
+        q2 = start()
+        q2.awaitTermination(300)
+        batch = cdc_apply(
+            spark.table("customer"), _feed(spark, SF_SMALL, "customer"),
+            "c_custkey", CDC_COLS["customer"],
+        )
+        final = state.read()
+        assert final.exceptAll(batch).count() == 0
+        assert batch.exceptAll(final).count() == 0
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
