@@ -177,6 +177,10 @@ HEADLINE = [
     "sim_ood_knn_score",
     "events_path_topk",
     "corpus_length_curriculum",
+    # r4 late wave: 1-bit Hamming retrieval, k-NN-graph triangles, KMV sketch
+    "sim_hamming_topk",
+    "graph_triangle_count",
+    "agg_kmv_distinct",
 ]
 
 

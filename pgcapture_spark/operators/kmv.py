@@ -1,0 +1,103 @@
+"""K-minimum-values (KMV / bottom-k) distinct sketch — the mergeable
+distinct-count summary that, unlike HLL, supports set INTERSECTION and
+arbitrary unions by construction: the k smallest hash values of a set are a
+uniform sample of its distinct hashes, so the k-th minimum estimates density
+((k-1)/F(h_k)) and two sketches merge by taking the k smallest of their
+union. Reference scope: the engine's sketch family (SURVEY §2.8) alongside
+HLL (`agg_hll_sketch_merge`), Misra-Gries (`agg_heavy_hitters`) and the
+mergeable histogram (`agg_hist_quantile_merge`).
+
+Determinism contract: the hash is an explicit integer permutation
+``h(u) = (u * 2654435761 + 98765) mod (2^31 - 1)`` computed in BIGINT, so
+Spark and any ANSI-SQL oracle produce bit-identical sketches — no engine
+hash functions involved.
+
+Scale shape (the mergeable-summaries pattern, same as heavyhitters.py):
+pass 1 folds each PARTITION into per-group k-smallest lists inside one
+Arrow-batched crossing (bounded memory: k values per group per partition);
+pass 2 merges the k-bounded summaries with one hash aggregation. The raw
+column never shuffles; only sketch rows (≤ partitions × groups × k) move.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+KMV_MOD = 2_147_483_647  # 2^31 - 1
+KMV_MULT = 2_654_435_761
+KMV_ADD = 98_765
+
+
+def kmv_hash_expr(col: str) -> str:
+    """The shared Spark/ANSI hash: BIGINT arithmetic, no engine hash."""
+    return f"(CAST({col} AS BIGINT) * {KMV_MULT} + {KMV_ADD}) % {KMV_MOD}"
+
+
+def kmv_partition_summaries(
+    rows: DataFrame, group_col: str, value_col: str, k: int
+) -> DataFrame:
+    """Pass 1: per-partition, per-group k smallest DISTINCT hash values.
+    Output rows (group, hv) — at most k per group per partition."""
+    hashed = rows.select(
+        F.col(group_col).alias("g"),
+        F.expr(kmv_hash_expr(value_col)).alias("hv"),
+    )
+
+    def part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        mins: dict[str, pd.Series] = {}
+        for pdf in batches:
+            for g, sub in pdf.groupby("g", sort=False):
+                cur = sub["hv"]
+                if g in mins:
+                    cur = pd.concat([mins[g], cur])
+                mins[g] = cur.drop_duplicates().nsmallest(k)
+        for g, s in mins.items():
+            yield pd.DataFrame({"g": g, "hv": s.to_numpy()})
+
+    return hashed.mapInPandas(part, schema="g string, hv long")
+
+
+def kmv_estimates(
+    rows: DataFrame, group_col: str, value_col: str, k: int = 64
+) -> DataFrame:
+    """Per-group KMV distinct estimate plus the merged-across-groups ('ALL')
+    union sketch — demonstrating the merge property: the union's k smallest
+    are always contained in the per-group k-smallest lists, so the global
+    sketch is computed from the tiny summaries, never the raw data.
+
+    Output: (group, kth_min, est_distinct). When a group holds fewer than k
+    distinct values the sketch IS the exact distinct set: kth_min = max of
+    the sketch and est_distinct = its size (both engines share this rule).
+    """
+    summaries = kmv_partition_summaries(rows, group_col, value_col, k)
+    # the union ('ALL') arm merges the per-partition SUMMARIES, never the raw
+    # rows: any hash among the global k smallest is among its own
+    # partition-group's k smallest, so the summaries contain it. Fanning each
+    # summary row out to (g, 'ALL') keeps the whole pass-2 a SINGLE scan of
+    # pass 1's output + one hash aggregation (a second reference to
+    # `summaries` would recompute the corpus scan).
+    both = (
+        summaries.select(
+            F.explode(F.array(F.col("g"), F.lit("ALL"))).alias("g"), "hv"
+        )
+        .groupBy("g")
+        .agg(
+            F.expr(
+                f"slice(array_sort(array_distinct(collect_list(hv))), 1, {k})"
+            ).alias("mins")
+        )
+    )
+    n = F.size("mins")
+    kth = F.element_at("mins", n).cast("long")
+    # integer `div`, never float division: (k-1)*MOD // kth must match the
+    # oracle's exact integer quotient bit-for-bit
+    est = F.expr(f"CAST({(k - 1) * KMV_MOD} AS BIGINT) div element_at(mins, size(mins))")
+    return both.select(
+        F.col("g").alias(group_col),
+        kth.alias("kth_min"),
+        F.when(n < k, n.cast("long")).otherwise(est).alias("est_distinct"),
+    )

@@ -798,3 +798,168 @@ def mips_topk(
             (F.floor(F.col("raw_score") * quant + F.lit(0.5)) / quant).alias("score"),
         )
     )
+
+
+def kcenter_select(
+    embeddings: DataFrame, k: int = 5, quant: int = 1_000_000
+) -> list[tuple[int, int, int]]:
+    """Greedy k-center (Gonzalez farthest-point) coreset selection — the
+    diversity-sampling primitive of data-selection pipelines.
+
+    Seed = lowest vec_id; each of the k-1 following rounds broadcasts the
+    chosen centers, folds them into ONE per-row min-distance array expression
+    (floor-quantized integer distances so selection is bit-identical across
+    engines), and takes a single distributed argmax with vec_id tie-break.
+    All collects are k-bounded (one row per round); the scan side never moves.
+
+    Returns ``[(rank, vec_id, dmin_q), ...]`` — at most k entries, fewer when
+    the corpus is smaller than k, and ``[]`` for an empty corpus (mirroring a
+    relational unroll whose seed CTE is empty).
+    """
+    e = _as_double(embeddings).select("vec_id", "emb_d")
+    spark = e.sparkSession
+    seed_rows = e.orderBy("vec_id").limit(1).collect()
+    if not seed_rows:
+        return []
+    seed = seed_rows[0]
+    centers = [(1, int(seed["vec_id"]), [float(v) for v in seed["emb_d"]], 0)]
+    for r in range(2, k + 1):
+        cents_row = spark.createDataFrame(
+            [([c[2] for c in centers],)], "cents array<array<double>>"
+        )
+        dmin = F.expr(
+            "array_min(transform(cents, c -> CAST(floor("
+            + DIST2_EXPR.format(a="emb_d", b="c")
+            + f" * {quant} + 0.5) AS BIGINT)))"
+        )
+        chosen = [c[1] for c in centers]
+        rows = (
+            e.where(~F.col("vec_id").isin(chosen))
+            .join(F.broadcast(cents_row))
+            .select("vec_id", "emb_d", dmin.alias("dmin"))
+            .orderBy(F.desc("dmin"), "vec_id")
+            .limit(1)
+            .collect()
+        )
+        if not rows:  # corpus smaller than k
+            break
+        picked = rows[0]
+        centers.append(
+            (r, int(picked["vec_id"]), [float(v) for v in picked["emb_d"]],
+             int(picked["dmin"]))
+        )
+    return [(r, v, d) for r, v, _, d in centers]
+
+
+def binary_code_expr(col: str = "emb_d", dim: int = 64, word_bits: int = 32) -> str:
+    """SQL expression packing a float vector's SIGN BITS into an
+    ``array<bigint>`` of ``word_bits``-bit words (bit i of word w set iff
+    element ``w*word_bits + i`` is >= 0). 32-bit words keep every value far
+    from BIGINT's sign bit, so XOR/popcount below never touch overflow.
+
+    One-bit quantization is the extreme memory point of the quantization
+    ladder (int8 → PQ → binary): a 64-dim float32 vector becomes 8 bytes —
+    32× smaller — and distance becomes XOR+popcount, which is why binary
+    codes are the standard first-pass filter at billion-vector scale."""
+    n_words = (dim + word_bits - 1) // word_bits
+    words = []
+    for w in range(n_words):
+        lo = w * word_bits
+        bits = " + ".join(
+            f"(CASE WHEN element_at({col}, {lo + i + 1}) >= 0 THEN {1 << i}L ELSE 0L END)"
+            for i in range(min(word_bits, dim - lo))
+        )
+        words.append(f"({bits})")
+    return "array(" + ", ".join(words) + ")"
+
+
+def hamming_topk(
+    embeddings: DataFrame, query_pred: str, k: int = 5, dim: int = 64
+) -> DataFrame:
+    """Exact Hamming top-k over 1-bit sign codes — the binary-quantized
+    retrieval pass (query set broadcast, corpus streamed, per-row XOR +
+    popcount, per-query rank window). Same scale shape as
+    :func:`cosine_topk`, but the scanned payload is 32× smaller and the
+    per-pair cost is two ``bit_count`` instructions instead of a 64-term
+    float dot product; at 100 TB this is the candidate generator whose
+    survivors are re-ranked by the exact float score.
+
+    Output: (query_id, neighbor_id, rank, hamming); ties broken by smaller
+    hamming then neighbor_id."""
+    base = _as_double(embeddings).select(
+        "vec_id", F.expr(binary_code_expr("emb_d", dim)).alias("code")
+    )
+    queries = base.where(query_pred).select(
+        F.col("vec_id").alias("query_id"), F.col("code").alias("q_code")
+    )
+    pairs = base.join(F.broadcast(queries), F.col("vec_id") != F.col("query_id"))
+    scored = pairs.withColumn(
+        "hamming",
+        F.expr(
+            "aggregate(zip_with(code, q_code, (a, b) -> bit_count(a ^ b)),"
+            " 0, (acc, x) -> acc + x)"
+        ),
+    )
+    w = W.partitionBy("query_id").orderBy("hamming", "vec_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "rank", "hamming")
+    )
+
+
+def triangle_count(edges_directed: DataFrame) -> DataFrame:
+    """Per-node triangle counts on an undirected graph given as directed
+    edges (e.g. the k-NN graph) — the clustering-coefficient / community-
+    density primitive.
+
+    The classic distributed shape (MR "node-iterator++"): symmetrize +
+    dedupe, then ORIENT every edge from its lower-(degree, id) endpoint to
+    the higher one. Orientation makes the edge relation a DAG in which each
+    triangle appears as exactly ONE wedge (two out-edges of its smallest
+    node) plus one closing edge, so the count is wedge ⋈ edge — and because
+    out-degrees under degree-ordering are bounded by O(sqrt(|E|)), the wedge
+    fan-out that would explode on skewed hubs stays bounded; this is why the
+    orientation is by (degree, id), not just id. Both joins shuffle on node
+    keys only; nothing is ever collected.
+
+    Output: (vec_id, n_tri) for every node in ≥1 triangle."""
+    und = (
+        edges_directed.select(
+            F.least("src_id", "dst_id").alias("u"),
+            F.greatest("src_id", "dst_id").alias("v"),
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("u").alias("n"))
+        .unionAll(und.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count("*").alias("deg"))
+    )
+    # total order key: degree-major, id-minor (ids are distinct, so no ties)
+    okey = (F.col("deg") * F.lit(10_000_000_000) + F.col("n")).alias("okey")
+    keyed = deg.select("n", okey)
+    oriented = (
+        und.join(keyed.withColumnRenamed("n", "u").withColumnRenamed("okey", "ku"), "u")
+        .join(keyed.withColumnRenamed("n", "v").withColumnRenamed("okey", "kv"), "v")
+        .select(
+            F.when(F.col("ku") < F.col("kv"), F.col("u")).otherwise(F.col("v")).alias("a"),
+            F.when(F.col("ku") < F.col("kv"), F.col("kv")).otherwise(F.col("ku")).alias("kb_"),
+            F.when(F.col("ku") < F.col("kv"), F.col("v")).otherwise(F.col("u")).alias("b"),
+        )
+        .select("a", "b", F.col("kb_").alias("kb"))
+    )
+    e1 = oriented.select(F.col("a").alias("x"), F.col("b").alias("y"), F.col("kb").alias("ky"))
+    e2 = oriented.select(F.col("a").alias("x"), F.col("b").alias("z"), F.col("kb").alias("kz"))
+    wedges = e1.join(e2, "x").where(F.col("ky") < F.col("kz"))
+    closing = oriented.select(F.col("a").alias("y"), F.col("b").alias("z"))
+    tris = wedges.join(closing, ["y", "z"]).select("x", "y", "z")
+    return (
+        tris.select(F.col("x").alias("vec_id"))
+        .unionAll(tris.select(F.col("y").alias("vec_id")))
+        .unionAll(tris.select(F.col("z").alias("vec_id")))
+        .groupBy("vec_id")
+        .agg(F.count("*").alias("n_tri"))
+    )

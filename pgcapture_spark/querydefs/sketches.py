@@ -481,6 +481,9 @@ def events_hll_sliding_uniques(spark: SparkSession, sf_dir: str) -> DataFrame:
         merged.join(exact, on=["t_type", "t_day"])
         .select(
             F.col("t_type").alias("event_type"),
+            # midnight TIMESTAMP on purpose: the driver canonicalizes via
+            # pandas, where DuckDB's DATE also lands as datetime64 — casting
+            # to Spark DATE would surface as an object column and MISMATCH
             F.col("t_day").alias("day"),
             "n_exact",
             (
@@ -488,3 +491,50 @@ def events_hll_sliding_uniques(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("merged_within_5pct"),
         )
     )
+
+
+# ------------------------------------------------------- KMV (bottom-k) sketch
+
+_KMV_DUCK = """
+WITH h AS (
+  SELECT event_type AS g,
+         (event_id * 2654435761 + 98765) % 2147483647 AS hv
+  FROM events WHERE event_id IS NOT NULL
+),
+mins AS (
+  SELECT g, hv, row_number() OVER (PARTITION BY g ORDER BY hv) AS rn
+  FROM (SELECT DISTINCT g, hv FROM h)
+),
+allmins AS (
+  SELECT 'ALL' AS g, hv, row_number() OVER (ORDER BY hv) AS rn
+  FROM (SELECT DISTINCT hv FROM h)
+),
+sk AS (
+  SELECT g, CAST(max(hv) AS BIGINT) AS kth_min, count(*) AS n
+  FROM (SELECT * FROM mins WHERE rn <= 64
+        UNION ALL SELECT * FROM allmins WHERE rn <= 64)
+  GROUP BY g
+)
+SELECT g AS event_type, kth_min,
+       CASE WHEN n < 64 THEN CAST(n AS BIGINT)
+            ELSE CAST(135291469761 AS BIGINT) // kth_min END AS est_distinct
+FROM sk
+"""
+
+
+@q(
+    "agg_kmv_distinct",
+    _KMV_DUCK,
+    "North-star: KMV (bottom-k) distinct sketch — the mergeable summary that,"
+    " unlike HLL, supports set intersection and arbitrary re-unions by"
+    " construction. Per-partition k-smallest-distinct-hash folds merge into"
+    " per-group sketches plus an 'ALL' union sketch built from the SUMMARIES"
+    " (never re-scanning raw rows); the explicit integer-permutation hash"
+    " makes Spark and the oracle bit-identical.",
+)
+def agg_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pgcapture_spark.operators.kmv import kmv_estimates
+
+    register_views(spark, sf_dir, ("events",))
+    ev = spark.table("events").where(F.col("event_id").isNotNull())
+    return kmv_estimates(ev, "event_type", "event_id", k=64)

@@ -844,6 +844,10 @@ def sim_ood_knn_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         (int(r["vec_id"]), [float(v) for v in r["emb_d"]], float(r["norm"]))
         for r in base.where("label = 0").collect()
     )
+    if not ref_rows:
+        # empty reference set: the oracle's cands CROSS JOIN refs is empty, so
+        # emit no rows rather than every candidate with a degenerate 0 score
+        return spark.createDataFrame([], "vec_id bigint, sum_top3_cos_q bigint")
     refs_row = spark.createDataFrame(
         [(ref_rows,)], "refs array<struct<rid:bigint,e:array<double>,n:double>>"
     )
@@ -904,40 +908,11 @@ def _duck_kcenter(k: int = 5) -> str:
     "point chain is bit-identical across engines.",
 )
 def sample_coreset_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pgcapture_spark.operators.similarity import DIST2_EXPR, _as_double
+    from pgcapture_spark.operators.similarity import kcenter_select
 
     register_views(spark, sf_dir, ("embeddings",))
-    k = 5
-    e = _as_double(spark.table("embeddings")).select("vec_id", "emb_d")
-    seed = e.orderBy("vec_id").limit(1).collect()[0]
-    centers = [(1, int(seed["vec_id"]), [float(v) for v in seed["emb_d"]], 0)]
-    for r in range(2, k + 1):
-        cents_row = spark.createDataFrame(
-            [([c[2] for c in centers],)], "cents array<array<double>>"
-        )
-        dmin = F.expr(
-            "array_min(transform(cents, c -> CAST(floor("
-            + DIST2_EXPR.format(a="emb_d", b="c")
-            + " * 1000000 + 0.5) AS BIGINT)))"
-        )
-        chosen = [c[1] for c in centers]
-        rows = (
-            e.where(~F.col("vec_id").isin(chosen))
-            .join(F.broadcast(cents_row))
-            .select("vec_id", "emb_d", dmin.alias("dmin"))
-            .orderBy(F.desc("dmin"), "vec_id")
-            .limit(1)
-            .collect()
-        )
-        if not rows:  # corpus smaller than k: mirror the oracle's empty arms
-            break
-        picked = rows[0]
-        centers.append(
-            (r, int(picked["vec_id"]), [float(v) for v in picked["emb_d"]],
-             int(picked["dmin"]))
-        )
     return spark.createDataFrame(
-        [(r, v, d) for r, v, _, d in centers],
+        kcenter_select(spark.table("embeddings"), k=5),
         "rank int, vec_id bigint, dmin_q bigint",
     )
 
@@ -1513,3 +1488,103 @@ FROM r WHERE rn <= 5
 def sim_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir, ("embeddings",))
     return spark.sql(_CO_SPARK)
+
+
+# ------------------------------------------------- binary (1-bit) retrieval
+
+def _duck_bincode(dim: int = 64, word_bits: int = 32) -> str:
+    """DuckDB twin of operators.similarity.binary_code_expr: sign bits packed
+    into 32-bit words (list of BIGINT)."""
+    n_words = (dim + word_bits - 1) // word_bits
+    words = []
+    for w in range(n_words):
+        lo = w * word_bits
+        bits = " + ".join(
+            f"(CASE WHEN e[{lo + i + 1}] >= 0 THEN {1 << i} ELSE 0 END)"
+            for i in range(min(word_bits, dim - lo))
+        )
+        words.append(f"CAST({bits} AS BIGINT)")
+    return "[" + ", ".join(words) + "]"
+
+
+_DUCK_HAMMING = f"""
+WITH normed AS ({_DUCK_NORMED}),
+coded AS (SELECT vec_id, {_duck_bincode(64)} AS code FROM normed),
+queries AS (SELECT vec_id AS query_id, code AS q_code FROM coded
+            WHERE vec_id % 50 = 0),
+scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         CAST(list_sum(list_transform(range(1, 3),
+              w -> bit_count(xor(c.code[w], q.q_code[w])))) AS INT) AS hamming
+  FROM queries q JOIN coded c ON c.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, hamming,
+         CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY hamming, neighbor_id) AS INT) AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, rank, hamming FROM ranked WHERE rank <= 5
+"""
+
+
+@q(
+    "sim_hamming_topk",
+    _DUCK_HAMMING,
+    "North-star: 1-bit binary-code retrieval — sign bits packed into 32-bit"
+    " words (32x smaller scan payload than float32), exact Hamming top-5 by"
+    " XOR+popcount with broadcast queries; the billion-vector first-pass"
+    " filter whose survivors are float-re-ranked (sim_cosine_topk is that"
+    " exact reference).",
+)
+def sim_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pgcapture_spark.operators.similarity import hamming_topk
+
+    register_views(spark, sf_dir, ("embeddings",))
+    return hamming_topk(spark.table("embeddings"), "vec_id % 50 = 0", k=5)
+
+
+# ------------------------------------------------- triangles on the k-NN graph
+
+_DUCK_TRIANGLES = f"""
+WITH knn AS ({_DUCK_KNN_GRAPH}),
+und AS (SELECT DISTINCT least(src_id, dst_id) AS u, greatest(src_id, dst_id) AS v
+        FROM knn WHERE src_id <> dst_id),
+deg AS (SELECT n, count(*) AS deg FROM (
+          SELECT u AS n FROM und UNION ALL SELECT v AS n FROM und) GROUP BY n),
+keyed AS (SELECT n, deg * 10000000000 + n AS okey FROM deg),
+oriented AS (
+  SELECT CASE WHEN ku.okey < kv.okey THEN und.u ELSE und.v END AS a,
+         CASE WHEN ku.okey < kv.okey THEN und.v ELSE und.u END AS b,
+         CASE WHEN ku.okey < kv.okey THEN kv.okey ELSE ku.okey END AS kb
+  FROM und JOIN keyed ku ON ku.n = und.u JOIN keyed kv ON kv.n = und.v),
+wedges AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM oriented e1 JOIN oriented e2 ON e1.a = e2.a AND e1.kb < e2.kb),
+tris AS (
+  SELECT w.x, w.y, w.z FROM wedges w
+  JOIN oriented c ON c.a = w.y AND c.b = w.z)
+SELECT vec_id, CAST(count(*) AS BIGINT) AS n_tri FROM (
+  SELECT x AS vec_id FROM tris
+  UNION ALL SELECT y FROM tris
+  UNION ALL SELECT z FROM tris)
+GROUP BY vec_id
+"""
+
+
+@q(
+    "graph_triangle_count",
+    _DUCK_TRIANGLES,
+    "North-star: distributed triangle counting on the k-NN graph"
+    " (node-iterator++ / degree-ordered orientation): symmetrize, orient"
+    " every edge low-(deg,id) to high, count wedge-join-closing-edge — the"
+    " orientation bounds wedge fan-out by O(sqrt(|E|)) so hub skew cannot"
+    " explode the join; shuffles on node keys only.",
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pgcapture_spark.operators.similarity import knn_graph, triangle_count
+
+    register_views(spark, sf_dir, ("embeddings",))
+    edges = knn_graph(spark.table("embeddings"), k=3, nbits=6).select(
+        "src_id", "dst_id"
+    )
+    return triangle_count(edges)

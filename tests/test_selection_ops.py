@@ -94,32 +94,22 @@ def test_kcenter_matches_sequential_reference(spark):
         centers.append(best[1])
         expected.append((r, best[1], best[2]))
 
-    # run the same greedy loop through the Spark operator path
-    from pyspark.sql import functions as F
+    # the ACTUAL operator the query path uses, not a re-implementation
+    from pgcapture_spark.operators.similarity import kcenter_select
 
-    from pgcapture_spark.operators.similarity import DIST2_EXPR, _as_double
+    assert kcenter_select(df, k=5) == expected
 
-    e = _as_double(df).select("vec_id", "emb_d")
-    seed = e.orderBy("vec_id").limit(1).collect()[0]
-    got = [(1, int(seed["vec_id"]), 0)]
-    chosen_vecs = [[float(v) for v in seed["emb_d"]]]
-    chosen_ids = [int(seed["vec_id"])]
-    for r in range(2, 6):
-        cents_row = spark.createDataFrame([(chosen_vecs,)], "cents array<array<double>>")
-        dmin = F.expr(
-            "array_min(transform(cents, c -> CAST(floor("
-            + DIST2_EXPR.format(a="emb_d", b="c")
-            + " * 1000000 + 0.5) AS BIGINT)))"
-        )
-        picked = (
-            e.where(~F.col("vec_id").isin(chosen_ids))
-            .join(F.broadcast(cents_row))
-            .select("vec_id", "emb_d", dmin.alias("dmin"))
-            .orderBy(F.desc("dmin"), "vec_id")
-            .limit(1)
-            .collect()[0]
-        )
-        got.append((r, int(picked["vec_id"]), int(picked["dmin"])))
-        chosen_ids.append(int(picked["vec_id"]))
-        chosen_vecs.append([float(v) for v in picked["emb_d"]])
-    assert got == expected
+
+def test_kcenter_degenerate_corpora(spark):
+    """n = 0 returns [] (the relational unroll's seed CTE is empty); n < k
+    returns all n points without crashing."""
+    from pgcapture_spark.operators.similarity import kcenter_select
+
+    empty = spark.createDataFrame(
+        [], "vec_id long, embedding array<float>, label int"
+    )
+    assert kcenter_select(empty, k=5) == []
+
+    tiny = _mk_embeddings(spark, {3: [1.0, 0.0], 9: [0.0, 1.0]})
+    got = kcenter_select(tiny, k=5)
+    assert [(r, v) for r, v, _ in got] == [(1, 3), (2, 9)]
