@@ -951,15 +951,18 @@ def triangle_count(edges_directed: DataFrame) -> DataFrame:
         )
         .select("a", "b", F.col("kb_").alias("kb"))
     )
+    # oriented is referenced three times below (both wedge legs + the closing
+    # edge); persist so the upstream edge derivation (e.g. the k-NN graph)
+    # runs once, not once per reference — |E| rows, tiny next to the input
+    oriented = oriented.persist()
     e1 = oriented.select(F.col("a").alias("x"), F.col("b").alias("y"), F.col("kb").alias("ky"))
     e2 = oriented.select(F.col("a").alias("x"), F.col("b").alias("z"), F.col("kb").alias("kz"))
     wedges = e1.join(e2, "x").where(F.col("ky") < F.col("kz"))
     closing = oriented.select(F.col("a").alias("y"), F.col("b").alias("z"))
     tris = wedges.join(closing, ["y", "z"]).select("x", "y", "z")
+    # one reference to tris: explode the three corners instead of a 3-arm union
     return (
-        tris.select(F.col("x").alias("vec_id"))
-        .unionAll(tris.select(F.col("y").alias("vec_id")))
-        .unionAll(tris.select(F.col("z").alias("vec_id")))
+        tris.select(F.explode(F.array("x", "y", "z")).alias("vec_id"))
         .groupBy("vec_id")
         .agg(F.count("*").alias("n_tri"))
     )

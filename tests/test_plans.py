@@ -693,3 +693,41 @@ def test_length_curriculum_broadcast_thresholds_no_python(spark):
     assert "CartesianProduct" not in tree
     assert "BatchEvalPython" not in tree and "ArrowEvalPython" not in tree
     assert "Broadcast" in tree
+
+
+def test_hamming_topk_broadcast_queries_mapside_topk(spark):
+    """The query side is broadcast (never a corpus-keyed shuffle to meet it);
+    the per-query top-k is taken MAP-SIDE (partial WindowGroupLimit) before
+    the single rank exchange, so only <=k rows per query per partition
+    shuffle; the XOR+popcount distance stays JVM-side."""
+    tree = plan_tree(spark, "sim_hamming_topk")
+    assert "BroadcastNestedLoopJoin" in tree or "BroadcastHashJoin" in tree
+    assert tree.count("WindowGroupLimit") == 2  # Partial + Final
+    assert "BatchEvalPython" not in tree and "ArrowEvalPython" not in tree
+    assert "SortMergeJoin" not in tree
+
+
+def test_triangle_count_no_cartesian_node_keyed_joins(spark):
+    """Every join in the wedge pipeline is keyed (node ids) — no cartesian
+    product, no nested-loop join anywhere; the oriented edge list is cached
+    (InMemoryTableScan) so the upstream k-NN graph is derived once, and the
+    three triangle corners are exploded, not 3-arm unioned."""
+    tree = plan_tree(spark, "graph_triangle_count")
+    assert "CartesianProduct" not in tree
+    assert "BroadcastNestedLoopJoin" not in tree
+    assert "HashAggregate" in tree
+    assert "InMemoryTableScan" in tree
+    # above the cache point (the explain inlines the cached plan, whose
+    # degree computation legitimately unions the two edge endpoints): the
+    # corner fan-out is an explode, not a 3-arm self-union of the triangles
+    assert "Union" not in tree.split("InMemoryRelation")[0]
+
+
+def test_kmv_single_scan_single_sketch_shuffle(spark):
+    """Pass 1 (per-partition k-smallest fold) is ONE Arrow crossing over ONE
+    corpus scan; pass 2 is one hash aggregation of the sketch rows — a second
+    scan would mean the 'ALL' arm recomputed the corpus."""
+    plan = plan_str(spark, "agg_kmv_distinct")
+    assert len(scan_sections(plan)) == 1
+    tree = plan_tree(spark, "agg_kmv_distinct")
+    assert tree.count("MapInPandas") == 1
