@@ -181,6 +181,8 @@ HEADLINE = [
     "sim_hamming_topk",
     "graph_triangle_count",
     "agg_kmv_distinct",
+    "sim_embed_covariance",
+    "corpus_drift_psi",
 ]
 
 

@@ -115,7 +115,8 @@ from pgcapture_spark.querydefs import (  # noqa: E402,F401
 # agg_heavy_hitters_streamed, events_hll_sliding_uniques,
 # sample_coreset_kcenter, media_dedup_exact, sim_ood_knn_score,
 # events_path_topk, corpus_length_curriculum, sim_hamming_topk,
-# graph_triangle_count, agg_kmv_distinct (43 total, fits one window).
+# graph_triangle_count, agg_kmv_distinct, sim_embed_covariance,
+# corpus_drift_psi (45 total, fits one window).
 _WINDOW: tuple[str, ...] = (
     # wire dialects (pglogical + protobuf + streamed pgoutput): the
     # reference's actual on-wire surface, never driver-checked

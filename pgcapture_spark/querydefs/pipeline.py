@@ -709,3 +709,111 @@ def _set_keepbest_oracle() -> None:
 
 
 _set_keepbest_oracle()
+
+
+# ------------------------------------------------------- corpus drift monitor
+
+_DUCK_PSI = """
+WITH feat AS (
+  SELECT doc_id % 2 = 1 AS is_cur, 'len_bucket' AS feature,
+         coalesce(CAST(least(CAST(floor(n_chars / 500) AS BIGINT), 7)
+                       AS VARCHAR), '~') AS bucket
+  FROM documents WHERE doc_id IS NOT NULL
+  UNION ALL
+  SELECT doc_id % 2 = 1, 'lang', coalesce(lang, '~')
+  FROM documents WHERE doc_id IS NOT NULL
+),
+counts AS (
+  SELECT feature, bucket,
+         CAST(sum(CASE WHEN is_cur THEN 1 ELSE 0 END) AS BIGINT) AS cur_cnt,
+         CAST(sum(CASE WHEN is_cur THEN 0 ELSE 1 END) AS BIGINT) AS ref_cnt
+  FROM feat GROUP BY 1, 2
+),
+pf AS (
+  SELECT feature, CAST(count(*) AS BIGINT) AS n_buckets,
+         CAST(sum(cur_cnt) AS BIGINT) AS n_cur,
+         CAST(sum(ref_cnt) AS BIGINT) AS n_ref
+  FROM counts GROUP BY 1
+),
+terms AS (
+  SELECT c.feature,
+         CAST(floor((((c.cur_cnt + 1.0) / (pf.n_cur + pf.n_buckets))
+                     - ((c.ref_cnt + 1.0) / (pf.n_ref + pf.n_buckets)))
+                    * ln(((c.cur_cnt + 1.0) / (pf.n_cur + pf.n_buckets))
+                         / ((c.ref_cnt + 1.0) / (pf.n_ref + pf.n_buckets)))
+                    * 1000000000 + 0.5) AS BIGINT) AS t,
+         pf.n_buckets, pf.n_ref, pf.n_cur
+  FROM counts c JOIN pf USING (feature)
+)
+SELECT feature, CAST(sum(t) AS BIGINT) AS psi_nano,
+       max(n_buckets) AS n_buckets, max(n_ref) AS n_ref, max(n_cur) AS n_cur
+FROM terms GROUP BY feature
+"""
+
+
+@q(
+    "corpus_drift_psi",
+    _DUCK_PSI,
+    "North-star: dataset drift monitor — Population Stability Index between a"
+    " reference and a current corpus snapshot (deterministic doc_id halves)"
+    " over the length-bucket and language distributions, Laplace-smoothed so"
+    " empty buckets stay finite. One corpus scan fans out to (feature,"
+    " bucket) rows; everything after the first aggregation is bucket-sized."
+    " Per-term nano-quantization keeps the sum an exact integer cross-engine."
+    " PSI >= 0.2 is the classic retrain/alert threshold.",
+)
+def corpus_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, ("documents",))
+    docs = spark.table("documents").where(F.col("doc_id").isNotNull())
+    feat = docs.select(
+        (F.col("doc_id") % 2 == 1).alias("is_cur"),
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("len_bucket").alias("feature"),
+                    F.coalesce(
+                        F.expr(
+                            "CAST(least(CAST(floor(n_chars / 500) AS BIGINT), 7)"
+                            " AS STRING)"
+                        ),
+                        F.lit("~"),
+                    ).alias("bucket"),
+                ),
+                F.struct(
+                    F.lit("lang").alias("feature"),
+                    F.coalesce(F.col("lang"), F.lit("~")).alias("bucket"),
+                ),
+            )
+        ).alias("fb"),
+    ).select("is_cur", "fb.feature", "fb.bucket")
+    counts = feat.groupBy("feature", "bucket").agg(
+        F.sum(F.when(F.col("is_cur"), 1).otherwise(0)).cast("long").alias("cur_cnt"),
+        F.sum(F.when(F.col("is_cur"), 0).otherwise(1)).cast("long").alias("ref_cnt"),
+    )
+    pf = counts.groupBy("feature").agg(
+        F.count("*").cast("long").alias("n_buckets"),
+        F.sum("cur_cnt").cast("long").alias("n_cur"),
+        F.sum("ref_cnt").cast("long").alias("n_ref"),
+    )
+    # identical double-expression structure as the oracle, term-quantized.
+    # Spark parses a bare `1.0` as DECIMAL and would pull the whole term into
+    # decimal arithmetic (≈1e-6 relative drift vs the oracle's IEEE doubles);
+    # the D suffix pins every literal to DOUBLE.
+    term = F.expr(
+        "CAST(floor((((cur_cnt + 1.0D) / (n_cur + n_buckets))"
+        " - ((ref_cnt + 1.0D) / (n_ref + n_buckets)))"
+        " * ln(((cur_cnt + 1.0D) / (n_cur + n_buckets))"
+        " / ((ref_cnt + 1.0D) / (n_ref + n_buckets)))"
+        " * 1000000000 + 0.5D) AS BIGINT)"
+    )
+    return (
+        counts.join(F.broadcast(pf), "feature")
+        .select("feature", term.alias("t"), "n_buckets", "n_ref", "n_cur")
+        .groupBy("feature")
+        .agg(
+            F.sum("t").cast("long").alias("psi_nano"),
+            F.max("n_buckets").alias("n_buckets"),
+            F.max("n_ref").alias("n_ref"),
+            F.max("n_cur").alias("n_cur"),
+        )
+    )

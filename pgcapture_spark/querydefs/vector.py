@@ -1588,3 +1588,41 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         "src_id", "dst_id"
     )
     return triangle_count(edges)
+
+
+# ------------------------------------------------- covariance / decorrelation
+
+_DUCK_COV = """
+WITH q AS (
+  SELECT vec_id, i,
+         CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000 + 0.5) AS BIGINT) AS x
+  FROM embeddings, range(1, 65) t(i)
+),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings),
+s1 AS (SELECT i, CAST(sum(x) AS BIGINT) AS si FROM q GROUP BY i),
+s2 AS (
+  SELECT a.i AS i, b.i AS j, CAST(sum(a.x * b.x) AS BIGINT) AS sij
+  FROM q a JOIN q b ON a.vec_id = b.vec_id AND a.i <= b.i
+  GROUP BY a.i, b.i
+)
+SELECT s2.i, s2.j,
+       (SELECT n FROM nn) * sij - sa.si * sb.si AS cov_num
+FROM s2 JOIN s1 sa ON sa.i = s2.i JOIN s1 sb ON sb.i = s2.j
+"""
+
+
+@q(
+    "sim_embed_covariance",
+    _DUCK_COV,
+    "North-star: integer-exact embedding covariance (the PCA-whitening /"
+    " decorrelation input) in ONE corpus pass — per-partition numpy Gram +"
+    " first-moment folds inside one Arrow crossing (d^2-bounded summaries,"
+    " raw vectors never shuffle), merged by addition; output is the n^2-"
+    " scaled covariance numerator, an exact integer on every engine and"
+    " partition layout.",
+)
+def sim_embed_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pgcapture_spark.operators.similarity import embed_covariance
+
+    register_views(spark, sf_dir, ("embeddings",))
+    return embed_covariance(spark.table("embeddings"), dim=64, quant=1000)

@@ -731,3 +731,22 @@ def test_kmv_single_scan_single_sketch_shuffle(spark):
     assert len(scan_sections(plan)) == 1
     tree = plan_tree(spark, "agg_kmv_distinct")
     assert tree.count("MapInPandas") == 1
+
+
+def test_covariance_single_scan_sketch_sized_merge(spark):
+    """The whole covariance is ONE corpus scan + one Arrow crossing; the
+    merge and reshape operate on d^2-bounded summary rows (broadcast joins
+    only — a shuffle join there would mean the reshape went corpus-shaped)."""
+    plan = plan_str(spark, "sim_embed_covariance")
+    # the moment table is persisted: every reference above the cache point is
+    # an InMemoryTableScan; exactly one parquet scan + one Arrow crossing live
+    # inside the cached subtree
+    tree = plan_tree(spark, "sim_embed_covariance")
+    top = tree.split("InMemoryRelation")[0]
+    assert "InMemoryTableScan" in tree
+    assert "Scan parquet" not in top and "MapInPandas" not in top
+    assert "SortMergeJoin" not in top
+    assert "CartesianProduct" not in tree
+    # inside the cache: the single corpus scan and single crossing
+    cached = plan.split("InMemoryRelation")[1]
+    assert cached.count("MapInPandas") == 1

@@ -193,3 +193,124 @@ class TestKMV:
         }
         union_kth = sorted({_kmv_ref_hash(v) for v in range(75)})[7]
         assert out["ALL"] == union_kth
+
+
+class TestCovarianceAndWhitening:
+    @staticmethod
+    def _mk(spark, n=40, dim=8, seed=3, parts=4):
+        import random
+
+        rng = random.Random(seed)
+        rows = [
+            (i, [rng.uniform(-2, 2) for _ in range(dim)], i % 3)
+            for i in range(n)
+        ]
+        df = spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label int"
+        ).repartition(parts)
+        return df, rows
+
+    def test_moments_match_numpy_and_layout_invariant(self, spark):
+        import numpy as np
+
+        from pgcapture_spark.operators.similarity import embed_covariance_moments
+
+        df, rows = self._mk(spark)
+        x = np.array([[float(np.float32(v)) for v in r[1]] for r in rows])
+        xq = np.floor(x * 1000 + 0.5).astype(np.int64)
+
+        outs = []
+        for parts in (1, 4):
+            got = {
+                (r["i"], r["j"]): r["v"]
+                for r in embed_covariance_moments(
+                    df.repartition(parts), dim=8, quant=1000
+                ).collect()
+            }
+            outs.append(got)
+        assert outs[0] == outs[1]  # partition layout can never leak in
+        got = outs[0]
+        assert got[(0, 0)] == len(rows)
+        g = xq.T @ xq
+        s = xq.sum(axis=0)
+        for i in range(8):
+            assert got[(i + 1, 0)] == s[i]
+            for j in range(i, 8):
+                assert got[(i + 1, j + 1)] == g[i, j]
+
+    def test_pca_whiten_matches_numpy_reference(self, spark):
+        import numpy as np
+
+        from pgcapture_spark.operators.similarity import pca_whiten
+
+        df, rows = self._mk(spark, n=60)
+        out = pca_whiten(df, k=3, dim=8, quant=1000).collect()
+        got = {r["vec_id"]: np.array(r["y"]) for r in out}
+
+        # numpy reference over the SAME quantized covariance the operator uses
+        x = np.array([[float(np.float32(v)) for v in r[1]] for r in rows])
+        xq = np.floor(x * 1000 + 0.5).astype(np.int64)
+        n = len(x)
+        mean = xq.sum(axis=0) / n / 1000
+        cov = (xq.T @ xq / n - np.outer(xq.sum(0), xq.sum(0)) / n / n) / 1e6
+        vals, vecs = np.linalg.eigh(cov)
+        order = np.argsort(vals)[::-1][:3]
+        vals, vecs = vals[order], vecs[:, order]
+        flip = np.sign(vecs[np.abs(vecs).argmax(axis=0), np.arange(3)])
+        vecs = vecs * flip
+        w = vecs / np.sqrt(np.maximum(vals, 0) + 1e-9)
+        ref = (x - mean) @ w
+        for idx, r in enumerate(rows):
+            assert np.allclose(got[r[0]], ref[idx], rtol=1e-9, atol=1e-9)
+
+        # whitened output really is decorrelated with ~unit variance
+        y = np.stack([got[r[0]] for r in rows])
+        yc = y - y.mean(axis=0)
+        c = yc.T @ yc / n
+        assert np.allclose(c, np.eye(3), atol=1e-2)
+
+
+class TestDriftPSI:
+    def test_identical_halves_score_near_zero_and_shift_scores_high(self, spark):
+        """PSI sanity on constructed corpora: (a) when both halves draw the
+        same distribution, PSI stays under the 0.10 'no drift' bar; (b) when
+        the current half's length distribution shifts wholesale, PSI crosses
+        the classic 0.2 alert threshold. Exact values are pinned by the
+        DuckDB oracle; this pins the MONITOR semantics."""
+        import math
+        import shutil
+        import tempfile
+
+        from pgcapture_spark.queries import REGISTRY
+
+        def run(rows):
+            d = tempfile.mkdtemp(prefix="pgcs_psi_")
+            try:
+                spark.createDataFrame(
+                    rows, "doc_id long, text string, lang string, source string, n_chars long"
+                ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+                out = REGISTRY["corpus_drift_psi"].fn(spark, d).collect()
+                return {r["feature"]: r for r in out}
+            finally:
+                shutil.rmtree(d, ignore_errors=True)
+
+        # (a) even/odd halves identically distributed
+        same = [
+            (i, "t", ["en", "de"][i // 2 % 2], "s", 100 + (i // 2 % 8) * 500)
+            for i in range(400)
+        ]
+        got = run(same)
+        assert set(got) == {"len_bucket", "lang"}
+        for r in got.values():
+            assert abs(r["psi_nano"]) < 0.10 * 1e9
+            assert r["n_ref"] == r["n_cur"] == 200
+
+        # (b) current half (odd ids) much longer documents
+        shifted = [
+            (i, "t", "en", "s", 3900 if i % 2 == 1 else 100 + (i % 4) * 300)
+            for i in range(400)
+        ]
+        got = run(shifted)
+        assert got["len_bucket"]["psi_nano"] > 0.2 * 1e9
+        assert abs(got["lang"]["psi_nano"]) < 0.05 * 1e9  # lang unchanged
+        assert math.isfinite(got["len_bucket"]["psi_nano"])
