@@ -183,6 +183,7 @@ HEADLINE = [
     "agg_kmv_distinct",
     "sim_embed_covariance",
     "corpus_drift_psi",
+    "sim_pq_train_codes",
 ]
 
 

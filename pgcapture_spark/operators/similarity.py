@@ -1113,3 +1113,188 @@ def pca_whiten(
         .join(F.broadcast(proj_row))
         .select("vec_id", comp.alias("y"))
     )
+
+
+# ------------------------------------------------- PQ codebook training
+
+def pq_train_codebooks(
+    embeddings: DataFrame, m: int = 4, k: int = 4, iters: int = 2,
+    dim: int = 64,
+) -> list[list[tuple[int, list[float]]]]:
+    """TRAIN the product-quantization codebooks: an independent k-means per
+    subspace slice (the production PQ recipe — label-centroid slices are the
+    deterministic stand-in `pq_adc_topk` defaults to; this is the trained
+    upgrade, exactly as `kmeans_codebook` upgrades the SemDeDup quantizer).
+
+    All ``m`` subspaces train SIMULTANEOUSLY: each Lloyd round is ONE corpus
+    pass — per-row argmin against every subspace's broadcast codebook, one
+    (subspace, cluster, dim) decimal-exact mean aggregation (k·m·(dim/m)
+    output rows), one k·m-bounded collect. Deterministic init: subspace
+    slices of the ``k`` lowest-vec_id vectors. Clusters that lose all
+    members drop out of the codebook (mirrored by the SQL oracle).
+
+    Returns ``[subspace][(label, subvector)]`` — driver/broadcast-resident
+    at any corpus scale."""
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    sd = dim // m
+    e = _as_double(embeddings).select("vec_id", "emb_d")
+    init = e.orderBy("vec_id").limit(k).collect()
+    cbs: list[list[tuple[int, list[float]]]] = [
+        [
+            (j, [float(v) for v in r["emb_d"]][s * sd : (s + 1) * sd])
+            for j, r in enumerate(init)
+        ]
+        for s in range(m)
+    ]
+    for _ in range(int(iters) - 1):
+        asg = _pq_assign(e, cbs, sd)
+        scaled = F.expr("CAST(floor(val * 1000000000 + 0.5) AS BIGINT)")
+        means = (
+            asg.select("codes", F.posexplode("emb_d").alias("dim0", "val"))
+            .select(
+                (F.col("dim0") / sd).cast("int").alias("s"),
+                (F.col("dim0") % sd).alias("dim"),
+                F.expr(f"element_at(codes, CAST(dim0 / {sd} AS INT) + 1)").alias("cluster"),
+                "val",
+            )
+            .groupBy("s", "cluster", "dim")
+            .agg(
+                (F.sum(scaled).cast("double") / 1000000000.0 / F.count("*")).alias(
+                    "mean_val"
+                )
+            )
+            .groupBy("s", "cluster")
+            .agg(
+                F.expr(
+                    "transform(array_sort(collect_list(struct(dim, mean_val))),"
+                    " t -> t.mean_val)"
+                ).alias("c_e")
+            )
+            .collect()
+        )
+        cbs = [
+            sorted(
+                (int(r["cluster"]), [float(v) for v in r["c_e"]])
+                for r in means
+                if r["s"] == s
+            )
+            for s in range(m)
+        ]
+    return cbs
+
+
+def _pq_assign(
+    e: DataFrame, cbs: list[list[tuple[int, list[float]]]], sd: int
+) -> DataFrame:
+    """One PQ assignment pass: per-row, per-subspace argmin over the
+    broadcast codebooks. Adds ``codes`` (array<int>, by subspace) and
+    ``subd2`` (array<double>, the winning squared distances)."""
+    spark = e.sparkSession
+    cb_row = spark.createDataFrame(
+        [([(s, [(lbl, ce) for lbl, ce in cb] ) for s, cb in enumerate(cbs)],)],
+        "cbs array<struct<s:int,cs:array<struct<lbl:int,ce:array<double>>>>>",
+    )
+    subd2 = (
+        f"aggregate(zip_with(slice(emb_d, cb.s * {sd} + 1, {sd}), c.ce,"
+        " (x, y) -> (x - y) * (x - y)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    best = F.expr(
+        f"transform(cbs, cb -> array_min(transform(cb.cs, c ->"
+        f" struct({subd2} AS d2, c.lbl AS lbl))))"
+    )
+    return (
+        e.join(F.broadcast(cb_row))
+        .withColumn("_best", best)
+        .select(
+            "vec_id",
+            "emb_d",
+            F.expr("transform(_best, b -> b.lbl)").alias("codes"),
+            F.expr("transform(_best, b -> b.d2)").alias("subd2"),
+        )
+    )
+
+
+def pq_train_encode(
+    embeddings: DataFrame, m: int = 4, k: int = 4, iters: int = 2,
+    dim: int = 64, quant: int = 1_000_000,
+) -> DataFrame:
+    """Train the PQ codebooks, then encode the corpus against them: one row
+    per (vec_id, subspace) with the assigned code and the floor-quantized
+    squared subspace distortion. The codes are what a 100 TB ANN system
+    persists (m bytes per vector); the distortion column is the training
+    quality signal (sums to the k-means objective)."""
+    sd = dim // m
+    cbs = pq_train_codebooks(embeddings, m=m, k=k, iters=iters, dim=dim)
+    e = _as_double(embeddings).select("vec_id", "emb_d")
+    asg = _pq_assign(e, cbs, sd)
+    return asg.select(
+        "vec_id",
+        F.posexplode("codes").alias("subspace", "code"),
+        F.expr(
+            f"CAST(floor(element_at(subd2, CAST(subspace AS INT) + 1) * {quant}"
+            " + 0.5) AS BIGINT)"
+        ).alias("subd2_micro"),
+    ).select("vec_id", "subspace", "code", "subd2_micro")
+
+
+def pq_trained_adc_topk(
+    embeddings: DataFrame,
+    query_pred: str,
+    k: int = 3,
+    m: int = 4,
+    kc: int = 4,
+    iters: int = 2,
+    dim: int = 64,
+    quant: int = 1_000_000,
+) -> DataFrame:
+    """ADC top-k over TRAINED per-subspace codebooks — `pq_adc_topk` with
+    :func:`pq_train_codebooks` in place of the label-centroid-slice stand-in
+    (the production composition: train, encode, scan codes, score by table
+    lookups). Codebooks are densified to positional labels so a corpus code
+    IS the distance-table index; the corpus scan reads m small codes per
+    vector and each query ships one m×kc integer table in the broadcast.
+
+    Output: (query_id, neighbor_id, approx_d2q, rank)."""
+    sd = dim // m
+    cbs = pq_train_codebooks(embeddings, m=m, k=kc, iters=iters, dim=dim)
+    # dense positional labels (sorted original-label order preserved, so the
+    # (d2, lbl) argmin picks the same winner): code == table index
+    cbs = [[(i, vec) for i, (_lbl, vec) in enumerate(cb)] for cb in cbs]
+    e = _as_double(embeddings).select("vec_id", "emb_d")
+    corpus = _pq_assign(e, cbs, sd).select("vec_id", "codes")
+    spark = e.sparkSession
+    cb_row = spark.createDataFrame(
+        [([(s, [(lbl, ce) for lbl, ce in cb]) for s, cb in enumerate(cbs)],)],
+        "cbs array<struct<s:int,cs:array<struct<lbl:int,ce:array<double>>>>>",
+    )
+    subd2 = (
+        f"aggregate(zip_with(slice(emb_d, cb.s * {sd} + 1, {sd}), c.ce,"
+        " (x, y) -> (x - y) * (x - y)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    queries = (
+        e.where(query_pred)
+        .join(F.broadcast(cb_row))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.expr(
+                f"transform(cbs, cb -> transform(cb.cs, c ->"
+                f" CAST(floor({subd2} * {quant} + 0.5) AS BIGINT)))"
+            ).alias("dtab"),
+        )
+    )
+    adc = (
+        corpus.join(F.broadcast(queries))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.expr(
+                f"aggregate(sequence(0, {m - 1}), 0L, (acc, s) -> acc +"
+                " element_at(element_at(dtab, s + 1),"
+                " element_at(codes, s + 1) + 1))"
+            ).alias("approx_d2q"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy("approx_d2q", "neighbor_id")
+    return adc.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)

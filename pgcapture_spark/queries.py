@@ -116,7 +116,8 @@ from pgcapture_spark.querydefs import (  # noqa: E402,F401
 # sample_coreset_kcenter, media_dedup_exact, sim_ood_knn_score,
 # events_path_topk, corpus_length_curriculum, sim_hamming_topk,
 # graph_triangle_count, agg_kmv_distinct, sim_embed_covariance,
-# corpus_drift_psi (45 total, fits one window).
+# corpus_drift_psi, sim_pq_train_codes (46 total — exactly fills a
+# 50-slot window with 4 canaries; FREEZE further additions this round).
 _WINDOW: tuple[str, ...] = (
     # wire dialects (pglogical + protobuf + streamed pgoutput): the
     # reference's actual on-wire surface, never driver-checked

@@ -1626,3 +1626,60 @@ def sim_embed_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir, ("embeddings",))
     return embed_covariance(spark.table("embeddings"), dim=64, quant=1000)
+
+
+# ------------------------------------------------- trained PQ codebooks
+
+_DUCK_PQ_TRAIN = """
+WITH e AS (SELECT vec_id, list_transform(embedding, v -> CAST(v AS DOUBLE)) AS ed
+           FROM embeddings),
+sub AS (SELECT vec_id, s,
+               list_transform(range(1, 17), i -> ed[s * 16 + i]) AS sv
+        FROM e, range(0, 4) t(s)),
+init AS (SELECT s, CAST(rn - 1 AS INT) AS c_label, sv AS c_e FROM (
+           SELECT s, sv,
+                  row_number() OVER (PARTITION BY s ORDER BY vec_id) AS rn
+           FROM sub) WHERE rn <= 4),
+d1 AS (SELECT sub.vec_id, sub.s, sub.sv, c.c_label,
+              list_sum(list_transform(range(1, 17),
+                       i -> (sub.sv[i] - c.c_e[i]) * (sub.sv[i] - c.c_e[i]))) AS d2
+       FROM sub JOIN init c ON c.s = sub.s),
+a1 AS (SELECT vec_id, s, sv, c_label AS cluster FROM (
+         SELECT vec_id, s, sv, c_label,
+                row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, c_label) AS rn
+         FROM d1) WHERE rn = 1),
+ex1 AS (SELECT s, cluster, i - 1 AS dim, sv[i] AS val FROM a1, range(1, 17) t(i)),
+cd1 AS (SELECT s, cluster, dim,
+               CAST(sum(CAST(floor(val * 1000000000 + 0.5) AS BIGINT)) AS DOUBLE)
+                 / 1000000000.0 / count(*) AS mean_val
+        FROM ex1 GROUP BY s, cluster, dim),
+c1 AS (SELECT s, cluster AS c_label, list(mean_val ORDER BY dim) AS c_e
+       FROM cd1 GROUP BY s, cluster),
+d2r AS (SELECT sub.vec_id, sub.s, c.c_label,
+               list_sum(list_transform(range(1, 17),
+                        i -> (sub.sv[i] - c.c_e[i]) * (sub.sv[i] - c.c_e[i]))) AS d2
+        FROM sub JOIN c1 c ON c.s = sub.s)
+SELECT vec_id, CAST(s AS INT) AS subspace, c_label AS code,
+       CAST(floor(d2 * 1000000 + 0.5) AS BIGINT) AS subd2_micro
+FROM (SELECT vec_id, s, c_label, d2,
+             row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, c_label) AS rn
+      FROM d2r) WHERE rn = 1
+"""
+
+
+@q(
+    "sim_pq_train_codes",
+    _DUCK_PQ_TRAIN,
+    "North-star: TRAINED product-quantization codebooks — an independent"
+    " decimal-exact Lloyd k-means per 16-dim subspace slice (all four"
+    " subspaces per corpus pass: per-row argmin over the broadcast codebooks,"
+    " one (subspace, cluster, dim) mean aggregation, k*m-bounded collect),"
+    " then the corpus encoded as (vec_id, subspace, code) + quantized"
+    " distortion — the m-bytes-per-vector representation a billion-vector"
+    " ANN system persists; upgrades sim_pq_adc_ann's label-slice stand-in.",
+)
+def sim_pq_train_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pgcapture_spark.operators.similarity import pq_train_encode
+
+    register_views(spark, sf_dir, ("embeddings",))
+    return pq_train_encode(spark.table("embeddings"), m=4, k=4, iters=2, dim=64)

@@ -314,3 +314,99 @@ class TestDriftPSI:
         assert got["len_bucket"]["psi_nano"] > 0.2 * 1e9
         assert abs(got["lang"]["psi_nano"]) < 0.05 * 1e9  # lang unchanged
         assert math.isfinite(got["len_bucket"]["psi_nano"])
+
+
+class TestPQTraining:
+    @staticmethod
+    def _mk(spark, n=40, dim=8, seed=5):
+        import random
+
+        rng = random.Random(seed)
+        rows = [(i, [rng.uniform(-1, 1) for _ in range(dim)], i % 3) for i in range(n)]
+        df = spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label int"
+        ).repartition(3)
+        return df, rows
+
+    @staticmethod
+    def _np_lloyd(x, k, iters):
+        """Reference per-subspace Lloyd with the operator's exact contract:
+        lowest-row init, (d2, label) argmin tie-break, decimal-quantized
+        means, empty clusters dropped."""
+        import numpy as np
+
+        cents = [(j, x[j].copy()) for j in range(k)]
+        for _ in range(iters - 1):
+            asg = []
+            for row in x:
+                best = min((float(((row - c) ** 2).sum()), lbl) for lbl, c in cents)
+                asg.append(best[1])
+            cents = []
+            for lbl in sorted(set(asg)):
+                members = x[[i for i, a in enumerate(asg) if a == lbl]]
+                q = np.floor(members * 1e9 + 0.5).astype("int64")
+                cents.append((lbl, q.sum(axis=0) / 1e9 / len(members)))
+        return cents
+
+    def test_codebooks_match_numpy_reference(self, spark):
+        import numpy as np
+
+        from pgcapture_spark.operators.similarity import pq_train_codebooks
+
+        df, rows = self._mk(spark)
+        # the operator normalizes (_as_double); mirror that
+        x = np.array([[float(np.float32(v)) for v in r[1]] for r in rows])
+        got = pq_train_codebooks(df, m=2, k=3, iters=2, dim=8)
+        assert len(got) == 2
+        for s in range(2):
+            ref = self._np_lloyd(x[:, s * 4 : (s + 1) * 4], k=3, iters=2)
+            assert [lbl for lbl, _ in got[s]] == [lbl for lbl, _ in ref]
+            for (gl, gv), (rl, rv) in zip(got[s], ref):
+                assert np.allclose(gv, rv, atol=1e-12), (s, gl)
+
+    def test_training_reduces_distortion_and_codes_cover(self, spark):
+        import numpy as np
+
+        from pgcapture_spark.operators.similarity import pq_train_encode
+
+        df, rows = self._mk(spark, n=60)
+        trained = pq_train_encode(df, m=2, k=3, iters=3, dim=8).collect()
+        init_only = pq_train_encode(df, m=2, k=3, iters=1, dim=8).collect()
+        assert len(trained) == 60 * 2 == len(init_only)
+        # Lloyd never increases the objective: total distortion after update
+        # rounds <= the init assignment's
+        assert sum(r["subd2_micro"] for r in trained) <= sum(
+            r["subd2_micro"] for r in init_only
+        )
+        codes = {r["code"] for r in trained}
+        assert codes <= {0, 1, 2} and len(codes) >= 2
+        subs = {r["subspace"] for r in trained}
+        assert subs == {0, 1}
+
+
+class TestTrainedADC:
+    def test_trained_adc_finds_own_cluster(self, spark):
+        """Three well-separated clusters in 8 dims: every query's trained-PQ
+        ADC top-2 must come from the query's own cluster (the approximate
+        distance preserves coarse geometry), and ranks are contiguous."""
+        import random
+
+        rng = random.Random(13)
+        centers = [[4.0] * 8, [-4.0] * 8, [4.0] * 4 + [-4.0] * 4]
+        rows = []
+        for i in range(45):
+            c = centers[i % 3]
+            rows.append((i, [c[d] + rng.uniform(-0.3, 0.3) for d in range(8)], i % 3))
+        df = spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label int"
+        ).repartition(3)
+
+        from pgcapture_spark.operators.similarity import pq_trained_adc_topk
+
+        out = pq_trained_adc_topk(
+            df, "vec_id < 3", k=2, m=2, kc=3, iters=3, dim=8
+        ).collect()
+        assert len(out) == 3 * 2
+        for r in out:
+            assert r["neighbor_id"] % 3 == r["query_id"] % 3, r
+            assert r["rank"] in (1, 2)
