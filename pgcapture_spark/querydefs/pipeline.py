@@ -790,10 +790,16 @@ def corpus_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("is_cur"), 1).otherwise(0)).cast("long").alias("cur_cnt"),
         F.sum(F.when(F.col("is_cur"), 0).otherwise(1)).cast("long").alias("ref_cnt"),
     )
-    pf = counts.groupBy("feature").agg(
-        F.count("*").cast("long").alias("n_buckets"),
-        F.sum("cur_cnt").cast("long").alias("n_cur"),
-        F.sum("ref_cnt").cast("long").alias("n_ref"),
+    # per-feature totals as WINDOWS over the bucket counts (not a second
+    # aggregation + join): one lineage, so the corpus scans once; the window
+    # exchange operates on bucket-sized rows only
+    from pyspark.sql import Window as W
+
+    wf = W.partitionBy("feature")
+    counts = (
+        counts.withColumn("n_buckets", F.count("*").over(wf))
+        .withColumn("n_cur", F.sum("cur_cnt").over(wf))
+        .withColumn("n_ref", F.sum("ref_cnt").over(wf))
     )
     # identical double-expression structure as the oracle, term-quantized.
     # Spark parses a bare `1.0` as DECIMAL and would pull the whole term into
@@ -807,8 +813,7 @@ def corpus_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         " * 1000000000 + 0.5D) AS BIGINT)"
     )
     return (
-        counts.join(F.broadcast(pf), "feature")
-        .select("feature", term.alias("t"), "n_buckets", "n_ref", "n_cur")
+        counts.select("feature", term.alias("t"), "n_buckets", "n_ref", "n_cur")
         .groupBy("feature")
         .agg(
             F.sum("t").cast("long").alias("psi_nano"),

@@ -750,3 +750,29 @@ def test_covariance_single_scan_sketch_sized_merge(spark):
     # inside the cache: the single corpus scan and single crossing
     cached = plan.split("InMemoryRelation")[1]
     assert cached.count("MapInPandas") == 1
+
+
+def test_drift_psi_single_scan_bucket_sized_tail(spark):
+    """PSI reads the corpus once (the explode fans rows out INSIDE the scan
+    stage); the per-feature totals are windows over the SAME lineage as the
+    bucket counts — no join of any kind, and every post-aggregation operator
+    works on bucket-sized rows."""
+    plan = plan_str(spark, "corpus_drift_psi")
+    assert len(scan_sections(plan)) == 1
+    tree = plan_tree(spark, "corpus_drift_psi")
+    assert "Join" not in tree
+    assert "Window" in tree
+    assert "BatchEvalPython" not in tree and "ArrowEvalPython" not in tree
+
+
+def test_pq_train_codes_broadcast_codebooks_no_cartesian(spark):
+    """The final encode pass: per-row argmin against ONE broadcast codebook
+    row fused into the scan — a single-row build side (BroadcastNestedLoop
+    with no condition is the correct plan for a 1-row dimension), never a
+    corpus-shaped join, no Python crossing, top-level plan is a projection."""
+    tree = plan_tree(spark, "sim_pq_train_codes")
+    assert "CartesianProduct" not in tree
+    assert "SortMergeJoin" not in tree
+    assert "Broadcast" in tree
+    assert "BatchEvalPython" not in tree and "ArrowEvalPython" not in tree
+    assert "Generate" in tree  # the (vec_id, subspace) posexplode
