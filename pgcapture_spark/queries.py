@@ -118,6 +118,33 @@ from pgcapture_spark.querydefs import (  # noqa: E402,F401
 # graph_triangle_count, agg_kmv_distinct, sim_embed_covariance,
 # corpus_drift_psi, sim_pq_train_codes (46 total — exactly fills a
 # 50-slot window with 4 canaries; FREEZE further additions this round).
+# ROUND-5 WINDOW (ready to apply at the next rotation — replace _WINDOW with
+# this exact tuple once CORRECTNESS_r04 lands): the 46 never-driver-verified
+# queries in dependency-family order, padded to 50 with 4 previously-green
+# canaries that exercise the four engine pillars (CDC apply, TPC-H join
+# planning, LSH dedup, vector search).
+# _WINDOW_R5 = (
+#     "cdc_tx_stats", "events_interval_overlap_join", "ts_ewma",
+#     "ts_resample_ohlc", "ts_rolling_zscore", "ts_interpolate_linear",
+#     "ts_ohlc_streamed", "cdc_compaction_plan", "events_watermark_sizing",
+#     "events_funnel", "events_retention_cohorts", "events_markov_transitions",
+#     "events_cumulative_users", "text_bigram_surprisal", "text_oov_rate",
+#     "text_zipf_slope", "bpe_merge_candidates", "text_bpe_tokenize",
+#     "agg_hist_quantile_merge", "join_bloom_prefilter", "media_neardup_phash",
+#     "media_audio_windows", "media_scene_cuts", "sim_knn_graph",
+#     "sim_pagerank", "sim_mips_topk", "sim_dim_standardize",
+#     "sim_centroid_outliers", "sample_weighted_reservoir",
+#     "events_zorder_layout", "corpus_split_leakage_safe", "sim_mmr_rerank",
+#     "agg_countmin_topk", "agg_heavy_hitters_streamed",
+#     "events_hll_sliding_uniques", "sample_coreset_kcenter",
+#     "media_dedup_exact", "sim_ood_knn_score", "events_path_topk",
+#     "corpus_length_curriculum", "sim_hamming_topk", "graph_triangle_count",
+#     "agg_kmv_distinct", "sim_embed_covariance", "corpus_drift_psi",
+#     "sim_pq_train_codes",
+#     # canaries (driver-green r1/r2)
+#     "cdc_apply_customer", "tpch_q1_pricing_summary", "dedup_minhash_lsh",
+#     "sim_cosine_topk",
+# )
 _WINDOW: tuple[str, ...] = (
     # wire dialects (pglogical + protobuf + streamed pgoutput): the
     # reference's actual on-wire surface, never driver-checked
