@@ -101,3 +101,55 @@ def kmv_estimates(
         kth.alias("kth_min"),
         F.when(n < k, n.cast("long")).otherwise(est).alias("est_distinct"),
     )
+
+
+def kmv_group_sketches(
+    rows: DataFrame, group_col: str, value_col: str, k: int = 64
+) -> DataFrame:
+    """Per-group merged KMV sketch as ONE row (group, mins array) — the
+    persistable summary the set-operation estimators below consume."""
+    return (
+        kmv_partition_summaries(rows, group_col, value_col, k)
+        .groupBy("g")
+        .agg(
+            F.expr(
+                f"slice(array_sort(array_distinct(collect_list(hv))), 1, {k})"
+            ).alias("mins")
+        )
+        .select(F.col("g").alias(group_col), "mins")
+    )
+
+
+def kmv_intersect_estimate(
+    mins_a: list[int], mins_b: list[int], k: int = 64
+) -> dict:
+    """Set operations from two KMV sketches ALONE — the capability HLL lacks
+    by construction (Beyer et al.: the k smallest of A ∪ B are contained in
+    sketch(A) ∪ sketch(B), and within that merged sketch, membership in both
+    input sketches is an unbiased Bernoulli sample of the intersection
+    density). Pure integer driver-side math on two k-bounded lists.
+
+    Returns {union_est, jaccard_milli, intersect_est, k_used}: k_used is the
+    merged sketch size actually available (min(k, |union sketch|)); when both
+    inputs hold fewer than k values the sketches ARE the sets and every
+    number is exact."""
+    sa, sb = set(mins_a), set(mins_b)
+    merged = sorted(sa | sb)[:k]
+    k_used = len(merged)
+    if k_used == 0:
+        return {"union_est": 0, "jaccard_milli": 0, "intersect_est": 0, "k_used": 0}
+    exact = len(mins_a) < k and len(mins_b) < k
+    if exact:
+        union_est = len(merged)
+    else:
+        union_est = (k_used - 1) * KMV_MOD // merged[-1]
+    n_both = sum(1 for h in merged if h in sa and h in sb)
+    jaccard_milli = 1000 * n_both // k_used
+    # |A ∩ B| ≈ J(A,B) · |A ∪ B|; exact when the sketches are the sets
+    intersect_est = n_both if exact else jaccard_milli * union_est // 1000
+    return {
+        "union_est": int(union_est),
+        "jaccard_milli": int(jaccard_milli),
+        "intersect_est": int(intersect_est),
+        "k_used": k_used,
+    }

@@ -410,3 +410,60 @@ class TestTrainedADC:
         for r in out:
             assert r["neighbor_id"] % 3 == r["query_id"] % 3, r
             assert r["rank"] in (1, 2)
+
+
+class TestKMVSetOps:
+    def test_exact_when_small_and_estimates_when_large(self, spark):
+        from pgcapture_spark.operators.kmv import (
+            kmv_group_sketches,
+            kmv_intersect_estimate,
+        )
+
+        # exact regime: both groups under k distinct
+        data = [("a", v) for v in range(0, 30)] + [("b", v) for v in range(20, 50)]
+        sk = {
+            r["grp"]: list(r["mins"])
+            for r in kmv_group_sketches(
+                self._rows(spark, data), "grp", "val", k=64
+            ).collect()
+        }
+        est = kmv_intersect_estimate(sk["a"], sk["b"], k=64)
+        assert est["union_est"] == 50
+        assert est["intersect_est"] == 10  # range(20, 30) — exact
+        # estimate regime: two big overlapping ranges (50% overlap)
+        big = [("a", v) for v in range(0, 4000)] + [("b", v) for v in range(2000, 6000)]
+        sk = {
+            r["grp"]: list(r["mins"])
+            for r in kmv_group_sketches(
+                self._rows(spark, big), "grp", "val", k=256
+            ).collect()
+        }
+        est = kmv_intersect_estimate(sk["a"], sk["b"], k=256)
+        # true union 6000, true intersection 2000, true jaccard 1/3;
+        # k=256 → ~6% rel. std. error, assert within a generous 3-sigma band
+        assert 4800 < est["union_est"] < 7200
+        assert 200 < est["jaccard_milli"] < 470
+        assert 1100 < est["intersect_est"] < 3000
+
+    def test_merged_sketch_membership_is_from_inputs(self, spark):
+        """The merged sketch never invents values: every hash in the merge is
+        from one of the two input sketches (the subset property the estimator
+        rests on)."""
+        from pgcapture_spark.operators.kmv import (
+            kmv_group_sketches,
+            kmv_intersect_estimate,
+        )
+
+        data = [("a", v * 3) for v in range(300)] + [("b", v * 7) for v in range(300)]
+        sk = {
+            r["grp"]: list(r["mins"])
+            for r in kmv_group_sketches(
+                self._rows(spark, data), "grp", "val", k=32
+            ).collect()
+        }
+        est = kmv_intersect_estimate(sk["a"], sk["b"], k=32)
+        assert est["k_used"] == 32
+        # multiples of 21 overlap: jaccard small but nonzero plausible
+        assert 0 <= est["jaccard_milli"] <= 300
+
+    _rows = staticmethod(TestKMV._rows)
