@@ -8,9 +8,14 @@ HLL (`agg_hll_sketch_merge`), Misra-Gries (`agg_heavy_hitters`) and the
 mergeable histogram (`agg_hist_quantile_merge`).
 
 Determinism contract: the hash is an explicit integer permutation
-``h(u) = (u * 2654435761 + 98765) mod (2^31 - 1)`` computed in BIGINT, so
-Spark and any ANSI-SQL oracle produce bit-identical sketches — no engine
-hash functions involved.
+``h(u) = (((u mod M + M) mod M) * 2654435761 + 98765) mod (2^31 - 1)``
+computed in BIGINT, so Spark and any ANSI-SQL oracle produce bit-identical
+sketches — no engine hash functions involved. The input is reduced to the
+POSITIVE remainder mod M before the multiply: (M-1) * 2654435761 + 98765
+≈ 5.77e18 < 2^63-1, so the arithmetic never overflows BIGINT in either
+engine for ANY input (Spark would silently wrap above ~3.47e9 without the
+pre-reduction; DuckDB would error), and the double-mod keeps negative
+inputs in [0, M) in both engines' C-style ``%`` semantics.
 
 Scale shape (the mergeable-summaries pattern, same as heavyhitters.py):
 pass 1 folds each PARTITION into per-group k-smallest lists inside one
@@ -33,8 +38,13 @@ KMV_ADD = 98_765
 
 
 def kmv_hash_expr(col: str) -> str:
-    """The shared Spark/ANSI hash: BIGINT arithmetic, no engine hash."""
-    return f"(CAST({col} AS BIGINT) * {KMV_MULT} + {KMV_ADD}) % {KMV_MOD}"
+    """The shared Spark/ANSI hash: BIGINT arithmetic, no engine hash.
+
+    The input is reduced to its positive remainder mod ``KMV_MOD`` FIRST so
+    the subsequent multiply stays within BIGINT for all 64-bit inputs (see
+    module docstring) and the result is always in [0, KMV_MOD)."""
+    r = f"((CAST({col} AS BIGINT) % {KMV_MOD}) + {KMV_MOD}) % {KMV_MOD}"
+    return f"(({r}) * {KMV_MULT} + {KMV_ADD}) % {KMV_MOD}"
 
 
 def kmv_partition_summaries(
@@ -48,15 +58,22 @@ def kmv_partition_summaries(
     )
 
     def part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        mins: dict[str, pd.Series] = {}
+        # dropna=False: a NULL group key is a real group (the oracle's
+        # GROUP BY keeps it); pandas' default would silently drop it.
+        mins: dict[object, pd.Series] = {}
         for pdf in batches:
-            for g, sub in pdf.groupby("g", sort=False):
+            if not (pdf["hv"] >= 0).all():
+                raise ValueError(
+                    "kmv hash out of range — permutation must land in [0, MOD)"
+                )
+            for g, sub in pdf.groupby("g", sort=False, dropna=False):
+                key = None if pd.isna(g) else g
                 cur = sub["hv"]
-                if g in mins:
-                    cur = pd.concat([mins[g], cur])
-                mins[g] = cur.drop_duplicates().nsmallest(k)
+                if key in mins:
+                    cur = pd.concat([mins[key], cur])
+                mins[key] = cur.drop_duplicates().nsmallest(k)
         for g, s in mins.items():
-            yield pd.DataFrame({"g": g, "hv": s.to_numpy()})
+            yield pd.DataFrame({"g": pd.Series([g] * len(s), dtype=object), "hv": s.to_numpy()})
 
     return hashed.mapInPandas(part, schema="g string, hv long")
 
@@ -74,17 +91,31 @@ def kmv_estimates(
     the sketch and est_distinct = its size (both engines share this rule).
     """
     summaries = kmv_partition_summaries(rows, group_col, value_col, k)
-    # the union ('ALL') arm merges the per-partition SUMMARIES, never the raw
-    # rows: any hash among the global k smallest is among its own
-    # partition-group's k smallest, so the summaries contain it. Fanning each
-    # summary row out to (g, 'ALL') keeps the whole pass-2 a SINGLE scan of
-    # pass 1's output + one hash aggregation (a second reference to
-    # `summaries` would recompute the corpus scan).
+    # the union arm merges the per-partition SUMMARIES, never the raw rows:
+    # any hash among the global k smallest is among its own partition-group's
+    # k smallest, so the summaries contain it. Fanning each summary row out
+    # to (g, is_union=false) + (NULL, is_union=true) keeps the whole pass-2 a
+    # SINGLE scan of pass 1's output + one hash aggregation (a second
+    # reference to `summaries` would recompute the corpus scan). The union
+    # arm is a separate BOOLEAN grouping key — not a magic string — so a
+    # real group literally named 'ALL' (or a NULL group) can never merge into
+    # it; only the output LABEL is shared (documented display convention).
     both = (
         summaries.select(
-            F.explode(F.array(F.col("g"), F.lit("ALL"))).alias("g"), "hv"
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("g").alias("gk"), F.lit(False).alias("is_union")
+                    ),
+                    F.struct(
+                        F.lit(None).cast("string").alias("gk"),
+                        F.lit(True).alias("is_union"),
+                    ),
+                )
+            ).alias("e"),
+            "hv",
         )
-        .groupBy("g")
+        .groupBy(F.col("e.gk").alias("gk"), F.col("e.is_union").alias("is_union"))
         .agg(
             F.expr(
                 f"slice(array_sort(array_distinct(collect_list(hv))), 1, {k})"
@@ -97,7 +128,7 @@ def kmv_estimates(
     # oracle's exact integer quotient bit-for-bit
     est = F.expr(f"CAST({(k - 1) * KMV_MOD} AS BIGINT) div element_at(mins, size(mins))")
     return both.select(
-        F.col("g").alias(group_col),
+        F.when(F.col("is_union"), F.lit("ALL")).otherwise(F.col("gk")).alias(group_col),
         kth.alias("kth_min"),
         F.when(n < k, n.cast("long")).otherwise(est).alias("est_distinct"),
     )

@@ -26,6 +26,12 @@ DOT_EXPR = (
 )
 NORM_EXPR = "sqrt(aggregate({a}, CAST(0.0 AS DOUBLE), (acc, v) -> acc + v * v))"
 
+# Hard budget for any "reference set rides as one broadcast row" operator
+# (OOD scoring): the fold raises loudly past this instead of silently
+# building an unbounded row. 10k × (64 doubles + id + norm) ≈ 5 MB — safely
+# broadcastable; larger anchors must be pre-sampled by the caller.
+OOD_REF_CAP = 10_000
+
 
 def _as_double(df: DataFrame, col: str = "embedding") -> DataFrame:
     from pgcapture_spark.operators.textstats import ensure_parallelism
@@ -938,8 +944,12 @@ def triangle_count(edges_directed: DataFrame) -> DataFrame:
         .groupBy("n")
         .agg(F.count("*").alias("deg"))
     )
-    # total order key: degree-major, id-minor (ids are distinct, so no ties)
-    okey = (F.col("deg") * F.lit(10_000_000_000) + F.col("n")).alias("okey")
+    # total order key: degree-major, id-minor (ids are distinct, so no ties).
+    # A STRUCT, not a packed BIGINT: struct comparison is lexicographic in
+    # Spark, so the ordering is exact for the full 64-bit id range (packing
+    # deg*1e10+n would silently corrupt the order once ids reach 1e10 —
+    # ADVICE r4).
+    okey = F.struct(F.col("deg").alias("d"), F.col("n").alias("i")).alias("okey")
     keyed = deg.select("n", okey)
     oriented = (
         und.join(keyed.withColumnRenamed("n", "u").withColumnRenamed("okey", "ku"), "u")

@@ -90,120 +90,45 @@ from pgcapture_spark.querydefs import (  # noqa: E402,F401
     retrieval as _qd_retrieval,
 )
 
-# The driver verifies the FIRST ~50 registry entries each round. Rounds 1-3
-# drove 122/197 queries green (CORRECTNESS_r01/r02/r03 — r3 was 50/50).
-# ROUND-4 WINDOW: all 50 slots go to never-driver-verified queries, wire
-# dialects first (they guard ~600 lines of hand-rolled byte parsing), then
-# the corpus-curation family, the TPC-H tail, CDC history, dedup, text,
-# vector. Three queries are NEW this round and land directly in the window
-# (freeze discipline: nothing new goes into the unverified pool):
-# cdc_apply_pglogical_streamed, cdc_apply_proto_multi_streamed_orders,
-# dedup_semantic_kmeans. Verified coverage accumulates across rounds.
+# The driver verifies the FIRST ~50 registry entries each round. Rounds 1-4
+# drove 172/218 queries green (CORRECTNESS_r01..r04 — r3 and r4 were 50/50).
+# ROUND-5 WINDOW (the staged _WINDOW_R5 from round 4, now applied): the 46
+# never-driver-verified queries in dependency-family order — time-series,
+# events analytics, text tail, sketches, media, graph/vector residue, and
+# the r4 late wave — padded to 50 with 4 previously-green canaries that
+# exercise the four engine pillars (CDC apply, TPC-H join planning, LSH
+# dedup, vector search). This single window completes cumulative driver
+# coverage of the full 218-query registry.
 #
-# ROUND-5 RESIDUE (the ~29 still-unverified after this window — put these
-# first next round, pad with canaries): cdc_tx_stats, events_interval_overlap_join,
-# ts_ewma, ts_resample_ohlc, ts_rolling_zscore, ts_interpolate_linear,
-# ts_ohlc_streamed, cdc_compaction_plan, events_watermark_sizing,
-# events_funnel, events_retention_cohorts, events_markov_transitions,
-# events_cumulative_users, text_bigram_surprisal, text_oov_rate,
-# text_zipf_slope, bpe_merge_candidates, text_bpe_tokenize,
-# agg_hist_quantile_merge, join_bloom_prefilter, media_neardup_phash,
-# media_audio_windows, media_scene_cuts, sim_knn_graph, sim_pagerank,
-# sim_mips_topk, sim_dim_standardize, sim_centroid_outliers,
-# sample_weighted_reservoir, events_zorder_layout — plus the r4 late
-# additions corpus_split_leakage_safe, sim_mmr_rerank, agg_countmin_topk,
-# agg_heavy_hitters_streamed, events_hll_sliding_uniques,
-# sample_coreset_kcenter, media_dedup_exact, sim_ood_knn_score,
-# events_path_topk, corpus_length_curriculum, sim_hamming_topk,
-# graph_triangle_count, agg_kmv_distinct, sim_embed_covariance,
-# corpus_drift_psi, sim_pq_train_codes (46 total — exactly fills a
-# 50-slot window with 4 canaries; FREEZE further additions this round).
-# ROUND-5 WINDOW (ready to apply at the next rotation — replace _WINDOW with
-# this exact tuple once CORRECTNESS_r04 lands): the 46 never-driver-verified
-# queries in dependency-family order, padded to 50 with 4 previously-green
-# canaries that exercise the four engine pillars (CDC apply, TPC-H join
-# planning, LSH dedup, vector search).
-# _WINDOW_R5 = (
-#     "cdc_tx_stats", "events_interval_overlap_join", "ts_ewma",
-#     "ts_resample_ohlc", "ts_rolling_zscore", "ts_interpolate_linear",
-#     "ts_ohlc_streamed", "cdc_compaction_plan", "events_watermark_sizing",
-#     "events_funnel", "events_retention_cohorts", "events_markov_transitions",
-#     "events_cumulative_users", "text_bigram_surprisal", "text_oov_rate",
-#     "text_zipf_slope", "bpe_merge_candidates", "text_bpe_tokenize",
-#     "agg_hist_quantile_merge", "join_bloom_prefilter", "media_neardup_phash",
-#     "media_audio_windows", "media_scene_cuts", "sim_knn_graph",
-#     "sim_pagerank", "sim_mips_topk", "sim_dim_standardize",
-#     "sim_centroid_outliers", "sample_weighted_reservoir",
-#     "events_zorder_layout", "corpus_split_leakage_safe", "sim_mmr_rerank",
-#     "agg_countmin_topk", "agg_heavy_hitters_streamed",
-#     "events_hll_sliding_uniques", "sample_coreset_kcenter",
-#     "media_dedup_exact", "sim_ood_knn_score", "events_path_topk",
-#     "corpus_length_curriculum", "sim_hamming_topk", "graph_triangle_count",
-#     "agg_kmv_distinct", "sim_embed_covariance", "corpus_drift_psi",
-#     "sim_pq_train_codes",
-#     # canaries (driver-green r1/r2)
-#     "cdc_apply_customer", "tpch_q1_pricing_summary", "dedup_minhash_lsh",
-#     "sim_cosine_topk",
-# )
+# FREEZE discipline (round-4 verdict task #7): no new declared queries this
+# round — registry stays at 218 until cumulative driver coverage is 218/218.
+# New-operator ideas queue for r6:
+#   QUEUED_R6: incremental view maintenance over the CDC feeds (delta-agg),
+#   top-k theta-sketch set intersections, string-edit-distance join via
+#   length+prefix pruning, Parquet row-group z-order clustering stats.
 _WINDOW: tuple[str, ...] = (
-    # wire dialects (pglogical + protobuf + streamed pgoutput): the
-    # reference's actual on-wire surface, never driver-checked
-    "cdc_apply_from_pglogical",
-    "cdc_apply_pglogical_streamed",
-    "cdc_apply_from_proto",
-    "cdc_apply_proto_streamed",
-    "cdc_apply_proto_multi_streamed",
-    "cdc_apply_proto_multi_streamed_orders",
-    "cdc_apply_from_proto_text",
-    "cdc_checkpoint_keys",
-    "cdc_apply_pgoutput_streamed",
-    # corpus-curation family (entire family post-freeze in r3)
-    "corpus_select_pipeline",
-    "corpus_select_neardup",
-    "corpus_select_streamed",
-    "corpus_export_pipeline",
-    "corpus_mix_sample",
-    "corpus_stats",
-    "corpus_dsir_weights",
-    "corpus_domain_cap",
-    "corpus_perplexity_buckets",
-    "corpus_interleave",
-    "corpus_shard_plan",
-    "corpus_cross_source_overlap",
-    "cdc_corpus_refresh_select",
-    # TPC-H tail
-    "tpch_q2_min_cost_supplier",
-    "tpch_q11_important_stock",
-    "tpch_q15_top_supplier",
-    "tpch_q20_excess_share_supplier",
-    # CDC history / temporal
-    "cdc_scd2_history",
-    "cdc_time_travel",
-    "cdc_churn_stats",
-    "cdc_multi_source_lww",
-    "cdc_snapshot_diff",
-    "cdc_fk_consistency",
-    "events_pit_scd2_join",
-    "cdc_scd2_streamed",
-    # dedup tail
-    "dedup_editdist_verify",
-    "dedup_containment",
-    "dedup_substring",
-    "dedup_semantic",
-    "dedup_semantic_kmeans",
-    "dedup_lsh_eval",
-    "dedup_incremental_streamed",
-    "corpus_dedup_keepbest",
-    # text tail
-    "text_quality_rules",
-    "text_nb_quality",
-    "text_line_dedup",
-    "text_bm25_topk",
-    "text_inverted_index",
-    # vector / sketch tail
-    "kmeans_embed",
-    "sim_ivfpq_ann",
-    "agg_heavy_hitters",
+    # CDC / time-series residue
+    "cdc_tx_stats", "events_interval_overlap_join", "ts_ewma",
+    "ts_resample_ohlc", "ts_rolling_zscore", "ts_interpolate_linear",
+    "ts_ohlc_streamed", "cdc_compaction_plan", "events_watermark_sizing",
+    # events analytics
+    "events_funnel", "events_retention_cohorts", "events_markov_transitions",
+    "events_cumulative_users", "text_bigram_surprisal", "text_oov_rate",
+    "text_zipf_slope", "bpe_merge_candidates", "text_bpe_tokenize",
+    "agg_hist_quantile_merge", "join_bloom_prefilter", "media_neardup_phash",
+    "media_audio_windows", "media_scene_cuts", "sim_knn_graph",
+    "sim_pagerank", "sim_mips_topk", "sim_dim_standardize",
+    "sim_centroid_outliers", "sample_weighted_reservoir",
+    "events_zorder_layout", "corpus_split_leakage_safe", "sim_mmr_rerank",
+    "agg_countmin_topk", "agg_heavy_hitters_streamed",
+    "events_hll_sliding_uniques", "sample_coreset_kcenter",
+    "media_dedup_exact", "sim_ood_knn_score", "events_path_topk",
+    "corpus_length_curriculum", "sim_hamming_topk", "graph_triangle_count",
+    "agg_kmv_distinct", "sim_embed_covariance", "corpus_drift_psi",
+    "sim_pq_train_codes",
+    # canaries (driver-green r1/r2)
+    "cdc_apply_customer", "tpch_q1_pricing_summary", "dedup_minhash_lsh",
+    "sim_cosine_topk",
 )
 
 

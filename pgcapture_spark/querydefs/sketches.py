@@ -498,24 +498,27 @@ def events_hll_sliding_uniques(spark: SparkSession, sf_dir: str) -> DataFrame:
 _KMV_DUCK = """
 WITH h AS (
   SELECT event_type AS g,
-         (event_id * 2654435761 + 98765) % 2147483647 AS hv
+         (((event_id % 2147483647) + 2147483647) % 2147483647
+          * 2654435761 + 98765) % 2147483647 AS hv
   FROM events WHERE event_id IS NOT NULL
 ),
 mins AS (
-  SELECT g, hv, row_number() OVER (PARTITION BY g ORDER BY hv) AS rn
+  SELECT g, FALSE AS is_union, hv,
+         row_number() OVER (PARTITION BY g ORDER BY hv) AS rn
   FROM (SELECT DISTINCT g, hv FROM h)
 ),
 allmins AS (
-  SELECT 'ALL' AS g, hv, row_number() OVER (ORDER BY hv) AS rn
+  SELECT NULL AS g, TRUE AS is_union, hv,
+         row_number() OVER (ORDER BY hv) AS rn
   FROM (SELECT DISTINCT hv FROM h)
 ),
 sk AS (
-  SELECT g, CAST(max(hv) AS BIGINT) AS kth_min, count(*) AS n
+  SELECT g, is_union, CAST(max(hv) AS BIGINT) AS kth_min, count(*) AS n
   FROM (SELECT * FROM mins WHERE rn <= 64
         UNION ALL SELECT * FROM allmins WHERE rn <= 64)
-  GROUP BY g
+  GROUP BY g, is_union
 )
-SELECT g AS event_type, kth_min,
+SELECT CASE WHEN is_union THEN 'ALL' ELSE g END AS event_type, kth_min,
        CASE WHEN n < 64 THEN CAST(n AS BIGINT)
             ELSE CAST(135291469761 AS BIGINT) // kth_min END AS est_distinct
 FROM sk

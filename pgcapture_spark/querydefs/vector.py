@@ -834,22 +834,42 @@ FROM ranked WHERE rn <= 3 GROUP BY vec_id
     " into the candidate scan: zero shuffle, reference-bounded cost per row.",
 )
 def sim_ood_knn_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pgcapture_spark.operators.similarity import with_norm
+    from pgcapture_spark.operators.similarity import OOD_REF_CAP, with_norm
 
     register_views(spark, sf_dir, ("embeddings",))
     base = with_norm(spark.table("embeddings")).select(
         "vec_id", "label", "emb_d", "norm"
     )
-    ref_rows = sorted(
-        (int(r["vec_id"]), [float(v) for v in r["emb_d"]], float(r["norm"]))
-        for r in base.where("label = 0").collect()
-    )
-    if not ref_rows:
-        # empty reference set: the oracle's cands CROSS JOIN refs is empty, so
-        # emit no rows rather than every candidate with a degenerate 0 score
-        return spark.createDataFrame([], "vec_id bigint, sum_top3_cos_q bigint")
-    refs_row = spark.createDataFrame(
-        [(ref_rows,)], "refs array<struct<rid:bigint,e:array<double>,n:double>>"
+    # The reference set folds Spark-side into ONE row (collect_list under a
+    # hard cap) — never a driver .collect(): an in-distribution class of
+    # unbounded size would otherwise OOM the driver (ADVICE/verdict r4).
+    # limit(cap+1) bounds executor memory BEFORE the fold; the CASE raises
+    # loudly when the cap is exceeded (callers must pre-sample a reference
+    # budget — a kNN anchor set beyond ~10k rows is a modeling smell anyway).
+    # An empty reference set yields zero refs_row rows (size guard), so the
+    # cross-broadcast join emits no candidates — same as the oracle's empty
+    # CROSS JOIN.
+    refs_row = (
+        base.where("label = 0")
+        .limit(OOD_REF_CAP + 1)
+        .select(
+            F.struct(
+                F.col("vec_id").alias("rid"),
+                F.col("emb_d").alias("e"),
+                F.col("norm").alias("n"),
+            ).alias("ref")
+        )
+        .agg(F.collect_list("ref").alias("refs_raw"))
+        .select(
+            F.expr(
+                f"CASE WHEN size(refs_raw) > {OOD_REF_CAP} THEN"
+                f" raise_error('sim_ood_knn_score: reference set exceeds the"
+                f" {OOD_REF_CAP}-row broadcast budget — pass a sampled/bounded"
+                f" reference')"
+                " ELSE array_sort(refs_raw) END"
+            ).alias("refs")
+        )
+        .where(F.size("refs") > 0)
     )
     # per-row: quantized cosine to every reference, (cos_q DESC, rid ASC)
     # ordering via struct sort on (-cos_q, rid), top-3 summed

@@ -495,6 +495,12 @@ def _apply_wire_stream(
                 .limit(1).count() > 0
             )
             if not has_rows:
+                # a framing-only batch advances the checkpoint CLEANLY, so it
+                # breaks any quarantine streak: without this reset, skips
+                # separated by B/C-only batches would still count as
+                # "consecutive" and fail the stream earlier than the
+                # max_consecutive_skips contract implies (ADVICE r4)
+                skip_streak["n"] = 0
                 return
             if not by_rel:
                 _quarantine(

@@ -5,12 +5,19 @@ threshold (repeated derivation of the same table). Complements tests/test_plans.
 the tests pin specific shapes on the critical operators; this sweep catches
 a regression sneaking into any of the other ~190.
 
+The STREAMED queries (foreachBatch bodies) can't be plan-built without
+running — so they get an EXECUTED-plan sweep instead (verdict r4 task #5):
+run each streamed query once at sf0.001, harvest every SQL execution it
+produced from the session's SQL status store (the same formatted plan
+string the Spark UI shows, including the micro-batch bodies' inner actions),
+and run the identical cartesian/rescan checks over each captured plan.
+
 Fixture-union queries (the synthetic CDC feeds union several event waves
 over one source table, and sim_ann_tuning unions eight ANN variants) scan
 their SOURCE many times by design — the threshold is per-query-tunable via
 ALLOWED_SCANS rather than silenced, so a real regression still trips.
 
-Usage: PYTHONPATH=. python scripts/plan_audit.py [sf_dir]
+Usage: PYTHONPATH=. python scripts/plan_audit.py [sf_dir] [--batch-only]
 Exit code 1 if anything flags.
 """
 
@@ -59,9 +66,83 @@ ALLOWED_SCANS = {
 }
 BLANKET = 8  # everything CDC-feed-derived scans its source ~5-8x
 
+# per-execution scan limit for streamed queries' inner plans: a micro-batch
+# body reads its wire segment + persisted state/registry parquet a handful
+# of times (snapshot fold = read + union + max_by over one state file); the
+# fixture-build executions (feed synthesis) reuse the batch allowances above
+STREAMED_MAX_SCANS = 8
+STREAMED_ALLOWED = {
+    # fixture synthesis inside the first run derives several waves from the
+    # source table (same shape as the batch-side ALLOWED_SCANS entries)
+    "cdc_apply_customer_streamed": 10,
+    "cdc_apply_multi_streamed": 18,
+    "cdc_incremental_agg_streamed": 18,
+    "backfill_streamed": 10,
+    "cdc_scd2_streamed": 10,
+    "dedup_incremental_streamed": 10,
+    "corpus_select_streamed": 10,
+    # the multi-table wire fixture's ONE-TIME synthesis write expands the
+    # customer CDC-feed SQL under three references (row frames, the B/C
+    # frame union's lsn spine, and the feed itself — extras.py
+    # proto_multi_messages._build_both), ~21 scans of customer.parquet;
+    # cached as parquet afterwards, so no micro-batch ever pays this
+    "cdc_apply_proto_multi_streamed": 24,
+}
+
+
+def audit_streamed(spark, registry, sf_dir: str, flags: list) -> int:
+    """Run each streamed query once; harvest and check every SQL execution
+    it produced (micro-batch inner actions included) via the status store."""
+    store = spark._jsparkSession.sharedState().statusStore()
+
+    def _last_id() -> int:
+        lst = store.executionsList()
+        return lst.apply(lst.size() - 1).executionId() if lst.size() else -1
+
+    from tests.test_plans import scan_sections
+
+    n_plans = 0
+    for name, qd in registry.items():
+        if "streamed" not in name:
+            continue
+        before = _last_id()
+        try:
+            with contextlib.redirect_stdout(io.StringIO()):
+                qd.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        except Exception as e:  # noqa: BLE001
+            flags.append((name, f"streamed run failed: {type(e).__name__}: {e}"))
+            continue
+        lst = store.executionsList()
+        limit = STREAMED_ALLOWED.get(name, STREAMED_MAX_SCANS)
+        for i in range(lst.size()):
+            ex = lst.apply(i)
+            if ex.executionId() <= before:
+                continue
+            plan = ex.physicalPlanDescription()
+            n_plans += 1
+            tree = plan.split("\n\n")[0]
+            if "CartesianProduct" in tree:
+                flags.append(
+                    (name, f"CartesianProduct in executed plan #{ex.executionId()}")
+                )
+            per_input: dict[str, int] = {}
+            for sec in scan_sections(plan):
+                path = sec.split("file:")[1].split("]")[0] if "file:" in sec else "?"
+                per_input[path] = per_input.get(path, 0) + 1
+            worst = max(per_input.items(), key=lambda kv: kv[1], default=("-", 0))
+            if worst[1] > limit:
+                flags.append((
+                    name,
+                    f"{worst[1]} scans of {worst[0].rsplit('/', 1)[-1]} in executed"
+                    f" plan #{ex.executionId()} (limit {limit})",
+                ))
+    return n_plans
+
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    sf_dir = args[0] if args else "/root/testdata/sf0.001"
+    batch_only = "--batch-only" in sys.argv
     spark = (
         SparkSession.builder.master("local[8]")
         .appName("plan-audit")
@@ -103,7 +184,13 @@ def main() -> int:
                 name,
                 f"{worst[1]} scans of {worst[0].rsplit('/', 1)[-1]} (limit {limit})",
             ))
-    print(f"audited {n_checked} batch plans; {len(flags)} flagged")
+    n_streamed = 0
+    if not batch_only:
+        n_streamed = audit_streamed(spark, REGISTRY, sf_dir, flags)
+    print(
+        f"audited {n_checked} batch plans + {n_streamed} executed streamed"
+        f" plans; {len(flags)} flagged"
+    )
     for name, why in flags:
         print(f"  FLAG {name}: {why}")
     return 1 if flags else 0

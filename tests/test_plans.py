@@ -671,11 +671,54 @@ def test_ood_score_zero_shuffle(spark):
     plan = plan_str(spark, "sim_ood_knn_score", mode="simple")
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     # the only exchanges allowed: the deliberate round-robin parallelism
-    # repartition and the reference broadcast — never a keyed shuffle
+    # repartition, the reference fold's SinglePartition agg, and the
+    # reference broadcast — never a keyed shuffle
     assert "hashpartitioning" not in plan
     assert "rangepartitioning" not in plan
+    # the reference fold is Spark-side (collect_list → one broadcast row),
+    # never a driver collect: the broadcast join must be in the plan
+    assert "Broadcast" in plan
+    assert "collect_list" in plan
     tree = plan_tree(spark, "sim_ood_knn_score")
     assert "CartesianProduct" not in tree
+
+
+def test_ood_reference_cap_raises_loudly(spark):
+    """A reference set past OOD_REF_CAP must fail the job with the budget
+    message, never silently build an unbounded broadcast row (ADVICE r4:
+    this was the package's one unbounded driver collect)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from pgcapture_spark.operators.similarity import OOD_REF_CAP
+
+    base = spark.range(0, 50).select(
+        F.col("id").alias("vec_id"),
+        F.lit(0).alias("label"),
+        F.array(F.lit(1.0), F.lit(0.0)).alias("emb_d"),
+        F.lit(1.0).alias("norm"),
+    )
+    refs_row = (
+        base.limit(8 + 1)
+        .select(
+            F.struct(
+                F.col("vec_id").alias("rid"),
+                F.col("emb_d").alias("e"),
+                F.col("norm").alias("n"),
+            ).alias("ref")
+        )
+        .agg(F.collect_list("ref").alias("refs_raw"))
+        .select(
+            F.expr(
+                "CASE WHEN size(refs_raw) > 8 THEN"
+                " raise_error('reference set exceeds the broadcast budget')"
+                " ELSE array_sort(refs_raw) END"
+            ).alias("refs")
+        )
+    )
+    with pytest.raises(Exception, match="broadcast budget"):
+        refs_row.collect()
+    assert OOD_REF_CAP >= 1000  # the real cap is a genuine budget, not a toy
 
 
 def test_path_topk_takeordered_not_full_sort(spark):

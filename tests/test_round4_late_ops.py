@@ -114,6 +114,14 @@ class TestTriangleCount:
         path = [(0, 1), (1, 2), (2, 3)]
         assert triangle_count(self._edges(spark, path)).count() == 0
 
+    def test_huge_node_ids(self, spark):
+        """Node ids beyond 1e10 must not corrupt the degree ordering — the
+        (deg, id) key is a struct, not a packed BIGINT (ADVICE r4)."""
+        big = 2**62
+        tri = [(big, big + 1), (big + 1, big + 2), (big, big + 2), (big + 2, 5)]
+        got = {r["vec_id"]: r["n_tri"] for r in triangle_count(self._edges(spark, tri)).collect()}
+        assert got == {big: 1, big + 1: 1, big + 2: 1}
+
     def test_random_graph_matches_bruteforce(self, spark):
         import random
 
@@ -124,7 +132,7 @@ class TestTriangleCount:
 
 
 def _kmv_ref_hash(u: int) -> int:
-    return (u * KMV_MULT + KMV_ADD) % KMV_MOD
+    return ((u % KMV_MOD + KMV_MOD) % KMV_MOD * KMV_MULT + KMV_ADD) % KMV_MOD
 
 
 class TestKMV:
@@ -193,6 +201,48 @@ class TestKMV:
         }
         union_kth = sorted({_kmv_ref_hash(v) for v in range(75)})[7]
         assert out["ALL"] == union_kth
+
+    def test_extreme_and_negative_values_stay_in_range(self, spark):
+        """The pre-reduced permutation cannot overflow BIGINT or go negative
+        for ANY 64-bit input (the ADVICE r4 medium finding): values above
+        ~3.47e9 used to silently wrap in Spark's non-ANSI multiply and
+        negative inputs produced negative hashes."""
+        vals = [
+            2**62, -(2**62), 2**63 - 1, -(2**63), 5_000_000_000,
+            -5_000_000_000, 0, -1, KMV_MOD, KMV_MOD - 1,
+        ]
+        data = [("a", v) for v in vals]
+        out = {
+            r["grp"]: (r["kth_min"], r["est_distinct"])
+            for r in kmv_estimates(self._rows(spark, data), "grp", "val", k=64).collect()
+        }
+        ref = {_kmv_ref_hash(v) for v in vals}
+        assert all(0 <= h < KMV_MOD for h in ref)
+        assert out["a"] == (max(ref), len(ref))
+
+    def test_null_group_key_kept(self, spark):
+        """A NULL group key is a real group (oracle GROUP BY semantics) —
+        pandas' dropna default must not silently eat it."""
+        rows = spark.createDataFrame(
+            [("a", 1), (None, 2), (None, 3)], "grp string, val long"
+        ).repartition(2)
+        out = {
+            r["grp"]: r["est_distinct"]
+            for r in kmv_estimates(rows, "grp", "val", k=8).collect()
+        }
+        assert out == {"a": 1, None: 2, "ALL": 3}
+
+    def test_real_group_named_all_does_not_merge_into_union_arm(self, spark):
+        """'ALL' as a data value is a separate grouping key from the union
+        arm (boolean flag, not string sentinel) — two rows share the label
+        but never merge their sketches."""
+        data = [("ALL", 1), ("ALL", 2), ("b", 3)]
+        rows = self._rows(spark, data, parts=2)
+        got = sorted(
+            (r["grp"], r["est_distinct"])
+            for r in kmv_estimates(rows, "grp", "val", k=8).collect()
+        )
+        assert got == [("ALL", 2), ("ALL", 3), ("b", 1)]
 
 
 class TestCovarianceAndWhitening:
