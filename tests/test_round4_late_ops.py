@@ -517,3 +517,105 @@ class TestKMVSetOps:
         assert 0 <= est["jaccard_milli"] <= 300
 
     _rows = staticmethod(TestKMV._rows)
+
+
+class TestKMVProperties:
+    """Driver-side property tests of the KMV math — no Spark session needed,
+    so these run the full hypothesis budget cheaply."""
+
+    def test_hash_is_a_permutation_on_the_field(self):
+        """On [0, M) the affine map is a bijection (gcd(MULT mod M, M) = 1 —
+        M is prime and MULT is not a multiple), so distinct inputs below M
+        never collide: the k smallest hashes are a uniform distinct sample."""
+        import math
+
+        from pgcapture_spark.operators.kmv import KMV_MOD, KMV_MULT
+
+        assert math.gcd(KMV_MULT % KMV_MOD, KMV_MOD) == 1
+        sample = list(range(0, 3000)) + list(range(10**6, 10**6 + 3000))
+        hs = {(u % KMV_MOD * KMV_MULT + 98765) % KMV_MOD for u in sample}
+        assert len(hs) == len(sample)
+
+    def test_hash_range_for_hostile_inputs(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from pgcapture_spark.operators.kmv import KMV_ADD, KMV_MOD, KMV_MULT
+
+        @settings(max_examples=300, deadline=None)
+        @given(st.integers(min_value=-(2**63), max_value=2**63 - 1))
+        def check(u):
+            h = ((u % KMV_MOD + KMV_MOD) % KMV_MOD * KMV_MULT + KMV_ADD) % KMV_MOD
+            assert 0 <= h < KMV_MOD
+            # the intermediate product must fit BIGINT (the Spark-side wrap
+            # guarantee): max operand is (M-1)
+            assert (KMV_MOD - 1) * KMV_MULT + KMV_ADD < 2**63
+
+        check()
+
+    def test_set_ops_exact_regime_matches_true_sets(self):
+        """When both sketches ARE the sets (< k distinct), every estimator
+        output is exact for arbitrary inputs."""
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from pgcapture_spark.operators.kmv import (
+            KMV_ADD,
+            KMV_MOD,
+            KMV_MULT,
+            kmv_intersect_estimate,
+        )
+
+        def h(u):
+            return ((u % KMV_MOD + KMV_MOD) % KMV_MOD * KMV_MULT + KMV_ADD) % KMV_MOD
+
+        @settings(max_examples=200, deadline=None)
+        @given(
+            st.sets(st.integers(min_value=-(2**40), max_value=2**40), max_size=30),
+            st.sets(st.integers(min_value=-(2**40), max_value=2**40), max_size=30),
+        )
+        def check(sa, sb):
+            k = 64
+            ma, mb = sorted(h(u) for u in sa), sorted(h(u) for u in sb)
+            est = kmv_intersect_estimate(ma, mb, k=k)
+            assert est["union_est"] == len(sa | sb)
+            assert est["intersect_est"] == len(sa & sb)
+            if sa | sb:
+                assert est["jaccard_milli"] == 1000 * len(sa & sb) // len(sa | sb)
+
+        check()
+
+    def test_set_ops_estimator_regime_statistical_bounds(self):
+        """In the estimator regime the union estimate stays within a wide
+        deterministic sanity band (k-1 ≤ est, est bounded by the field) and
+        the Jaccard numerator is a subset count — structural invariants that
+        hold for EVERY input, not just lucky ones."""
+        import random
+
+        from pgcapture_spark.operators.kmv import (
+            KMV_ADD,
+            KMV_MOD,
+            KMV_MULT,
+            kmv_intersect_estimate,
+        )
+
+        def h(u):
+            return ((u % KMV_MOD + KMV_MOD) % KMV_MOD * KMV_MULT + KMV_ADD) % KMV_MOD
+
+        rng = random.Random(7)
+        for trial in range(20):
+            n = rng.randrange(500, 5000)
+            overlap = rng.randrange(0, n)
+            sa = set(range(0, n))
+            sb = set(range(n - overlap, 2 * n - overlap))
+            k = 128
+            ma = sorted(h(u) for u in sa)[:k]
+            mb = sorted(h(u) for u in sb)[:k]
+            est = kmv_intersect_estimate(ma, mb, k=k)
+            true_union = len(sa | sb)
+            assert est["k_used"] == k
+            assert est["union_est"] >= k - 1
+            # 3-sigma-ish multiplicative band for k=128 (~9% rel std error)
+            assert 0.6 * true_union < est["union_est"] < 1.6 * true_union
+            assert 0 <= est["jaccard_milli"] <= 1000
+            assert est["intersect_est"] <= est["union_est"]
