@@ -8,9 +8,18 @@ Usage: python scripts/driver_replica.py [N] [sf_dir] [--only name1,name2]
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 import traceback
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
+# executor Python workers don't inherit driver sys.path mutations — they
+# resolve module-by-reference pickles (the mapInPandas folds) via PYTHONPATH,
+# so export it before the JVM starts or a foreign-cwd run fails only on the
+# UDF-bearing queries
+os.environ["PYTHONPATH"] = _REPO + os.pathsep + os.environ.get("PYTHONPATH", "")
 
 from pyspark.sql import SparkSession
 
