@@ -52,7 +52,16 @@ def heavy_hitters(
 ) -> DataFrame:
     """Exact frequent items of ``rows[col]`` with global frequency ≥
     ``threshold_frac`` of all rows. Output: (``col``, cnt) — identical to
-    ``GROUP BY col HAVING count >= threshold_frac * N``."""
+    ``GROUP BY col HAVING count >= threshold_frac * N``.
+
+    NULL contract (explicit, not accidental): NULL values are EXCLUDED —
+    from candidates, from the recount, and from N. The filter lives in
+    :func:`mg_partition_summaries` (shared with the streamed variant); pass
+    2's equality semi-join can never match a NULL key, so the recount side
+    needs no second filter. Without the explicit exclusion, pandas
+    ``value_counts`` would silently drop NULLs from the sketch while the row
+    total still counted them: three half-behaviors. Callers who want NULL as
+    a real key must encode it first."""
     if threshold_frac <= 1.0 / (capacity + 1):
         raise ValueError(
             f"threshold_frac {threshold_frac} must exceed 1/(capacity+1)="
@@ -94,7 +103,11 @@ def mg_partition_summaries(
     folding them into an accumulated summary with the same decrement rule
     keeps the global error ≤ N/(capacity+1) (the mergeable-summaries bound),
     so the accumulated key set stays a superset of every true heavy hitter —
-    the contract the streamed variant leans on."""
+    the contract the streamed variant leans on.
+
+    NULLs are excluded from both the summary and the total (see
+    :func:`heavy_hitters`'s NULL contract)."""
+    rows = rows.where(F.col(col).isNotNull())
 
     def part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         summary: dict = {}

@@ -219,7 +219,9 @@ def zorder_layout(
     Pure per-row integer arithmetic fused into the scan; the only shuffle a
     real writer would add is the final ``repartitionByRange(shard, zval)``.
     """
-    b1 = "CAST(user_id % 256 AS BIGINT)"
+    b1 = "CAST((user_id % 256 + 256) % 256 AS BIGINT)"  # positive remainder:
+    # a negative id under C-style % would emit negative 'bits' and corrupt
+    # the Morton code in BOTH engines identically-wrongly
     b2 = "CAST(hour(ts) * 10 + CAST(floor(minute(ts) / 6) AS INT) AS BIGINT)"
     z = zorder_bits_sql(b1, b2, nbits)
     # shard = floor(zval * n_shards / 2^(2 nbits)) — exactly n_shards ids for
@@ -236,7 +238,9 @@ def zorder_layout(
 
 
 def zorder_oracle_sql(n_shards: int = 32, nbits: int = 8) -> str:
-    b1 = "CAST(user_id % 256 AS BIGINT)"
+    b1 = "CAST((user_id % 256 + 256) % 256 AS BIGINT)"  # positive remainder:
+    # a negative id under C-style % would emit negative 'bits' and corrupt
+    # the Morton code in BOTH engines identically-wrongly
     b2 = "CAST(hour(ts) * 10 + CAST(floor(minute(ts) / 6) AS INT) AS BIGINT)"
     z = zorder_bits_sql(b1, b2, nbits)
     zspace = 1 << (2 * nbits)

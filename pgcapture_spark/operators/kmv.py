@@ -51,8 +51,14 @@ def kmv_partition_summaries(
     rows: DataFrame, group_col: str, value_col: str, k: int
 ) -> DataFrame:
     """Pass 1: per-partition, per-group k smallest DISTINCT hash values.
-    Output rows (group, hv) — at most k per group per partition."""
-    hashed = rows.select(
+    Output rows (group, hv) — at most k per group per partition.
+
+    NULL contract: NULL VALUES are excluded (a NULL is not a distinct value
+    to a COUNT(DISTINCT col) oracle), explicitly and before the hash — a
+    NULL hv would otherwise reach the pandas fold as NaN in a float64 column
+    and trip the range assertion with a misleading overflow message. NULL
+    GROUPS are real groups and are kept."""
+    hashed = rows.where(F.col(value_col).isNotNull()).select(
         F.col(group_col).alias("g"),
         F.expr(kmv_hash_expr(value_col)).alias("hv"),
     )

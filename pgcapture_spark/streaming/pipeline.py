@@ -398,10 +398,12 @@ def _apply_wire_stream(
 
     Undecodable batches are NOT silently dropped: the raw frames are parked
     under ``{checkpoint_dir}/deadletter/batch_<id>`` before the checkpoint
-    advances, and after ``max_consecutive_skips`` consecutive parked batches
-    the stream fails loudly (the counter is driver-local and resets on
-    restart — a restart re-reads the log from the persisted snapshot state,
-    so nothing is lost either way).
+    advances, and after ``max_consecutive_skips`` DATA batches quarantined
+    since the last successful apply the stream fails loudly. Framing-only
+    (B/C) batches neither count toward nor reset the streak — only an
+    applied data batch proves the feed decodes. (The counter is
+    driver-local and resets on restart — a restart re-reads the log from
+    the persisted snapshot state, so nothing is lost either way.)
 
     ``resolve_schema(rel_oid, rows)`` returns either
     ``("ok", field_oids, key, key_oid)`` or ``("err", reason)``.
@@ -420,13 +422,14 @@ def _apply_wire_stream(
         batch_df.write.mode("overwrite").parquet(dead)
         skip_streak["n"] += 1
         _LOG.warning(
-            "%s: %s; batch %d parked at %s (%d consecutive)",
+            "%s: %s; batch %d parked at %s (%d quarantined since last apply)",
             dialect, why, batch_id, dead, skip_streak["n"],
         )
         if skip_streak["n"] >= max_consecutive_skips:
             raise RuntimeError(
-                f"{dialect}: {skip_streak['n']} consecutive batches "
-                f"quarantined (last: {why}); raw frames are parked under "
+                f"{dialect}: {skip_streak['n']} data batches quarantined "
+                f"since the last successful apply (last: {why}); raw frames "
+                f"are parked under "
                 f"{_os.path.join(checkpoint_dir, 'deadletter')} — refusing to "
                 "keep advancing the checkpoint past undecodable data."
             )
@@ -495,12 +498,15 @@ def _apply_wire_stream(
                 .limit(1).count() > 0
             )
             if not has_rows:
-                # a framing-only batch advances the checkpoint CLEANLY, so it
-                # breaks any quarantine streak: without this reset, skips
-                # separated by B/C-only batches would still count as
-                # "consecutive" and fail the stream earlier than the
-                # max_consecutive_skips contract implies (ADVICE r4)
-                skip_streak["n"] = 0
+                # a framing-only batch advances the checkpoint but does NOT
+                # touch the quarantine counter in either direction: it isn't
+                # evidence the feed decodes (resetting here would let a feed
+                # whose every DATA batch quarantines — with B/C framing
+                # interleaved, common under segment-per-trigger splits —
+                # park all its data without ever tripping the guard). The
+                # counter's contract is therefore "DATA batches quarantined
+                # since the last successful apply", not wall-clock
+                # consecutive batches (ADVICE r4 naming remedy).
                 return
             if not by_rel:
                 _quarantine(

@@ -19,7 +19,9 @@ sys.path.insert(0, _REPO)
 # resolve module-by-reference pickles (the mapInPandas folds) via PYTHONPATH,
 # so export it before the JVM starts or a foreign-cwd run fails only on the
 # UDF-bearing queries
-os.environ["PYTHONPATH"] = _REPO + os.pathsep + os.environ.get("PYTHONPATH", "")
+os.environ["PYTHONPATH"] = os.pathsep.join(
+    p for p in (_REPO, os.environ.get("PYTHONPATH", "")) if p
+)
 
 from pyspark.sql import SparkSession
 

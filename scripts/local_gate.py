@@ -14,7 +14,9 @@ _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, _REPO)
 # executor Python workers resolve module-by-reference pickles via PYTHONPATH
 # (driver sys.path mutations don't reach them) — export before the JVM starts
-os.environ["PYTHONPATH"] = _REPO + os.pathsep + os.environ.get("PYTHONPATH", "")
+os.environ["PYTHONPATH"] = os.pathsep.join(
+    p for p in (_REPO, os.environ.get("PYTHONPATH", "")) if p
+)
 
 from pyspark.sql import SparkSession
 

@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import contextlib
 import io
+import os
 import sys
 
 from pyspark.sql import SparkSession
@@ -93,7 +94,23 @@ STREAMED_ALLOWED = {
 def audit_streamed(spark, registry, sf_dir: str, flags: list) -> int:
     """Run each streamed query once; harvest and check every SQL execution
     it produced (micro-batch inner actions included) via the status store."""
+    import glob
+    import shutil
+    import tempfile
+    import time
+
     store = spark._jsparkSession.sharedState().statusStore()
+
+    def _drain_listener_bus() -> None:
+        # the SQL status store is fed by the ASYNC listener bus — harvest
+        # without a barrier and late events land in the NEXT query's window
+        # (misattributed limits) or are missed entirely. waitUntilEmpty() is
+        # the same barrier Spark's own tests use; fall back to a settle
+        # sleep if the private API moves.
+        try:
+            spark.sparkContext._jsc.sc().listenerBus().waitUntilEmpty()
+        except Exception:  # noqa: BLE001
+            time.sleep(2.0)
 
     def _last_id() -> int:
         lst = store.executionsList()
@@ -101,10 +118,15 @@ def audit_streamed(spark, registry, sf_dir: str, flags: list) -> int:
 
     from tests.test_plans import scan_sections
 
+    # the streamed queries mkdtemp converged-run/fixture scratch dirs that
+    # nothing else cleans in a script session — snapshot what exists, rmtree
+    # only what THIS sweep created (same /tmp-leak class bench.py fixes)
+    pre_existing = set(glob.glob(os.path.join(tempfile.gettempdir(), "pgcs_q_*")))
     n_plans = 0
     for name, qd in registry.items():
         if "streamed" not in name:
             continue
+        _drain_listener_bus()
         before = _last_id()
         try:
             with contextlib.redirect_stdout(io.StringIO()):
@@ -112,6 +134,7 @@ def audit_streamed(spark, registry, sf_dir: str, flags: list) -> int:
         except Exception as e:  # noqa: BLE001
             flags.append((name, f"streamed run failed: {type(e).__name__}: {e}"))
             continue
+        _drain_listener_bus()
         lst = store.executionsList()
         limit = STREAMED_ALLOWED.get(name, STREAMED_MAX_SCANS)
         for i in range(lst.size()):
@@ -136,6 +159,11 @@ def audit_streamed(spark, registry, sf_dir: str, flags: list) -> int:
                     f"{worst[1]} scans of {worst[0].rsplit('/', 1)[-1]} in executed"
                     f" plan #{ex.executionId()} (limit {limit})",
                 ))
+    from pgcapture_spark.querydefs.streamq import _PROTO_MULTI_DIRS
+
+    _PROTO_MULTI_DIRS.clear()
+    for d in set(glob.glob(os.path.join(tempfile.gettempdir(), "pgcs_q_*"))) - pre_existing:
+        shutil.rmtree(d, ignore_errors=True)
     return n_plans
 
 

@@ -52,6 +52,24 @@ def test_capacity_guard():
         heavy_hitters(None, "token", threshold_frac=0.0001, capacity=100)
 
 
+def test_null_values_excluded_from_counts_and_total(spark):
+    """The explicit NULL contract: NULLs never become candidates AND never
+    inflate N — without the up-front filter, pandas value_counts dropped
+    NULLs from the sketch while len(pdf) still counted them, shifting every
+    threshold."""
+    data = [("a",)] * 40 + [("b",)] * 10 + [(None,)] * 950
+    rows = spark.createDataFrame(data, "token string").repartition(3)
+    got = {
+        r["token"]: r["cnt"]
+        for r in heavy_hitters(
+            rows, "token", threshold_frac=0.5, capacity=10
+        ).collect()
+    }
+    # N must be 50 (nulls excluded): 'a' has 40/50 = 80% >= 50%. If nulls
+    # leaked into N=1000, nothing would pass the 50% bar.
+    assert got == {"a": 40}
+
+
 def test_pass2_is_broadcast_semi_join(spark):
     rows = _skewed(spark, 4)
     got = heavy_hitters(rows, "token", threshold_frac=0.02, capacity=100)

@@ -46,6 +46,27 @@ def test_zorder_exact_shard_count_non_divisor(spark):
         assert stats["hi"] <= n - 1, f"n_shards={n} produced shard {stats['hi']}"
 
 
+def test_zorder_negative_user_ids_stay_in_range(spark):
+    """Negative ids under C-style % would emit negative 'bits' and corrupt
+    the Morton code; the positive-remainder bucket keeps zval and shard in
+    range for the full id domain."""
+    import datetime
+
+    rows = [
+        (i, uid, datetime.datetime(2024, 1, 1, h, m))
+        for i, (uid, h, m) in enumerate(
+            [(-1, 0, 0), (-255, 23, 59), (-(2**40), 12, 30), (7, 6, 6)]
+        )
+    ]
+    events = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp")
+    out = zorder_layout(events, n_shards=32, nbits=8).collect()
+    assert len(out) == 4
+    for r in out:
+        assert 0 <= r["b_user"] < 256, r
+        assert 0 <= r["zval"] < (1 << 16), r
+        assert 0 <= r["shard"] < 32, r
+
+
 def test_zorder_shard_monotone_in_zval(spark):
     events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
     out = zorder_layout(events, n_shards=48)

@@ -683,42 +683,21 @@ def test_ood_score_zero_shuffle(spark):
     assert "CartesianProduct" not in tree
 
 
-def test_ood_reference_cap_raises_loudly(spark):
-    """A reference set past OOD_REF_CAP must fail the job with the budget
-    message, never silently build an unbounded broadcast row (ADVICE r4:
-    this was the package's one unbounded driver collect)."""
+def test_ood_reference_cap_raises_loudly(spark, monkeypatch):
+    """A reference set past OOD_REF_CAP must fail the PRODUCTION query with
+    the budget message, never silently build an unbounded broadcast row
+    (ADVICE r4: this was the package's one unbounded driver collect). Drives
+    sim_ood_knn_score itself under a toy cap — the querydef imports the
+    constant at call time, so the monkeypatch reaches the real raise path."""
     import pytest
-    from pyspark.sql import functions as F
 
-    from pgcapture_spark.operators.similarity import OOD_REF_CAP
+    import pgcapture_spark.operators.similarity as sim
 
-    base = spark.range(0, 50).select(
-        F.col("id").alias("vec_id"),
-        F.lit(0).alias("label"),
-        F.array(F.lit(1.0), F.lit(0.0)).alias("emb_d"),
-        F.lit(1.0).alias("norm"),
-    )
-    refs_row = (
-        base.limit(8 + 1)
-        .select(
-            F.struct(
-                F.col("vec_id").alias("rid"),
-                F.col("emb_d").alias("e"),
-                F.col("norm").alias("n"),
-            ).alias("ref")
-        )
-        .agg(F.collect_list("ref").alias("refs_raw"))
-        .select(
-            F.expr(
-                "CASE WHEN size(refs_raw) > 8 THEN"
-                " raise_error('reference set exceeds the broadcast budget')"
-                " ELSE array_sort(refs_raw) END"
-            ).alias("refs")
-        )
-    )
+    assert sim.OOD_REF_CAP >= 1000  # the real cap is a genuine budget
+    # sf0.001 has ~56 label-0 rows; a cap of 5 must trip the raise
+    monkeypatch.setattr(sim, "OOD_REF_CAP", 5)
     with pytest.raises(Exception, match="broadcast budget"):
-        refs_row.collect()
-    assert OOD_REF_CAP >= 1000  # the real cap is a genuine budget, not a toy
+        REGISTRY["sim_ood_knn_score"].fn(spark, SF_SMALL).collect()
 
 
 def test_path_topk_takeordered_not_full_sort(spark):

@@ -220,6 +220,21 @@ class TestKMV:
         assert all(0 <= h < KMV_MOD for h in ref)
         assert out["a"] == (max(ref), len(ref))
 
+    def test_null_values_excluded_not_crashed(self, spark):
+        """A NULL value is not a distinct value (COUNT(DISTINCT) semantics) —
+        it must be filtered before the hash, not surface as a NaN hv that
+        trips the range assertion with a misleading overflow message."""
+        rows = spark.createDataFrame(
+            [("a", 1), ("a", None), ("a", 2), ("b", None)],
+            "grp string, val long",
+        ).repartition(2)
+        out = {
+            r["grp"]: r["est_distinct"]
+            for r in kmv_estimates(rows, "grp", "val", k=8).collect()
+        }
+        # 'b' has only NULLs -> contributes no hashes -> no per-group row
+        assert out == {"a": 2, "ALL": 2}
+
     def test_null_group_key_kept(self, spark):
         """A NULL group key is a real group (oracle GROUP BY semantics) —
         pandas' dropna default must not silently eat it."""

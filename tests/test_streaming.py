@@ -756,7 +756,10 @@ def test_pgoutput_stream_deadletter_and_fail_after_n(spark):
             spark.table("customer"), CDC_COLS["customer"], f"{d}/ckpt",
             table="no_such_table", max_consecutive_skips=3,
         )
-        with pytest.raises(StreamingQueryException, match="consecutive batches quarantined"):
+        with pytest.raises(
+            StreamingQueryException,
+            match="data batches quarantined since the last successful apply",
+        ):
             q.awaitTermination(300)
         parked = glob.glob(f"{d}/ckpt/deadletter/batch_*")
         assert len(parked) == 3  # every skipped batch parked before the raise
