@@ -83,8 +83,18 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 
     for field in df.schema.fields:
         if isinstance(field.dataType, T.LongType) and field.name in ("ts",):
+            # FLOOR division, not `div` (truncate-toward-zero): a pre-epoch
+            # nanos value must round DOWN to the earlier microsecond —
+            # -500 ns is 23:59:59.999999, not 00:00:00.000000 — matching how
+            # DuckDB/pandas materialize TIMESTAMP(NANOS). Identical for the
+            # non-negative timestamps in the fixtures; correct for any
+            # pre-1970 vintage.
+            n = field.name
             df = df.withColumn(
-                field.name, F.expr(f"timestamp_micros({field.name} div 1000)")
+                n,
+                F.expr(
+                    f"timestamp_micros(({n} - ((({n} % 1000) + 1000) % 1000)) div 1000)"
+                ),
             )
     return df
 
