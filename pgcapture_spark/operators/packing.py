@@ -64,7 +64,9 @@ def packed_batches(
     return (
         local.join(F.broadcast(totals), "_pid")
         .withColumn("start_offset", F.col("_prefix") + F.col("_local_end") - F.col(tokens_col))
-        .withColumn("batch_id", F.floor(F.col("start_offset") / F.lit(budget)))
+        # integer div, not floor(double /): offsets are exact BIGINTs and a
+        # double round-trip loses exactness past 2^53 total tokens
+        .withColumn("batch_id", F.expr(f"start_offset div {int(budget)}"))
         .select(order_col, tokens_col, *extra_cols, "start_offset", "batch_id")
     )
 

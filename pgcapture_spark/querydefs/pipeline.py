@@ -134,7 +134,7 @@ c AS (
            AS start_offset
   FROM t)
 SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens, start_offset,
-       CAST(floor(start_offset / {_PACK_BUDGET}.0) AS BIGINT) AS batch_id
+       CAST(start_offset // {_PACK_BUDGET} AS BIGINT) AS batch_id
 FROM c
 """
 
@@ -310,7 +310,7 @@ c AS (
            AS start_offset
   FROM sel),
 b AS (SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, start_offset,
-             CAST(floor(start_offset / {_EXPORT_BUDGET}.0) AS BIGINT) AS batch_id
+             CAST(start_offset // {_EXPORT_BUDGET} AS BIGINT) AS batch_id
       FROM c)
 SELECT doc_id, n_tokens, start_offset, batch_id,
        CAST(('0x' || substr(md5(CAST(batch_id AS VARCHAR)), 1, 8))::BIGINT
