@@ -405,6 +405,18 @@ def _apply_wire_stream(
     driver-local and resets on restart — a restart re-reads the log from
     the persisted snapshot state, so nothing is lost either way.)
 
+    RECOVERY ORDER (pinned by
+    ``tests/test_streaming.py::test_pgoutput_deadletter_replay_recovers_full_snapshot``):
+    after fixing the root cause, replay the deadletter frames FIRST (they
+    are the oldest unapplied events, and the snapshot fold carries no
+    per-row lsn lineage — an out-of-order replay could overwrite newer
+    column images), folding into the crash-time snapshot; THEN resume the
+    original checkpoint, whose offsets are already past the parked batches,
+    seeding ``initial_snapshot`` from the replayed state. The relation
+    cache and tx registry persist across the crash (both are committed
+    before the quarantine decision), so parked frames decode with their
+    original schema and commit timestamps.
+
     ``resolve_schema(rel_oid, rows)`` returns either
     ``("ok", field_oids, key, key_oid)`` or ``("err", reason)``.
     """

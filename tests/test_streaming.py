@@ -771,6 +771,100 @@ def test_pgoutput_stream_deadletter_and_fail_after_n(spark):
         shutil.rmtree(d, ignore_errors=True)
 
 
+def test_pgoutput_deadletter_replay_recovers_full_snapshot(spark):
+    """The documented recovery path end-to-end, in the LSN-CORRECT order: a
+    consumer pinned to the wrong table quarantines its data batches
+    (checkpoint advances PAST them, raw frames parked), fails loudly; the
+    operator fixes the pin, (1) replays the parked deadletter frames FIRST
+    (they are the oldest unapplied events — the snapshot fold carries no
+    per-row lsn lineage, so replay must precede the tail), then (2) resumes
+    the ORIGINAL checkpoint over the fixed consumer, which applies only the
+    tail on top. The final snapshot must equal a clean end-to-end run.
+
+    This pins three load-bearing mechanics at once: the relation cache
+    persisted from a batch that itself quarantined, the tx registry folded
+    UNCONDITIONALLY (parked rows' commit timestamps survive the crash), and
+    the resume gate seeding from the replayed snapshot (state.read() is None
+    after the crash — nothing was ever applied — so the resumed stream
+    starts from the initial_snapshot argument)."""
+    import glob
+
+    from pyspark.errors import StreamingQueryException
+
+    from pgcapture_spark.querydefs.extras import customer_wire_frames
+    from pgcapture_spark.streaming.pipeline import apply_pgoutput_stream
+
+    register_views(spark, SF_SMALL, ("customer",))
+    frames, _, _ = customer_wire_frames(spark, SF_SMALL, "pgoutput")
+    d = tempfile.mkdtemp(prefix="pgcs_t_pgout_replay_")
+    try:
+        materialize_feed(frames, f"{d}/wire", n_segments=8)
+        schema = spark.read.parquet(f"{d}/wire").schema
+        state = SnapshotState(spark, f"{d}/state")
+        tx_state = SnapshotState(spark, f"{d}/txreg")
+        rel_state = SnapshotState(spark, f"{d}/relcache")
+        q = apply_pgoutput_stream(
+            read_feed_stream(spark, f"{d}/wire", schema, max_files_per_trigger=1),
+            state, tx_state, rel_state,
+            spark.table("customer"), CDC_COLS["customer"], f"{d}/ckpt",
+            table="no_such_table", max_consecutive_skips=3,
+        )
+        with pytest.raises(StreamingQueryException):
+            q.awaitTermination(300)
+        parked = sorted(glob.glob(f"{d}/ckpt/deadletter/batch_*"))
+        assert len(parked) == 3
+        assert state.read() is None  # nothing applied under quarantine
+
+        # (1) replay the parked frames FIRST, folding into the original
+        # snapshot (fresh state dir + checkpoint: replay batch ids restart
+        # at 0). Relation cache + tx registry are the PERSISTED ones from
+        # the crashed run — the R frame and Begin times arrived in batches
+        # that themselves quarantined.
+        materialize_feed(
+            spark.read.parquet(*parked), f"{d}/wire_replay", n_segments=2
+        )
+        state_r = SnapshotState(spark, f"{d}/state_replay")
+        q2 = apply_pgoutput_stream(
+            read_feed_stream(spark, f"{d}/wire_replay", schema, max_files_per_trigger=1),
+            state_r, tx_state, rel_state,
+            spark.table("customer"), CDC_COLS["customer"], f"{d}/ckpt_replay",
+            table="customer", max_consecutive_skips=3,
+        )
+        q2.awaitTermination(300)
+        after_replay = state_r.read()
+        assert after_replay is not None
+
+        # (2) resume the ORIGINAL checkpoint with the fixed pin: offsets are
+        # already past the parked batches, so only the tail is consumed, and
+        # the crashed state is empty so the fold seeds from after_replay.
+        q3 = apply_pgoutput_stream(
+            read_feed_stream(spark, f"{d}/wire", schema, max_files_per_trigger=1),
+            state, tx_state, rel_state,
+            after_replay, CDC_COLS["customer"], f"{d}/ckpt",
+            table="customer", max_consecutive_skips=3,
+        )
+        q3.awaitTermination(300)
+        recovered = state.read()
+        assert recovered is not None
+
+        # clean end-to-end run for comparison
+        state_c = SnapshotState(spark, f"{d}/state_clean")
+        tx_c = SnapshotState(spark, f"{d}/txreg_clean")
+        rel_c = SnapshotState(spark, f"{d}/relcache_clean")
+        qc = apply_pgoutput_stream(
+            read_feed_stream(spark, f"{d}/wire", schema, max_files_per_trigger=2),
+            state_c, tx_c, rel_c,
+            spark.table("customer"), CDC_COLS["customer"], f"{d}/ckpt_clean",
+            table="customer", max_consecutive_skips=3,
+        )
+        qc.awaitTermination(300)
+        clean = state_c.read()
+        assert recovered.exceptAll(clean).count() == 0
+        assert clean.exceptAll(recovered).count() == 0
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def test_pglogical_stream_relation_cache_and_registry_split(spark):
     """The pglogical dialect's split of duties, streamed: batch 0's R frame
     carries names/order only; later batches (one file per trigger) decode
