@@ -27,7 +27,13 @@ import struct
 import pandas as pd
 from pyspark.sql import functions as F
 
-from pgcapture_spark.functions.pgoutput import _FRAME_TYPE, _OPS, _Reader, _read_tuple
+from pgcapture_spark.functions.pgoutput import (
+    _FRAME_TYPE,
+    _OPS,
+    _Reader,
+    _read_tuple,
+    empty_frame,
+)
 
 
 # ---------------------------------------------------------------- builders
@@ -91,12 +97,7 @@ def _read_tuple_pgl(r: _Reader) -> list[dict]:
 
 
 def parse_frame(data: bytes) -> dict:
-    out = {
-        "op": None, "xid": None, "final_lsn": None, "commit_lsn": None,
-        "end_lsn": None, "commit_us": None, "rel_oid": None, "rel_nsp": None,
-        "rel_name": None, "rel_ident": None, "rel_cols": None,
-        "old_tuple": None, "new_tuple": None,
-    }
+    out = empty_frame()
     tag = chr(data[0])
     r = _Reader(data)
     r.u8()  # tag
@@ -150,12 +151,25 @@ def parse_frame(data: bytes) -> dict:
     return out
 
 
-def parse_frames_udf():
+def parse_frame_safe(data: bytes) -> dict:
+    """Corrupt bytes → op='ERROR' frame (see pgoutput.parse_frame_safe)."""
+    try:
+        return parse_frame(data)
+    except Exception as e:  # noqa: BLE001 — any malformed-bytes failure
+        out = empty_frame()
+        out["op"] = "ERROR"
+        out["parse_error"] = f"{type(e).__name__}: {e}"
+        return out
+
+
+def parse_frames_udf(safe: bool = False):
     """Arrow-batched pglogical frame parser — same output struct as the
-    pgoutput dialect, so downstream pipelines are dialect-agnostic."""
+    pgoutput dialect, so downstream pipelines are dialect-agnostic.
+    ``safe=True`` maps corrupt frames to op='ERROR' rows."""
+    fn = parse_frame_safe if safe else parse_frame
 
     @F.pandas_udf(f"struct<{_FRAME_TYPE}>")
     def _udf(data: pd.Series) -> pd.DataFrame:
-        return pd.DataFrame([parse_frame(bytes(b)) for b in data])
+        return pd.DataFrame([fn(bytes(b)) for b in data])
 
     return _udf

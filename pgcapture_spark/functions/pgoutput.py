@@ -143,14 +143,20 @@ def _read_tuple(r: _Reader) -> list[dict]:
     return out
 
 
-def parse_frame(data: bytes) -> dict:
-    """One pgoutput frame → plain dict (None-filled for absent members)."""
-    out = {
+def empty_frame() -> dict:
+    """The None-filled frame dict (every _FRAME_TYPE field), shared by both
+    wire dialects' parsers and the safe-mode ERROR frame."""
+    return {
         "op": None, "xid": None, "final_lsn": None, "commit_lsn": None,
         "end_lsn": None, "commit_us": None, "rel_oid": None, "rel_nsp": None,
         "rel_name": None, "rel_ident": None, "rel_cols": None,
-        "old_tuple": None, "new_tuple": None,
+        "old_tuple": None, "new_tuple": None, "parse_error": None,
     }
+
+
+def parse_frame(data: bytes) -> dict:
+    """One pgoutput frame → plain dict (None-filled for absent members)."""
+    out = empty_frame()
     tag = chr(data[0])
     r = _Reader(data)
     r.u8()
@@ -199,16 +205,35 @@ _FRAME_TYPE = (
     " rel_ident string,"
     " rel_cols array<struct<flag:int,name:string,oid:int>>,"
     " old_tuple array<struct<format:string,bin:binary>>,"
-    " new_tuple array<struct<format:string,bin:binary>>"
+    " new_tuple array<struct<format:string,bin:binary>>,"
+    " parse_error string"
 )
 
 
-def parse_frames_udf():
+def parse_frame_safe(data: bytes) -> dict:
+    """Like :func:`parse_frame`, but corrupt bytes become an op='ERROR'
+    frame carrying the reason instead of raising — the STREAMING consumers'
+    mode, where a poison frame must route to the dead-letter quarantine
+    (park + fail-after-N) rather than kill the stream with no recovery
+    path. Batch queries keep the strict raising parser: silently dropping
+    an ERROR row through an op-filter would mask corruption."""
+    try:
+        return parse_frame(data)
+    except Exception as e:  # noqa: BLE001 — any malformed-bytes failure
+        out = empty_frame()
+        out["op"] = "ERROR"
+        out["parse_error"] = f"{type(e).__name__}: {e}"
+        return out
+
+
+def parse_frames_udf(safe: bool = False):
     """Arrow-batched frame parser: binary column → typed frame struct (one
-    Python crossing for the whole message stream)."""
+    Python crossing for the whole message stream). ``safe=True`` maps
+    corrupt frames to op='ERROR' rows (see :func:`parse_frame_safe`)."""
+    fn = parse_frame_safe if safe else parse_frame
 
     @F.pandas_udf(f"struct<{_FRAME_TYPE}>")
     def _udf(data: pd.Series) -> pd.DataFrame:
-        return pd.DataFrame([parse_frame(bytes(b)) for b in data])
+        return pd.DataFrame([fn(bytes(b)) for b in data])
 
     return _udf

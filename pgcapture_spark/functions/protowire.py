@@ -151,6 +151,7 @@ def parse_message(buf: bytes) -> dict:
         "table": None,
         "new_fields": None,
         "old_fields": None,
+        "parse_error": None,
     }
     for fno, _, body in _scan(buf):
         if fno == 1:  # Begin
@@ -190,17 +191,34 @@ def parse_message(buf: bytes) -> dict:
 _FIELDS_T = "array<struct<name:string,oid:int,bin:binary,has_val:boolean,fmt:string>>"
 _MSG_T = (
     "op string, commit_us bigint, xid bigint, schema string, table string,"
-    f" new_fields {_FIELDS_T}, old_fields {_FIELDS_T}"
+    f" new_fields {_FIELDS_T}, old_fields {_FIELDS_T}, parse_error string"
 )
 
 
-def parse_messages_udf():
+def parse_message_safe(buf: bytes) -> dict:
+    """Like :func:`parse_message`, but corrupt bytes become an op='ERROR'
+    message carrying the reason instead of raising — the streaming
+    consumers' mode (a poison message must route to the dead-letter
+    quarantine, not kill the stream). Batch queries keep strict raising."""
+    try:
+        return parse_message(buf)
+    except Exception as e:  # noqa: BLE001 — any malformed-bytes failure
+        return {
+            "op": "ERROR", "commit_us": None, "xid": None, "schema": None,
+            "table": None, "new_fields": None, "old_fields": None,
+            "parse_error": f"{type(e).__name__}: {e}",
+        }
+
+
+def parse_messages_udf(safe: bool = False):
     """Arrow-batched Message parser: binary column → typed struct, one Python
-    crossing for the whole stream (same contract as pgoutput.parse_frames_udf)."""
+    crossing for the whole stream (same contract as pgoutput.parse_frames_udf).
+    ``safe=True`` maps corrupt messages to op='ERROR' rows."""
+    fn = parse_message_safe if safe else parse_message
 
     @F.pandas_udf(f"struct<{_MSG_T}>")
     def _udf(data: pd.Series) -> pd.DataFrame:
-        return pd.DataFrame([parse_message(bytes(b)) for b in data])
+        return pd.DataFrame([fn(bytes(b)) for b in data])
 
     return _udf
 

@@ -28,6 +28,38 @@ from pgcapture_spark.streaming.state import SnapshotState
 _LOG = logging.getLogger(__name__)
 
 
+def make_quarantine(dialect: str, checkpoint_dir: str, max_consecutive_skips: int):
+    """Shared dead-letter machinery for every wire-stream consumer: park the
+    raw batch under ``{checkpoint_dir}/deadletter/batch_<id>`` BEFORE the
+    checkpoint advances, count DATA batches quarantined since the last
+    successful apply, and fail loudly at ``max_consecutive_skips``. Returns
+    ``(skip_streak, quarantine)`` — the caller resets ``skip_streak['n']``
+    after each successful apply. Recovery order is documented on
+    :func:`_apply_wire_stream`."""
+    import os as _os
+
+    skip_streak = {"n": 0}
+
+    def _quarantine(batch_df: DataFrame, batch_id: int, why: str) -> None:
+        dead = _os.path.join(checkpoint_dir, "deadletter", f"batch_{batch_id:012d}")
+        batch_df.write.mode("overwrite").parquet(dead)
+        skip_streak["n"] += 1
+        _LOG.warning(
+            "%s: %s; batch %d parked at %s (%d quarantined since last apply)",
+            dialect, why, batch_id, dead, skip_streak["n"],
+        )
+        if skip_streak["n"] >= max_consecutive_skips:
+            raise RuntimeError(
+                f"{dialect}: {skip_streak['n']} data batches quarantined "
+                f"since the last successful apply (last: {why}); raw frames "
+                f"are parked under "
+                f"{_os.path.join(checkpoint_dir, 'deadletter')} — refusing to "
+                "keep advancing the checkpoint past undecodable data."
+            )
+
+    return skip_streak, _quarantine
+
+
 def apply_stream(
     feed_stream: DataFrame,
     state: SnapshotState,
@@ -194,6 +226,7 @@ def apply_wire_stream(
     field_oids: list[tuple[str, int]],
     cols: list[str],
     checkpoint_dir: str,
+    max_consecutive_skips: int = 3,
 ) -> StreamingQuery:
     """``pulsar2pg`` over the actual WIRE bytes: each micro-batch of pgcapture
     protobuf Message frames (pb/pgcapture.proto:16-59) is parsed in ONE Arrow
@@ -221,13 +254,28 @@ def apply_wire_stream(
         "'name', x.name, 'oid', x.oid, 'bin', x.bin))"
     )
 
+    skip_streak, _quarantine = make_quarantine(
+        "apply_wire_stream", checkpoint_dir, max_consecutive_skips
+    )
+
     def _apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_id <= state.last_batch():
             return
         parsed = batch_df.select(
-            "lsn", "seq", "ord", parse_messages_udf()("data").alias("f")
+            "lsn", "seq", "ord", parse_messages_udf(safe=True)("data").alias("f")
         ).persist()
         try:
+            # corrupt Message bytes park the batch (dead-letter) instead of
+            # killing the stream — BEFORE anything folds into persisted state
+            err = (
+                parsed.where("f.op = 'ERROR'")
+                .select("f.parse_error").limit(1).collect()
+            )
+            if err:
+                _quarantine(
+                    batch_df, batch_id, f"message parse failure: {err[0][0]}"
+                )
+                return
             begins = parsed.where("f.op = 'BEGIN'").select(
                 "lsn", F.col("f.commit_us").alias("_commit_us")
             )
@@ -264,6 +312,7 @@ def apply_wire_stream(
             if current is None:
                 current = initial_snapshot
             state.commit(cdc_apply(current, decoded, key, cols), batch_id)
+            skip_streak["n"] = 0
         finally:
             parsed.unpersist()
 
@@ -284,6 +333,7 @@ def apply_wire_stream_multi(
     field_oids: dict[str, list[tuple[str, int]]],
     cols: dict[str, list[str]],
     checkpoint_dir: str,
+    max_consecutive_skips: int = 3,
 ) -> StreamingQuery:
     """The COMPLETE ``pulsar2pg``: ONE protobuf Message stream carrying every
     table's changes (Change.table names the target — pb/pgcapture.proto:40-51),
@@ -304,13 +354,26 @@ def apply_wire_stream_multi(
         "'name', x.name, 'oid', x.oid, 'bin', x.bin))"
     )
 
+    skip_streak, _quarantine = make_quarantine(
+        "apply_wire_stream_multi", checkpoint_dir, max_consecutive_skips
+    )
+
     def _batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_id <= state.last_batch():
             return
         parsed = batch_df.select(
-            "lsn", "seq", "ord", parse_messages_udf()("data").alias("f")
+            "lsn", "seq", "ord", parse_messages_udf(safe=True)("data").alias("f")
         ).persist()
         try:
+            err = (
+                parsed.where("f.op = 'ERROR'")
+                .select("f.parse_error").limit(1).collect()
+            )
+            if err:
+                _quarantine(
+                    batch_df, batch_id, f"message parse failure: {err[0][0]}"
+                )
+                return
             begins = parsed.where("f.op = 'BEGIN'").select(
                 "lsn", F.col("f.commit_us").alias("_commit_us")
             )
@@ -354,6 +417,7 @@ def apply_wire_stream_multi(
                 ).withColumn(key, F.coalesce(F.col(key), F.col(f"old_{key}")))
                 new[t] = cdc_apply(current[t], decoded, key, cols[t])
             state.commit(new, batch_id)
+            skip_streak["n"] = 0
         finally:
             parsed.unpersist()
 
@@ -420,31 +484,14 @@ def _apply_wire_stream(
     ``resolve_schema(rel_oid, rows)`` returns either
     ``("ok", field_oids, key, key_oid)`` or ``("err", reason)``.
     """
-    import os as _os
-
     from pyspark.sql import functions as F
 
     from pgcapture_spark.functions.pgtypes import MICROS_Y2K_SHIFT
     from pgcapture_spark.operators.generic_feed import decode_binary_feed
 
-    skip_streak = {"n": 0}
-
-    def _quarantine(batch_df: DataFrame, batch_id: int, why: str) -> None:
-        dead = _os.path.join(checkpoint_dir, "deadletter", f"batch_{batch_id:012d}")
-        batch_df.write.mode("overwrite").parquet(dead)
-        skip_streak["n"] += 1
-        _LOG.warning(
-            "%s: %s; batch %d parked at %s (%d quarantined since last apply)",
-            dialect, why, batch_id, dead, skip_streak["n"],
-        )
-        if skip_streak["n"] >= max_consecutive_skips:
-            raise RuntimeError(
-                f"{dialect}: {skip_streak['n']} data batches quarantined "
-                f"since the last successful apply (last: {why}); raw frames "
-                f"are parked under "
-                f"{_os.path.join(checkpoint_dir, 'deadletter')} — refusing to "
-                "keep advancing the checkpoint past undecodable data."
-            )
+    skip_streak, _quarantine = make_quarantine(
+        dialect, checkpoint_dir, max_consecutive_skips
+    )
 
     def _batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_id <= state.last_batch():
@@ -452,12 +499,26 @@ def _apply_wire_stream(
         from pyspark.sql import Window as W
 
         # 1) learn + persist relations from this batch's R frames (ord = -1
-        # sorts them first; the filter is plain Catalyst, below the parse)
-        rel_frames = (
-            batch_df.where("ord = -1")
-            .select("lsn", "seq", parse_frames_udf()("data").alias("f"))
-            .where("f.op = 'RELATION'")
+        # sorts them first; the filter is plain Catalyst, below the parse).
+        # SAFE parse mode: corrupt bytes become op='ERROR' rows routed to the
+        # quarantine below — a poison frame must park, not kill the stream
+        # (restarting would hit the same byte forever, with no deadletter).
+        rel_parsed = batch_df.where("ord = -1").select(
+            "lsn", "seq", parse_frames_udf(safe=True)("data").alias("f")
         )
+        rel_err = (
+            rel_parsed.where("f.op = 'ERROR'")
+            .select("f.parse_error").limit(1).collect()
+        )
+        if rel_err:
+            # quarantine BEFORE the registry commit: a half-learned relation
+            # set must never become the persisted schema
+            _quarantine(
+                batch_df, batch_id,
+                f"relation frame parse failure: {rel_err[0][0]}",
+            )
+            return
+        rel_frames = rel_parsed.where("f.op = 'RELATION'")
         # several R frames for one relation inside a single micro-batch:
         # the LAST (by wire order) wins, matching the reference's
         # replace-on-every-R-message registry
@@ -490,9 +551,23 @@ def _apply_wire_stream(
         # batch, including pre-Relation and framing-only ones: commit
         # timestamps must survive for rows arriving in later micro-batches
         parsed = batch_df.where("ord <> -1").select(
-            "lsn", "seq", "ord", parse_frames_udf()("data").alias("f")
+            "lsn", "seq", "ord", parse_frames_udf(safe=True)("data").alias("f")
         ).persist()
         try:
+            # corrupt DATA/framing bytes quarantine the whole batch (raw
+            # frames parked, streak counted) BEFORE anything from it — even
+            # its valid Begin frames — folds into persisted state: the
+            # parked copy is the replay source of record for this batch
+            data_err = (
+                parsed.where("f.op = 'ERROR'")
+                .select("f.parse_error").limit(1).collect()
+            )
+            if data_err:
+                _quarantine(
+                    batch_df, batch_id,
+                    f"frame parse failure: {data_err[0][0]}",
+                )
+                return
             begins = parsed.where("f.op = 'BEGIN'").select(
                 "lsn", F.col("f.commit_us").alias("_commit_us")
             )

@@ -771,6 +771,62 @@ def test_pgoutput_stream_deadletter_and_fail_after_n(spark):
         shutil.rmtree(d, ignore_errors=True)
 
 
+def test_corrupt_frames_quarantine_instead_of_killing_stream(spark):
+    """Byte-level corruption — the most literal 'undecodable data' — must
+    route through the SAME dead-letter path as schema failures: the poisoned
+    batch parks (raw frames preserved for replay), healthy batches keep
+    applying (the streak resets on success), and the stream completes. Before
+    safe-mode parsing, the parser exception killed the stream with no parked
+    copy and no recovery path (restart would hit the same byte forever)."""
+    import glob
+
+    from pgcapture_spark.querydefs.extras import customer_wire_frames
+    from pgcapture_spark.streaming.pipeline import apply_pgoutput_stream
+
+    register_views(spark, SF_SMALL, ("customer",))
+    frames, _, _ = customer_wire_frames(spark, SF_SMALL, "pgoutput")
+    d = tempfile.mkdtemp(prefix="pgcs_t_pgout_poison_")
+    try:
+        # poison a mid-feed slice of DATA frames (keep ord=-1 R frames valid):
+        # garbage tag byte -> unknown frame tag -> ERROR row in safe mode
+        rows = frames.orderBy("lsn", "seq").collect()
+        data_idx = [i for i, r in enumerate(rows) if r["ord"] != -1]
+        poison = set(data_idx[len(data_idx) // 2 : len(data_idx) // 2 + 3])
+        doctored = [
+            (r["lsn"], r["seq"], r["ord"],
+             bytearray(b"\xfe\xff\x00garbage") if i in poison else r["data"])
+            for i, r in enumerate(rows)
+        ]
+        frames2 = spark.createDataFrame(
+            doctored, "lsn bigint, seq int, ord bigint, data binary"
+        )
+        materialize_feed(frames2, f"{d}/wire", n_segments=8)
+        schema = spark.read.parquet(f"{d}/wire").schema
+        state = SnapshotState(spark, f"{d}/state")
+        tx_state = SnapshotState(spark, f"{d}/txreg")
+        rel_state = SnapshotState(spark, f"{d}/relcache")
+        q = apply_pgoutput_stream(
+            read_feed_stream(spark, f"{d}/wire", schema, max_files_per_trigger=1),
+            state, tx_state, rel_state,
+            spark.table("customer"), CDC_COLS["customer"], f"{d}/ckpt",
+            table="customer", max_consecutive_skips=3,
+        )
+        q.awaitTermination(300)  # completes: poisoned batches < 3 consecutive
+        parked = sorted(glob.glob(f"{d}/ckpt/deadletter/batch_*"))
+        assert parked, "poisoned batch must be parked"
+        # every poisoned frame is in the parked copy, replayable
+        parked_rows = spark.read.parquet(*parked)
+        assert (
+            parked_rows.where("hex(data) = 'FEFF0067617262616765'").count()
+            == len(poison)
+        )
+        # healthy batches applied: snapshot exists and reflects the feed
+        # minus the parked batches' events
+        assert state.read() is not None and state.read().count() > 0
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def test_pgoutput_deadletter_replay_recovers_full_snapshot(spark):
     """The documented recovery path end-to-end, in the LSN-CORRECT order: a
     consumer pinned to the wrong table quarantines its data batches

@@ -159,3 +159,29 @@ def test_unknown_tags_raise_never_hang(data):
             raise AssertionError("unknown tag must not parse")
         except (ValueError, _struct.error, IndexError):
             pass
+
+
+@settings(max_examples=300, deadline=None)
+@given(data=st.binary(min_size=0, max_size=128))
+def test_safe_parse_never_raises_any_dialect(data):
+    """The streaming consumers' safe mode: ARBITRARY bytes either parse or
+    come back as an op='ERROR' frame carrying the reason — never an
+    exception (a poison frame must reach the dead-letter quarantine, not
+    kill the stream), and never a half-filled success frame."""
+    import pgcapture_spark.functions.protowire as pw
+
+    for fn in (pgo.parse_frame_safe, pgl.parse_frame_safe, pw.parse_message_safe):
+        out = fn(data)
+        if out["op"] == "ERROR":
+            assert out["parse_error"]  # reason always present
+        else:
+            assert out["parse_error"] is None
+
+
+def test_safe_parse_valid_frames_identical_to_strict():
+    """safe mode is a superset: well-formed frames parse to the SAME dict
+    as the strict parser (parse_error None)."""
+    b = pgo.build_begin(7, 123456, 42)
+    assert pgo.parse_frame_safe(b) == pgo.parse_frame(b)
+    bl = pgl.build_begin(7, 123456, 42)
+    assert pgl.parse_frame_safe(bl) == pgl.parse_frame(bl)
