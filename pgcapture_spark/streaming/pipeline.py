@@ -554,18 +554,26 @@ def _apply_wire_stream(
             "lsn", "seq", "ord", parse_frames_udf(safe=True)("data").alias("f")
         ).persist()
         try:
-            # corrupt DATA/framing bytes quarantine the whole batch (raw
-            # frames parked, streak counted) BEFORE anything from it — even
-            # its valid Begin frames — folds into persisted state: the
-            # parked copy is the replay source of record for this batch
-            data_err = (
-                parsed.where("f.op = 'ERROR'")
-                .select("f.parse_error").limit(1).collect()
-            )
-            if data_err:
+            # ONE probe job for the batch's health: corrupt DATA/framing
+            # bytes quarantine the whole batch (raw frames parked, streak
+            # counted) BEFORE anything from it — even its valid Begin
+            # frames — folds into persisted state (the parked copy is the
+            # replay source of record); the row-event count feeds the
+            # framing-only early-exit below
+            probe = parsed.agg(
+                F.max(
+                    F.when(F.col("f.op") == "ERROR", F.col("f.parse_error"))
+                ).alias("err"),
+                F.sum(
+                    F.when(
+                        F.col("f.op").isin("INSERT", "UPDATE", "DELETE"), 1
+                    ).otherwise(0)
+                ).alias("n_rows"),
+            ).collect()[0]
+            if probe["err"] is not None:
                 _quarantine(
                     batch_df, batch_id,
-                    f"frame parse failure: {data_err[0][0]}",
+                    f"frame parse failure: {probe['err']}",
                 )
                 return
             begins = parsed.where("f.op = 'BEGIN'").select(
@@ -580,11 +588,7 @@ def _apply_wire_stream(
             # 3) framing-only batches (B/C frames, no row events) advance the
             # checkpoint cleanly — only actual I/U/D events can be "lost" and
             # hence only they justify quarantine
-            has_rows = (
-                parsed.where("f.op IN ('INSERT', 'UPDATE', 'DELETE')")
-                .limit(1).count() > 0
-            )
-            if not has_rows:
+            if not (probe["n_rows"] or 0):
                 # a framing-only batch advances the checkpoint but does NOT
                 # touch the quarantine counter in either direction: it isn't
                 # evidence the feed decodes (resetting here would let a feed
