@@ -495,6 +495,51 @@ class TestApplyWireStream:
             shutil.rmtree(d, ignore_errors=True)
 
 
+    def test_corrupt_messages_quarantine_with_parked_copy(self, spark):
+        """The proto consumer shares make_quarantine with the dialect core:
+        a poisoned Message batch parks (raw bytes preserved) and healthy
+        batches keep applying — previously the parse exception killed the
+        stream with no dead-letter at all."""
+        import glob
+
+        from pgcapture_spark.operators.generic_feed import CUSTOMER_FIELD_OIDS
+        from pgcapture_spark.querydefs.extras import proto_customer_messages
+        from pgcapture_spark.streaming.pipeline import apply_wire_stream
+
+        register_views(spark, SF_SMALL, ("customer",))
+        msgs, _ = proto_customer_messages(spark, SF_SMALL)
+        rows = msgs.orderBy("lsn", "seq").collect()
+        mid = len(rows) // 2
+        # truncated length-delimited proto body -> parse error in safe mode
+        doctored = [
+            (r["lsn"], r["seq"], r["ord"],
+             bytearray(b"\x1a\x7fshort") if i in (mid, mid + 1) else r["data"])
+            for i, r in enumerate(rows)
+        ]
+        msgs2 = spark.createDataFrame(
+            doctored, "lsn bigint, seq int, ord bigint, data binary"
+        )
+        d = tempfile.mkdtemp(prefix="pgcs_t_wire_poison_")
+        try:
+            materialize_feed(msgs2, f"{d}/wire", n_segments=8)
+            schema = spark.read.parquet(f"{d}/wire").schema
+            state = SnapshotState(spark, f"{d}/state")
+            tx_state = SnapshotState(spark, f"{d}/txreg")
+            q = apply_wire_stream(
+                read_feed_stream(spark, f"{d}/wire", schema, max_files_per_trigger=1),
+                state, tx_state, spark.table("customer"), "c_custkey",
+                CUSTOMER_FIELD_OIDS, CDC_COLS["customer"], f"{d}/ckpt",
+            )
+            q.awaitTermination(300)
+            parked = sorted(glob.glob(f"{d}/ckpt/deadletter/batch_*"))
+            assert parked, "poisoned batch must be parked"
+            parked_rows = spark.read.parquet(*parked)
+            assert parked_rows.where("hex(data) = '1A7F73686F7274'").count() == 2
+            assert state.read() is not None and state.read().count() > 0
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
+
+
 class TestApplyWireStreamMulti:
     def test_both_tables_converge_and_share_tx_registry(self, spark):
         """The single wire stream must advance BOTH snapshots to their batch
