@@ -33,6 +33,7 @@ from pgcapture_spark.functions.pgoutput import (
     _Reader,
     _read_tuple,
     empty_frame,
+    make_safe,
 )
 
 
@@ -151,15 +152,8 @@ def parse_frame(data: bytes) -> dict:
     return out
 
 
-def parse_frame_safe(data: bytes) -> dict:
-    """Corrupt bytes → op='ERROR' frame (see pgoutput.parse_frame_safe)."""
-    try:
-        return parse_frame(data)
-    except Exception as e:  # noqa: BLE001 — any malformed-bytes failure
-        out = empty_frame()
-        out["op"] = "ERROR"
-        out["parse_error"] = f"{type(e).__name__}: {e}"
-        return out
+# corrupt bytes → op='ERROR' frame (shared wrapper, see pgoutput.make_safe)
+parse_frame_safe = make_safe(parse_frame, empty_frame)
 
 
 def parse_frames_udf(safe: bool = False):

@@ -210,20 +210,29 @@ _FRAME_TYPE = (
 )
 
 
-def parse_frame_safe(data: bytes) -> dict:
-    """Like :func:`parse_frame`, but corrupt bytes become an op='ERROR'
-    frame carrying the reason instead of raising — the STREAMING consumers'
-    mode, where a poison frame must route to the dead-letter quarantine
-    (park + fail-after-N) rather than kill the stream with no recovery
-    path. Batch queries keep the strict raising parser: silently dropping
-    an ERROR row through an op-filter would mask corruption."""
-    try:
-        return parse_frame(data)
-    except Exception as e:  # noqa: BLE001 — any malformed-bytes failure
-        out = empty_frame()
-        out["op"] = "ERROR"
-        out["parse_error"] = f"{type(e).__name__}: {e}"
-        return out
+def make_safe(parse_fn, empty_fn):
+    """Wrap a strict wire parser into safe mode: corrupt bytes become an
+    op='ERROR' record carrying the reason instead of raising — the
+    STREAMING consumers' mode, where a poison frame must route to the
+    dead-letter quarantine (park + fail-after-N) rather than kill the
+    stream with no recovery path. Batch queries keep the strict raising
+    parsers: silently dropping an ERROR row through an op-filter would
+    mask corruption. Shared by all three codecs (pgoutput, pglogical,
+    protowire) so the ERROR contract cannot drift per dialect."""
+
+    def safe(data: bytes) -> dict:
+        try:
+            return parse_fn(data)
+        except Exception as e:  # noqa: BLE001 — any malformed-bytes failure
+            out = empty_fn()
+            out["op"] = "ERROR"
+            out["parse_error"] = f"{type(e).__name__}: {e}"
+            return out
+
+    return safe
+
+
+parse_frame_safe = make_safe(parse_frame, empty_frame)
 
 
 def parse_frames_udf(safe: bool = False):

@@ -23,6 +23,8 @@ from __future__ import annotations
 import pandas as pd
 from pyspark.sql import functions as F
 
+from pgcapture_spark.functions.pgoutput import make_safe
+
 # ------------------------------------------------------------ wire primitives
 
 def _varint(n: int) -> bytes:
@@ -120,6 +122,18 @@ def _scan(buf: bytes):
             val, pos = _read_varint(buf, pos)
         elif wt == 2:
             ln, pos = _read_varint(buf, pos)
+            if pos + ln > n:
+                # python slicing would silently truncate — a frame cut
+                # mid-field (or an inflated length prefix) must RAISE so
+                # safe mode can quarantine it, not parse "successfully"
+                # with missing fields masquerading as TOAST-absent columns.
+                # (Truncation that removes WHOLE fields is undetectable at
+                # the proto layer by design — proto3 carries no message
+                # length or checksum; that class is the transport's job.)
+                raise ValueError(
+                    f"length-delimited field overruns buffer "
+                    f"({pos}+{ln} > {n})"
+                )
             val = buf[pos : pos + ln]
             pos += ln
         else:  # 1/5: fixed64/fixed32 — not used by pgcapture.proto
@@ -141,9 +155,10 @@ def _parse_field(buf: bytes) -> dict:
     return {"name": name, "oid": oid, "bin": bin_val, "has_val": has_val, "fmt": fmt}
 
 
-def parse_message(buf: bytes) -> dict:
-    """One Message → flat dict (op, lsn metadata, field lists)."""
-    out = {
+def empty_message() -> dict:
+    """The None-filled Message dict (every _MSG_T field) — single source of
+    truth shared by the parser and safe mode's ERROR record."""
+    return {
         "op": None,
         "commit_us": None,
         "xid": None,
@@ -153,6 +168,11 @@ def parse_message(buf: bytes) -> dict:
         "old_fields": None,
         "parse_error": None,
     }
+
+
+def parse_message(buf: bytes) -> dict:
+    """One Message → flat dict (op, lsn metadata, field lists)."""
+    out = empty_message()
     for fno, _, body in _scan(buf):
         if fno == 1:  # Begin
             out["op"] = "BEGIN"
@@ -195,19 +215,8 @@ _MSG_T = (
 )
 
 
-def parse_message_safe(buf: bytes) -> dict:
-    """Like :func:`parse_message`, but corrupt bytes become an op='ERROR'
-    message carrying the reason instead of raising — the streaming
-    consumers' mode (a poison message must route to the dead-letter
-    quarantine, not kill the stream). Batch queries keep strict raising."""
-    try:
-        return parse_message(buf)
-    except Exception as e:  # noqa: BLE001 — any malformed-bytes failure
-        return {
-            "op": "ERROR", "commit_us": None, "xid": None, "schema": None,
-            "table": None, "new_fields": None, "old_fields": None,
-            "parse_error": f"{type(e).__name__}: {e}",
-        }
+# corrupt bytes → op='ERROR' message (shared wrapper, see pgoutput.make_safe)
+parse_message_safe = make_safe(parse_message, empty_message)
 
 
 def parse_messages_udf(safe: bool = False):

@@ -265,17 +265,19 @@ def apply_wire_stream(
             "lsn", "seq", "ord", parse_messages_udf(safe=True)("data").alias("f")
         ).persist()
         try:
-            # corrupt Message bytes park the batch (dead-letter) instead of
-            # killing the stream — BEFORE anything folds into persisted state
-            err = (
-                parsed.where("f.op = 'ERROR'")
-                .select("f.parse_error").limit(1).collect()
-            )
-            if err:
-                _quarantine(
-                    batch_df, batch_id, f"message parse failure: {err[0][0]}"
-                )
-                return
+            probe = parsed.agg(
+                F.max(
+                    F.when(F.col("f.op") == "ERROR", F.col("f.parse_error"))
+                ).alias("err"),
+                F.sum(
+                    F.when(
+                        F.col("f.op").isin("INSERT", "UPDATE", "DELETE"), 1
+                    ).otherwise(0)
+                ).alias("n_rows"),
+            ).collect()[0]
+            # Begins fold UNCONDITIONALLY, before any quarantine decision —
+            # a tx straddling a parked batch must still find its commit time
+            # (see _apply_wire_stream's batch protocol)
             begins = parsed.where("f.op = 'BEGIN'").select(
                 "lsn", F.col("f.commit_us").alias("_commit_us")
             )
@@ -285,6 +287,21 @@ def apply_wire_stream(
             if batch_id > tx_state.last_batch():
                 tx_state.commit(reg, batch_id)
             reg = tx_state.read()  # plan off committed files, not the union chain
+            if probe["err"] is not None:
+                # corrupt Message bytes park the batch (dead-letter) instead
+                # of killing the stream
+                _quarantine(
+                    batch_df, batch_id,
+                    f"message parse failure: {probe['err']}",
+                )
+                return
+            if not (probe["n_rows"] or 0):
+                # framing-only batch: advances the checkpoint, but neither
+                # counts toward nor resets the quarantine streak (only an
+                # APPLIED data batch proves the feed decodes — see the
+                # dialect core's contract), and skips the pointless
+                # unchanged-snapshot rewrite
+                return
             generic = (
                 parsed.where("f.op IN ('INSERT', 'UPDATE', 'DELETE')")
                 .select(
@@ -365,15 +382,18 @@ def apply_wire_stream_multi(
             "lsn", "seq", "ord", parse_messages_udf(safe=True)("data").alias("f")
         ).persist()
         try:
-            err = (
-                parsed.where("f.op = 'ERROR'")
-                .select("f.parse_error").limit(1).collect()
-            )
-            if err:
-                _quarantine(
-                    batch_df, batch_id, f"message parse failure: {err[0][0]}"
-                )
-                return
+            probe = parsed.agg(
+                F.max(
+                    F.when(F.col("f.op") == "ERROR", F.col("f.parse_error"))
+                ).alias("err"),
+                F.sum(
+                    F.when(
+                        F.col("f.op").isin("INSERT", "UPDATE", "DELETE"), 1
+                    ).otherwise(0)
+                ).alias("n_rows"),
+            ).collect()[0]
+            # Begins fold UNCONDITIONALLY, before any quarantine decision
+            # (see _apply_wire_stream's batch protocol)
             begins = parsed.where("f.op = 'BEGIN'").select(
                 "lsn", F.col("f.commit_us").alias("_commit_us")
             )
@@ -383,6 +403,17 @@ def apply_wire_stream_multi(
             if batch_id > tx_state.last_batch():
                 tx_state.commit(reg, batch_id)
             reg = tx_state.read()
+            if probe["err"] is not None:
+                _quarantine(
+                    batch_df, batch_id,
+                    f"message parse failure: {probe['err']}",
+                )
+                return
+            if not (probe["n_rows"] or 0):
+                # framing-only: checkpoint advances; streak untouched (only
+                # an APPLIED data batch proves the feed decodes); snapshot
+                # rewrite skipped
+                return
             current = state.read()
             if current is None:
                 current = initial_snapshots
@@ -498,68 +529,20 @@ def _apply_wire_stream(
             return
         from pyspark.sql import Window as W
 
-        # 1) learn + persist relations from this batch's R frames (ord = -1
-        # sorts them first; the filter is plain Catalyst, below the parse).
-        # SAFE parse mode: corrupt bytes become op='ERROR' rows routed to the
-        # quarantine below — a poison frame must park, not kill the stream
-        # (restarting would hit the same byte forever, with no deadletter).
+        # SAFE parse mode throughout: corrupt bytes become op='ERROR' rows
+        # routed to the quarantine below — a poison frame must park, not
+        # kill the stream (restarting would hit the same byte forever, with
+        # no deadletter). Both slices persist: each is read 2-3 times below
+        # and the Arrow parse must not re-run per reference.
         rel_parsed = batch_df.where("ord = -1").select(
             "lsn", "seq", parse_frames_udf(safe=True)("data").alias("f")
-        )
-        rel_err = (
-            rel_parsed.where("f.op = 'ERROR'")
-            .select("f.parse_error").limit(1).collect()
-        )
-        if rel_err:
-            # quarantine BEFORE the registry commit: a half-learned relation
-            # set must never become the persisted schema
-            _quarantine(
-                batch_df, batch_id,
-                f"relation frame parse failure: {rel_err[0][0]}",
-            )
-            return
-        rel_frames = rel_parsed.where("f.op = 'RELATION'")
-        # several R frames for one relation inside a single micro-batch:
-        # the LAST (by wire order) wins, matching the reference's
-        # replace-on-every-R-message registry
-        last_w = W.partitionBy("f.rel_oid").orderBy(
-            F.col("lsn").desc(), F.col("seq").desc()
-        )
-        rels = project_rels(
-            rel_frames.withColumn("_rn", F.row_number().over(last_w)).where("_rn = 1")
-        )
-        cache = migrate_cache(rel_state.read())
-        if cache is None:
-            cache = rels
-        else:
-            # a later Relation frame REPLACES the whole relation: anti-join on
-            # rel_oid, not position, so a redefinition to FEWER columns leaves
-            # no stale tail positions behind
-            kept = cache.join(rels.select("rel_oid").distinct(), "rel_oid", "left_anti")
-            cache = rels.unionByName(kept)
-        if batch_id > rel_state.last_batch():
-            rel_state.commit(cache, batch_id)
-        by_rel: dict[int, list] = {}
-        rel_names: dict[int, str | None] = {}
-        # collect the MERGED in-memory cache, not a re-read of rel_state: the
-        # persisted copy may predate the rel_name migration (and on a replay,
-        # this batch's own R frames are the definitions its rows decode under)
-        for r in cache.collect():
-            by_rel.setdefault(r["rel_oid"], []).append(r)
-            rel_names[r["rel_oid"]] = r["rel_name"]
-        # 2) tx registry from this batch's Begin frames — folded for EVERY
-        # batch, including pre-Relation and framing-only ones: commit
-        # timestamps must survive for rows arriving in later micro-batches
+        ).persist()
         parsed = batch_df.where("ord <> -1").select(
             "lsn", "seq", "ord", parse_frames_udf(safe=True)("data").alias("f")
         ).persist()
         try:
-            # ONE probe job for the batch's health: corrupt DATA/framing
-            # bytes quarantine the whole batch (raw frames parked, streak
-            # counted) BEFORE anything from it — even its valid Begin
-            # frames — folds into persisted state (the parked copy is the
-            # replay source of record); the row-event count feeds the
-            # framing-only early-exit below
+            # ONE probe job for the data slice's health; the row-event count
+            # feeds the framing-only early-exit below
             probe = parsed.agg(
                 F.max(
                     F.when(F.col("f.op") == "ERROR", F.col("f.parse_error"))
@@ -570,12 +553,14 @@ def _apply_wire_stream(
                     ).otherwise(0)
                 ).alias("n_rows"),
             ).collect()[0]
-            if probe["err"] is not None:
-                _quarantine(
-                    batch_df, batch_id,
-                    f"frame parse failure: {probe['err']}",
-                )
-                return
+            # 1) tx registry from this batch's Begin frames — folded for
+            # EVERY batch FIRST, before any quarantine decision: a Begin
+            # that PARSED is trustworthy even when siblings in the batch are
+            # corrupt, and a tx whose Begin lands in a quarantined batch but
+            # whose rows arrive in later healthy batches must still find its
+            # commit timestamp (a replayed parked batch cannot repair the
+            # registry — the tx_state.last_batch gate skips its re-fold).
+            # The fold is additive + lsn-deduped: idempotent under replay.
             begins = parsed.where("f.op = 'BEGIN'").select(
                 "lsn", F.col("f.commit_us").alias("_commit_us")
             )
@@ -585,6 +570,58 @@ def _apply_wire_stream(
             if batch_id > tx_state.last_batch():
                 tx_state.commit(reg, batch_id)
             reg = tx_state.read()
+            # 2) learn + persist relations from this batch's R frames
+            # (ord = -1 sorts them first). A corrupt R frame quarantines
+            # BEFORE the registry commit: a half-learned relation set must
+            # never become the persisted schema.
+            rel_err = (
+                rel_parsed.where("f.op = 'ERROR'")
+                .select("f.parse_error").limit(1).collect()
+            )
+            if rel_err:
+                _quarantine(
+                    batch_df, batch_id,
+                    f"relation frame parse failure: {rel_err[0][0]}",
+                )
+                return
+            rel_frames = rel_parsed.where("f.op = 'RELATION'")
+            # several R frames for one relation inside a single micro-batch:
+            # the LAST (by wire order) wins, matching the reference's
+            # replace-on-every-R-message registry
+            last_w = W.partitionBy("f.rel_oid").orderBy(
+                F.col("lsn").desc(), F.col("seq").desc()
+            )
+            rels = project_rels(
+                rel_frames.withColumn("_rn", F.row_number().over(last_w)).where("_rn = 1")
+            )
+            cache = migrate_cache(rel_state.read())
+            if cache is None:
+                cache = rels
+            else:
+                # a later Relation frame REPLACES the whole relation:
+                # anti-join on rel_oid, not position, so a redefinition to
+                # FEWER columns leaves no stale tail positions behind
+                kept = cache.join(
+                    rels.select("rel_oid").distinct(), "rel_oid", "left_anti"
+                )
+                cache = rels.unionByName(kept)
+            if batch_id > rel_state.last_batch():
+                rel_state.commit(cache, batch_id)
+            by_rel: dict[int, list] = {}
+            rel_names: dict[int, str | None] = {}
+            # collect the MERGED in-memory cache, not a re-read of
+            # rel_state: the persisted copy may predate the rel_name
+            # migration (and on a replay, this batch's own R frames are the
+            # definitions its rows decode under)
+            for r in cache.collect():
+                by_rel.setdefault(r["rel_oid"], []).append(r)
+                rel_names[r["rel_oid"]] = r["rel_name"]
+            if probe["err"] is not None:
+                _quarantine(
+                    batch_df, batch_id,
+                    f"frame parse failure: {probe['err']}",
+                )
+                return
             # 3) framing-only batches (B/C frames, no row events) advance the
             # checkpoint cleanly — only actual I/U/D events can be "lost" and
             # hence only they justify quarantine
@@ -684,6 +721,7 @@ def _apply_wire_stream(
             skip_streak["n"] = 0
         finally:
             parsed.unpersist()
+            rel_parsed.unpersist()
 
     return (
         frame_stream.writeStream.foreachBatch(_batch)
