@@ -185,3 +185,33 @@ def test_safe_parse_valid_frames_identical_to_strict():
     assert pgo.parse_frame_safe(b) == pgo.parse_frame(b)
     bl = pgl.build_begin(7, 123456, 42)
     assert pgl.parse_frame_safe(bl) == pgl.parse_frame(bl)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    final_lsn=u64, commit_us=u64, xid=u32,
+    cut=st.integers(min_value=0, max_value=200),
+)
+def test_truncated_valid_frames_never_parse_as_complete(final_lsn, commit_us, xid, cut):
+    """Truncating a VALID frame at any byte must never raise in safe mode,
+    and for the fixed-layout dialects must never parse 'successfully' —
+    pgoutput/pglogical B frames have a fixed body, so any cut is detectable.
+    For proto, a cut inside a length-delimited field must be detected (the
+    _scan bounds check); cuts at field boundaries are proto3-undetectable
+    by design, but must still yield a clean parse, never an exception."""
+    import pgcapture_spark.functions.protowire as pw
+
+    b = pgo.build_begin(final_lsn, commit_us, xid)
+    t = b[: min(cut, len(b) - 1)]  # strictly shorter than the full frame
+    if t:
+        out = pgo.parse_frame_safe(t)
+        assert out["op"] == "ERROR"
+    bl = pgl.build_begin(final_lsn, commit_us, xid)
+    tl = bl[: min(cut, len(bl) - 1)]
+    if tl:
+        out = pgl.parse_frame_safe(tl)
+        assert out["op"] == "ERROR"
+    msg = pw.build_begin(final_lsn, commit_us % (2**63), xid)
+    tm = msg[: min(cut, len(msg) - 1)]
+    out = pw.parse_message_safe(tm)  # ERROR or a clean shorter parse — never a raise
+    assert out["op"] in ("ERROR", "BEGIN", None)
