@@ -117,10 +117,11 @@ def parse_frame(data: bytes) -> dict:
     elif tag == "R":
         out["op"] = "RELATION"
         out["rel_oid"] = r.u32()
-        n = r.u8()
-        out["rel_nsp"] = r.b[r.i : r.i + n].decode("utf-8"); r.i += n
-        n = r.u8()
-        out["rel_name"] = r.b[r.i : r.i + n].decode("utf-8"); r.i += n
+        # bounds-checked takes (not raw slices): a frame cut inside a name
+        # must RAISE so safe mode quarantines it — a silently-truncated
+        # relation name would otherwise become the PERSISTED schema
+        out["rel_nsp"] = r.take(r.u8()).decode("utf-8")
+        out["rel_name"] = r.take(r.u8()).decode("utf-8")
         if chr(r.u8()) != "A":
             raise ValueError("relation expected A")
         cols = []
@@ -132,8 +133,7 @@ def parse_frame(data: bytes) -> dict:
                 raise ValueError("relation expected N")
             (ln,) = struct.unpack_from(">H", r.b, r.i)
             r.i += 2
-            name = r.b[r.i : r.i + ln].decode("utf-8")
-            r.i += ln
+            name = r.take(ln).decode("utf-8")
             # no type oid / key flag on the wire — schema loader's job
             cols.append({"flag": 0, "name": name, "oid": 0})
         out["rel_cols"] = cols
@@ -149,6 +149,9 @@ def parse_frame(data: bytes) -> dict:
             out["new_tuple"] = _read_tuple_pgl(r)
     else:
         raise ValueError(f"unknown frame tag {tag!r}")
+    if r.i != len(data):
+        # trailing bytes = corruption (see pgoutput.parse_frame)
+        raise ValueError(f"{r.i} bytes parsed, {len(data)} in frame")
     return out
 
 

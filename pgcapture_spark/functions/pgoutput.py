@@ -88,6 +88,14 @@ _OPS = {ord("I"): "INSERT", ord("U"): "UPDATE", ord("D"): "DELETE"}
 
 
 class _Reader:
+    """Bounds-CHECKED cursor: every variable-length read validates it stays
+    inside the frame. Python slicing would silently return a SHORT datum for
+    a frame cut mid-field — which would then parse 'successfully', bypass
+    safe mode's ERROR routing, and fold a truncated value into the snapshot
+    as if the wire had said so. (Fixed-width reads already raise via
+    struct.unpack_from; cstr raises via bytes.index when the terminator is
+    cut off.)"""
+
     __slots__ = ("b", "i")
 
     def __init__(self, b: bytes):
@@ -119,11 +127,18 @@ class _Reader:
         self.i = j + 1
         return s
 
-    def bytes32(self) -> bytes:
-        n = self.u32()
+    def take(self, n: int) -> bytes:
+        """n raw bytes, refusing to run past the frame end."""
+        if n < 0 or self.i + n > len(self.b):
+            raise ValueError(
+                f"field of {n} bytes overruns frame ({self.i}+{n} > {len(self.b)})"
+            )
         v = self.b[self.i : self.i + n]
         self.i += n
         return v
+
+    def bytes32(self) -> bytes:
+        return self.take(self.u32())
 
 
 def _read_tuple(r: _Reader) -> list[dict]:
@@ -161,10 +176,19 @@ def parse_frame(data: bytes) -> dict:
     r = _Reader(data)
     r.u8()
     if tag == "B":
+        # exact fixed layout (tag + 8 + 8 + 4): a corrupt frame whose first
+        # byte happens to collide with 'B' must not parse into a garbage
+        # Begin — the tx registry folds Begins UNCONDITIONALLY (even from
+        # batches that quarantine), so a pseudo-Begin would poison a real
+        # transaction's commit time with no repair path
+        if len(data) != 21:
+            raise ValueError(f"begin frame wrong length {len(data)}")
         out["op"] = "BEGIN"
         out["final_lsn"], out["commit_us"] = r.u64(), r.u64()
         out["xid"] = r.u32()
     elif tag == "C":
+        if len(data) != 26:
+            raise ValueError(f"commit frame wrong length {len(data)}")
         out["op"] = "COMMIT"
         r.u8()  # flags
         out["commit_lsn"], out["end_lsn"], out["commit_us"] = r.u64(), r.u64(), r.u64()
@@ -196,6 +220,11 @@ def parse_frame(data: bytes) -> dict:
             out["new_tuple"] = _read_tuple(r)
     else:
         raise ValueError(f"unknown frame tag {tag!r}")
+    if r.i != len(data):
+        # trailing bytes = corruption (every pgoutput frame is fully
+        # self-describing); a silent remainder could hide a cut-and-spliced
+        # frame that still parsed
+        raise ValueError(f"{r.i} bytes parsed, {len(data)} in frame")
     return out
 
 
@@ -203,7 +232,10 @@ _FRAME_TYPE = (
     "op string, xid bigint, final_lsn bigint, commit_lsn bigint, end_lsn bigint,"
     " commit_us bigint, rel_oid bigint, rel_nsp string, rel_name string,"
     " rel_ident string,"
-    " rel_cols array<struct<flag:int,name:string,oid:int>>,"
+    # oid is BIGINT: pg type oids are unsigned 32-bit, so an int32 column
+    # would Arrow-overflow for legitimate oids >= 2^31 — OUTSIDE make_safe,
+    # killing the stream with no quarantine
+    " rel_cols array<struct<flag:int,name:string,oid:bigint>>,"
     " old_tuple array<struct<format:string,bin:binary>>,"
     " new_tuple array<struct<format:string,bin:binary>>,"
     " parse_error string"

@@ -141,13 +141,23 @@ def _scan(buf: bytes):
         yield field_no, wt, val
 
 
+def _req_int(v, what: str, bound: int = 2**63 - 1) -> int:
+    """Validate a varint destined for a typed Spark column INSIDE the
+    parser: an oversized (or wrong-wire-type) value must raise HERE so safe
+    mode converts it to an op='ERROR' row — otherwise the pandas→Arrow cast
+    overflows OUTSIDE make_safe and kills the stream with no quarantine."""
+    if not isinstance(v, int) or v < 0 or v > bound:
+        raise ValueError(f"{what} out of range for its column: {v!r}")
+    return v
+
+
 def _parse_field(buf: bytes) -> dict:
     name, oid, bin_val, has_val, fmt = "", 0, None, False, "b"
     for fno, _, val in _scan(buf):
         if fno == 1:
             name = val.decode()
         elif fno == 2:
-            oid = val
+            oid = _req_int(val, "field oid", bound=2**31 - 1)  # int32 column
         elif fno == 3:
             bin_val, has_val, fmt = bytes(val), True, "b"
         elif fno == 4:  # text arm of the oneof: utf-8 datum, oid picks codec
@@ -178,14 +188,14 @@ def parse_message(buf: bytes) -> dict:
             out["op"] = "BEGIN"
             for f, _, v in _scan(body):
                 if f == 2:
-                    out["commit_us"] = v
+                    out["commit_us"] = _req_int(v, "begin commit_us")
                 elif f == 3:
-                    out["xid"] = v
+                    out["xid"] = _req_int(v, "begin xid")
         elif fno == 2:  # Commit
             out["op"] = "COMMIT"
             for f, _, v in _scan(body):
                 if f == 3:
-                    out["commit_us"] = v
+                    out["commit_us"] = _req_int(v, "commit commit_us")
         elif fno == 3:  # Change
             op_num = 0
             new, old = [], []

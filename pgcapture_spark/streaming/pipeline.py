@@ -60,6 +60,57 @@ def make_quarantine(dialect: str, checkpoint_dir: str, max_consecutive_skips: in
     return skip_streak, _quarantine
 
 
+def probe_and_fold_tx(parsed, tx_state: SnapshotState, batch_id: int):
+    """The wire consumers' shared per-batch protocol head — ONE
+    implementation so the three consumers (pgoutput/pglogical dialect core,
+    proto single-table, proto multi-table) cannot drift:
+
+    1. ONE probe job over the parsed batch: the first parse error (if any)
+       and the I/U/D row count (feeds the framing-only early-exit).
+    2. Fold the batch's Begin frames into the persisted tx registry
+       UNCONDITIONALLY — before any quarantine decision. A Begin that
+       PARSED is trustworthy even when siblings in the batch are corrupt
+       (the strict parsers validate exact frame lengths), and a tx whose
+       Begin lands in a quarantined batch but whose rows arrive in later
+       healthy batches must still find its commit timestamp: a replayed
+       parked batch cannot repair the registry, because the
+       tx_state.last_batch gate skips its re-fold. The fold is additive +
+       lsn-deduped, so folding from a parked batch is idempotent under
+       replay.
+
+    Returns ``(probe, reg)`` — probe has ``err`` (first parse_error or
+    None) and ``n_rows``; reg is the COMMITTED registry (planned off its
+    parquet files, not the in-memory union chain)."""
+    from pyspark.sql import functions as F
+
+    probe = parsed.agg(
+        F.max(
+            F.when(F.col("f.op") == "ERROR", F.col("f.parse_error"))
+        ).alias("err"),
+        F.sum(
+            F.when(
+                F.col("f.op").isin("INSERT", "UPDATE", "DELETE"), 1
+            ).otherwise(0)
+        ).alias("n_rows"),
+    ).collect()[0]
+    begins = parsed.where("f.op = 'BEGIN'").select(
+        "lsn", F.col("f.commit_us").alias("_commit_us")
+    ).dropDuplicates(["lsn"])
+    reg = tx_state.read()
+    if reg is None:
+        reg = begins
+    else:
+        # FIRST writer wins, deterministically (anti-join, not a union +
+        # dropDuplicates whose survivor is arbitrary): a re-delivered Begin
+        # carries the same commit_us so the choice is normally moot, but
+        # determinism means a corrupt late duplicate can never displace the
+        # entry real rows already resolved against
+        reg = reg.unionByName(begins.join(reg.select("lsn"), "lsn", "left_anti"))
+    if batch_id > tx_state.last_batch():
+        tx_state.commit(reg, batch_id)
+    return probe, tx_state.read()
+
+
 def apply_stream(
     feed_stream: DataFrame,
     state: SnapshotState,
@@ -265,28 +316,7 @@ def apply_wire_stream(
             "lsn", "seq", "ord", parse_messages_udf(safe=True)("data").alias("f")
         ).persist()
         try:
-            probe = parsed.agg(
-                F.max(
-                    F.when(F.col("f.op") == "ERROR", F.col("f.parse_error"))
-                ).alias("err"),
-                F.sum(
-                    F.when(
-                        F.col("f.op").isin("INSERT", "UPDATE", "DELETE"), 1
-                    ).otherwise(0)
-                ).alias("n_rows"),
-            ).collect()[0]
-            # Begins fold UNCONDITIONALLY, before any quarantine decision —
-            # a tx straddling a parked batch must still find its commit time
-            # (see _apply_wire_stream's batch protocol)
-            begins = parsed.where("f.op = 'BEGIN'").select(
-                "lsn", F.col("f.commit_us").alias("_commit_us")
-            )
-            reg = tx_state.read()
-            reg = begins if reg is None else reg.unionByName(begins)
-            reg = reg.dropDuplicates(["lsn"])
-            if batch_id > tx_state.last_batch():
-                tx_state.commit(reg, batch_id)
-            reg = tx_state.read()  # plan off committed files, not the union chain
+            probe, reg = probe_and_fold_tx(parsed, tx_state, batch_id)
             if probe["err"] is not None:
                 # corrupt Message bytes park the batch (dead-letter) instead
                 # of killing the stream
@@ -382,27 +412,7 @@ def apply_wire_stream_multi(
             "lsn", "seq", "ord", parse_messages_udf(safe=True)("data").alias("f")
         ).persist()
         try:
-            probe = parsed.agg(
-                F.max(
-                    F.when(F.col("f.op") == "ERROR", F.col("f.parse_error"))
-                ).alias("err"),
-                F.sum(
-                    F.when(
-                        F.col("f.op").isin("INSERT", "UPDATE", "DELETE"), 1
-                    ).otherwise(0)
-                ).alias("n_rows"),
-            ).collect()[0]
-            # Begins fold UNCONDITIONALLY, before any quarantine decision
-            # (see _apply_wire_stream's batch protocol)
-            begins = parsed.where("f.op = 'BEGIN'").select(
-                "lsn", F.col("f.commit_us").alias("_commit_us")
-            )
-            reg = tx_state.read()
-            reg = begins if reg is None else reg.unionByName(begins)
-            reg = reg.dropDuplicates(["lsn"])
-            if batch_id > tx_state.last_batch():
-                tx_state.commit(reg, batch_id)
-            reg = tx_state.read()
+            probe, reg = probe_and_fold_tx(parsed, tx_state, batch_id)
             if probe["err"] is not None:
                 _quarantine(
                     batch_df, batch_id,
@@ -541,35 +551,9 @@ def _apply_wire_stream(
             "lsn", "seq", "ord", parse_frames_udf(safe=True)("data").alias("f")
         ).persist()
         try:
-            # ONE probe job for the data slice's health; the row-event count
-            # feeds the framing-only early-exit below
-            probe = parsed.agg(
-                F.max(
-                    F.when(F.col("f.op") == "ERROR", F.col("f.parse_error"))
-                ).alias("err"),
-                F.sum(
-                    F.when(
-                        F.col("f.op").isin("INSERT", "UPDATE", "DELETE"), 1
-                    ).otherwise(0)
-                ).alias("n_rows"),
-            ).collect()[0]
-            # 1) tx registry from this batch's Begin frames — folded for
-            # EVERY batch FIRST, before any quarantine decision: a Begin
-            # that PARSED is trustworthy even when siblings in the batch are
-            # corrupt, and a tx whose Begin lands in a quarantined batch but
-            # whose rows arrive in later healthy batches must still find its
-            # commit timestamp (a replayed parked batch cannot repair the
-            # registry — the tx_state.last_batch gate skips its re-fold).
-            # The fold is additive + lsn-deduped: idempotent under replay.
-            begins = parsed.where("f.op = 'BEGIN'").select(
-                "lsn", F.col("f.commit_us").alias("_commit_us")
-            )
-            reg = tx_state.read()
-            reg = begins if reg is None else reg.unionByName(begins)
-            reg = reg.dropDuplicates(["lsn"])
-            if batch_id > tx_state.last_batch():
-                tx_state.commit(reg, batch_id)
-            reg = tx_state.read()
+            # 1) the shared protocol head: ONE probe job + the UNCONDITIONAL
+            # Begin fold (see probe_and_fold_tx's contract)
+            probe, reg = probe_and_fold_tx(parsed, tx_state, batch_id)
             # 2) learn + persist relations from this batch's R frames
             # (ord = -1 sorts them first). A corrupt R frame quarantines
             # BEFORE the registry commit: a half-learned relation set must
@@ -607,6 +591,16 @@ def _apply_wire_stream(
                 cache = rels.unionByName(kept)
             if batch_id > rel_state.last_batch():
                 rel_state.commit(cache, batch_id)
+            # corrupt DATA bytes quarantine AFTER the rel/tx persists above
+            # (their contracts) but BEFORE the relation-cache collect and
+            # everything downstream — a parked batch must not pay for work
+            # whose results are discarded
+            if probe["err"] is not None:
+                _quarantine(
+                    batch_df, batch_id,
+                    f"frame parse failure: {probe['err']}",
+                )
+                return
             by_rel: dict[int, list] = {}
             rel_names: dict[int, str | None] = {}
             # collect the MERGED in-memory cache, not a re-read of
@@ -616,12 +610,6 @@ def _apply_wire_stream(
             for r in cache.collect():
                 by_rel.setdefault(r["rel_oid"], []).append(r)
                 rel_names[r["rel_oid"]] = r["rel_name"]
-            if probe["err"] is not None:
-                _quarantine(
-                    batch_df, batch_id,
-                    f"frame parse failure: {probe['err']}",
-                )
-                return
             # 3) framing-only batches (B/C frames, no row events) advance the
             # checkpoint cleanly — only actual I/U/D events can be "lost" and
             # hence only they justify quarantine
