@@ -30,7 +30,7 @@ from pgcapture_spark.queries import _feed, q
 from pgcapture_spark.sources.feed import materialize_feed, read_feed_stream
 from pgcapture_spark.streaming.debounce_state import stateful_debounce
 from pgcapture_spark.streaming.pipeline import apply_stream
-from pgcapture_spark.streaming.state import SnapshotState
+from pgcapture_spark.streaming.state import BucketedSnapshotState, SnapshotState
 
 
 @q(
@@ -48,7 +48,10 @@ def cdc_apply_customer_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     feed_dir = f"{d}/feed"
     materialize_feed(feed, feed_dir, n_segments=6)
     schema = spark.read.parquet(feed_dir).schema
-    state = SnapshotState(spark, f"{d}/state")
+    # key-bucketed state: each micro-batch rewrites ONLY the buckets its keys
+    # touch (the O(touched) scale path — round-6 conversion of every streamed
+    # apply off the full-snapshot-rewrite pattern)
+    state = BucketedSnapshotState(spark, f"{d}/state", "c_custkey", n_buckets=16)
     query = apply_stream(
         read_feed_stream(spark, feed_dir, schema, max_files_per_trigger=2),
         state,
@@ -85,7 +88,7 @@ def cdc_apply_customer_feedsource(spark: SparkSession, sf_dir: str) -> DataFrame
         .option("maxFilesPerTrigger", "2")
         .load()
     )
-    state = SnapshotState(spark, f"{d}/state")
+    state = BucketedSnapshotState(spark, f"{d}/state", "c_custkey", n_buckets=16)
     query = apply_stream(
         stream,
         state,
@@ -114,7 +117,10 @@ def cdc_apply_customer_feedsource(spark: SparkSession, sf_dir: str) -> DataFrame
 )
 def cdc_apply_multi_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pgcapture_spark.fixtures.cdc_feed import SPARK, multi_feed_sql
-    from pgcapture_spark.streaming.multi import MultiTableState, apply_stream_multi_table
+    from pgcapture_spark.streaming.multi import (
+        BucketedMultiTableState,
+        apply_stream_multi_table,
+    )
 
     register_views(spark, sf_dir, ("customer", "orders"))
     feed = spark.sql(multi_feed_sql(SPARK))
@@ -122,7 +128,10 @@ def cdc_apply_multi_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     feed_dir = f"{d}/feed"
     materialize_feed(feed, feed_dir, n_segments=5)
     schema = spark.read.parquet(feed_dir).schema
-    state = MultiTableState(spark, f"{d}/state", ["customer", "orders"])
+    state = BucketedMultiTableState(
+        spark, f"{d}/state", ["customer", "orders"],
+        {"customer": "c_custkey", "orders": "o_orderkey"}, n_buckets=16,
+    )
     query = apply_stream_multi_table(
         read_feed_stream(spark, feed_dir, schema, max_files_per_trigger=2),
         state,
@@ -522,7 +531,7 @@ def cdc_apply_proto_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda: proto_customer_messages(spark, sf_dir)[0], n_segments=6,
     )
     schema = spark.read.parquet(feed_dir).schema
-    state = SnapshotState(spark, f"{d}/state")
+    state = BucketedSnapshotState(spark, f"{d}/state", "c_custkey", n_buckets=16)
     tx_state = SnapshotState(spark, f"{d}/txreg")
     query = apply_wire_stream(
         read_feed_stream(spark, feed_dir, schema, max_files_per_trigger=3),
@@ -563,7 +572,7 @@ def _proto_multi_snapshots(spark: SparkSession, sf_dir: str) -> dict[str, DataFr
 
     from pgcapture_spark.operators.generic_feed import CUSTOMER_FIELD_OIDS
     from pgcapture_spark.querydefs.extras import ORDERS_FIELD_OIDS, proto_multi_messages
-    from pgcapture_spark.streaming.multi import MultiTableState
+    from pgcapture_spark.streaming.multi import BucketedMultiTableState
     from pgcapture_spark.streaming.pipeline import apply_wire_stream_multi
 
     from pgcapture_spark.sources.feed import cached_fixture_segments
@@ -578,7 +587,10 @@ def _proto_multi_snapshots(spark: SparkSession, sf_dir: str) -> dict[str, DataFr
             lambda: proto_multi_messages(spark, sf_dir)[0], n_segments=6,
         )
         schema = spark.read.parquet(wire_dir).schema
-        state = MultiTableState(spark, f"{d}/state", ["customer", "orders"])
+        state = BucketedMultiTableState(
+            spark, f"{d}/state", ["customer", "orders"],
+            {"customer": "c_custkey", "orders": "o_orderkey"}, n_buckets=16,
+        )
         tx_state = SnapshotState(spark, f"{d}/txreg")
         query = apply_wire_stream_multi(
             read_feed_stream(spark, wire_dir, schema, max_files_per_trigger=3),
@@ -592,7 +604,10 @@ def _proto_multi_snapshots(spark: SparkSession, sf_dir: str) -> dict[str, DataFr
         )
         query.awaitTermination(300)
         _PROTO_MULTI_DIRS[key] = d
-    return MultiTableState(spark, f"{d}/state", ["customer", "orders"]).read()
+    return BucketedMultiTableState(
+        spark, f"{d}/state", ["customer", "orders"],
+        {"customer": "c_custkey", "orders": "o_orderkey"}, n_buckets=16,
+    ).read()
 
 
 @q(
@@ -633,7 +648,7 @@ def cdc_apply_pgoutput_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda: customer_wire_frames(spark, sf_dir, "pgoutput")[0], n_segments=6,
     )
     schema = spark.read.parquet(wire_dir).schema
-    state = SnapshotState(spark, f"{d}/state")
+    state = BucketedSnapshotState(spark, f"{d}/state", "c_custkey", n_buckets=16)
     tx_state = SnapshotState(spark, f"{d}/txreg")
     rel_state = SnapshotState(spark, f"{d}/relcache")
     query = apply_pgoutput_stream(
@@ -677,7 +692,7 @@ def cdc_apply_pglogical_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda: customer_wire_frames(spark, sf_dir, "pglogical")[0], n_segments=6,
     )
     schema = spark.read.parquet(wire_dir).schema
-    state = SnapshotState(spark, f"{d}/state")
+    state = BucketedSnapshotState(spark, f"{d}/state", "c_custkey", n_buckets=16)
     tx_state = SnapshotState(spark, f"{d}/txreg")
     rel_state = SnapshotState(spark, f"{d}/relcache")
     query = apply_pglogical_stream(
@@ -814,7 +829,7 @@ def cdc_scd2_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     feed_dir = f"{d}/feed"
     materialize_feed(feed, feed_dir, n_segments=6)
     schema = spark.read.parquet(feed_dir).schema
-    state = SnapshotState(spark, f"{d}/state")
+    state = BucketedSnapshotState(spark, f"{d}/state", "c_custkey", n_buckets=16)
     query = scd2_stream(
         read_feed_stream(spark, feed_dir, schema, max_files_per_trigger=3),
         state,

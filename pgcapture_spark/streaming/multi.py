@@ -69,6 +69,229 @@ class MultiTableState:
             json.dump({"version": version, "batch_id": batch_id}, f)
         os.replace(tmp, self._manifest)
 
+    def vacuum(self) -> list[str]:
+        """Remove superseded version dirs (state storage stays O(live data))."""
+        from pgcapture_spark.streaming.state import _vacuum_versions
+
+        if not os.path.exists(self._manifest):
+            return []
+        with open(self._manifest) as f:
+            current = json.load(f)["version"]
+        return _vacuum_versions(self.root, {current})
+
+
+def _key_list(key) -> list[str]:
+    return [key] if isinstance(key, str) else list(key)
+
+
+class BucketedMultiTableState:
+    """N KEY-BUCKETED tables under ONE atomic manifest — the multi-table form
+    of ``BucketedSnapshotState`` (streaming/state.py): each table's snapshot is
+    partitioned by ``pmod(hash(key...), n_buckets)``, a micro-batch rewrites
+    only the buckets its change set touches, and every table's bucket pointers
+    swing in one manifest rename (the cross-table atomicity the reference gets
+    from one pgconn pipeline per tx, pkg/sink/postgres.go:599-645).
+
+    Manifest: ``{"batch_id": N, "buckets": {table: {bucket: version}}}``.
+    Untouched tables/buckets carry their pointers forward untouched, so at
+    100 TB a trigger that changes k keys across m tables costs ~k bucket
+    rewrites — independent of total snapshot size."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        tables: list[str],
+        keys: dict[str, str | list[str]],
+        n_buckets: int = 32,
+    ):
+        self.spark = spark
+        self.root = root
+        self.tables = list(tables)
+        self.keys = dict(keys)
+        self.n_buckets = n_buckets
+        os.makedirs(root, exist_ok=True)
+
+    @property
+    def _manifest(self) -> str:
+        return os.path.join(self.root, "MANIFEST.json")
+
+    def _load(self) -> dict:
+        if not os.path.exists(self._manifest):
+            return {"batch_id": -1, "buckets": {t: {} for t in self.tables}}
+        with open(self._manifest) as f:
+            return json.load(f)
+
+    def last_batch(self) -> int:
+        return self._load()["batch_id"]
+
+    def initialized(self) -> bool:
+        return os.path.exists(self._manifest)
+
+    def _bucket_col(self, table: str):
+        return F.pmod(
+            F.hash(*[F.col(k) for k in _key_list(self.keys[table])]),
+            F.lit(self.n_buckets),
+        )
+
+    def touched_buckets(self, table: str, keys_df: DataFrame) -> list[int]:
+        return sorted(
+            r[0]
+            for r in keys_df.select(self._bucket_col(table).alias("_b"))
+            .distinct()
+            .collect()
+        )
+
+    def initialize(self, snapshots: dict[str, DataFrame]) -> None:
+        """Seed every table's buckets from its initial snapshot (one-time
+        O(snapshot) write — the backfill; every later trigger is O(touched))."""
+        for t in self.tables:
+            (
+                snapshots[t]
+                .withColumn("_b", self._bucket_col(t))
+                .write.mode("overwrite")
+                .partitionBy("_b")
+                .parquet(os.path.join(self.root, "vinit", t))
+            )
+        buckets = {
+            t: {str(b): "vinit" for b in range(self.n_buckets)} for t in self.tables
+        }
+        self._swap({"batch_id": -1, "buckets": buckets})
+
+    def _swap(self, manifest: dict) -> None:
+        fd, tmp = tempfile.mkstemp(dir=self.root, suffix=".manifest")
+        with os.fdopen(fd, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, self._manifest)
+
+    def read_buckets(self, table: str, buckets: list[int]) -> DataFrame | None:
+        manifest = self._load()
+        paths = []
+        for b in buckets:
+            ver = manifest["buckets"].get(table, {}).get(str(b))
+            if ver is not None:
+                p = os.path.join(self.root, ver, table, f"_b={b}")
+                if os.path.isdir(p):
+                    paths.append(p)
+        if not paths:
+            return None
+        return self.spark.read.parquet(*paths)
+
+    def read(self) -> dict[str, DataFrame] | None:
+        if not os.path.exists(self._manifest):
+            return None
+        return {
+            t: self.read_buckets(t, list(range(self.n_buckets))) for t in self.tables
+        }
+
+    def commit(
+        self, merged: dict[str, tuple[DataFrame, list[int]]], batch_id: int
+    ) -> None:
+        """Write each table's merged touched-bucket rows under one new version
+        dir (tables write CONCURRENTLY — they are independent jobs and the
+        local scheduler overlaps them, so per-trigger wall-clock does not
+        serialize on table count), then swing ALL bucket pointers in one
+        atomic manifest rename. Idempotent per batch_id."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        version = f"v{batch_id:012d}"
+
+        def _write(item):
+            t, (df, _) = item
+            (
+                df.withColumn("_b", self._bucket_col(t))
+                .write.mode("overwrite")
+                .partitionBy("_b")
+                .parquet(os.path.join(self.root, version, t))
+            )
+
+        with ThreadPoolExecutor(max_workers=min(8, max(1, len(merged)))) as ex:
+            list(ex.map(_write, merged.items()))
+        manifest = self._load()
+        for t, (_, buckets) in merged.items():
+            for b in buckets:
+                manifest["buckets"].setdefault(t, {})[str(b)] = version
+        manifest["batch_id"] = batch_id
+        self._swap(manifest)
+
+    def vacuum(self) -> list[str]:
+        from pgcapture_spark.streaming.state import _vacuum_versions
+
+        manifest = self._load()
+        referenced = {
+            v for per_t in manifest["buckets"].values() for v in per_t.values()
+        }
+        return _vacuum_versions(self.root, referenced)
+
+
+def fold_commit_multi(
+    state,
+    initial_snapshots: dict[str, DataFrame],
+    per_table_changes: dict[str, DataFrame],
+    keys: dict[str, str | list[str]],
+    cols: dict[str, list[str]],
+    batch_id: int,
+) -> None:
+    """Multi-table analog of ``pipeline.fold_commit``: fold every table's
+    change rows to final per-key images, merge each into its snapshot slice,
+    and advance ALL tables under one atomic manifest. Dispatches on the
+    state's granularity (BucketedMultiTableState → only touched buckets read
+    and rewritten; MultiTableState → full rewrite compat path). Both vacuum
+    superseded versions after the swap."""
+    from pgcapture_spark.operators.apply import cdc_apply, last_image, merge_images
+
+    if not isinstance(state, BucketedMultiTableState):
+        current = state.read()
+        if current is None:
+            current = initial_snapshots
+        new = {
+            t: cdc_apply(current[t], per_table_changes[t], keys[t], cols[t])
+            for t in state.tables
+        }
+        state.commit(new, batch_id)
+        state.vacuum()
+        return
+
+    seeds = {
+        t: initial_snapshots[t].select(*_key_list(keys[t]), *cols[t])
+        for t in state.tables
+    }
+    if not state.initialized():
+        state.initialize(seeds)
+    imgs = {
+        t: last_image(per_table_changes[t], keys[t], cols[t]).persist()
+        for t in state.tables
+    }
+    try:
+        # ONE driver-side job resolves every table's touched buckets (bounded
+        # by tables × n_buckets rows) — per-trigger job count stays flat in
+        # table count instead of one distinct-collect per table
+        probe = None
+        for t in state.tables:
+            part = imgs[t].select(
+                F.lit(t).alias("_t"), state._bucket_col(t).alias("_b")
+            )
+            probe = part if probe is None else probe.unionByName(part)
+        touched: dict[str, list[int]] = {}
+        for r in probe.distinct().collect():
+            touched.setdefault(r["_t"], []).append(r["_b"])
+        merged: dict[str, tuple[DataFrame, list[int]]] = {}
+        for t, buckets in sorted(touched.items()):
+            buckets = sorted(buckets)
+            current = state.read_buckets(t, buckets)
+            base = (
+                current.select(*_key_list(keys[t]), *cols[t])
+                if current is not None
+                else seeds[t].limit(0)
+            )
+            merged[t] = (merge_images(base, imgs[t], keys[t], cols[t]), buckets)
+        if merged:
+            state.commit(merged, batch_id)
+            state.vacuum()
+    finally:
+        for img in imgs.values():
+            img.unpersist()
+
 
 def apply_stream_multi_table(
     feed_stream: DataFrame,
@@ -89,16 +312,13 @@ def apply_stream_multi_table(
     def _batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_id <= state.last_batch():
             return  # replayed batch — every table already advanced together
-        current = state.read()
-        if current is None:
-            current = initial_snapshots
-        new = {}
-        for t in state.tables:
-            sub = batch_df.where(F.col(table_col) == F.lit(t)).select(
+        subs = {
+            t: batch_df.where(F.col(table_col) == F.lit(t)).select(
                 "ord", "op", "present", *_key_cols(t), *cols[t]
             )
-            new[t] = cdc_apply(current[t], sub, keys[t], cols[t])
-        state.commit(new, batch_id)
+            for t in state.tables
+        }
+        fold_commit_multi(state, initial_snapshots, subs, keys, cols, batch_id)
 
     return (
         feed_stream.writeStream.foreachBatch(_batch)

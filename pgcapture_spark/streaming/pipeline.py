@@ -111,9 +111,78 @@ def probe_and_fold_tx(parsed, tx_state: SnapshotState, batch_id: int):
     return probe, tx_state.read()
 
 
+def commit_keyed_state(
+    state,
+    batch_id: int,
+    touched_keys: DataFrame,
+    merge_fn: Callable[[DataFrame | None], DataFrame],
+    seed: DataFrame | None = None,
+) -> None:
+    """Commit one micro-batch's merge into snapshot state, dispatching on the
+    state's granularity — the round-6 scale fix for the full-snapshot-rewrite
+    pattern (the reference's incremental apply touches only changed rows,
+    pkg/sink/postgres.go:395-593):
+
+    - ``BucketedSnapshotState``: seed the buckets from ``seed`` on first
+      contact, resolve the key-buckets ``touched_keys`` lands in (bounded by
+      ``n_buckets``), hand ``merge_fn`` ONLY those buckets' current rows, and
+      rewrite only them — O(touched data) per trigger, not O(snapshot).
+    - ``SnapshotState``: the compat path — ``merge_fn`` sees the full current
+      snapshot (or ``seed``) and the whole result is written as a new version.
+
+    Both paths vacuum superseded version dirs after the manifest swap (safe:
+    the commit's write action fully materialized everything it read from the
+    old versions, and the swap is atomic), so state storage is O(live data),
+    not O(live × batches).
+
+    ``merge_fn(current)`` must return the full replacement content for
+    whatever slice it was given; ``current`` is None when the slice is empty
+    (uninitialized bucket / first batch)."""
+    from pgcapture_spark.streaming.state import BucketedSnapshotState
+
+    if isinstance(state, BucketedSnapshotState):
+        if seed is not None and not state.initialized():
+            state.initialize(seed)
+        buckets = state.touched_buckets(touched_keys)
+        if not buckets:
+            return  # nothing to merge; replay of this batch is a no-op anyway
+        state.commit_buckets(merge_fn(state.read_buckets(buckets)), buckets, batch_id)
+    else:
+        current = state.read()
+        state.commit(merge_fn(current if current is not None else seed), batch_id)
+    state.vacuum()
+
+
+def fold_commit(
+    state,
+    initial_snapshot: DataFrame,
+    changes: DataFrame,
+    key: str,
+    cols: list[str],
+    batch_id: int,
+) -> None:
+    """The apply consumers' shared snapshot commit: fold ``changes`` to final
+    per-key images ONCE (persisted — it feeds both the touched-bucket probe
+    and the merge), then merge via :func:`commit_keyed_state`."""
+    from pgcapture_spark.operators.apply import last_image, merge_images
+
+    seed = initial_snapshot.select(key, *cols)
+    img = last_image(changes, key, cols).persist()
+    try:
+        empty = seed.limit(0)
+
+        def _merge(current: DataFrame | None) -> DataFrame:
+            base = current.select(key, *cols) if current is not None else empty
+            return merge_images(base, img, key, cols)
+
+        commit_keyed_state(state, batch_id, img.select(key), _merge, seed=seed)
+    finally:
+        img.unpersist()
+
+
 def apply_stream(
     feed_stream: DataFrame,
-    state: SnapshotState,
+    state,  # SnapshotState | BucketedSnapshotState
     initial_snapshot: DataFrame,
     key: str,
     cols: list[str],
@@ -137,11 +206,7 @@ def apply_stream(
     def _apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_id <= state.last_batch():
             return  # replayed batch — already merged (consistent gate)
-        current = state.read()
-        if current is None:
-            current = initial_snapshot
-        new_snapshot = cdc_apply(current, batch_df, key, cols)
-        state.commit(new_snapshot, batch_id)
+        fold_commit(state, initial_snapshot, batch_df, key, cols, batch_id)
         if on_batch is not None:
             on_batch(batch_id, batch_df.count())
 
@@ -270,7 +335,7 @@ def apply_stream_bucketed(
 
 def apply_wire_stream(
     msg_stream: DataFrame,
-    state: SnapshotState,
+    state,  # SnapshotState | BucketedSnapshotState
     tx_state: SnapshotState,
     initial_snapshot: DataFrame,
     key: str,
@@ -355,10 +420,7 @@ def apply_wire_stream(
                 old_key=(f"old_{key}", key, dict(field_oids)[key]),
                 fused=True,
             ).withColumn(key, F.coalesce(F.col(key), F.col(f"old_{key}")))
-            current = state.read()
-            if current is None:
-                current = initial_snapshot
-            state.commit(cdc_apply(current, decoded, key, cols), batch_id)
+            fold_commit(state, initial_snapshot, decoded, key, cols, batch_id)
             skip_streak["n"] = 0
         finally:
             parsed.unpersist()
@@ -395,6 +457,7 @@ def apply_wire_stream_multi(
     from pgcapture_spark.functions.pgtypes import MICROS_Y2K_SHIFT
     from pgcapture_spark.functions.protowire import parse_messages_udf
     from pgcapture_spark.operators.generic_feed import decode_binary_feed
+    from pgcapture_spark.streaming.multi import fold_commit_multi
 
     strip = (
         "transform(f.{side}, x -> named_struct("
@@ -424,40 +487,41 @@ def apply_wire_stream_multi(
                 # an APPLIED data batch proves the feed decodes); snapshot
                 # rewrite skipped
                 return
-            current = state.read()
-            if current is None:
-                current = initial_snapshots
-            new = {}
+            # ONE shared projection for every table: filter to row events,
+            # strip tuple structs, broadcast-join the tx registry for commit
+            # times — per-table work below is just a Change.table filter +
+            # that table's wire-schema decode (the dispatch no longer repeats
+            # the registry join per table)
+            generic_all = (
+                parsed.where("f.op IN ('INSERT', 'UPDATE', 'DELETE')")
+                .select(
+                    "lsn",
+                    "seq",
+                    "ord",
+                    F.col("f.table").alias("_table"),
+                    F.col("f.op").alias("op"),
+                    F.expr(strip.format(side="new_fields")).alias("fields"),
+                    F.expr(strip.format(side="old_fields")).alias("old_fields"),
+                )
+                .join(F.broadcast(reg), "lsn", "left")
+                .withColumn(
+                    "commit_ts",
+                    F.timestamp_micros(F.col("_commit_us") + F.lit(MICROS_Y2K_SHIFT)),
+                )
+                .drop("_commit_us")
+            )
+            decoded_by_table = {}
             for t in state.tables:
                 key = keys[t]
-                generic = (
-                    parsed.where("f.op IN ('INSERT', 'UPDATE', 'DELETE')")
-                    .where(F.col("f.table") == F.lit(t))
-                    .select(
-                        "lsn",
-                        "seq",
-                        "ord",
-                        F.col("f.op").alias("op"),
-                        F.expr(strip.format(side="new_fields")).alias("fields"),
-                        F.expr(strip.format(side="old_fields")).alias("old_fields"),
-                    )
-                    .join(F.broadcast(reg), "lsn", "left")
-                    .withColumn(
-                        "commit_ts",
-                        F.timestamp_micros(
-                            F.col("_commit_us") + F.lit(MICROS_Y2K_SHIFT)
-                        ),
-                    )
-                    .drop("_commit_us")
-                )
-                decoded = decode_binary_feed(
-                    generic,
+                decoded_by_table[t] = decode_binary_feed(
+                    generic_all.where(F.col("_table") == F.lit(t)).drop("_table"),
                     field_oids[t],
                     old_key=(f"old_{key}", key, dict(field_oids[t])[key]),
                     fused=True,
                 ).withColumn(key, F.coalesce(F.col(key), F.col(f"old_{key}")))
-                new[t] = cdc_apply(current[t], decoded, key, cols[t])
-            state.commit(new, batch_id)
+            fold_commit_multi(
+                state, initial_snapshots, decoded_by_table, keys, cols, batch_id
+            )
             skip_streak["n"] = 0
         finally:
             parsed.unpersist()
@@ -472,7 +536,7 @@ def apply_wire_stream_multi(
 
 def _apply_wire_stream(
     frame_stream: DataFrame,
-    state: SnapshotState,
+    state,  # SnapshotState | BucketedSnapshotState
     tx_state: SnapshotState,
     rel_state: SnapshotState,
     initial_snapshot: DataFrame,
@@ -702,10 +766,7 @@ def _apply_wire_stream(
             decoded = decode_binary_feed(
                 generic, field_oids, old_key=(f"old_{key}", key, key_oid), fused=True
             ).withColumn(key, F.coalesce(F.col(key), F.col(f"old_{key}")))
-            current = state.read()
-            if current is None:
-                current = initial_snapshot
-            state.commit(cdc_apply(current, decoded, key, cols), batch_id)
+            fold_commit(state, initial_snapshot, decoded, key, cols, batch_id)
             skip_streak["n"] = 0
         finally:
             parsed.unpersist()
@@ -721,7 +782,7 @@ def _apply_wire_stream(
 
 def apply_pgoutput_stream(
     frame_stream: DataFrame,
-    state: SnapshotState,
+    state,  # SnapshotState | BucketedSnapshotState
     tx_state: SnapshotState,
     rel_state: SnapshotState,
     initial_snapshot: DataFrame,
@@ -790,7 +851,7 @@ def apply_pgoutput_stream(
 
 def apply_pglogical_stream(
     frame_stream: DataFrame,
-    state: SnapshotState,
+    state,  # SnapshotState | BucketedSnapshotState
     tx_state: SnapshotState,
     rel_state: SnapshotState,
     initial_snapshot: DataFrame,
@@ -851,7 +912,7 @@ def apply_pglogical_stream(
 
 def scd2_stream(
     feed_stream: DataFrame,
-    state: SnapshotState,
+    state,  # SnapshotState | BucketedSnapshotState
     initial_snapshot: DataFrame,
     key: str,
     cols: list[str],
@@ -865,15 +926,28 @@ def scd2_stream(
     gate, same exactly-once contract as ``apply_stream``. Converges to the
     one-shot ``scd2_history`` of the whole feed — the warehouse-side
     dimension stays continuously current as the reference's change stream
-    flows (pb/pgcapture.proto:24-51 old/new images exist for exactly this)."""
+    flows (pb/pgcapture.proto:24-51 old/new images exist for exactly this).
+
+    With a ``BucketedSnapshotState`` the version table is key-bucketed and a
+    micro-batch rewrites only the buckets of the keys it touches (per-key
+    version numbering depends only on that key's own rows, so confining the
+    merge to touched buckets is exact). The state starts EMPTY (no
+    ``initialize``) — keys gain version rows the first time a batch touches
+    them, and ``scd2_apply_batch`` treats an absent bucket the same as no
+    prior versions."""
     from pgcapture_spark.operators.history import scd2_apply_batch
 
     def _batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_id <= state.last_batch():
             return
-        current = state.read()
-        new_table = scd2_apply_batch(current, initial_snapshot, batch_df, key, cols)
-        state.commit(new_table, batch_id)
+        commit_keyed_state(
+            state,
+            batch_id,
+            batch_df.select(key),
+            lambda current: scd2_apply_batch(
+                current, initial_snapshot, batch_df, key, cols
+            ),
+        )
 
     writer = feed_stream.writeStream.foreachBatch(_batch).option(
         "checkpointLocation", checkpoint_dir

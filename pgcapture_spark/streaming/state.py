@@ -110,6 +110,23 @@ class BucketedSnapshotState:
     def _manifest(self) -> str:
         return os.path.join(self.root, "MANIFEST.json")
 
+    def initialized(self) -> bool:
+        return os.path.exists(self._manifest)
+
+    def touched_buckets(self, keys_df) -> list[int]:
+        """Bucket ids a change set touches — a distinct over at most
+        ``n_buckets`` values (bounded driver collect by construction)."""
+        from pyspark.sql import functions as F
+
+        return sorted(
+            r[0]
+            for r in keys_df.select(
+                F.pmod(F.hash(F.col(self.key)), F.lit(self.n_buckets)).alias("_b")
+            )
+            .distinct()
+            .collect()
+        )
+
     def _load(self) -> dict:
         if not os.path.exists(self._manifest):
             return {"batch_id": -1, "buckets": {}}

@@ -1227,3 +1227,328 @@ def test_legacy_nameless_relation_cache_keeps_decoding(spark):
         assert batch.exceptAll(final).count() == 0
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+# ---------------------------------------------------------------- round 6:
+# wire consumers on bucketed state (O(touched) commits) + proto dead-letter
+# recovery parity with pgoutput
+
+
+def _write_two_segment_wire(spark, msgs, cutoff_ord: int, wire_dir: str) -> None:
+    """Materialize a wire-frame DF as exactly two ord-split segment files with
+    strictly increasing mtimes (batch 0 = everything below cutoff, batch 1 =
+    the rest) — lets a test control precisely which keys the LAST micro-batch
+    touches."""
+    import os
+    import time
+
+    os.makedirs(wire_dir, exist_ok=True)
+    slices = [
+        msgs.where(f"ord < {cutoff_ord}").orderBy("ord"),
+        msgs.where(f"ord >= {cutoff_ord}").orderBy("ord"),
+    ]
+    t0 = time.time() - 100
+    for i, df in enumerate(slices):
+        tmp = f"{wire_dir}.tmp{i}"
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = next(
+            f for f in os.listdir(tmp)
+            if f.startswith("part-") and not f.endswith(".crc")
+        )
+        dst = os.path.join(wire_dir, f"seg-{i}.parquet")
+        shutil.move(os.path.join(tmp, part), dst)
+        os.utime(dst, (t0 + 50 * i, t0 + 50 * i))
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_wire_stream_bucketed_rewrites_only_touched_buckets(spark):
+    """Round-6 headline fix, asserted at the WIRE consumer: apply_wire_stream
+    committing through BucketedSnapshotState rewrites, per micro-batch, ONLY
+    the key-buckets that batch's change rows hash into. The last micro-batch
+    is pinned to the final two transactions (a handful of keys), so its
+    version dir must contain just those keys' buckets and every other bucket
+    pointer must still name an older version. Also pins vacuum(): after
+    convergence the state root holds exactly the versions the manifest
+    references."""
+    import json
+    import os
+
+    from pgcapture_spark.operators.generic_feed import CUSTOMER_FIELD_OIDS
+    from pgcapture_spark.querydefs.extras import proto_customer_messages
+    from pgcapture_spark.streaming.pipeline import apply_wire_stream
+    from pgcapture_spark.streaming.state import BucketedSnapshotState
+
+    register_views(spark, SF_SMALL, ("customer",))
+    snapshot = spark.table("customer")
+    feed = _feed(spark, SF_SMALL, "customer")
+    expected = cdc_apply(snapshot, feed, "c_custkey", CDC_COLS["customer"])
+    msgs, _ = proto_customer_messages(spark, SF_SMALL)
+
+    # cutoff: the second-largest lsn's Begin ord -> batch 1 = last two txs
+    lsns = sorted(r[0] for r in feed.select("lsn").distinct().collect())
+    cutoff = lsns[-2] * 100
+    suffix_keys = feed.where(f"lsn >= {lsns[-2]}").select("c_custkey")
+
+    d = tempfile.mkdtemp(prefix="pgcs_t_wire_bucketed_")
+    try:
+        _write_two_segment_wire(spark, msgs, cutoff, f"{d}/wire")
+        schema = spark.read.parquet(f"{d}/wire").schema
+        state = BucketedSnapshotState(spark, f"{d}/state", "c_custkey", n_buckets=32)
+        tx_state = SnapshotState(spark, f"{d}/txreg")
+        q = apply_wire_stream(
+            read_feed_stream(spark, f"{d}/wire", schema, max_files_per_trigger=1),
+            state, tx_state, snapshot, "c_custkey", CUSTOMER_FIELD_OIDS,
+            CDC_COLS["customer"], f"{d}/ckpt",
+        )
+        q.awaitTermination(300)
+
+        final = state.read().select(*expected.columns)
+        assert final.exceptAll(expected).count() == 0
+        assert expected.exceptAll(final).count() == 0
+
+        manifest = json.load(open(f"{d}/state/MANIFEST.json"))
+        assert manifest["batch_id"] == 1
+        last_version = f"v{1:012d}"
+        repointed = {int(b) for b, v in manifest["buckets"].items() if v == last_version}
+        expected_buckets = set(state.touched_buckets(suffix_keys))
+        assert repointed == expected_buckets
+        assert len(repointed) < state.n_buckets, "last batch must not rewrite all buckets"
+        # the last version dir holds ONLY the touched buckets' files
+        on_disk = {
+            int(name.split("=")[1])
+            for name in os.listdir(f"{d}/state/{last_version}")
+            if name.startswith("_b=")
+        }
+        assert on_disk == expected_buckets
+        # vacuum contract: state root holds exactly the referenced versions
+        referenced = set(manifest["buckets"].values())
+        versions_on_disk = {
+            n for n in os.listdir(f"{d}/state")
+            if os.path.isdir(f"{d}/state/{n}") and n.startswith("v")
+        }
+        assert versions_on_disk == referenced
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def _poison_first_segments(spark, wire_dir: str, n: int) -> None:
+    """Overwrite the Change frames (ord % 100 in 1..98) of the N oldest
+    segment files with undecodable bytes, in place, preserving file names and
+    mtimes (Begin/Commit frames stay valid — the tx registry must keep
+    folding from quarantined batches)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    parts = sorted(
+        f for f in os.listdir(wire_dir)
+        if f.startswith("part-") and not f.endswith(".crc")
+    )
+    for name in parts[:n]:
+        p = os.path.join(wire_dir, name)
+        st = os.stat(p)
+        df = spark.read.parquet(f"file://{p}")
+        doctored = df.withColumn(
+            "data",
+            F.when(
+                F.col("ord") % 100 % 99 != 0,
+                F.lit(bytearray(b"\xfe\xff\x00garbage")),
+            ).otherwise(F.col("data")),
+        )
+        tmp = p + ".doctor"
+        doctored.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = next(
+            f for f in os.listdir(tmp)
+            if f.startswith("part-") and not f.endswith(".crc")
+        )
+        os.replace(os.path.join(tmp, part), p)
+        shutil.rmtree(tmp, ignore_errors=True)
+        # the local FS keeps a sidecar checksum per part file; the replaced
+        # bytes invalidate it
+        crc = os.path.join(wire_dir, f".{name}.crc")
+        if os.path.exists(crc):
+            os.remove(crc)
+        os.utime(p, (st.st_atime, st.st_mtime))
+
+
+def test_proto_deadletter_replay_recovers_full_snapshot(spark):
+    """The documented recovery order, exercised on the PROTO single-table
+    consumer (parity with the pgoutput test): the first three data batches
+    carry undecodable Change bytes -> each parks under deadletter/ and the
+    stream fails loudly at max_consecutive_skips; the operator repairs the
+    parked frames from the upstream log (join on the (lsn, seq, ord) offsets
+    — re-fetch-by-offset, the Pulsar replay model), replays them FIRST into a
+    fresh state, then resumes the ORIGINAL checkpoint (already past the
+    parked batches) seeded from the replayed snapshot. Final state must equal
+    the batch apply. Begin frames in the poisoned batches stay valid, so this
+    also pins the unconditional tx-registry fold: the parked rows' commit
+    timestamps survive the crash."""
+    import glob
+
+    from pyspark.errors import StreamingQueryException
+
+    from pgcapture_spark.operators.generic_feed import CUSTOMER_FIELD_OIDS
+    from pgcapture_spark.querydefs.extras import proto_customer_messages
+    from pgcapture_spark.streaming.pipeline import apply_wire_stream
+    from pgcapture_spark.streaming.state import BucketedSnapshotState
+
+    register_views(spark, SF_SMALL, ("customer",))
+    snapshot = spark.table("customer")
+    feed = _feed(spark, SF_SMALL, "customer")
+    expected = cdc_apply(snapshot, feed, "c_custkey", CDC_COLS["customer"])
+    msgs, _ = proto_customer_messages(spark, SF_SMALL)
+
+    d = tempfile.mkdtemp(prefix="pgcs_t_proto_replay_")
+    try:
+        materialize_feed(msgs, f"{d}/wire_clean", n_segments=8)
+        shutil.copytree(f"{d}/wire_clean", f"{d}/wire", copy_function=shutil.copy2)
+        _poison_first_segments(spark, f"{d}/wire", 3)
+        schema = spark.read.parquet(f"{d}/wire").schema
+
+        state = BucketedSnapshotState(spark, f"{d}/state", "c_custkey", n_buckets=16)
+        tx_state = SnapshotState(spark, f"{d}/txreg")
+        q = apply_wire_stream(
+            read_feed_stream(spark, f"{d}/wire", schema, max_files_per_trigger=1),
+            state, tx_state, snapshot, "c_custkey", CUSTOMER_FIELD_OIDS,
+            CDC_COLS["customer"], f"{d}/ckpt", max_consecutive_skips=3,
+        )
+        with pytest.raises(
+            StreamingQueryException,
+            match="data batches quarantined since the last successful apply",
+        ):
+            q.awaitTermination(300)
+        parked = sorted(glob.glob(f"{d}/ckpt/deadletter/batch_*"))
+        assert len(parked) == 3
+        assert state.read() is None  # nothing applied under quarantine
+
+        # (1) repair parked frames by offset against the upstream log, replay
+        # FIRST (oldest unapplied events) into a fresh state; tx registry is
+        # the PERSISTED one from the crashed run
+        clean = spark.read.parquet(f"{d}/wire_clean")
+        repaired = (
+            spark.read.parquet(*parked)
+            .select("lsn", "seq", "ord")
+            .join(clean, ["lsn", "seq", "ord"])
+            .select("lsn", "seq", "ord", "data")
+        )
+        materialize_feed(repaired, f"{d}/wire_replay", n_segments=2)
+        state_r = BucketedSnapshotState(
+            spark, f"{d}/state_replay", "c_custkey", n_buckets=16
+        )
+        q2 = apply_wire_stream(
+            read_feed_stream(spark, f"{d}/wire_replay", schema, max_files_per_trigger=1),
+            state_r, tx_state, snapshot, "c_custkey", CUSTOMER_FIELD_OIDS,
+            CDC_COLS["customer"], f"{d}/ckpt_replay", max_consecutive_skips=3,
+        )
+        q2.awaitTermination(300)
+        after_replay = state_r.read()
+        assert after_replay is not None
+
+        # (2) resume the ORIGINAL checkpoint: offsets already past the parked
+        # batches; the crashed state is empty, so the fold seeds from the
+        # replayed snapshot
+        q3 = apply_wire_stream(
+            read_feed_stream(spark, f"{d}/wire", schema, max_files_per_trigger=1),
+            state, tx_state, after_replay, "c_custkey", CUSTOMER_FIELD_OIDS,
+            CDC_COLS["customer"], f"{d}/ckpt", max_consecutive_skips=3,
+        )
+        q3.awaitTermination(300)
+        recovered = state.read().select(*expected.columns)
+        assert recovered.exceptAll(expected).count() == 0
+        assert expected.exceptAll(recovered).count() == 0
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_proto_multi_deadletter_replay_recovers_both_tables(spark):
+    """Same recovery order on the MULTI-TABLE proto consumer: poisoned data
+    batches park before the checkpoint advances, the cross-batch tx registry
+    keeps folding, repaired frames replay first, and the resumed stream
+    converges BOTH tables (under one atomic bucketed manifest) to their batch
+    apply results."""
+    import glob
+
+    from pyspark.errors import StreamingQueryException
+
+    from pgcapture_spark.catalog import CDC_COLS as _CC
+    from pgcapture_spark.operators.generic_feed import CUSTOMER_FIELD_OIDS
+    from pgcapture_spark.querydefs.extras import ORDERS_FIELD_OIDS, proto_multi_messages
+    from pgcapture_spark.streaming.multi import BucketedMultiTableState
+    from pgcapture_spark.streaming.pipeline import apply_wire_stream_multi
+
+    register_views(spark, SF_SMALL, ("customer", "orders"))
+    snapshots = {
+        "customer": spark.table("customer"),
+        "orders": spark.table("orders"),
+    }
+    expected = {
+        "customer": cdc_apply(
+            snapshots["customer"], _feed(spark, SF_SMALL, "customer"),
+            "c_custkey", _CC["customer"],
+        ),
+        "orders": cdc_apply(
+            snapshots["orders"], _feed(spark, SF_SMALL, "orders"),
+            "o_orderkey", _CC["orders"],
+        ),
+    }
+    msgs, _ = proto_multi_messages(spark, SF_SMALL)
+    keys = {"customer": "c_custkey", "orders": "o_orderkey"}
+    oids = {"customer": CUSTOMER_FIELD_OIDS, "orders": ORDERS_FIELD_OIDS}
+    cols = {"customer": _CC["customer"], "orders": _CC["orders"]}
+
+    def _mk_state(root):
+        return BucketedMultiTableState(
+            spark, root, ["customer", "orders"], keys, n_buckets=16
+        )
+
+    d = tempfile.mkdtemp(prefix="pgcs_t_proto_multi_replay_")
+    try:
+        materialize_feed(msgs, f"{d}/wire_clean", n_segments=8)
+        shutil.copytree(f"{d}/wire_clean", f"{d}/wire", copy_function=shutil.copy2)
+        _poison_first_segments(spark, f"{d}/wire", 3)
+        schema = spark.read.parquet(f"{d}/wire").schema
+
+        state = _mk_state(f"{d}/state")
+        tx_state = SnapshotState(spark, f"{d}/txreg")
+        q = apply_wire_stream_multi(
+            read_feed_stream(spark, f"{d}/wire", schema, max_files_per_trigger=1),
+            state, tx_state, snapshots, keys, oids, cols,
+            f"{d}/ckpt", max_consecutive_skips=3,
+        )
+        with pytest.raises(StreamingQueryException):
+            q.awaitTermination(300)
+        parked = sorted(glob.glob(f"{d}/ckpt/deadletter/batch_*"))
+        assert len(parked) == 3
+        assert state.read() is None
+
+        clean = spark.read.parquet(f"{d}/wire_clean")
+        repaired = (
+            spark.read.parquet(*parked)
+            .select("lsn", "seq", "ord")
+            .join(clean, ["lsn", "seq", "ord"])
+            .select("lsn", "seq", "ord", "data")
+        )
+        materialize_feed(repaired, f"{d}/wire_replay", n_segments=2)
+        state_r = _mk_state(f"{d}/state_replay")
+        q2 = apply_wire_stream_multi(
+            read_feed_stream(spark, f"{d}/wire_replay", schema, max_files_per_trigger=1),
+            state_r, tx_state, snapshots, keys, oids, cols,
+            f"{d}/ckpt_replay", max_consecutive_skips=3,
+        )
+        q2.awaitTermination(300)
+        after_replay = state_r.read()
+        assert after_replay is not None
+
+        q3 = apply_wire_stream_multi(
+            read_feed_stream(spark, f"{d}/wire", schema, max_files_per_trigger=1),
+            state, tx_state, after_replay, keys, oids, cols,
+            f"{d}/ckpt", max_consecutive_skips=3,
+        )
+        q3.awaitTermination(300)
+        recovered = state.read()
+        for t in ("customer", "orders"):
+            got = recovered[t].select(*expected[t].columns)
+            assert got.exceptAll(expected[t]).count() == 0, t
+            assert expected[t].exceptAll(got).count() == 0, t
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
