@@ -88,47 +88,49 @@ from pgcapture_spark.querydefs import (  # noqa: E402,F401
     vector as _qd_vector,
     history as _qd_history,
     retrieval as _qd_retrieval,
+    r6wave as _qd_r6wave,
 )
 
-# The driver verifies the FIRST ~50 registry entries each round. Rounds 1-4
-# drove 172/218 queries green (CORRECTNESS_r01..r04 — r3 and r4 were 50/50).
-# ROUND-5 WINDOW (the staged _WINDOW_R5 from round 4, now applied): the 46
-# never-driver-verified queries in dependency-family order — time-series,
-# events analytics, text tail, sketches, media, graph/vector residue, and
-# the r4 late wave — padded to 50 with 4 previously-green canaries that
-# exercise the four engine pillars (CDC apply, TPC-H join planning, LSH
-# dedup, vector search). This single window completes cumulative driver
-# coverage of the full 218-query registry.
+# The driver verifies the FIRST ~50 registry entries each round. Rounds 1-5
+# drove ALL 218 pre-freeze queries green (CORRECTNESS_r01..r05 — cumulative
+# coverage complete, freeze lifted per the r5 verdict).
+# ROUND-6 WINDOW: the 11 NEW r6-wave queries (the queued post-freeze
+# operators: IVM join view batch+streamed, theta-sketch top-k intersections,
+# edit-distance join, z-order row-group stats, plus the training-pipeline
+# tail — packing, decontamination, A/B stats, basket lift, class balance,
+# mix schedule), then the 9 streamed applies RE-verified on the round-6
+# BUCKETED state layer (their state commits changed from full-snapshot
+# rewrite to O(touched-buckets) — a green row re-certifies the conversion),
+# padded with previously-green canaries across the engine pillars.
 #
-# FREEZE discipline (round-4 verdict task #7): no new declared queries this
-# round — registry stays at 218 until cumulative driver coverage is 218/218.
-# New-operator ideas queue for r6:
-#   QUEUED_R6: incremental view maintenance over the CDC feeds (delta-agg),
-#   top-k theta-sketch set intersections, string-edit-distance join via
-#   length+prefix pruning, Parquet row-group z-order clustering stats.
+# PACE discipline (r5 verdict task #2): add no more new queries per round
+# than one ~50-slot driver window verifies; every addition lands with a
+# DuckDB oracle and goes straight into the window (never the unverified
+# pool).
 _WINDOW: tuple[str, ...] = (
-    # CDC / time-series residue
-    "cdc_tx_stats", "events_interval_overlap_join", "ts_ewma",
-    "ts_resample_ohlc", "ts_rolling_zscore", "ts_interpolate_linear",
-    "ts_ohlc_streamed", "cdc_compaction_plan", "events_watermark_sizing",
-    # events analytics
-    "events_funnel", "events_retention_cohorts", "events_markov_transitions",
-    "events_cumulative_users", "text_bigram_surprisal", "text_oov_rate",
-    "text_zipf_slope", "bpe_merge_candidates", "text_bpe_tokenize",
-    "agg_hist_quantile_merge", "join_bloom_prefilter", "media_neardup_phash",
-    "media_audio_windows", "media_scene_cuts", "sim_knn_graph",
-    "sim_pagerank", "sim_mips_topk", "sim_dim_standardize",
-    "sim_centroid_outliers", "sample_weighted_reservoir",
-    "events_zorder_layout", "corpus_split_leakage_safe", "sim_mmr_rerank",
-    "agg_countmin_topk", "agg_heavy_hitters_streamed",
-    "events_hll_sliding_uniques", "sample_coreset_kcenter",
-    "media_dedup_exact", "sim_ood_knn_score", "events_path_topk",
-    "corpus_length_curriculum", "sim_hamming_topk", "graph_triangle_count",
-    "agg_kmv_distinct", "sim_embed_covariance", "corpus_drift_psi",
-    "sim_pq_train_codes",
-    # canaries (driver-green r1/r2)
-    "cdc_apply_customer", "tpch_q1_pricing_summary", "dedup_minhash_lsh",
-    "sim_cosine_topk",
+    # --- r6 wave (new this round) ---
+    "cdc_ivm_join_view", "cdc_ivm_join_view_streamed",
+    "agg_theta_intersect_topk", "dedup_editdist_join",
+    "events_zorder_rowgroup_stats", "corpus_pack_chunks",
+    "corpus_decontaminate", "events_ab_test_stats", "basket_brand_lift",
+    "sample_class_balance", "corpus_mix_schedule",
+    # --- streamed applies re-verified on bucketed state (changed this round)
+    "cdc_apply_customer_streamed", "cdc_apply_customer_feedsource",
+    "cdc_apply_multi_streamed", "cdc_apply_proto_streamed",
+    "cdc_apply_proto_multi_streamed", "cdc_apply_proto_multi_streamed_orders",
+    "cdc_apply_pgoutput_streamed", "cdc_apply_pglogical_streamed",
+    "cdc_scd2_streamed", "cdc_incremental_agg_streamed",
+    # --- canaries (previously driver-green; engine pillars) ---
+    "cdc_apply_customer", "cdc_apply_orders", "cdc_apply_from_proto",
+    "cdc_toast_effective_image", "cdc_tx_stats", "backfill_union_merge",
+    "tpch_q1_pricing_summary", "tpch_q3_shipping_priority",
+    "join_bloom_prefilter", "events_asof_join", "events_stream_windowed",
+    "ts_ohlc_streamed", "events_funnel", "dedup_minhash_lsh", "dedup_exact",
+    "dedup_simhash", "corpus_dedup_keepbest", "sim_cosine_topk",
+    "sim_ivf_ann", "sim_pq_adc_ann", "sim_hamming_topk", "kmeans_embed",
+    "graph_triangle_count", "agg_kmv_distinct", "agg_hll_sketch_merge",
+    "agg_heavy_hitters", "text_bm25_topk", "text_quality_score",
+    "media_neardup_phash",
 )
 
 

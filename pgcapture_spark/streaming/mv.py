@@ -107,3 +107,97 @@ def incremental_agg_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def ivm_join_stream(
+    feed_stream: DataFrame,
+    state,  # BucketedMultiTableState over ["orders", "customer", "mv"]
+    initial_orders: DataFrame,
+    initial_customer: DataFrame,
+    orders_cols: list[str],
+    customer_cols: list[str],
+    checkpoint_dir: str,
+    table_col: str = "table_name",
+) -> StreamingQuery:
+    """Streamed JOIN-view maintenance: ONE typed stream carrying orders AND
+    customer changes; each micro-batch computes the signed join-view delta
+    (operators/ivm.py) against the CURRENT snapshots, then BOTH snapshots and
+    the view advance under one atomic bucketed manifest — touched key-buckets
+    only, the round-6 state discipline. A crash between writes leaves the
+    manifest on the previous batch, so a replayed delta can never
+    double-count (the PairedState consistency argument, three tables wide).
+
+    Converges to ``join_view_base(applied orders, applied customer)`` — the
+    same from-scratch oracle as the batch ``cdc_ivm_join_view``."""
+    from pyspark.sql import functions as F
+
+    from pgcapture_spark.operators.apply import last_image, merge_images
+    from pgcapture_spark.operators.ivm import (
+        ivm_join_delta,
+        join_view_base,
+        merge_view_delta,
+        signed_key_delta,
+    )
+
+    keys = {"orders": "o_orderkey", "customer": "c_custkey"}
+    cols = {"orders": orders_cols, "customer": customer_cols}
+    initial = {"orders": initial_orders, "customer": initial_customer}
+
+    def _batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id <= state.last_batch():
+            return
+        if not state.initialized():
+            state.initialize(
+                {
+                    "orders": initial_orders.select("o_orderkey", *orders_cols),
+                    "customer": initial_customer.select("c_custkey", *customer_cols),
+                    "mv": join_view_base(initial_orders, initial_customer),
+                }
+            )
+        cur = state.read()
+        subs = {
+            t: batch_df.where(F.col(table_col) == F.lit(t)).select(
+                "ord", "op", "present", keys[t], *cols[t]
+            )
+            for t in ("orders", "customer")
+        }
+        deltas = {
+            t: signed_key_delta(cur[t], subs[t], keys[t], cols[t]).persist()
+            for t in ("orders", "customer")
+        }
+        view_delta = ivm_join_delta(
+            cur["orders"], cur["customer"], deltas["orders"], deltas["customer"]
+        ).persist()
+        try:
+            merged: dict[str, tuple[DataFrame, list[int]]] = {}
+            for t in ("orders", "customer"):
+                img = last_image(subs[t], keys[t], cols[t])
+                buckets = state.touched_buckets(t, deltas[t].select(keys[t]))
+                if not buckets:
+                    continue
+                base = state.read_buckets(t, buckets)
+                base = (
+                    base.select(keys[t], *cols[t])
+                    if base is not None
+                    else initial[t].select(keys[t], *cols[t]).limit(0)
+                )
+                merged[t] = (merge_images(base, img, keys[t], cols[t]), buckets)
+            mv_buckets = state.touched_buckets("mv", view_delta.select("c_nationkey"))
+            if mv_buckets:
+                mv_cur = state.read_buckets("mv", mv_buckets)
+                assert mv_cur is not None, "mv state must be initialized"
+                merged["mv"] = (merge_view_delta(mv_cur, view_delta), mv_buckets)
+            if merged:
+                state.commit(merged, batch_id)
+                state.vacuum()
+        finally:
+            view_delta.unpersist()
+            for d in deltas.values():
+                d.unpersist()
+
+    return (
+        feed_stream.writeStream.foreachBatch(_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
