@@ -198,6 +198,25 @@ HEADLINE = [
     "sim_embed_covariance",
     "corpus_drift_psi",
     "sim_pq_train_codes",
+    # r6 wave: join-view IVM (batch + streamed on bucketed state), theta
+    # intersections, edit-distance join, z-order row-group stats, and the
+    # training-pipeline tail
+    "cdc_ivm_join_view",
+    "cdc_ivm_join_view_streamed",
+    "agg_theta_intersect_topk",
+    "dedup_editdist_join",
+    "events_zorder_rowgroup_stats",
+    "corpus_pack_chunks",
+    "corpus_decontaminate",
+    "events_ab_test_stats",
+    "basket_brand_lift",
+    "sample_class_balance",
+    "corpus_mix_schedule",
+    "sim_matryoshka_recall",
+    "sim_filtered_ann",
+    "ts_changepoint_cusum",
+    "cdc_present_stats",
+    "events_attribution_linear",
 ]
 
 

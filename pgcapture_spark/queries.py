@@ -108,12 +108,14 @@ from pgcapture_spark.querydefs import (  # noqa: E402,F401
 # DuckDB oracle and goes straight into the window (never the unverified
 # pool).
 _WINDOW: tuple[str, ...] = (
-    # --- r6 wave (new this round) ---
+    # --- r6 wave (new this round; 16 queries) ---
     "cdc_ivm_join_view", "cdc_ivm_join_view_streamed",
     "agg_theta_intersect_topk", "dedup_editdist_join",
     "events_zorder_rowgroup_stats", "corpus_pack_chunks",
     "corpus_decontaminate", "events_ab_test_stats", "basket_brand_lift",
     "sample_class_balance", "corpus_mix_schedule",
+    "sim_matryoshka_recall", "sim_filtered_ann", "ts_changepoint_cusum",
+    "cdc_present_stats", "events_attribution_linear",
     # --- streamed applies re-verified on bucketed state (changed this round)
     "cdc_apply_customer_streamed", "cdc_apply_customer_feedsource",
     "cdc_apply_multi_streamed", "cdc_apply_proto_streamed",
@@ -122,15 +124,14 @@ _WINDOW: tuple[str, ...] = (
     "cdc_scd2_streamed", "cdc_incremental_agg_streamed",
     # --- canaries (previously driver-green; engine pillars) ---
     "cdc_apply_customer", "cdc_apply_orders", "cdc_apply_from_proto",
-    "cdc_toast_effective_image", "cdc_tx_stats", "backfill_union_merge",
+    "cdc_toast_effective_image", "backfill_union_merge",
     "tpch_q1_pricing_summary", "tpch_q3_shipping_priority",
     "join_bloom_prefilter", "events_asof_join", "events_stream_windowed",
-    "ts_ohlc_streamed", "events_funnel", "dedup_minhash_lsh", "dedup_exact",
-    "dedup_simhash", "corpus_dedup_keepbest", "sim_cosine_topk",
-    "sim_ivf_ann", "sim_pq_adc_ann", "sim_hamming_topk", "kmeans_embed",
-    "graph_triangle_count", "agg_kmv_distinct", "agg_hll_sketch_merge",
-    "agg_heavy_hitters", "text_bm25_topk", "text_quality_score",
-    "media_neardup_phash",
+    "ts_ohlc_streamed", "events_funnel", "dedup_minhash_lsh",
+    "corpus_dedup_keepbest", "sim_cosine_topk", "sim_ivf_ann",
+    "sim_hamming_topk", "kmeans_embed", "graph_triangle_count",
+    "agg_kmv_distinct", "agg_hll_sketch_merge", "agg_heavy_hitters",
+    "text_bm25_topk", "media_neardup_phash",
 )
 
 

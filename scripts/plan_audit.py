@@ -64,6 +64,13 @@ ALLOWED_SCANS = {
     # CCNet terciles: LM build + threshold quantiles + scoring arms each
     # re-derive the token stream (same measured re-scan-beats-cache result)
     "corpus_perplexity_buckets": 8,
+    # join-view IVM references TWO synthesized CDC feeds across its three
+    # delta terms + the base view; the deltas persist and the join-merged
+    # shape lets the cache substitute (a union there defeats substitution
+    # entirely — see operators/ivm.py), but the formatted explain prints the
+    # cached delta's plan per InMemoryTableScan occurrence, so the counter
+    # sees feed-synthesis scans (~8-15 per feed, the BLANKET class) twice
+    "cdc_ivm_join_view": 36,
 }
 BLANKET = 8  # everything CDC-feed-derived scans its source ~5-8x
 

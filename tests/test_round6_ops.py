@@ -275,3 +275,29 @@ def test_pack_and_mix_conservation(spark, name):
         n_langs = got.count()
         # floor rounding loses < 1 ppm per language
         assert 1_000_000 - n_langs <= s <= 1_000_000
+
+
+def test_cusum_changepoint_matches_float_reference():
+    """The cross-multiplied integer CUSUM |n·cumᵢ - i·total| picks the same
+    argmax as the textbook float form max |Σ(xⱼ - x̄)| (it is the float
+    statistic scaled by n·100 — scaling preserves the argmax), checked on a
+    synthetic series with a known mean shift at index 6. (The query itself
+    is oracle-checked in the parity sweep; this pins the algebraic identity
+    the integer form relies on.)"""
+    vals = [1.0, 1.2, 0.9, 1.1, 1.0, 1.05, 5.0, 5.2, 4.9, 5.1]
+    cents = [int(v * 100 + 0.5) for v in vals]
+    n, total = len(cents), sum(cents)
+    cum, best = 0, (0, -1)
+    for i, c in enumerate(cents, start=1):
+        cum += c
+        d = abs(n * cum - i * total)
+        if d > best[0]:
+            best = (d, i)
+    # float reference argmax
+    mean = sum(vals) / len(vals)
+    fcum, fbest = 0.0, (0.0, -1)
+    for i, v in enumerate(vals, start=1):
+        fcum += v - mean
+        if abs(fcum) > fbest[0]:
+            fbest = (abs(fcum), i)
+    assert best[1] == fbest[1] == 6  # the shift lands after index 6
