@@ -197,9 +197,12 @@ class BucketedMultiTableState:
         version = f"v{batch_id:012d}"
 
         def _write(item):
-            t, (df, _) = item
+            t, (df, buckets) = item
             (
+                # cluster by bucket first: one task (and one file) per
+                # touched bucket — see BucketedSnapshotState.commit_buckets
                 df.withColumn("_b", self._bucket_col(t))
+                .repartition(max(1, len(buckets)), F.col("_b"))
                 .write.mode("overwrite")
                 .partitionBy("_b")
                 .parquet(os.path.join(self.root, version, t))

@@ -182,10 +182,19 @@ class BucketedSnapshotState:
 
     def commit_buckets(self, merged: DataFrame, buckets: list[int], batch_id: int) -> None:
         """Write the merged rows of the touched buckets as a new version,
-        re-point only those buckets. Idempotent per batch_id."""
+        re-point only those buckets. Idempotent per batch_id.
+
+        The write clusters rows by bucket first (one task per touched
+        bucket), so each bucket dir gets ONE file instead of one per
+        (upstream partition × bucket) — file count per version stays
+        O(touched buckets), and the extra exchange moves only the touched
+        data the merge already shuffled."""
+        from pyspark.sql import functions as F
+
         version = f"v{batch_id:012d}"
         (
             merged.withColumn("_b", self._bucket_col())
+            .repartition(max(1, len(buckets)), F.col("_b"))
             .write.mode("overwrite")
             .partitionBy("_b")
             .parquet(os.path.join(self.root, version))
