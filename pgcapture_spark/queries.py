@@ -107,6 +107,14 @@ from pgcapture_spark.querydefs import (  # noqa: E402,F401
 # than one ~50-slot driver window verifies; every addition lands with a
 # DuckDB oracle and goes straight into the window (never the unverified
 # pool).
+# QUEUED_R7 candidates (stage into the next window, same pace rule):
+#   graph k-core peeling (iterative, rows-only check), session-window
+#   last/first-touch attribution variants, streaming dedup with TTL'd
+#   state (dropDuplicates + watermark eviction audit), tx-registry prune
+#   as a declared maintenance query (operator exists:
+#   streaming/pipeline.py::prune_tx_registry), snapshot-diff compaction
+#   planner over bucketed state manifests, per-source quality-drift
+#   monitors (PSI over time windows — extends corpus_drift_psi).
 _WINDOW: tuple[str, ...] = (
     # --- r6 wave (new this round; 16 queries) ---
     "cdc_ivm_join_view", "cdc_ivm_join_view_streamed",

@@ -80,7 +80,15 @@ def probe_and_fold_tx(parsed, tx_state: SnapshotState, batch_id: int):
 
     Returns ``(probe, reg)`` — probe has ``err`` (first parse_error or
     None) and ``n_rows``; reg is the COMMITTED registry (planned off its
-    parquet files, not the in-memory union chain)."""
+    parquet files, not the in-memory union chain).
+
+    GROWTH BOUND: the registry accumulates one row per transaction for the
+    stream's lifetime and is rewritten + broadcast whole every batch — fine
+    for the replication-lag horizon it actually serves, unbounded if never
+    maintained (the same storage class the reference bounds by acking LSNs
+    so the broker discards delivered data). :func:`prune_tx_registry` is the
+    offline maintenance op (the ``compact_log`` analog); its safe watermark
+    comes from the log's total ord order."""
     from pyspark.sql import functions as F
 
     probe = parsed.agg(
@@ -108,7 +116,50 @@ def probe_and_fold_tx(parsed, tx_state: SnapshotState, batch_id: int):
         reg = reg.unionByName(begins.join(reg.select("lsn"), "lsn", "left_anti"))
     if batch_id > tx_state.last_batch():
         tx_state.commit(reg, batch_id)
+        tx_state.vacuum()
     return probe, tx_state.read()
+
+
+def prune_tx_registry(tx_state: SnapshotState, safe_ord: int) -> tuple[int, int]:
+    """Offline tx-registry retention (single-writer maintenance, the
+    ``compact_log`` analog): drop Begin entries whose whole transaction lies
+    strictly before ``safe_ord`` in the log's total order — their rows can
+    never arrive again, so their commit timestamps are dead weight.
+
+    A tx with lsn L occupies ord slots [L*100, L*100+99] (Begin, rows,
+    Commit). Under the log contract (segments delivered in ord order —
+    sources/feed.py; the reference's Pulsar topic keys by LSN|seq the same
+    way) every frame still undelivered has ord ≥ the consumer's checkpoint
+    position, so ``safe_ord`` = that position minus the dead-letter horizon
+    (the oldest parked batch's min ord, when a quarantine is outstanding —
+    parked frames replay with their ORIGINAL lsns and must still resolve).
+    Entries with ``lsn*100 + 99 < safe_ord`` are removed.
+
+    Returns (rows_before, rows_after). The manifest's ``batch_id`` is left
+    UNCHANGED — a maintenance commit must never advance the stream's replay
+    gate (the next real micro-batch would be skipped as a replay) — so the
+    pruned registry lands in a fresh ``.pruneK`` version dir and the old
+    versions vacuum away. Idempotent under re-run (pruning is monotone; a
+    re-run writes the next K)."""
+    import json as _json
+    import re as _re
+
+    from pyspark.sql import functions as F
+
+    reg = tx_state.read()
+    if reg is None:
+        return (0, 0)
+    before = reg.count()
+    kept = reg.where(F.col("lsn") * 100 + 99 >= safe_ord)
+    last = tx_state.last_batch()
+    with open(tx_state._manifest) as f:
+        cur_ver = _json.load(f)["version"]
+    m = _re.search(r"\.prune(\d+)$", cur_ver)
+    k = int(m.group(1)) + 1 if m else 1
+    tx_state.commit(kept, last, version=f"v{last:012d}.prune{k}")
+    after = tx_state.read().count()  # count the COMMITTED copy before vacuum
+    tx_state.vacuum()
+    return (before, after)
 
 
 def commit_keyed_state(

@@ -48,10 +48,15 @@ class SnapshotState:
             version = json.load(f)["version"]
         return self.spark.read.parquet(os.path.join(self.root, version))
 
-    def commit(self, df: DataFrame, batch_id: int) -> None:
+    def commit(self, df: DataFrame, batch_id: int, version: str | None = None) -> None:
         """Write a new version; atomically swing the manifest. Re-running the
-        same batch_id rewrites the same version dir → idempotent."""
-        version = f"v{batch_id:012d}"
+        same batch_id rewrites the same version dir → idempotent. ``version``
+        overrides the directory name for maintenance rewrites that must keep
+        ``batch_id`` unchanged (a maintenance commit may never advance the
+        stream's replay gate) while still writing a FRESH dir — overwriting
+        the manifest-current dir in place would corrupt it on a mid-write
+        crash."""
+        version = version or f"v{batch_id:012d}"
         df.write.mode("overwrite").parquet(os.path.join(self.root, version))
         fd, tmp = tempfile.mkstemp(dir=self.root, suffix=".manifest")
         with os.fdopen(fd, "w") as f:

@@ -1552,3 +1552,51 @@ def test_proto_multi_deadletter_replay_recovers_both_tables(spark):
             assert expected[t].exceptAll(got).count() == 0, t
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_prune_tx_registry_retention(spark, tmpdir):
+    """tx-registry retention maintenance: entries whose whole transaction
+    (ord slots [lsn*100, lsn*100+99]) lies before the safe watermark are
+    dropped; the manifest batch_id is UNCHANGED (the stream's replay gate
+    must not advance — the next real micro-batch would be skipped);
+    superseded versions vacuum away; re-running is idempotent; and a
+    subsequent fold under the next batch id still commits."""
+    import json
+    import os
+
+    from pgcapture_spark.streaming.pipeline import probe_and_fold_tx, prune_tx_registry
+
+    tx = SnapshotState(spark, f"{tmpdir}/txreg")
+    reg = spark.createDataFrame(
+        [(10, 111), (20, 222), (30, 333), (40, 444)], "lsn bigint, _commit_us bigint"
+    )
+    tx.commit(reg, 5)
+
+    # safe_ord = 3000: txs 10 and 20 end at ord 1099/2099 < 3000 -> pruned;
+    # tx 30 ends at 3099 >= 3000 -> kept
+    before, after = prune_tx_registry(tx, safe_ord=3000)
+    assert (before, after) == (4, 2)
+    assert sorted(r["lsn"] for r in tx.read().collect()) == [30, 40]
+    assert tx.last_batch() == 5  # replay gate untouched
+    manifest = json.load(open(f"{tmpdir}/txreg/MANIFEST.json"))
+    assert manifest["version"].endswith(".prune1")
+    versions = [n for n in os.listdir(f"{tmpdir}/txreg")
+                if os.path.isdir(f"{tmpdir}/txreg/{n}")]
+    assert versions == [manifest["version"]]  # old versions vacuumed
+
+    # idempotent re-run: monotone, writes the next K, same content
+    b2, a2 = prune_tx_registry(tx, safe_ord=3000)
+    assert (b2, a2) == (2, 2)
+    assert json.load(open(f"{tmpdir}/txreg/MANIFEST.json"))["version"].endswith(
+        ".prune2"
+    )
+
+    # the stream's next fold still commits (gate intact)
+    parsed = spark.createDataFrame(
+        [(50, 0, 5000, ("BEGIN", None, 555, 0))],
+        "lsn bigint, seq int, ord bigint,"
+        " f struct<op:string, parse_error:string, commit_us:bigint, n:int>",
+    )
+    probe, reg2 = probe_and_fold_tx(parsed, tx, batch_id=6)
+    assert tx.last_batch() == 6
+    assert sorted(r["lsn"] for r in reg2.collect()) == [30, 40, 50]
