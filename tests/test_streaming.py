@@ -1320,6 +1320,13 @@ def test_wire_stream_bucketed_rewrites_only_touched_buckets(spark):
             if name.startswith("_b=")
         }
         assert on_disk == expected_buckets
+        # and the clustered write keeps it to ONE data file per bucket
+        for b in on_disk:
+            files = [
+                f for f in os.listdir(f"{d}/state/{last_version}/_b={b}")
+                if f.startswith("part-") and not f.endswith(".crc")
+            ]
+            assert len(files) == 1, (b, files)
         # vacuum contract: state root holds exactly the referenced versions
         referenced = set(manifest["buckets"].values())
         versions_on_disk = {
