@@ -217,6 +217,12 @@ HEADLINE = [
     "ts_changepoint_cusum",
     "cdc_present_stats",
     "events_attribution_linear",
+    "events_attribution_last_touch",
+    "ts_seasonal_hourly_outlier",
+    "text_vocab_coverage",
+    "corpus_temperature_mix",
+    "cdc_feed_order_audit",
+    "sim_embedding_drift",
 ]
 
 

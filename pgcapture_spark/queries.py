@@ -94,11 +94,14 @@ from pgcapture_spark.querydefs import (  # noqa: E402,F401
 # The driver verifies the FIRST ~50 registry entries each round. Rounds 1-5
 # drove ALL 218 pre-freeze queries green (CORRECTNESS_r01..r05 — cumulative
 # coverage complete, freeze lifted per the r5 verdict).
-# ROUND-6 WINDOW: the 11 NEW r6-wave queries (the queued post-freeze
-# operators: IVM join view batch+streamed, theta-sketch top-k intersections,
-# edit-distance join, z-order row-group stats, plus the training-pipeline
-# tail — packing, decontamination, A/B stats, basket lift, class balance,
-# mix schedule), then the 9 streamed applies RE-verified on the round-6
+# ROUND-6 WINDOW: the 22 NEW r6-wave queries (the queued post-freeze
+# operators — IVM join view batch+streamed, theta-sketch top-k
+# intersections, edit-distance join, z-order row-group stats — plus the
+# training-pipeline tail: packing, decontamination, A/B + attribution
+# stats, basket lift, class balance, mix/temperature scheduling, vocab
+# coverage, seasonal outliers, CUSUM changepoints, Matryoshka recall,
+# filtered ANN, embedding drift, CDC presence + order audits), then the 9
+# streamed applies RE-verified on the round-6
 # BUCKETED state layer (their state commits changed from full-snapshot
 # rewrite to O(touched-buckets) — a green row re-certifies the conversion),
 # padded with previously-green canaries across the engine pillars.
@@ -116,7 +119,7 @@ from pgcapture_spark.querydefs import (  # noqa: E402,F401
 #   planner over bucketed state manifests, per-source quality-drift
 #   monitors (PSI over time windows — extends corpus_drift_psi).
 _WINDOW: tuple[str, ...] = (
-    # --- r6 wave (new this round; 16 queries) ---
+    # --- r6 wave (new this round; 22 queries) ---
     "cdc_ivm_join_view", "cdc_ivm_join_view_streamed",
     "agg_theta_intersect_topk", "dedup_editdist_join",
     "events_zorder_rowgroup_stats", "corpus_pack_chunks",
@@ -124,6 +127,9 @@ _WINDOW: tuple[str, ...] = (
     "sample_class_balance", "corpus_mix_schedule",
     "sim_matryoshka_recall", "sim_filtered_ann", "ts_changepoint_cusum",
     "cdc_present_stats", "events_attribution_linear",
+    "events_attribution_last_touch", "ts_seasonal_hourly_outlier",
+    "text_vocab_coverage", "corpus_temperature_mix", "cdc_feed_order_audit",
+    "sim_embedding_drift",
     # --- streamed applies re-verified on bucketed state (changed this round)
     "cdc_apply_customer_streamed", "cdc_apply_customer_feedsource",
     "cdc_apply_multi_streamed", "cdc_apply_proto_streamed",
@@ -134,12 +140,10 @@ _WINDOW: tuple[str, ...] = (
     "cdc_apply_customer", "cdc_apply_orders", "cdc_apply_from_proto",
     "cdc_toast_effective_image", "backfill_union_merge",
     "tpch_q1_pricing_summary", "tpch_q3_shipping_priority",
-    "join_bloom_prefilter", "events_asof_join", "events_stream_windowed",
-    "ts_ohlc_streamed", "events_funnel", "dedup_minhash_lsh",
-    "corpus_dedup_keepbest", "sim_cosine_topk", "sim_ivf_ann",
-    "sim_hamming_topk", "kmeans_embed", "graph_triangle_count",
-    "agg_kmv_distinct", "agg_hll_sketch_merge", "agg_heavy_hitters",
-    "text_bm25_topk", "media_neardup_phash",
+    "events_asof_join", "events_stream_windowed", "ts_ohlc_streamed",
+    "dedup_minhash_lsh", "corpus_dedup_keepbest", "sim_cosine_topk",
+    "sim_ivf_ann", "kmeans_embed", "graph_triangle_count",
+    "agg_kmv_distinct", "text_bm25_topk",
 )
 
 

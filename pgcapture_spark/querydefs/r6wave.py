@@ -1140,3 +1140,376 @@ def events_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_touches"),
         F.expr("CAST(sum(1000000 div n_touches) AS BIGINT)").alias("credit_ppm"),
     )
+
+
+# ======================================================== r6 third batch:
+# last-touch attribution, seasonal-baseline outliers, vocab coverage,
+# temperature mixing, CDC feed-order audit, embedding drift.
+
+
+@q(
+    "events_attribution_last_touch",
+    """
+WITH p AS (SELECT event_id AS purchase_id, user_id, ts AS p_ts
+           FROM events WHERE event_type = 'purchase'),
+t AS (SELECT event_id AS touch_id, user_id, event_type, ts AS t_ts
+      FROM events WHERE event_type IN ('click', 'view')),
+pairs AS (
+  SELECT p.purchase_id, t.touch_id, t.event_type, t.t_ts,
+         row_number() OVER (PARTITION BY p.purchase_id
+                            ORDER BY t.t_ts DESC, t.touch_id DESC) AS rn
+  FROM p JOIN t ON p.user_id = t.user_id
+   AND t.t_ts < p.p_ts AND t.t_ts >= p.p_ts - INTERVAL 3 DAY
+)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_attributed
+FROM pairs WHERE rn = 1 GROUP BY event_type
+""",
+    "LAST-TOUCH attribution (the companion to events_attribution_linear):"
+    " each purchase credits only its most recent click/view in the 3-day"
+    " window (deterministic (t_ts, touch_id) tiebreak). Same user-keyed"
+    " time-band join; the per-purchase argmax is one window over the"
+    " bounded pair set.",
+)
+def events_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    register_views(spark, sf_dir, ("events",))
+    ev = spark.table("events")
+    p = ev.where("event_type = 'purchase'").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    t = ev.where("event_type IN ('click', 'view')").select(
+        F.col("event_id").alias("touch_id"),
+        F.col("user_id").alias("t_user"),
+        "event_type",
+        F.col("ts").alias("t_ts"),
+    )
+    pairs = p.join(
+        t,
+        (F.col("p_user") == F.col("t_user"))
+        & (F.col("t_ts") < F.col("p_ts"))
+        & (F.col("t_ts") >= F.expr("p_ts - INTERVAL 3 DAY")),
+    )
+    w = W.partitionBy("purchase_id").orderBy(F.desc("t_ts"), F.desc("touch_id"))
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .where("rn = 1")
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_attributed"))
+    )
+
+
+_SEAS_WHERE = "user_id % 10 = 2"
+
+
+@q(
+    "ts_seasonal_hourly_outlier",
+    f"""
+WITH e AS (
+  SELECT user_id, event_id, ts, hour(ts) AS hod,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events WHERE {_SEAS_WHERE}
+),
+b AS (
+  SELECT user_id, event_id, ts, hod, cents,
+         CAST(sum(cents) OVER (PARTITION BY user_id, hod) AS BIGINT)
+           // CAST(count(*) OVER (PARTITION BY user_id, hod) AS BIGINT)
+           AS baseline_cents
+  FROM e
+),
+r AS (
+  SELECT user_id, event_id, hod, cents, baseline_cents,
+         abs(cents - baseline_cents) AS abs_residual,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY abs(cents - baseline_cents) DESC,
+                                     ts, event_id) AS rn
+  FROM b
+)
+SELECT user_id, event_id, CAST(hod AS BIGINT) AS hod, cents, baseline_cents,
+       CAST(abs_residual AS BIGINT) AS abs_residual
+FROM r WHERE rn = 1
+""",
+    "Seasonal-baseline ANOMALY: each user's hour-of-day profile (integer-div"
+    " mean cents per (user, hour) — a window aggregate, no self-join) is the"
+    " deseasonalized baseline; the per-user top residual is the flagged"
+    " reading. One key-hash exchange serves the profile windows and the"
+    " argmax rank; complements ts_rolling_zscore (trend) with the seasonal"
+    " decomposition angle.",
+)
+def ts_seasonal_hourly_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    register_views(spark, sf_dir, ("events",))
+    e = (
+        spark.table("events")
+        .where(_SEAS_WHERE)
+        .select(
+            "user_id",
+            "event_id",
+            "ts",
+            F.hour("ts").alias("hod"),
+            F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").alias("cents"),
+        )
+    )
+    grp = W.partitionBy("user_id", "hod")
+    b = e.withColumn(
+        "baseline_cents",
+        F.expr(
+            "CAST(sum(cents) OVER (PARTITION BY user_id, hod) AS BIGINT)"
+            " div CAST(count(*) OVER (PARTITION BY user_id, hod) AS BIGINT)"
+        ),
+    ).withColumn("abs_residual", F.abs(F.col("cents") - F.col("baseline_cents")))
+    pick = W.partitionBy("user_id").orderBy(F.desc("abs_residual"), "ts", "event_id")
+    return (
+        b.withColumn("rn", F.row_number().over(pick))
+        .where("rn = 1")
+        .select(
+            "user_id",
+            "event_id",
+            F.col("hod").cast("long").alias("hod"),
+            "cents",
+            "baseline_cents",
+            F.col("abs_residual").cast("long").alias("abs_residual"),
+        )
+    )
+
+
+@q(
+    "text_vocab_coverage",
+    """
+WITH t AS (
+  SELECT list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0)
+           AS tokens
+  FROM documents
+),
+tok AS (SELECT unnest(tokens) AS token FROM t),
+cnt AS (SELECT token, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY token),
+tot AS (SELECT CAST(sum(c) AS BIGINT) AS total FROM cnt),
+rk AS (SELECT token, c, row_number() OVER (ORDER BY c DESC, token) AS rnk FROM cnt),
+ks AS (SELECT unnest([10, 100, 1000]) AS k)
+SELECT CAST(k AS BIGINT) AS k,
+       CAST(sum(CASE WHEN rnk <= k THEN 1 ELSE 0 END) AS BIGINT) AS n_terms,
+       CAST(sum(CASE WHEN rnk <= k THEN c ELSE 0 END) AS BIGINT) AS covered_tokens,
+       CAST((1000000 * sum(CASE WHEN rnk <= k THEN c ELSE 0 END)) // max(tot.total)
+            AS BIGINT) AS coverage_ppm
+FROM rk, ks, tot
+GROUP BY k
+""",
+    "VOCABULARY COVERAGE curve (the tokenizer-budget question: how much of"
+    " the corpus do the top-k terms cover?): term frequencies rank"
+    " deterministically and the k ∈ {10, 100, 1000} cutoffs report covered"
+    " tokens + ppm share. The corpus folds to the vocab-sized count table"
+    " before any ranking, so the global order is over vocabulary rows, not"
+    " corpus rows.",
+)
+def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from pgcapture_spark.operators.textstats import token_rows
+
+    register_views(spark, sf_dir, ("documents",))
+    cnt = (
+        token_rows(spark.table("documents"))
+        .groupBy("token")
+        .agg(F.count("*").alias("c"))
+    )
+    # global rank over VOCAB-sized rows (the count table), not the corpus
+    rk = cnt.withColumn(
+        "rnk", F.row_number().over(W.orderBy(F.desc("c"), "token"))
+    )
+    tot = cnt.agg(F.sum("c").cast("long").alias("total"))
+    ks = spark.range(0).sparkSession.createDataFrame([(10,), (100,), (1000,)], "k long")
+    return (
+        rk.crossJoin(F.broadcast(ks))
+        .crossJoin(F.broadcast(tot))
+        .groupBy("k")
+        .agg(
+            F.sum(F.when(F.col("rnk") <= F.col("k"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_terms"),
+            F.sum(F.when(F.col("rnk") <= F.col("k"), F.col("c")).otherwise(0))
+            .cast("long")
+            .alias("covered_tokens"),
+            F.expr(
+                "CAST(1000000 * sum(CASE WHEN rnk <= k THEN c ELSE 0 END)"
+                " div max(total) AS BIGINT)"
+            ).alias("coverage_ppm"),
+        )
+    )
+
+
+@q(
+    "corpus_temperature_mix",
+    """
+WITH t AS (
+  SELECT lang,
+         CAST(sum(len(list_filter(string_split_regex(lower(text), '\\s+'),
+                                  x -> len(x) > 0))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY lang
+),
+s AS (
+  SELECT lang, n_tokens,
+         CAST((1000000 * n_tokens) // (SELECT sum(n_tokens) FROM t) AS BIGINT)
+           AS share_ppm
+  FROM t
+),
+w AS (
+  SELECT lang, n_tokens, share_ppm,
+         CAST(floor(sqrt(CAST(share_ppm AS DOUBLE))) AS BIGINT) AS w
+  FROM s
+)
+SELECT lang, n_tokens, share_ppm,
+       CAST((1000 * w) // (SELECT sum(w) FROM w) AS BIGINT) AS temp_weight_milli
+FROM w
+""",
+    "TEMPERATURE-scaled sampling mix (T = 2, the standard multilingual"
+    " upsampling): per-language weight ∝ √share, integer-exact end to end —"
+    " sqrt of an integer-valued double is correctly rounded IEEE in both"
+    " engines and floors to the same BIGINT, so the weights hash-match"
+    " bit-for-bit (no pow(), whose cross-engine rounding is unspecified)."
+    " Complements corpus_mix_schedule's uniform-target repeat factors.",
+)
+def corpus_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pgcapture_spark.operators.textstats import TOKENS_EXPR
+
+    register_views(spark, sf_dir, ("documents",))
+    t = (
+        spark.table("documents")
+        .select("lang", F.size(F.expr(TOKENS_EXPR)).alias("n_tok"))
+        .groupBy("lang")
+        .agg(F.sum("n_tok").cast("long").alias("n_tokens"))
+    )
+    tot = t.agg(F.sum("n_tokens").alias("total_tok"))
+    s = t.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_tokens",
+        F.expr("CAST(1000000 * n_tokens div total_tok AS BIGINT)").alias("share_ppm"),
+    )
+    w = s.withColumn(
+        "w", F.expr("CAST(floor(sqrt(CAST(share_ppm AS DOUBLE))) AS BIGINT)")
+    )
+    wtot = w.agg(F.sum("w").alias("w_total"))
+    return w.crossJoin(F.broadcast(wtot)).select(
+        "lang",
+        "n_tokens",
+        "share_ppm",
+        F.expr("CAST(1000 * w div w_total AS BIGINT)").alias("temp_weight_milli"),
+    )
+
+
+def _order_audit_duck() -> str:
+    return f"""
+WITH feed AS ({cdc_customer_sql(DUCKDB)})
+SELECT lsn,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(min(seq) AS BIGINT) AS seq_min,
+       CAST(max(seq) AS BIGINT) AS seq_max,
+       (min(seq) = 1 AND max(seq) - min(seq) + 1 = count(*)
+        AND count(DISTINCT seq) = count(*)) AS seq_contiguous,
+       (count(DISTINCT commit_ts) = 1) AS ts_consistent
+FROM feed GROUP BY lsn
+"""
+
+
+@q(
+    "cdc_feed_order_audit",
+    _order_audit_duck(),
+    "CDC feed-order AUDIT (the invariants the cursor/tracker machinery relies"
+    " on — pkg/cursor/main.go:20-26 (lsn, seq) total order): per transaction,"
+    " seq must be gap-free from 1 and every event must share the tx's commit"
+    " timestamp. One aggregation over the feed; violations surface as"
+    " boolean columns a monitor alerts on (here the deterministic fixture"
+    " passes both checks, so the oracle pins the audit itself).",
+)
+def cdc_feed_order_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, ("customer",))
+    feed = _feed(spark, sf_dir, "customer")
+    return feed.groupBy("lsn").agg(
+        F.count("*").alias("n_events"),
+        F.min("seq").cast("long").alias("seq_min"),
+        F.max("seq").cast("long").alias("seq_max"),
+        (
+            (F.min("seq") == 1)
+            & ((F.max("seq") - F.min("seq") + 1) == F.count("*"))
+            & (F.countDistinct("seq") == F.count("*"))
+        ).alias("seq_contiguous"),
+        (F.countDistinct("commit_ts") == 1).alias("ts_consistent"),
+    )
+
+
+@q(
+    "sim_embedding_drift",
+    """
+WITH e AS (
+  SELECT vec_id, label, vec_id % 2 AS arm,
+         list_transform(embedding, v -> CAST(v AS DOUBLE)) AS emb
+  FROM embeddings
+),
+q AS (
+  SELECT label, arm, i,
+         CAST(sum(CAST(floor(emb[i] * 1000000 + 0.5) AS BIGINT)) AS BIGINT)
+           AS sum_q,
+         CAST(count(*) AS BIGINT) AS n
+  FROM e, (SELECT unnest(range(1, 65)) AS i) ix
+  GROUP BY label, arm, i
+),
+c AS (
+  SELECT a.label, a.i,
+         a.sum_q // a.n AS cent_a, b.sum_q // b.n AS cent_b,
+         a.n AS n_a, b.n AS n_b
+  FROM q a JOIN q b ON a.label = b.label AND a.i = b.i
+   AND a.arm = 0 AND b.arm = 1
+)
+SELECT label,
+       CAST(max(n_a) AS BIGINT) AS n_a, CAST(max(n_b) AS BIGINT) AS n_b,
+       CAST(floor(sqrt(CAST(sum((cent_a - cent_b) * (cent_a - cent_b))
+                            AS DOUBLE))) AS BIGINT) AS l2_shift_q
+FROM c GROUP BY label
+""",
+    "EMBEDDING DRIFT monitor: per-label centroid L2 shift between two data"
+    " halves (vec_id parity as the time proxy) — the production check that a"
+    " refreshed embedding model or corpus slice hasn't moved the space."
+    " Integer-exact: coordinates quantize to μ-units before summing (double"
+    " sums are ordering-dependent and would hash-diverge), centroids are"
+    " integer quotients, and the final sqrt of an exact integer floors"
+    " identically in both engines. Per-coordinate sums are one mergeable"
+    " aggregation; nothing pairwise.",
+)
+def sim_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, ("embeddings",))
+    e = spark.table("embeddings").select(
+        "label",
+        F.expr("vec_id % 2").alias("arm"),
+        F.posexplode(F.expr("transform(embedding, v -> CAST(v AS DOUBLE))")).alias(
+            "i0", "v"
+        ),
+    )
+    q = (
+        e.select(
+            "label",
+            "arm",
+            (F.col("i0") + 1).alias("i"),
+            F.expr("CAST(floor(v * 1000000 + 0.5) AS BIGINT)").alias("qv"),
+        )
+        .groupBy("label", "arm", "i")
+        .agg(F.sum("qv").alias("sum_q"), F.count("*").alias("n"))
+    )
+    a = q.where("arm = 0").select(
+        "label", "i",
+        F.expr("sum_q div n").alias("cent_a"), F.col("n").alias("n_a"),
+    )
+    b = q.where("arm = 1").select(
+        "label", "i",
+        F.expr("sum_q div n").alias("cent_b"), F.col("n").alias("n_b"),
+    )
+    c = a.join(b, ["label", "i"])
+    return c.groupBy("label").agg(
+        F.max("n_a").cast("long").alias("n_a"),
+        F.max("n_b").cast("long").alias("n_b"),
+        F.expr(
+            "CAST(floor(sqrt(CAST(sum((cent_a - cent_b) * (cent_a - cent_b))"
+            " AS DOUBLE))) AS BIGINT)"
+        ).alias("l2_shift_q"),
+    )
