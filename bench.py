@@ -223,6 +223,7 @@ HEADLINE = [
     "corpus_temperature_mix",
     "cdc_feed_order_audit",
     "sim_embedding_drift",
+    "cdc_apply_lineitem_composite_streamed",
 ]
 
 

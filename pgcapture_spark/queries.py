@@ -136,6 +136,7 @@ _WINDOW: tuple[str, ...] = (
     "cdc_apply_proto_multi_streamed", "cdc_apply_proto_multi_streamed_orders",
     "cdc_apply_pgoutput_streamed", "cdc_apply_pglogical_streamed",
     "cdc_scd2_streamed", "cdc_incremental_agg_streamed",
+    "cdc_apply_lineitem_composite_streamed",
     # --- canaries (previously driver-green; engine pillars) ---
     "cdc_apply_customer", "cdc_apply_orders", "cdc_apply_from_proto",
     "cdc_toast_effective_image", "backfill_union_merge",
@@ -143,7 +144,7 @@ _WINDOW: tuple[str, ...] = (
     "events_asof_join", "events_stream_windowed", "ts_ohlc_streamed",
     "dedup_minhash_lsh", "corpus_dedup_keepbest", "sim_cosine_topk",
     "sim_ivf_ann", "kmeans_embed", "graph_triangle_count",
-    "agg_kmv_distinct", "text_bm25_topk",
+    "agg_kmv_distinct",
 )
 
 

@@ -20,6 +20,7 @@ from pgcapture_spark.catalog import CDC_COLS, register_views
 from pgcapture_spark.fixtures.cdc_feed import (
     DUCKDB,
     cdc_customer_sql,
+    cdc_lineitem_sql,
     cdc_orders_sql,
     debounce_expected_sql,
     debounce_feed_sql,
@@ -836,6 +837,47 @@ def cdc_scd2_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
         snapshot,
         "c_custkey",
         CDC_COLS["customer"],
+        f"{d}/ckpt",
+    )
+    query.awaitTermination(300)
+    return state.read()
+
+
+@q(
+    "cdc_apply_lineitem_composite_streamed",
+    apply_oracle_sql(
+        cdc_lineitem_sql(DUCKDB),
+        "lineitem",
+        ["l_orderkey", "l_linenumber"],
+        CDC_COLS["lineitem"],
+    ),
+    "A3-A5/T7 streamed with a COMPOSITE replica identity: the lineitem feed"
+    " keyed on (l_orderkey, l_linenumber) replayed through the streaming"
+    " apply pipeline onto bucketed state — buckets hash ALL key columns"
+    " (the identity may be any column set, pkg/decode/schema.go:161-191),"
+    " so the multi-column key/set split of pkg/sink/postgres.go:507-547 now"
+    " has streamed O(touched-bucket) coverage, not just the batch form."
+    " Converges to the same oracle as cdc_apply_lineitem_composite.",
+)
+def cdc_apply_lineitem_composite_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pgcapture_spark.streaming.state import BucketedSnapshotState
+
+    register_views(spark, sf_dir, ("lineitem",))
+    snapshot = spark.table("lineitem")
+    feed = _feed(spark, sf_dir, "lineitem")
+    d = tempfile.mkdtemp(prefix="pgcs_q_li_comp_stream_")
+    feed_dir = f"{d}/feed"
+    materialize_feed(feed, feed_dir, n_segments=6)
+    schema = spark.read.parquet(feed_dir).schema
+    state = BucketedSnapshotState(
+        spark, f"{d}/state", ["l_orderkey", "l_linenumber"], n_buckets=16
+    )
+    query = apply_stream(
+        read_feed_stream(spark, feed_dir, schema, max_files_per_trigger=3),
+        state,
+        snapshot,
+        ["l_orderkey", "l_linenumber"],
+        CDC_COLS["lineitem"],
         f"{d}/ckpt",
     )
     query.awaitTermination(300)

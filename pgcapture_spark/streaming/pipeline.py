@@ -208,25 +208,27 @@ def fold_commit(
     state,
     initial_snapshot: DataFrame,
     changes: DataFrame,
-    key: str,
+    key: str | list[str],
     cols: list[str],
     batch_id: int,
 ) -> None:
     """The apply consumers' shared snapshot commit: fold ``changes`` to final
     per-key images ONCE (persisted — it feeds both the touched-bucket probe
-    and the merge), then merge via :func:`commit_keyed_state`."""
-    from pgcapture_spark.operators.apply import last_image, merge_images
+    and the merge), then merge via :func:`commit_keyed_state`. ``key`` may be
+    a composite replica identity (list of columns)."""
+    from pgcapture_spark.operators.apply import _keys, last_image, merge_images
 
-    seed = initial_snapshot.select(key, *cols)
+    keys = _keys(key)
+    seed = initial_snapshot.select(*keys, *cols)
     img = last_image(changes, key, cols).persist()
     try:
         empty = seed.limit(0)
 
         def _merge(current: DataFrame | None) -> DataFrame:
-            base = current.select(key, *cols) if current is not None else empty
+            base = current.select(*keys, *cols) if current is not None else empty
             return merge_images(base, img, key, cols)
 
-        commit_keyed_state(state, batch_id, img.select(key), _merge, seed=seed)
+        commit_keyed_state(state, batch_id, img.select(*keys), _merge, seed=seed)
     finally:
         img.unpersist()
 

@@ -104,9 +104,18 @@ class BucketedSnapshotState:
     runs only over touched buckets, and AQE broadcasts the (small) image side
     within them."""
 
-    def __init__(self, spark: SparkSession, root: str, key: str, n_buckets: int = 32):
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        key: str | list[str],
+        n_buckets: int = 32,
+    ):
         self.spark = spark
         self.root = root
+        # composite replica identities bucket on the hash of ALL key columns
+        # (pkg/decode/schema.go:161-191 — the identity may be any column set)
+        self.key_cols = [key] if isinstance(key, str) else list(key)
         self.key = key
         self.n_buckets = n_buckets
         os.makedirs(root, exist_ok=True)
@@ -121,13 +130,9 @@ class BucketedSnapshotState:
     def touched_buckets(self, keys_df) -> list[int]:
         """Bucket ids a change set touches — a distinct over at most
         ``n_buckets`` values (bounded driver collect by construction)."""
-        from pyspark.sql import functions as F
-
         return sorted(
             r[0]
-            for r in keys_df.select(
-                F.pmod(F.hash(F.col(self.key)), F.lit(self.n_buckets)).alias("_b")
-            )
+            for r in keys_df.select(self._bucket_col().alias("_b"))
             .distinct()
             .collect()
         )
@@ -144,7 +149,9 @@ class BucketedSnapshotState:
     def _bucket_col(self):
         from pyspark.sql import functions as F
 
-        return F.pmod(F.hash(F.col(self.key)), F.lit(self.n_buckets))
+        return F.pmod(
+            F.hash(*[F.col(k) for k in self.key_cols]), F.lit(self.n_buckets)
+        )
 
     def initialize(self, snapshot: DataFrame) -> None:
         """Seed every bucket from the initial snapshot (version v-init)."""
