@@ -62,6 +62,32 @@ def _apply_delta(base: DataFrame, delta: DataFrame, group_col: str) -> DataFrame
     ).where(F.col("n_rows") > 0)
 
 
+def merge_agg_delta(base: DataFrame, delta: DataFrame, group_col: str) -> DataFrame:
+    """Public form of :func:`_apply_delta` — merge a per-group (dn, dc) delta
+    into a maintained aggregate slice (full-outer; count-0 groups drop).
+    ``base`` may be any SLICE of the maintained table that covers every group
+    ``delta`` names (the bucketed streaming consumer feeds it the touched
+    agg-buckets only)."""
+    return _apply_delta(base, delta, group_col)
+
+
+def signed_agg_delta(signed: DataFrame, group_col: str, val_col: str) -> DataFrame:
+    """Per-group (dn, dc) delta from a SIGNED row delta (operators/ivm.py
+    ``signed_key_delta`` output: s = ±1 plus the full row image): each signed
+    row contributes (s, s·cents(val)); groups with a zero net delta drop so
+    the downstream agg-bucket probe touches only genuinely-changed groups."""
+    contrib = signed.select(
+        F.col(group_col),
+        F.col("s").alias("dn"),
+        (F.col("s") * cents(val_col)).alias("dc"),
+    )
+    return (
+        contrib.groupBy(group_col)
+        .agg(F.sum("dn").alias("dn"), F.sum("dc").alias("dc"))
+        .where((F.col("dn") != 0) | (F.col("dc") != 0))
+    )
+
+
 def delta_merge(
     base: DataFrame, old_part: DataFrame, new_part: DataFrame, group_col: str, val_col: str
 ) -> DataFrame:

@@ -53,14 +53,17 @@ def cdc_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     incremental_agg_oracle_sql(_APPLIED_CUSTOMER, "c_nationkey", "c_acctbal"),
     "C1-C2 streaming form: the MV maintained micro-batch by micro-batch in"
     " foreachBatch — snapshot + aggregate advance under ONE atomically-swung"
-    " manifest (PairedState), replayed batches are no-ops; converges to the"
-    " same from-scratch oracle as the batch form.",
+    " BUCKETED manifest (BucketedMultiTableState): per trigger, reads touch"
+    " only the snapshot key-buckets the batch's keys hash into and the agg"
+    " group-buckets the per-group delta names; replayed batches are no-ops;"
+    " converges to the same from-scratch oracle as the batch form.",
 )
 def cdc_incremental_agg_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     from pgcapture_spark.sources.feed import materialize_feed, read_feed_stream
-    from pgcapture_spark.streaming.mv import PairedState, incremental_agg_stream
+    from pgcapture_spark.streaming.multi import BucketedMultiTableState
+    from pgcapture_spark.streaming.mv import incremental_agg_stream
 
     register_views(spark, sf_dir, ("customer",))
     snapshot = spark.table("customer")
@@ -69,7 +72,13 @@ def cdc_incremental_agg_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     feed_dir = f"{d}/feed"
     materialize_feed(feed, feed_dir, n_segments=5)
     schema = spark.read.parquet(feed_dir).schema
-    state = PairedState(spark, f"{d}/state")
+    state = BucketedMultiTableState(
+        spark,
+        f"{d}/state",
+        ["snapshot", "agg"],
+        {"snapshot": "c_custkey", "agg": "c_nationkey"},
+        n_buckets=16,
+    )
     query = incremental_agg_stream(
         read_feed_stream(spark, feed_dir, schema, max_files_per_trigger=2),
         state,
@@ -81,7 +90,7 @@ def cdc_incremental_agg_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"{d}/ckpt",
     )
     query.awaitTermination(300)
-    return state.read()[1]
+    return state.read()["agg"]
 
 
 _GF_WHERE = "user_id % 20 = 3"

@@ -67,9 +67,10 @@ def cdc_ivm_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     ivm_join_oracle_sql(_ORDERS_APPLIED, _CUSTOMER_APPLIED),
     "The JOIN view maintained CONTINUOUSLY: one typed stream carrying orders"
     " AND customer changes; per micro-batch the signed join-view delta is"
-    " computed against the current snapshots and BOTH snapshots plus the view"
-    " advance under one atomic bucketed manifest (touched key-buckets only —"
-    " streaming/mv.py ivm_join_stream). Converges to the same from-scratch"
+    " computed against touched-bucket SLICES of the snapshots (reads and"
+    " commits are both O(touched buckets): the unprunable O⋈ΔC term reads a"
+    " custkey-co-bucketed orders projection maintained as a fourth state"
+    " table — streaming/mv.py ivm_join_stream). Converges to the same from-scratch"
     " oracle as the batch form: incremental ≡ batch, the A5 contract applied"
     " to a two-table materialization.",
 )
@@ -93,8 +94,13 @@ def cdc_ivm_join_view_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     state = BucketedMultiTableState(
         spark,
         f"{d}/state",
-        ["orders", "customer", "mv"],
-        {"orders": "o_orderkey", "customer": "c_custkey", "mv": "c_nationkey"},
+        ["orders", "customer", "orders_ck", "mv"],
+        {
+            "orders": "o_orderkey",
+            "customer": "c_custkey",
+            "orders_ck": "o_custkey",
+            "mv": "c_nationkey",
+        },
         n_buckets=16,
     )
     query = ivm_join_stream(

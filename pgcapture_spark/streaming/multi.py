@@ -30,8 +30,8 @@ _LOG = logging.getLogger(__name__)
 
 
 class MultiTableState:
-    """N co-versioned named tables under one manifest (the PairedState recipe
-    generalized)."""
+    """N co-versioned named tables under one manifest — the compat (full-
+    rewrite) path; the scale path is BucketedMultiTableState below."""
 
     def __init__(self, spark: SparkSession, root: str, tables: list[str]):
         self.spark = spark
@@ -135,12 +135,18 @@ class BucketedMultiTableState:
         )
 
     def touched_buckets(self, table: str, keys_df: DataFrame) -> list[int]:
-        return sorted(
-            r[0]
-            for r in keys_df.select(self._bucket_col(table).alias("_b"))
-            .distinct()
-            .collect()
-        )
+        row = keys_df.select(self._bucket_col(table).alias("_b")).agg(
+            F.collect_set("_b").alias("bs")
+        ).collect()[0]
+        return sorted(row["bs"])
+
+    def mark_batch(self, batch_id: int) -> None:
+        """Advance the replay gate without touching bucket pointers — for
+        micro-batches whose merge set is empty (see
+        BucketedSnapshotState.mark_batch)."""
+        manifest = self._load()
+        manifest["batch_id"] = batch_id
+        self._swap(manifest)
 
     def initialize(self, snapshots: dict[str, DataFrame]) -> None:
         """Seed every table's buckets from its initial snapshot (one-time
@@ -191,13 +197,18 @@ class BucketedMultiTableState:
         dir (tables write CONCURRENTLY — they are independent jobs and the
         local scheduler overlaps them, so per-trigger wall-clock does not
         serialize on table count), then swing ALL bucket pointers in one
-        atomic manifest rename. Idempotent per batch_id."""
+        atomic manifest rename. Idempotent per batch_id. Every table's rows
+        must hash into its passed bucket list — enforced post-write, see
+        ``state._assert_buckets_within`` (a stray row would be stranded)."""
         from concurrent.futures import ThreadPoolExecutor
+
+        from pgcapture_spark.streaming.state import _assert_buckets_within
 
         version = f"v{batch_id:012d}"
 
         def _write(item):
             t, (df, buckets) = item
+            out = os.path.join(self.root, version, t)
             (
                 # cluster by bucket first: one task (and one file) per
                 # touched bucket — see BucketedSnapshotState.commit_buckets
@@ -205,8 +216,9 @@ class BucketedMultiTableState:
                 .repartition(max(1, len(buckets)), F.col("_b"))
                 .write.mode("overwrite")
                 .partitionBy("_b")
-                .parquet(os.path.join(self.root, version, t))
+                .parquet(out)
             )
+            _assert_buckets_within(out, buckets)
 
         with ThreadPoolExecutor(max_workers=min(8, max(1, len(merged)))) as ex:
             list(ex.map(_write, merged.items()))
@@ -291,6 +303,10 @@ def fold_commit_multi(
         if merged:
             state.commit(merged, batch_id)
             state.vacuum()
+        else:
+            # no table touched — manifest rename only, keeps last_batch()
+            # in lockstep with the streaming checkpoint
+            state.mark_batch(batch_id)
     finally:
         for img in imgs.values():
             img.unpersist()

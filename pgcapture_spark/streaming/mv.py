@@ -1,78 +1,62 @@
-"""Streamed materialized-view maintenance: keep a GROUP BY aggregate AND the
-snapshot it derives from in sync under the CDC stream, micro-batch by
-micro-batch — the streaming form of ``operators/incremental.py``.
+"""Streamed materialized-view maintenance: keep aggregates AND the snapshots
+they derive from in sync under the CDC stream, micro-batch by micro-batch —
+the streaming forms of ``operators/incremental.py`` and ``operators/ivm.py``.
 
-Consistency design: the snapshot and the aggregate MUST advance together — if
-a crash landed between two separate commits, a replayed batch would compute
-its delta against a half-advanced state and double-count. ``PairedState``
-therefore writes BOTH tables under one version directory and swings ONE
-manifest atomically (same exactly-once recipe as ``SnapshotState``: immutable
-version dirs + atomic rename + batch-id replay gate — reference analog: the
+Consistency design: the snapshot(s) and the aggregate MUST advance together —
+if a crash landed between two separate commits, a replayed batch would compute
+its delta against a half-advanced state and double-count. Every consumer here
+therefore commits ALL of its tables through ONE ``BucketedMultiTableState``
+manifest rename (the same exactly-once recipe as ``SnapshotState``: immutable
+version dirs + atomic swap + batch-id replay gate — reference analog: the
 sources-table checkpoint upsert rides in the same pipeline Sync as the data,
 pkg/sink/postgres.go:599-645).
 
-Scale: the per-batch delta path is O(touched keys) (semi-join prune +
-``cdc_apply`` fold + abelian delta merge); the snapshot side would use the
-bucketed merge-on-read layout at 100 TB (streaming/state.py) — composing the
-two is mechanical, kept simple here.
+Scale design (the round-7 discipline): per micro-batch, BOTH the read side and
+the commit side are O(touched buckets), never O(snapshot):
+
+- before-images come from ``read_buckets`` of the key-buckets the batch's own
+  keys name (the semi-join prune needs nothing else),
+- the mixed delta-join terms read only the buckets the DELTA's join keys hash
+  into — for the term whose join key is not the base table's bucketing key,
+  the consumer maintains a CO-BUCKETED PROJECTION of that table as an extra
+  state table advanced by the same fold (the reference analog: a consumer
+  maintaining its own index over the replicated rows,
+  pkg/pgcapture/consumer.go:86-142),
+- the signed delta (ivm.signed_key_delta) doubles as the snapshot merge:
+  slice ∖ touched-keys ∪ (+1 images) — one fold per table per trigger.
 """
 
 from __future__ import annotations
 
-import json
-import os
-import tempfile
-
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
-from pgcapture_spark.operators.apply import cdc_apply
-from pgcapture_spark.operators.incremental import delta_merge, group_agg
+from pgcapture_spark.operators.incremental import (
+    group_agg,
+    merge_agg_delta,
+    signed_agg_delta,
+)
+from pgcapture_spark.operators.ivm import signed_key_delta
 
 
-class PairedState:
-    """Two co-versioned tables (snapshot + aggregate) under one manifest."""
-
-    def __init__(self, spark: SparkSession, root: str):
-        self.spark = spark
-        self.root = root
-        os.makedirs(root, exist_ok=True)
-
-    @property
-    def _manifest(self) -> str:
-        return os.path.join(self.root, "MANIFEST.json")
-
-    def last_batch(self) -> int:
-        if not os.path.exists(self._manifest):
-            return -1
-        with open(self._manifest) as f:
-            return json.load(f)["batch_id"]
-
-    def read(self) -> tuple[DataFrame, DataFrame] | None:
-        if not os.path.exists(self._manifest):
-            return None
-        with open(self._manifest) as f:
-            version = json.load(f)["version"]
-        base = os.path.join(self.root, version)
-        return (
-            self.spark.read.parquet(os.path.join(base, "snapshot")),
-            self.spark.read.parquet(os.path.join(base, "agg")),
-        )
-
-    def commit(self, snapshot: DataFrame, agg: DataFrame, batch_id: int) -> None:
-        version = f"v{batch_id:012d}"
-        base = os.path.join(self.root, version)
-        snapshot.write.mode("overwrite").parquet(os.path.join(base, "snapshot"))
-        agg.write.mode("overwrite").parquet(os.path.join(base, "agg"))
-        fd, tmp = tempfile.mkstemp(dir=self.root, suffix=".manifest")
-        with os.fdopen(fd, "w") as f:
-            json.dump({"version": version, "batch_id": batch_id}, f)
-        os.replace(tmp, self._manifest)
+def _merge_slice_with_delta(
+    slice_df: DataFrame, delta: DataFrame, key: str, cols: list[str]
+) -> DataFrame:
+    """Advance a snapshot SLICE with a signed per-key delta: rows of touched
+    keys are replaced by their +1 images (a DELETE has no +1 row, so the key
+    drops), untouched slice rows pass through. Exactly ``cdc_apply`` confined
+    to the slice — the -1/+1 images were already resolved by
+    ``signed_key_delta`` (TOAST inheritance included), so no second fold."""
+    survivors = slice_df.select(key, *cols).join(
+        delta.select(key).distinct(), key, "left_anti"
+    )
+    return survivors.unionByName(delta.where(F.col("s") == 1).select(key, *cols))
 
 
 def incremental_agg_stream(
     feed_stream: DataFrame,
-    state: PairedState,
+    state,  # BucketedMultiTableState over ["snapshot", "agg"]
     initial_snapshot: DataFrame,
     key: str,
     group_col: str,
@@ -80,26 +64,60 @@ def incremental_agg_stream(
     cols: list[str],
     checkpoint_dir: str,
 ) -> StreamingQuery:
-    """foreachBatch MV maintenance: per micro-batch, retract the touched keys'
-    old images from the aggregate, add their new images, and advance snapshot
-    + aggregate atomically. Converges to ``group_agg(applied snapshot)``."""
+    """foreachBatch MV maintenance on bucketed state: per micro-batch,
+
+    1. read ONLY the snapshot key-buckets the batch's keys touch,
+    2. compute the signed row delta (retract old images / add resolved new
+       images — one fold),
+    3. advance the snapshot slice with that same delta,
+    4. fold the delta to per-group (dn, dc), read ONLY the agg buckets those
+       groups hash into, merge (count-0 groups drop),
+    5. commit both tables' touched buckets under ONE atomic manifest.
+
+    Converges to ``group_agg(applied snapshot)`` — identical oracle as the
+    batch ``incremental_agg``. Replayed batches are no-ops via the manifest
+    batch-id gate; a batch that touches nothing advances the gate with a
+    manifest rename only."""
 
     def _batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_id <= state.last_batch():
-            return  # replayed batch — paired state already advanced
-        pair = state.read()
-        if pair is None:
-            current, base = initial_snapshot, group_agg(initial_snapshot, group_col, val_col)
-        else:
-            current, base = pair
-        touched = batch_df.select(key).distinct()
-        old_part = current.join(touched, key, "left_semi")
-        new_part = cdc_apply(old_part, batch_df, key, cols)
-        new_agg = delta_merge(base, old_part, new_part, group_col, val_col)
-        # snapshot advance reuses the SAME fold; only touched keys change, so
-        # union of untouched rows + new images = cdc_apply(current, batch)
-        new_snapshot = cdc_apply(current, batch_df, key, cols)
-        state.commit(new_snapshot, new_agg, batch_id)
+            return
+        if not state.initialized():
+            state.initialize(
+                {
+                    "snapshot": initial_snapshot.select(key, *cols),
+                    "agg": group_agg(initial_snapshot, group_col, val_col),
+                }
+            )
+        kb = state.touched_buckets("snapshot", batch_df.select(key))
+        if not kb:
+            state.mark_batch(batch_id)
+            return
+        snap_slice = state.read_buckets("snapshot", kb)
+        if snap_slice is None:
+            snap_slice = initial_snapshot.select(key, *cols).limit(0)
+        delta = signed_key_delta(snap_slice, batch_df, key, cols).persist()
+        try:
+            d_agg = signed_agg_delta(delta, group_col, val_col).persist()
+            try:
+                merged = {
+                    "snapshot": (
+                        _merge_slice_with_delta(snap_slice, delta, key, cols),
+                        kb,
+                    )
+                }
+                gb = state.touched_buckets("agg", d_agg.select(group_col))
+                if gb:
+                    agg_slice = state.read_buckets("agg", gb)
+                    if agg_slice is None:
+                        agg_slice = group_agg(initial_snapshot, group_col, val_col).limit(0)
+                    merged["agg"] = (merge_agg_delta(agg_slice, d_agg, group_col), gb)
+                state.commit(merged, batch_id)
+                state.vacuum()
+            finally:
+                d_agg.unpersist()
+        finally:
+            delta.unpersist()
 
     return (
         feed_stream.writeStream.foreachBatch(_batch)
@@ -111,7 +129,7 @@ def incremental_agg_stream(
 
 def ivm_join_stream(
     feed_stream: DataFrame,
-    state,  # BucketedMultiTableState over ["orders", "customer", "mv"]
+    state,  # BucketedMultiTableState over ["orders", "customer", "orders_ck", "mv"]
     initial_orders: DataFrame,
     initial_customer: DataFrame,
     orders_cols: list[str],
@@ -121,27 +139,40 @@ def ivm_join_stream(
 ) -> StreamingQuery:
     """Streamed JOIN-view maintenance: ONE typed stream carrying orders AND
     customer changes; each micro-batch computes the signed join-view delta
-    (operators/ivm.py) against the CURRENT snapshots, then BOTH snapshots and
-    the view advance under one atomic bucketed manifest — touched key-buckets
-    only, the round-6 state discipline. A crash between writes leaves the
-    manifest on the previous batch, so a replayed delta can never
-    double-count (the PairedState consistency argument, three tables wide).
+    (operators/ivm.py) and advances both snapshots, the view, AND a
+    custkey-co-bucketed orders projection under one atomic bucketed manifest.
+    A crash between writes leaves the manifest on the previous batch, so a
+    replayed delta can never double-count.
+
+    Per-trigger cost is O(touched buckets) on BOTH sides now:
+
+    - ``signed_key_delta``'s before-image semi-join reads only the buckets of
+      the batch's own keys,
+    - the ΔO⋈C term joins on ``c_custkey`` — customer's own bucketing key —
+      so the customer scan is ``read_buckets`` of ΔO's custkeys,
+    - the O⋈ΔC term joins orders on ``o_custkey``, which the ``o_orderkey``
+      bucketing cannot prune, so the consumer maintains ``orders_ck``: the
+      (o_orderkey, o_custkey, o_totalprice) projection bucketed BY
+      ``o_custkey``, advanced by the same signed delta (its buckets are
+      named by the delta's ± custkey images). The reference analog is a
+      consumer maintaining its own index over replicated rows
+      (pkg/pgcapture/consumer.go:86-142); this is that index, IVM-maintained.
 
     Converges to ``join_view_base(applied orders, applied customer)`` — the
     same from-scratch oracle as the batch ``cdc_ivm_join_view``."""
-    from pyspark.sql import functions as F
-
-    from pgcapture_spark.operators.apply import last_image, merge_images
     from pgcapture_spark.operators.ivm import (
         ivm_join_delta,
         join_view_base,
         merge_view_delta,
-        signed_key_delta,
     )
 
     keys = {"orders": "o_orderkey", "customer": "c_custkey"}
     cols = {"orders": orders_cols, "customer": customer_cols}
     initial = {"orders": initial_orders, "customer": initial_customer}
+    _CK_COLS = ["o_custkey", "o_totalprice"]
+
+    def _empty(t: str) -> DataFrame:
+        return initial[t].select(keys[t], *cols[t]).limit(0)
 
     def _batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_id <= state.last_batch():
@@ -151,45 +182,86 @@ def ivm_join_stream(
                 {
                     "orders": initial_orders.select("o_orderkey", *orders_cols),
                     "customer": initial_customer.select("c_custkey", *customer_cols),
+                    "orders_ck": initial_orders.select("o_orderkey", *_CK_COLS),
                     "mv": join_view_base(initial_orders, initial_customer),
                 }
             )
-        cur = state.read()
         subs = {
             t: batch_df.where(F.col(table_col) == F.lit(t)).select(
                 "ord", "op", "present", keys[t], *cols[t]
             )
             for t in ("orders", "customer")
         }
-        deltas = {
-            t: signed_key_delta(cur[t], subs[t], keys[t], cols[t]).persist()
-            for t in ("orders", "customer")
-        }
-        view_delta = ivm_join_delta(
-            cur["orders"], cur["customer"], deltas["orders"], deltas["customer"]
-        ).persist()
+        # before-image slices: ONLY the key-buckets this batch's keys touch
+        kb, slices, deltas = {}, {}, {}
+        for t in ("orders", "customer"):
+            kb[t] = state.touched_buckets(t, subs[t].select(keys[t]))
+            cur = state.read_buckets(t, kb[t]) if kb[t] else None
+            slices[t] = (
+                cur.select(keys[t], *cols[t]) if cur is not None else _empty(t)
+            )
+            deltas[t] = signed_key_delta(slices[t], subs[t], keys[t], cols[t]).persist()
+        do, dc = deltas["orders"], deltas["customer"]
+        # mixed delta-join terms read only the buckets the DELTA's join keys
+        # hash into: customer by ΔO's custkeys, orders (via the co-bucketed
+        # projection) by ΔC's custkeys
+        cb = state.touched_buckets(
+            "customer", do.select(F.col("o_custkey").alias("c_custkey"))
+        )
+        cust_t1 = state.read_buckets("customer", cb) if cb else None
+        cust_t1 = (
+            cust_t1.select("c_custkey", *customer_cols)
+            if cust_t1 is not None
+            else _empty("customer")
+        )
+        ob = state.touched_buckets(
+            "orders_ck", dc.select(F.col("c_custkey").alias("o_custkey"))
+        )
+        ord_t2 = state.read_buckets("orders_ck", ob) if ob else None
+        ord_t2 = (
+            ord_t2.select("o_orderkey", *_CK_COLS)
+            if ord_t2 is not None
+            else initial_orders.select("o_orderkey", *_CK_COLS).limit(0)
+        )
+        view_delta = ivm_join_delta(ord_t2, cust_t1, do, dc).persist()
         try:
             merged: dict[str, tuple[DataFrame, list[int]]] = {}
             for t in ("orders", "customer"):
-                img = last_image(subs[t], keys[t], cols[t])
-                buckets = state.touched_buckets(t, deltas[t].select(keys[t]))
-                if not buckets:
-                    continue
-                base = state.read_buckets(t, buckets)
-                base = (
-                    base.select(keys[t], *cols[t])
-                    if base is not None
-                    else initial[t].select(keys[t], *cols[t]).limit(0)
+                if kb[t]:
+                    merged[t] = (
+                        _merge_slice_with_delta(slices[t], deltas[t], keys[t], cols[t]),
+                        kb[t],
+                    )
+            # orders_ck advances with ΔO: its touched buckets are named by
+            # the delta's ± custkey images (an o_custkey UPDATE moves the row
+            # between buckets — the -1 names the old bucket, the +1 the new)
+            ckb = state.touched_buckets("orders_ck", do.select("o_custkey"))
+            if ckb:
+                base_ck = state.read_buckets("orders_ck", ckb)
+                base_ck = (
+                    base_ck.select("o_orderkey", *_CK_COLS)
+                    if base_ck is not None
+                    else initial_orders.select("o_orderkey", *_CK_COLS).limit(0)
                 )
-                merged[t] = (merge_images(base, img, keys[t], cols[t]), buckets)
+                merged["orders_ck"] = (
+                    _merge_slice_with_delta(base_ck, do, "o_orderkey", _CK_COLS),
+                    ckb,
+                )
             mv_buckets = state.touched_buckets("mv", view_delta.select("c_nationkey"))
             if mv_buckets:
                 mv_cur = state.read_buckets("mv", mv_buckets)
-                assert mv_cur is not None, "mv state must be initialized"
+                if mv_cur is None:
+                    # every touched mv bucket may be EMPTY in every referenced
+                    # version (partitionBy writes no dir for empty buckets —
+                    # e.g. a previously-unseen nation group): the slice is
+                    # simply the empty view
+                    mv_cur = join_view_base(initial_orders, initial_customer).limit(0)
                 merged["mv"] = (merge_view_delta(mv_cur, view_delta), mv_buckets)
             if merged:
                 state.commit(merged, batch_id)
                 state.vacuum()
+            else:
+                state.mark_batch(batch_id)
         finally:
             view_delta.unpersist()
             for d in deltas.values():

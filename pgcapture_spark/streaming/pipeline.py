@@ -196,7 +196,11 @@ def commit_keyed_state(
             state.initialize(seed)
         buckets = state.touched_buckets(touched_keys)
         if not buckets:
-            return  # nothing to merge; replay of this batch is a no-op anyway
+            # nothing to merge — still record the batch_id (manifest rename
+            # only) so last_batch() tracks Spark's checkpoint instead of
+            # relying on empty replays being no-ops
+            state.mark_batch(batch_id)
+            return
         state.commit_buckets(merge_fn(state.read_buckets(buckets)), buckets, batch_id)
     else:
         current = state.read()

@@ -128,14 +128,15 @@ class BucketedSnapshotState:
         return os.path.exists(self._manifest)
 
     def touched_buckets(self, keys_df) -> list[int]:
-        """Bucket ids a change set touches — a distinct over at most
-        ``n_buckets`` values (bounded driver collect by construction)."""
-        return sorted(
-            r[0]
-            for r in keys_df.select(self._bucket_col().alias("_b"))
-            .distinct()
-            .collect()
-        )
+        """Bucket ids a change set touches — a ``collect_set`` aggregate
+        (map-side partial, ONE result row; bounded by ``n_buckets`` by
+        construction)."""
+        from pyspark.sql import functions as F
+
+        row = keys_df.select(self._bucket_col().alias("_b")).agg(
+            F.collect_set("_b").alias("bs")
+        ).collect()[0]
+        return sorted(row["bs"])
 
     def _load(self) -> dict:
         if not os.path.exists(self._manifest):
@@ -181,40 +182,76 @@ class BucketedSnapshotState:
                     paths.append(p)
         return paths
 
+    _READ_OPTS: dict[str, str] = {}
+
     def read_buckets(self, buckets: list[int]) -> DataFrame | None:
         paths = self._bucket_paths(self._load(), buckets)
         if not paths:
             return None
-        return self.spark.read.parquet(*paths)
+        reader = self.spark.read
+        for k, v in self._READ_OPTS.items():
+            reader = reader.option(k, v)
+        return reader.parquet(*paths)
 
     def read(self) -> DataFrame | None:
         if not os.path.exists(self._manifest):
             return None
         return self.read_buckets(list(range(self.n_buckets)))
 
-    def commit_buckets(self, merged: DataFrame, buckets: list[int], batch_id: int) -> None:
+    def mark_batch(self, batch_id: int, extra: dict | None = None) -> None:
+        """Advance the manifest's replay gate WITHOUT touching any bucket
+        pointer — for micro-batches whose merge is empty (no touched
+        buckets). Recording the batch_id keeps ``last_batch()`` in lockstep
+        with Spark's streaming checkpoint (monitoring and ``on_batch``
+        callbacks see progress), instead of relying on empty replays being
+        no-ops. A manifest rename is the whole cost."""
+        manifest = self._load()
+        manifest["batch_id"] = batch_id
+        if extra:
+            manifest.update(extra)
+        self._swap(manifest)
+
+    def commit_buckets(
+        self,
+        merged: DataFrame,
+        buckets: list[int],
+        batch_id: int,
+        extra: dict | None = None,
+    ) -> None:
         """Write the merged rows of the touched buckets as a new version,
-        re-point only those buckets. Idempotent per batch_id.
+        re-point only those buckets. Idempotent per batch_id. ``extra``
+        entries ride in the same atomic manifest swap (e.g. the evolving
+        state's schema registry).
 
         The write clusters rows by bucket first (one task per touched
         bucket), so each bucket dir gets ONE file instead of one per
         (upstream partition × bucket) — file count per version stays
         O(touched buckets), and the extra exchange moves only the touched
-        data the merge already shuffled."""
+        data the merge already shuffled.
+
+        CONTRACT (enforced): every merged row must hash into ``buckets`` —
+        a row landing outside would be written but never re-pointed (reads
+        would miss it while a stale copy survives via the old pointer), so
+        the write is checked against the bucket list and fails loudly
+        instead of losing data."""
         from pyspark.sql import functions as F
 
         version = f"v{batch_id:012d}"
+        out = os.path.join(self.root, version)
         (
             merged.withColumn("_b", self._bucket_col())
             .repartition(max(1, len(buckets)), F.col("_b"))
             .write.mode("overwrite")
             .partitionBy("_b")
-            .parquet(os.path.join(self.root, version))
+            .parquet(out)
         )
+        _assert_buckets_within(out, buckets)
         manifest = self._load()
         for b in buckets:
             manifest["buckets"][str(b)] = version
         manifest["batch_id"] = batch_id
+        if extra:
+            manifest.update(extra)
         self._swap(manifest)
 
     def vacuum(self) -> list[str]:
@@ -224,3 +261,64 @@ class BucketedSnapshotState:
         manifest snapshot they already loaded."""
         manifest = self._load()
         return _vacuum_versions(self.root, set(manifest["buckets"].values()))
+
+
+def _assert_buckets_within(version_dir: str, buckets: list[int]) -> None:
+    """Enforce the commit contract: the partitioned write may only have
+    produced ``_b=`` dirs inside the touched-bucket list. A violation means
+    a caller handed rows that hash outside the buckets it probed — those
+    rows would be silently stranded (written, never re-pointed), so fail
+    before the manifest swings (the orphan version dir vacuums away)."""
+    allowed = {str(b) for b in buckets}
+    written = {
+        name.split("=", 1)[1]
+        for name in os.listdir(version_dir)
+        if name.startswith("_b=")
+    }
+    stray = sorted(written - allowed, key=int)
+    if stray:
+        raise ValueError(
+            f"commit wrote rows into buckets {stray} outside the touched "
+            f"list {sorted(buckets)} — the merge produced keys the probe "
+            f"never saw; refusing to strand them ({version_dir})"
+        )
+
+
+class EvolvingBucketedState(BucketedSnapshotState):
+    """BucketedSnapshotState whose row schema may EVOLVE mid-stream (the
+    in-band DDL path, SURVEY §7 P5): a schema change is a VERSION BOUNDARY —
+    buckets touched after the ALTER are written with the new schema, while
+    untouched buckets keep their old files until their next merge (lazy
+    evolution).
+
+    Two additions make that safe:
+    - reads merge schemas across version dirs (``mergeSchema``), so a slice
+      spanning pre- and post-ALTER buckets surfaces the union of columns,
+    - the CURRENT authoritative field list ``[(name, spark_type), ...]``
+      rides in the manifest (swapped atomically with the data pointers), and
+      ``aligned`` projects any slice onto it — added columns NULL-fill
+      (exactly what the target table shows after ALTER TABLE ADD COLUMN,
+      pkg/sink/postgres.go:357-393), dropped columns disappear even while
+      old files still carry them."""
+
+    _READ_OPTS = {"mergeSchema": "true"}
+
+    def schema_fields(self) -> list[tuple[str, str]] | None:
+        raw = self._load().get("schema")
+        return [tuple(f) for f in raw] if raw is not None else None
+
+    def aligned(self, df: DataFrame | None, fields: list[tuple[str, str]]) -> DataFrame | None:
+        from pyspark.sql import functions as F
+
+        if df is None:
+            return None
+        have = set(df.columns)
+        for name, spark_type in fields:
+            if name not in have:
+                df = df.withColumn(name, F.lit(None).cast(spark_type))
+        return df.select(*[n for n, _ in fields])
+
+    def read(self) -> DataFrame | None:
+        df = super().read()
+        fields = self.schema_fields()
+        return self.aligned(df, fields) if fields is not None else df

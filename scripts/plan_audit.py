@@ -28,6 +28,17 @@ import io
 import os
 import sys
 
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
+# executor Python workers don't inherit driver sys.path mutations — they
+# resolve module-by-reference pickles (the mapInPandas parsers the streamed
+# sweep executes) via PYTHONPATH, so export it before the JVM starts or a
+# foreign-cwd run fails only on the UDF-bearing queries (same recipe as
+# scripts/driver_replica.py)
+os.environ["PYTHONPATH"] = os.pathsep.join(
+    p for p in (_REPO, os.environ.get("PYTHONPATH", "")) if p
+)
+
 from pyspark.sql import SparkSession
 
 # streamed queries run a real stream when invoked; iterative operators do

@@ -113,8 +113,13 @@ def test_ivm_join_stream_crash_resume_bucketed(spark):
             return BucketedMultiTableState(
                 spark,
                 f"{d}/state",
-                ["orders", "customer", "mv"],
-                {"orders": "o_orderkey", "customer": "c_custkey", "mv": "c_nationkey"},
+                ["orders", "customer", "orders_ck", "mv"],
+                {
+                    "orders": "o_orderkey",
+                    "customer": "c_custkey",
+                    "orders_ck": "o_custkey",
+                    "mv": "c_nationkey",
+                },
                 n_buckets=8,
             )
 
@@ -146,9 +151,10 @@ def test_ivm_join_stream_crash_resume_bucketed(spark):
         assert got.exceptAll(expected).count() == 0
         assert expected.exceptAll(got).count() == 0
 
-        # one manifest governs all three tables; vacuum keeps only referenced
+        # one manifest governs all four tables (incl. the custkey-co-bucketed
+        # orders projection); vacuum keeps only referenced
         manifest = json.load(open(f"{d}/state/MANIFEST.json"))
-        assert set(manifest["buckets"]) == {"orders", "customer", "mv"}
+        assert set(manifest["buckets"]) == {"orders", "customer", "orders_ck", "mv"}
         referenced = {
             v for per_t in manifest["buckets"].values() for v in per_t.values()
         }
@@ -157,6 +163,78 @@ def test_ivm_join_stream_crash_resume_bucketed(spark):
             if os.path.isdir(f"{d}/state/{n}") and n.startswith("v")
         }
         assert on_disk == referenced
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_ivm_join_stream_reads_touched_buckets_only(spark):
+    """Round-7 scale audit: per micro-batch the streamed IVM consumer reads
+    ONLY bucket slices — never a full-state materialization — and every
+    slice's bucket list is a strict subset of the bucket space (with
+    n_buckets ≫ keys-per-batch a legitimate touched set can never cover all
+    buckets). The O⋈ΔC term reads the custkey-co-bucketed orders projection
+    (orders_ck), pruned by ΔC's custkeys."""
+    from tests.test_streaming import _RecordingMultiState
+
+    from pgcapture_spark.fixtures.cdc_feed import SPARK, multi_feed_sql
+    from pgcapture_spark.sources.feed import materialize_feed, read_feed_stream
+    from pgcapture_spark.streaming.multi import BucketedMultiTableState
+    from pgcapture_spark.streaming.mv import ivm_join_stream
+
+    register_views(spark, SF_SMALL, ("customer", "orders"))
+    orders, customer = spark.table("orders"), spark.table("customer")
+    expected = ivm_join_view(
+        orders,
+        customer,
+        _feed(spark, SF_SMALL, "orders"),
+        _feed(spark, SF_SMALL, "customer"),
+        CDC_COLS["orders"],
+        CDC_COLS["customer"],
+    )
+    d = tempfile.mkdtemp(prefix="pgcs_t_ivmaudit_")
+    n_buckets = 256
+    try:
+        feed = spark.sql(multi_feed_sql(SPARK))
+        materialize_feed(feed, f"{d}/feed", n_segments=4)
+        schema = spark.read.parquet(f"{d}/feed").schema
+
+        def mk_state():
+            return BucketedMultiTableState(
+                spark,
+                f"{d}/state",
+                ["orders", "customer", "orders_ck", "mv"],
+                {
+                    "orders": "o_orderkey",
+                    "customer": "c_custkey",
+                    "orders_ck": "o_custkey",
+                    "mv": "c_nationkey",
+                },
+                n_buckets=n_buckets,
+            )
+
+        state = _RecordingMultiState(mk_state())
+        q = ivm_join_stream(
+            read_feed_stream(spark, f"{d}/feed", schema, max_files_per_trigger=1),
+            state, orders, customer,
+            CDC_COLS["orders"], CDC_COLS["customer"], f"{d}/ckpt",
+        )
+        q.awaitTermination(300)
+
+        assert state.full_reads == 0
+        assert state.read_calls, "stream must have read bucket slices"
+        by_table: dict[str, list[list[int]]] = {}
+        for t, b in state.read_calls:
+            by_table.setdefault(t, []).append(b)
+        # all four tables were sliced, every slice strictly partial
+        assert set(by_table) == {"orders", "customer", "orders_ck", "mv"}
+        for t, reads in by_table.items():
+            assert all(0 < len(b) < n_buckets for b in reads), t
+        # the mv has ≤25 nation groups — its slices are tiny by construction
+        assert all(len(b) <= 25 for b in by_table["mv"])
+
+        got = mk_state().read()["mv"]
+        assert got.exceptAll(expected).count() == 0
+        assert expected.exceptAll(got).count() == 0
     finally:
         shutil.rmtree(d, ignore_errors=True)
 

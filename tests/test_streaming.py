@@ -240,12 +240,37 @@ def test_bucketed_apply_crash_resume_and_vacuum(spark, tmpdir):
     assert final2.exceptAll(expected).count() == 0
 
 
-def test_paired_mv_converges_and_replay_is_noop(spark, tmpdir):
-    """PairedState MV: converges to the from-scratch aggregate of the applied
-    snapshot; a full replay with a fresh streaming checkpoint but the same
-    paired state changes nothing (no double retract/add)."""
+class _RecordingMultiState:
+    """BucketedMultiTableState wrapper that records every read's bucket list
+    (and any full-snapshot read) — the O(touched-reads) audit used by the MV
+    consumer tests."""
+
+    def __init__(self, inner):
+        self._inner = inner
+        self.read_calls: list[tuple[str, list[int]]] = []
+        self.full_reads = 0
+
+    def read_buckets(self, table, buckets):
+        self.read_calls.append((table, list(buckets)))
+        return self._inner.read_buckets(table, buckets)
+
+    def read(self):
+        self.full_reads += 1
+        return self._inner.read()
+
+    def __getattr__(self, name):
+        return getattr(self._inner, name)
+
+
+def test_bucketed_mv_converges_and_replay_is_noop(spark, tmpdir):
+    """Bucketed MV pair (snapshot + agg under ONE manifest): converges to the
+    from-scratch aggregate of the applied snapshot; a full replay with a fresh
+    streaming checkpoint but the same state changes nothing (no double
+    retract/add); per-batch reads touch only the buckets the batch names —
+    never the full snapshot."""
     from pgcapture_spark.operators.incremental import group_agg
-    from pgcapture_spark.streaming.mv import PairedState, incremental_agg_stream
+    from pgcapture_spark.streaming.multi import BucketedMultiTableState
+    from pgcapture_spark.streaming.mv import incremental_agg_stream
 
     register_views(spark, SF_SMALL, ("customer",))
     snapshot = spark.table("customer")
@@ -256,7 +281,21 @@ def test_paired_mv_converges_and_replay_is_noop(spark, tmpdir):
     feed_dir = f"{tmpdir}/feed"
     materialize_feed(feed, feed_dir, n_segments=5)
     schema = spark.read.parquet(feed_dir).schema
-    state = PairedState(spark, f"{tmpdir}/state")
+    # 64 buckets >> distinct keys per micro-batch at sf0.001, so a touched-
+    # bucket read can NEVER legitimately cover all buckets — makes the
+    # strict-subset audit below deterministic
+    n_buckets = 64
+
+    def mk_state():
+        return BucketedMultiTableState(
+            spark,
+            f"{tmpdir}/state",
+            ["snapshot", "agg"],
+            {"snapshot": "c_custkey", "agg": "c_nationkey"},
+            n_buckets=n_buckets,
+        )
+
+    state = _RecordingMultiState(mk_state())
     q = incremental_agg_stream(
         read_feed_stream(spark, feed_dir, schema, max_files_per_trigger=2),
         state,
@@ -268,16 +307,24 @@ def test_paired_mv_converges_and_replay_is_noop(spark, tmpdir):
         f"{tmpdir}/ckpt",
     )
     q.awaitTermination(120)
-    snap_f, agg_f = state.read()
+    got = mk_state().read()
+    agg_f, snap_f = got["agg"], got["snapshot"]
     assert agg_f.exceptAll(expected).count() == 0
     assert expected.exceptAll(agg_f).count() == 0
-    # the co-versioned snapshot equals the batch apply too
+    # the co-committed snapshot equals the batch apply too
     assert snap_f.exceptAll(applied).count() == 0
+
+    # O(touched) read audit: the consumer never materialized the full state,
+    # and every per-batch snapshot read was a strict subset of the buckets
+    # (segments are ~1/3 of the keyspace each → far fewer than all buckets)
+    assert state.full_reads == 0
+    snap_reads = [b for t, b in state.read_calls if t == "snapshot"]
+    assert snap_reads and all(len(b) < n_buckets for b in snap_reads)
 
     last = state.last_batch()
     q2 = incremental_agg_stream(
         read_feed_stream(spark, feed_dir, schema, max_files_per_trigger=2),
-        state,
+        mk_state(),
         snapshot,
         "c_custkey",
         "c_nationkey",
@@ -286,8 +333,8 @@ def test_paired_mv_converges_and_replay_is_noop(spark, tmpdir):
         f"{tmpdir}/ckpt2",
     )
     q2.awaitTermination(120)
-    assert state.last_batch() == last
-    _, agg2 = state.read()
+    assert mk_state().last_batch() == last
+    agg2 = mk_state().read()["agg"]
     assert agg2.exceptAll(expected).count() == 0
 
 
