@@ -89,6 +89,7 @@ from pgcapture_spark.querydefs import (  # noqa: E402,F401
     history as _qd_history,
     retrieval as _qd_retrieval,
     r6wave as _qd_r6wave,
+    r7wave as _qd_r7wave,
 )
 
 # The driver verifies the FIRST ~50 registry entries each round. Rounds 1-5

@@ -305,7 +305,7 @@ def replication_lag_seconds(snapshot_max_commit_ts, now_ts) -> float:
 
 def apply_stream_with_ddl(
     feed_stream: DataFrame,
-    state: SnapshotState,
+    state,  # SnapshotState | EvolvingBucketedState
     initial_snapshot: DataFrame,
     key: str,
     checkpoint_dir: str,
@@ -314,12 +314,85 @@ def apply_stream_with_ddl(
     contain op='DDL' rows; the snapshot schema evolves before the batch's
     changes fold in. Pre-DDL events never reference the new column (presence
     encoding), so evolving first then folding the whole batch is equivalent
-    to splitting the batch at the DDL boundary. The versioned-parquet state
-    naturally supports a different schema per version."""
+    to splitting the batch at the DDL boundary.
+
+    With an ``EvolvingBucketedState`` (the scale path) a schema change is a
+    VERSION BOUNDARY: the authoritative field list rides in the manifest
+    (atomically with the bucket pointers), buckets touched after the ALTER
+    are written with the new schema, and untouched buckets evolve LAZILY —
+    merge-schema reads + manifest-schema alignment surface added columns as
+    NULL and hide dropped ones until each bucket's next physical rewrite
+    (pkg/sink/postgres.go:296-393 semantics: the target table shows the new
+    shape immediately, storage catches up per row). Per-trigger cost stays
+    O(touched buckets) even across DDL.
+
+    The plain ``SnapshotState`` path (full rewrite per batch) is kept as the
+    compat form — the versioned-parquet layout naturally supports a
+    different schema per version."""
     from pgcapture_spark.operators.ddl import evolve_snapshot, parse_alter
+    from pgcapture_spark.streaming.state import EvolvingBucketedState
+
+    def _evolved_fields(batch_df: DataFrame, fields: list[tuple[str, str]]):
+        for row in sorted(
+            batch_df.where("op = 'DDL'").select("ord", "query").collect(),
+            key=lambda r: r.ord,
+        ):
+            alter = parse_alter(row.query)
+            if alter is None:
+                continue
+            have = {n for n, _ in fields}
+            fields = fields + [(c, t) for c, t in alter.add if c not in have]
+            fields = [f for f in fields if f[0] not in set(alter.drop)]
+        return fields
+
+    def _bucketed_batch(batch_df: DataFrame, batch_id: int) -> None:
+        from pgcapture_spark.operators.apply import last_image, merge_images
+
+        if not state.initialized():
+            state.initialize(initial_snapshot)
+        fields = state.schema_fields()
+        if fields is None:
+            fields = list(initial_snapshot.dtypes)
+        fields = _evolved_fields(batch_df, fields)
+        extra = {"schema": [list(f) for f in fields]}
+        cols = [n for n, _ in fields if n != key]
+        changes = batch_df.where("op <> 'DDL'")
+        # a manifest-schema column the stream cannot carry (ALTER ADD for a
+        # column absent from the feed's physical schema) can only ever be
+        # NULL — fold the carried columns, NULL-fill the rest
+        fold_cols = [c for c in cols if c in changes.columns]
+        img = last_image(changes, key, fold_cols).persist()
+        try:
+            buckets = state.touched_buckets(img.select(key))
+            if not buckets:
+                state.mark_batch(batch_id, extra=extra)
+                return
+            cur = state.read_buckets(buckets)
+            base = (
+                state.aligned(cur, fields)
+                if cur is not None
+                else state.aligned(initial_snapshot, fields).limit(0)
+            )
+            merged = merge_images(base, img, key, fold_cols)
+            types = dict(fields)
+            for c in cols:
+                if c not in fold_cols:
+                    merged = merged.withColumn(c, F_lit_null(types[c]))
+            state.commit_buckets(merged.select(key, *cols), buckets, batch_id, extra=extra)
+            state.vacuum()
+        finally:
+            img.unpersist()
+
+    def F_lit_null(spark_type: str):
+        from pyspark.sql import functions as F
+
+        return F.lit(None).cast(spark_type)
 
     def _apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_id <= state.last_batch():
+            return
+        if isinstance(state, EvolvingBucketedState):
+            _bucketed_batch(batch_df, batch_id)
             return
         current = state.read()
         if current is None:

@@ -39,6 +39,50 @@ def test_evolve_snapshot_add_is_null_filled(spark):
     assert row.note is None
 
 
+def test_bucketed_ddl_apply_lazy_evolution(spark):
+    """EvolvingBucketedState: the ALTER is a version boundary — buckets
+    untouched by any post-init batch keep their ORIGINAL vinit files (never
+    rewritten for the DDL), yet the aligned read surfaces the added column
+    as NULL for them; the stream converges to the batch result."""
+    import json
+
+    from pgcapture_spark.streaming.state import EvolvingBucketedState
+
+    d = tempfile.mkdtemp(prefix="pgcs_ddlbkt_")
+    try:
+        register_views(spark, SF_SMALL, ("customer",))
+        feed = spark.sql(ddl_feed_sql())
+        expected = REGISTRY["cdc_apply_ddl_evolution"].fn(spark, SF_SMALL)
+
+        feed_dir = f"{d}/feed"
+        materialize_feed(feed, feed_dir, n_segments=4)
+        schema = spark.read.parquet(feed_dir).schema
+        state = EvolvingBucketedState(spark, f"{d}/state", "c_custkey", n_buckets=64)
+        q = apply_stream_with_ddl(
+            read_feed_stream(spark, feed_dir, schema, max_files_per_trigger=1),
+            state,
+            spark.table("customer").select("c_custkey", "c_acctbal"),
+            "c_custkey",
+            f"{d}/ckpt",
+        )
+        q.awaitTermination(120)
+        final = state.read()
+        assert sorted(final.columns) == sorted(expected.columns)
+        assert final.exceptAll(expected).count() == 0
+        assert expected.exceptAll(final).count() == 0
+        assert final.where("c_note IS NOT NULL").count() > 0
+
+        manifest = json.load(open(f"{d}/state/MANIFEST.json"))
+        # the evolved field list rides in the manifest
+        assert ["c_note", "string"] in manifest["schema"]
+        # lazy evolution: at 64 buckets >> touched keys, some buckets still
+        # point at the pre-DDL vinit files — the DDL rewrote nothing it
+        # didn't have to
+        assert "vinit" in set(manifest["buckets"].values())
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def test_streaming_apply_with_ddl_matches_batch(spark):
     d = tempfile.mkdtemp(prefix="pgcs_ddl_")
     try:
