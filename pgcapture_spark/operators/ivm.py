@@ -193,6 +193,80 @@ def ivm_join_view(
     return merge_view_delta(base, ivm_join_delta(orders, customer, d_o, d_c))
 
 
+def ivm_distinct_view(
+    snapshot: DataFrame,
+    changes: DataFrame,
+    key: str,
+    group_col: str,
+    dist_col: str,
+    cols: list[str],
+    support: DataFrame | None = None,
+) -> DataFrame:
+    """Maintained COUNT(DISTINCT dist_col) per group — the other classic
+    non-abelian aggregate, made delta-maintainable through its standard
+    SUPPORT TABLE: one (group, value) → row-count table, which IS abelian
+    (adds +1, retracts -1); distinct = values with count > 0. A retraction
+    never forces a rescan here (unlike min/max) because the support keeps
+    every value's population, at the cost of a support table proportional to
+    the number of DISTINCT (group, value) pairs — the textbook space/rescan
+    trade between the two maintenance strategies.
+
+    Returns (group_col, n_distinct, n_rows); NULL values count toward
+    n_rows but not n_distinct (SQL COUNT(DISTINCT) semantics). Groups with
+    0 rows drop."""
+    sup = (
+        support
+        if support is not None
+        else snapshot.groupBy(group_col, dist_col).agg(F.count("*").alias("cnt"))
+    )
+    delta = signed_key_delta(snapshot, changes, key, cols)
+    d_sup = (
+        delta.groupBy(group_col, dist_col)
+        .agg(F.sum("s").alias("dcnt"))
+        .where(F.col("dcnt") != 0)
+    )
+    merged = sup.alias("b").join(
+        d_sup.alias("d"), on=[group_col, dist_col], how="full_outer"
+    ).select(
+        F.col(group_col),
+        F.col(dist_col),
+        (F.coalesce("b.cnt", F.lit(0)) + F.coalesce("d.dcnt", F.lit(0))).alias("cnt"),
+    ).where(F.col("cnt") > 0)
+    return merged.groupBy(group_col).agg(
+        F.count(F.when(F.col(dist_col).isNotNull(), 1)).alias("n_distinct"),
+        F.sum("cnt").alias("n_rows"),
+    )
+
+
+def ivm_star_view(
+    view_delta: DataFrame,
+    dims: DataFrame,
+    base: DataFrame,
+) -> DataFrame:
+    """Roll a maintained join-view delta UP a static dimension chain (the
+    star-schema form): ``view_delta`` is the per-c_nationkey (dn, dc) delta
+    from :func:`ivm_join_delta`; ``dims`` maps c_nationkey → the coarser
+    grain (e.g. nation ⋈ region → r_name, 25 rows — broadcast); ``base`` is
+    the stored coarse view. Static dimensions contribute no delta terms of
+    their own, so a 4-table view costs exactly the 2-table delta plus one
+    broadcast hash join — the reason star-schema MVs scale."""
+    d_coarse = (
+        view_delta.join(F.broadcast(dims), "c_nationkey")
+        .groupBy("r_name")
+        .agg(F.sum("dn").alias("dn"), F.sum("dc").alias("dc"))
+    )
+    merged = base.alias("b").join(d_coarse.alias("d"), on="r_name", how="full_outer")
+    return merged.select(
+        F.col("r_name"),
+        (F.coalesce("b.n_orders", F.lit(0)) + F.coalesce("d.dn", F.lit(0))).alias(
+            "n_orders"
+        ),
+        (F.coalesce("b.sum_cents", F.lit(0)) + F.coalesce("d.dc", F.lit(0))).alias(
+            "sum_cents"
+        ),
+    ).where(F.col("n_orders") > 0)
+
+
 def ivm_join_oracle_sql(orders_applied_sql: str, customer_applied_sql: str) -> str:
     """From-scratch oracle: the view recomputed over the APPLIED snapshots."""
     return f"""

@@ -765,8 +765,22 @@ FROM terms GROUP BY feature
 def corpus_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir, ("documents",))
     docs = spark.table("documents").where(F.col("doc_id").isNotNull())
-    feat = docs.select(
-        (F.col("doc_id") % 2 == 1).alias("is_cur"),
+    feat = doc_feature_rows(docs).withColumn(
+        "is_cur", F.col("doc_id") % 2 == 1
+    ).select("is_cur", "feature", "bucket")
+    counts = feat.groupBy("feature", "bucket").agg(
+        F.sum(F.when(F.col("is_cur"), 1).otherwise(0)).cast("long").alias("cur_cnt"),
+        F.sum(F.when(F.col("is_cur"), 0).otherwise(1)).cast("long").alias("ref_cnt"),
+    )
+    return psi_from_counts(counts)
+
+
+def doc_feature_rows(docs: DataFrame) -> DataFrame:
+    """(doc_id, feature, bucket) rows of the drift monitor's two tracked
+    distributions (length buckets capped at 7, language) — shared by the
+    batch PSI and its streamed accumulator."""
+    return docs.select(
+        "doc_id",
         F.explode(
             F.array(
                 F.struct(
@@ -785,14 +799,15 @@ def corpus_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
             )
         ).alias("fb"),
-    ).select("is_cur", "fb.feature", "fb.bucket")
-    counts = feat.groupBy("feature", "bucket").agg(
-        F.sum(F.when(F.col("is_cur"), 1).otherwise(0)).cast("long").alias("cur_cnt"),
-        F.sum(F.when(F.col("is_cur"), 0).otherwise(1)).cast("long").alias("ref_cnt"),
-    )
-    # per-feature totals as WINDOWS over the bucket counts (not a second
-    # aggregation + join): one lineage, so the corpus scans once; the window
-    # exchange operates on bucket-sized rows only
+    ).select("doc_id", "fb.feature", "fb.bucket")
+
+
+def psi_from_counts(counts: DataFrame) -> DataFrame:
+    """PSI per feature from (feature, bucket, cur_cnt, ref_cnt) rows —
+    Laplace-smoothed, per-term nano-quantized (exact integer sum
+    cross-engine). Per-feature totals are WINDOWS over the bucket counts
+    (not a second aggregation + join): one lineage, the input scans once;
+    the window exchange operates on bucket-sized rows only."""
     from pyspark.sql import Window as W
 
     wf = W.partitionBy("feature")

@@ -76,3 +76,299 @@ def cdc_apply_ddl_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     query.awaitTermination(300)
     return state.read()
+
+
+# ------------------------------------------------------- IVM hard cases
+
+_MINMAX_ORACLE = f"""
+WITH applied AS ({_CUSTOMER_APPLIED})
+SELECT c_nationkey,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(min(CAST(floor(coalesce(c_acctbal, 0.0) * 100 + 0.5) AS BIGINT))
+            AS BIGINT) AS min_cents,
+       CAST(max(CAST(floor(coalesce(c_acctbal, 0.0) * 100 + 0.5) AS BIGINT))
+            AS BIGINT) AS max_cents
+FROM applied GROUP BY c_nationkey
+"""
+
+
+@q(
+    "cdc_ivm_minmax_view",
+    _MINMAX_ORACLE,
+    "The NON-abelian IVM hard case: maintained per-group MIN/MAX under"
+    " deletes. Support-row algebra (min/max value + extreme-population"
+    " counts) decides every group whose delta is conclusive in O(delta);"
+    " only groups whose extreme population is EXHAUSTED with no replacing"
+    " add rescan — an exact, semi-join-pruned pass over just those groups"
+    " (operators/ivm_minmax.py; incremental.py's docstring names min/max as"
+    " exactly the aggregate needing this). Oracle: from-scratch min/max/"
+    "count over the applied snapshot.",
+)
+def cdc_ivm_minmax_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pgcapture_spark.operators.ivm_minmax import ivm_minmax_view
+
+    register_views(spark, sf_dir, ("customer",))
+    return ivm_minmax_view(
+        spark.table("customer"),
+        _feed(spark, sf_dir, "customer"),
+        "c_custkey",
+        "c_nationkey",
+        "c_acctbal",
+        CDC_COLS["customer"],
+    )
+
+
+_DISTINCT_ORACLE = f"""
+WITH applied AS ({_CUSTOMER_APPLIED})
+SELECT c_nationkey,
+       CAST(count(DISTINCT c_mktsegment) AS BIGINT) AS n_distinct,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM applied GROUP BY c_nationkey
+"""
+
+
+@q(
+    "cdc_ivm_distinct_view",
+    _DISTINCT_ORACLE,
+    "Maintained COUNT(DISTINCT) per group — the other non-abelian aggregate,"
+    " delta-maintained through its (group, value)→count SUPPORT table (which"
+    " IS abelian: +1/-1 per signed delta row; distinct = values with count"
+    " > 0, NULLs counted in rows but not distinct). No rescan ever, at the"
+    " cost of support space — the textbook trade against ivm_minmax's"
+    " bounded rescan (operators/ivm.py::ivm_distinct_view). Oracle:"
+    " from-scratch COUNT(DISTINCT) over the applied snapshot.",
+)
+def cdc_ivm_distinct_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pgcapture_spark.operators.ivm import ivm_distinct_view
+
+    register_views(spark, sf_dir, ("customer",))
+    return ivm_distinct_view(
+        spark.table("customer"),
+        _feed(spark, sf_dir, "customer"),
+        "c_custkey",
+        "c_nationkey",
+        "c_mktsegment",
+        CDC_COLS["customer"],
+    )
+
+
+_STAR_ORACLE = f"""
+WITH ao AS ({_ORDERS_APPLIED}), ac AS ({_CUSTOMER_APPLIED})
+SELECT r.r_name,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(floor(coalesce(o.o_totalprice, 0.0) * 100 + 0.5) AS BIGINT))
+            AS BIGINT) AS sum_cents
+FROM ao o
+JOIN ac c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name
+"""
+
+
+@q(
+    "cdc_ivm_starjoin_view",
+    _STAR_ORACLE,
+    "4-table star-schema join view maintained under BOTH fact-side feeds:"
+    " V = per-REGION order count + revenue over orders ⋈ customer ⋈ nation ⋈"
+    " region. Static dimensions contribute no delta terms — the change"
+    " algebra is exactly the 2-table signed delta (operators/ivm.py),"
+    " rolled up the nation→region chain with ONE broadcast hash join"
+    " (ivm_star_view): the reason star-schema MVs stay cheap at 100 TB."
+    " Oracle: the from-scratch 4-way join over the applied snapshots.",
+)
+def cdc_ivm_starjoin_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pgcapture_spark.operators.ivm import (
+        ivm_join_delta,
+        ivm_star_view,
+        join_view_base,
+        signed_key_delta,
+    )
+
+    register_views(spark, sf_dir, ("customer", "orders", "nation", "region"))
+    orders, customer = spark.table("orders"), spark.table("customer")
+    dims = (
+        spark.table("nation")
+        .join(
+            spark.table("region"),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select(F.col("n_nationkey").alias("c_nationkey"), "r_name")
+    )
+    base = (
+        join_view_base(orders, customer)
+        .join(F.broadcast(dims), "c_nationkey")
+        .groupBy("r_name")
+        .agg(
+            F.sum("n_orders").alias("n_orders"),
+            F.sum("sum_cents").alias("sum_cents"),
+        )
+    )
+    d_o = signed_key_delta(
+        orders, _feed(spark, sf_dir, "orders"), "o_orderkey", CDC_COLS["orders"]
+    ).persist()
+    d_c = signed_key_delta(
+        customer, _feed(spark, sf_dir, "customer"), "c_custkey", CDC_COLS["customer"]
+    ).persist()
+    view_delta = ivm_join_delta(orders, customer, d_o, d_c)
+    return ivm_star_view(view_delta, dims, base)
+
+
+# ------------------------------------------------- streamed drift monitor
+
+
+@q(
+    "corpus_drift_psi_streamed",
+    None,  # set below — reuses the batch PSI oracle verbatim
+    "The drift monitor as a CONTINUOUS consumer: the 'current' corpus half"
+    " arrives as a stream; each micro-batch's (feature, bucket) counts merge"
+    " ADDITIVELY into a bucketed summary state (the persisted-summary"
+    " pattern of agg_heavy_hitters_streamed — state is distribution-sized,"
+    " never corpus-sized), and PSI against the static reference half is"
+    " derived from the summary alone. Converges to the batch"
+    " corpus_drift_psi oracle exactly (same Laplace smoothing, same"
+    " nano-quantized terms).",
+)
+def corpus_drift_psi_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from pgcapture_spark.querydefs.pipeline import doc_feature_rows, psi_from_counts
+    from pgcapture_spark.sources.feed import cached_fixture_segments, read_feed_stream
+    from pgcapture_spark.streaming.pipeline import commit_keyed_state
+    from pgcapture_spark.streaming.state import BucketedSnapshotState
+
+    register_views(spark, sf_dir, ("documents",))
+    docs = spark.table("documents").where(F.col("doc_id").isNotNull())
+    d = tempfile.mkdtemp(prefix="pgcs_q_psistream_")
+    feed_dir = cached_fixture_segments(
+        spark, sf_dir, "psi_docs",
+        lambda: docs.where("doc_id % 2 = 1").select("doc_id", "n_chars", "lang"),
+        n_segments=5, order_col="doc_id",
+    )
+    schema = spark.read.parquet(feed_dir).schema
+    state = BucketedSnapshotState(
+        spark, f"{d}/state", ["feature", "bucket"], n_buckets=8
+    )
+
+    def _batch(batch_df, batch_id):
+        if batch_id <= state.last_batch():
+            return
+        bc = (
+            doc_feature_rows(batch_df)
+            .groupBy("feature", "bucket")
+            .agg(F.count("*").cast("long").alias("cur_cnt"))
+            .persist()
+        )
+        try:
+            def _merge(cur):
+                if cur is None:
+                    return bc
+                m = cur.alias("c").join(
+                    bc.alias("b"), on=["feature", "bucket"], how="full_outer"
+                )
+                return m.select(
+                    "feature",
+                    "bucket",
+                    (
+                        F.coalesce("c.cur_cnt", F.lit(0))
+                        + F.coalesce("b.cur_cnt", F.lit(0))
+                    ).alias("cur_cnt"),
+                )
+
+            commit_keyed_state(state, batch_id, bc.select("feature", "bucket"), _merge)
+        finally:
+            bc.unpersist()
+
+    query = (
+        read_feed_stream(spark, feed_dir, schema, max_files_per_trigger=2)
+        .writeStream.foreachBatch(_batch)
+        .option("checkpointLocation", f"{d}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(300)
+
+    cur = state.read()
+    ref = (
+        doc_feature_rows(docs.where("doc_id % 2 = 0"))
+        .groupBy("feature", "bucket")
+        .agg(F.count("*").cast("long").alias("ref_cnt"))
+    )
+    if cur is None:
+        counts = ref.withColumn("cur_cnt", F.lit(0).cast("long"))
+    else:
+        counts = cur.alias("c").join(
+            ref.alias("r"), on=["feature", "bucket"], how="full_outer"
+        ).select(
+            "feature",
+            "bucket",
+            F.coalesce("c.cur_cnt", F.lit(0)).alias("cur_cnt"),
+            F.coalesce("r.ref_cnt", F.lit(0)).alias("ref_cnt"),
+        )
+    return psi_from_counts(counts)
+
+
+def _set_psi_streamed_oracle() -> None:
+    from pgcapture_spark.querydefs.pipeline import _DUCK_PSI
+    from pgcapture_spark.queries import REGISTRY
+
+    REGISTRY["corpus_drift_psi_streamed"].oracle = _DUCK_PSI
+
+
+_set_psi_streamed_oracle()
+
+
+# --------------------------------------------- tx-registry retention (prune)
+
+_PRUNE_SAFE_ORD = 214_748_364_800  # 2^31 * 100 — mid-keyspace of the lsn hash
+
+_PRUNE_ORACLE = f"""
+WITH feed AS ({cdc_customer_sql(DUCKDB)}),
+tx AS (SELECT DISTINCT lsn FROM feed)
+SELECT lsn,
+       CAST(1704067200000000 + (lsn % 86400) * 1000000 - 946684800000000
+            AS BIGINT) AS commit_us
+FROM tx WHERE lsn * 100 + 99 >= {_PRUNE_SAFE_ORD}
+"""
+
+
+@q(
+    "cdc_tx_registry_prune",
+    _PRUNE_ORACLE,
+    "Tx-registry RETENTION as a declared maintenance op"
+    " (streaming/pipeline.py::prune_tx_registry — the compact_log analog for"
+    " the wire consumers' cross-batch Begin registry): fold the protobuf"
+    " stream's Begin frames into the persisted registry, then drop every"
+    " transaction whose whole (Begin..Commit) ord span lies before the safe"
+    " watermark — their rows can never arrive again. The maintenance commit"
+    " must NOT advance the replay gate (it lands in a .pruneK version dir"
+    " under the same batch_id); superseded versions vacuum. Oracle: the"
+    " surviving (lsn, commit-time) set computed from the feed arithmetic.",
+)
+def cdc_tx_registry_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from pgcapture_spark.functions.protowire import parse_messages_udf
+    from pgcapture_spark.querydefs.extras import proto_customer_messages
+    from pgcapture_spark.sources.feed import cached_fixture_segments
+    from pgcapture_spark.streaming.pipeline import prune_tx_registry
+    from pgcapture_spark.streaming.state import SnapshotState
+
+    register_views(spark, sf_dir, ("customer",))
+    d = tempfile.mkdtemp(prefix="pgcs_q_txprune_")
+    feed_dir = cached_fixture_segments(
+        spark, sf_dir, "proto_cust",
+        lambda: proto_customer_messages(spark, sf_dir)[0], n_segments=6,
+    )
+    wire = spark.read.parquet(feed_dir)
+    parsed = wire.select("lsn", parse_messages_udf(safe=True)("data").alias("f"))
+    begins = (
+        parsed.where("f.op = 'BEGIN'")
+        .select("lsn", F.col("f.commit_us").alias("commit_us"))
+        .dropDuplicates(["lsn"])
+    )
+    tx_state = SnapshotState(spark, f"{d}/txreg")
+    tx_state.commit(begins, 0)
+    before, after = prune_tx_registry(tx_state, _PRUNE_SAFE_ORD)
+    assert after <= before and tx_state.last_batch() == 0
+    return tx_state.read()

@@ -1,0 +1,176 @@
+"""Round-7 wave contracts: the non-abelian IVM cases (min/max support-row
+algebra + bounded dirty rescan; COUNT DISTINCT support table), the star-view
+rollup, and the schema-evolving bucketed apply's interaction pieces. The
+oracle-parity sweep (tests/test_oracle_parity.py) checks every wave query
+against DuckDB at sf0.001; these tests pin the semantics the oracle can't
+see — that the dirty path actually fires and resolves exactly."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pgcapture_spark.operators.ivm import ivm_distinct_view
+from pgcapture_spark.operators.ivm_minmax import ivm_minmax_view, minmax_support
+
+
+def _mk(spark, rows):
+    return spark.createDataFrame(rows, "k bigint, g int, v double")
+
+
+def _feed_rows(spark, rows):
+    # (ord, op, present, k, g, v)
+    return spark.createDataFrame(
+        rows, "ord bigint, op string, present string, k bigint, g int, v double"
+    )
+
+
+def _run(spark, snap_rows, feed_rows):
+    snap = _mk(spark, snap_rows)
+    feed = _feed_rows(spark, feed_rows)
+    return {
+        r["g"]: (r["n_rows"], r["min_cents"], r["max_cents"])
+        for r in ivm_minmax_view(snap, feed, "k", "g", "v", ["g", "v"]).collect()
+    }
+
+
+def test_minmax_delete_of_exhausted_min_rescans_to_second_smallest(spark):
+    """The hard case: the ONLY row at the min is deleted, no add replaces it
+    — support algebra cannot know the runner-up, the dirty rescan must find
+    it among survivors."""
+    got = _run(
+        spark,
+        [(1, 0, 1.00), (2, 0, 5.00), (3, 0, 9.00)],
+        [(100, "DELETE", "k", 1, None, None)],
+    )
+    assert got == {0: (2, 500, 900)}
+
+
+def test_minmax_delete_at_min_with_duplicate_population_stays_clean(spark):
+    """Two rows share the min; deleting one leaves the extreme population
+    alive — decided by the support counts alone (no rescan needed for
+    correctness; the result must still be exact)."""
+    got = _run(
+        spark,
+        [(1, 0, 1.00), (2, 0, 1.00), (3, 0, 9.00)],
+        [(100, "DELETE", "k", 1, None, None)],
+    )
+    assert got == {0: (2, 100, 900)}
+
+
+def test_minmax_add_below_min_and_above_max(spark):
+    got = _run(
+        spark,
+        [(1, 0, 5.00)],
+        [
+            (100, "INSERT", "k,g,v", 7, 0, 0.50),
+            (200, "INSERT", "k,g,v", 8, 0, 11.00),
+        ],
+    )
+    assert got == {0: (3, 50, 1100)}
+
+
+def test_minmax_update_moves_row_between_groups(spark):
+    """An UPDATE that changes the group retracts from g=0 (exhausting its
+    max) and adds to g=1 — both sides must resolve."""
+    got = _run(
+        spark,
+        [(1, 0, 5.00), (2, 0, 1.00), (3, 1, 3.00)],
+        [(100, "UPDATE", "k,g,v", 1, 1, 7.00)],
+    )
+    assert got == {0: (1, 100, 100), 1: (2, 300, 700)}
+
+
+def test_minmax_group_emptied_drops(spark):
+    got = _run(
+        spark,
+        [(1, 0, 5.00), (2, 1, 2.00)],
+        [(100, "DELETE", "k", 1, None, None)],
+    )
+    assert got == {1: (1, 200, 200)}
+
+
+def test_minmax_new_group_from_inserts_only(spark):
+    got = _run(
+        spark,
+        [(1, 0, 5.00)],
+        [
+            (100, "INSERT", "k,g,v", 7, 3, 2.00),
+            (200, "INSERT", "k,g,v", 8, 3, 8.00),
+        ],
+    )
+    assert got == {0: (1, 500, 500), 3: (2, 200, 800)}
+
+
+def test_minmax_exhausted_min_replaced_by_lower_add_stays_clean(spark):
+    """Min population exhausted BUT an add sits at-or-below the old min —
+    conclusive without rescan."""
+    got = _run(
+        spark,
+        [(1, 0, 1.00), (2, 0, 9.00)],
+        [
+            (100, "DELETE", "k", 1, None, None),
+            (200, "INSERT", "k,g,v", 7, 0, 0.25),
+        ],
+    )
+    assert got == {0: (2, 25, 900)}
+
+
+def test_minmax_dirty_path_actually_fires_on_cdc_feed(spark):
+    """At sf0.001 the customer feed's deletes hit several nations' extreme
+    holders — the declared query must be exercising the rescan branch, not
+    coasting on clean algebra. Reconstructs the classifier's dirty set and
+    asserts it is non-empty."""
+    from pgcapture_spark.catalog import CDC_COLS, register_views
+    from pgcapture_spark.operators.incremental import cents_col
+    from pgcapture_spark.operators.ivm import signed_key_delta
+    from pgcapture_spark.queries import _feed
+    from tests.conftest import SF_SMALL
+
+    register_views(spark, SF_SMALL, ("customer",))
+    snap = spark.table("customer")
+    feed = _feed(spark, SF_SMALL, "customer")
+    S = minmax_support(
+        snap.select("c_nationkey", cents_col(F.col("c_acctbal")).alias("v")),
+        "c_nationkey",
+    )
+    delta = signed_key_delta(snap, feed, "c_custkey", CDC_COLS["customer"])
+    d = delta.select(
+        "c_nationkey", "s", cents_col(F.col("c_acctbal")).alias("v")
+    ).join(F.broadcast(S), "c_nationkey", "left")
+    dd = d.groupBy("c_nationkey").agg(
+        F.sum(F.when(F.col("v") == F.col("min_v"), F.col("s")).otherwise(0)).alias("dm"),
+        F.min(F.when(F.col("s") == 1, F.col("v"))).alias("min_add"),
+    )
+    dirty = (
+        dd.join(S, "c_nationkey")
+        .where(
+            (F.col("cnt_min") + F.col("dm") <= 0)
+            & (F.col("min_add").isNull() | (F.col("min_add") > F.col("min_v")))
+        )
+        .count()
+    )
+    assert dirty > 0
+
+
+def test_distinct_view_null_values_count_rows_not_distinct(spark):
+    snap = spark.createDataFrame(
+        [(1, 0, "A"), (2, 0, "B"), (3, 0, None), (4, 1, "A")],
+        "k bigint, g int, v string",
+    )
+    feed = spark.createDataFrame(
+        [
+            # UPDATE key 2 to NULL v (explicit set): g0 loses value B
+            (100, "UPDATE", "k,v", 2, None, None),
+            # INSERT a new value in g1
+            (200, "INSERT", "k,g,v", 9, 1, "C"),
+            # DELETE the only NULL row in g0
+            (300, "DELETE", "k", 3, None, None),
+        ],
+        "ord bigint, op string, present string, k bigint, g int, v string",
+    )
+    got = {
+        r["g"]: (r["n_distinct"], r["n_rows"])
+        for r in ivm_distinct_view(snap, feed, "k", "g", "v", ["g", "v"]).collect()
+    }
+    # g0: rows {1:A, 2:NULL} -> distinct 1, rows 2; g1: {4:A, 9:C} -> 2, 2
+    assert got == {0: (1, 2), 1: (2, 2)}
