@@ -23,6 +23,11 @@ The rescan is exact, not a fallback heuristic: survivors of a dirty group =
 delta's +1 images landing in that group) — the same signed-delta identity the
 bucketed snapshot merge uses (streaming/mv.py).
 
+``support_delta_update`` carries the FULL support algebra (new extreme
+populations included), so the streamed consumer (streaming/mv.py
+``minmax_stream``) maintains the support table itself with the identical
+rules — batch and streamed forms cannot drift.
+
 Cross-engine determinism: values are exact integer cents throughout.
 """
 
@@ -58,6 +63,90 @@ def minmax_support(vals: DataFrame, group_col: str) -> DataFrame:
     )
 
 
+def support_delta_update(S: DataFrame, d_vals: DataFrame, group_col: str) -> DataFrame:
+    """The support algebra: given the current support table (or the slice of
+    it covering every touched group) and a signed value delta
+    (group, s, v), return ONE row per TOUCHED group:
+
+        (group, n, min_v, cnt_min, max_v, cnt_max, _dirty)
+
+    with the new support values for delta-conclusive groups, and
+    ``_dirty = true`` (extreme columns NULL) where an extreme's population
+    was exhausted with no add taking its place — those groups need the
+    bounded rescan. Groups reaching n = 0 come back with n = 0 (callers
+    drop them). The delta is assumed SMALL (a micro-batch / one feed's
+    touched keys): both aggregations here are delta-sized, and the support
+    side joins broadcast."""
+    dd = (
+        d_vals.join(F.broadcast(S), group_col, "left")
+        .groupBy(group_col)
+        .agg(
+            F.sum("s").alias("dn"),
+            F.sum(F.when(F.col("v") == F.col("min_v"), F.col("s")).otherwise(0)).alias(
+                "d_cnt_min"
+            ),
+            F.sum(F.when(F.col("v") == F.col("max_v"), F.col("s")).otherwise(0)).alias(
+                "d_cnt_max"
+            ),
+            F.min(F.when(F.col("s") == 1, F.col("v"))).alias("min_add"),
+            F.max(F.when(F.col("s") == 1, F.col("v"))).alias("max_add"),
+        )
+    )
+    # populations at the ADD extremes (only adds can sit strictly beyond the
+    # old extremes, so these counts are add-only by construction)
+    add_cnts = (
+        d_vals.where("s = 1")
+        .join(F.broadcast(dd.select(group_col, "min_add", "max_add")), group_col)
+        .groupBy(group_col)
+        .agg(
+            F.sum(F.when(F.col("v") == F.col("min_add"), 1).otherwise(0)).alias(
+                "n_at_min_add"
+            ),
+            F.sum(F.when(F.col("v") == F.col("max_add"), 1).otherwise(0)).alias(
+                "n_at_max_add"
+            ),
+        )
+    )
+    m = (
+        dd.join(F.broadcast(add_cnts), group_col, "left")
+        .alias("d")
+        .join(F.broadcast(S).alias("s"), group_col, "left")
+    )
+    exists = F.col("s.n").isNotNull()
+    n_new = F.coalesce("s.n", F.lit(0)) + F.col("d.dn")
+    min_alive = (F.coalesce("s.cnt_min", F.lit(0)) + F.col("d.d_cnt_min")) > 0
+    max_alive = (F.coalesce("s.cnt_max", F.lit(0)) + F.col("d.d_cnt_max")) > 0
+    min_takeover = F.col("d.min_add").isNotNull() & (
+        ~exists | (F.col("d.min_add") < F.col("s.min_v"))
+    )
+    max_takeover = F.col("d.max_add").isNotNull() & (
+        ~exists | (F.col("d.max_add") > F.col("s.max_v"))
+    )
+    dirty_min = exists & ~min_alive & ~min_takeover & (n_new > 0)
+    dirty_max = exists & ~max_alive & ~max_takeover & (n_new > 0)
+    new_min = F.when(min_takeover, F.col("d.min_add")).when(
+        min_alive, F.col("s.min_v")
+    )
+    new_cnt_min = F.when(min_takeover, F.col("d.n_at_min_add")).when(
+        min_alive, F.coalesce("s.cnt_min", F.lit(0)) + F.col("d.d_cnt_min")
+    )
+    new_max = F.when(max_takeover, F.col("d.max_add")).when(
+        max_alive, F.col("s.max_v")
+    )
+    new_cnt_max = F.when(max_takeover, F.col("d.n_at_max_add")).when(
+        max_alive, F.coalesce("s.cnt_max", F.lit(0)) + F.col("d.d_cnt_max")
+    )
+    return m.select(
+        F.col(group_col),
+        n_new.alias("n"),
+        new_min.alias("min_v"),
+        new_cnt_min.alias("cnt_min"),
+        new_max.alias("max_v"),
+        new_cnt_max.alias("cnt_max"),
+        (dirty_min | dirty_max).alias("_dirty"),
+    )
+
+
 def ivm_minmax_view(
     snapshot: DataFrame,
     changes: DataFrame,
@@ -84,70 +173,57 @@ def ivm_minmax_view(
     d_vals = delta.select(
         F.col(key), F.col(group_col), F.col("s"), cents_col(F.col(val_col)).alias("v")
     )
-    # per-group delta facts against the (broadcast, group-sized) support row
-    j = d_vals.join(F.broadcast(S), group_col, "left")
-    dd = j.groupBy(group_col).agg(
-        F.sum("s").alias("dn"),
-        F.sum(F.when(F.col("v") == F.col("min_v"), F.col("s")).otherwise(0)).alias(
-            "d_cnt_min"
-        ),
-        F.sum(F.when(F.col("v") == F.col("max_v"), F.col("s")).otherwise(0)).alias(
-            "d_cnt_max"
-        ),
-        F.min(F.when(F.col("s") == 1, F.col("v"))).alias("min_add"),
-        F.max(F.when(F.col("s") == 1, F.col("v"))).alias("max_add"),
-    )
-
-    m = S.alias("s").join(dd.alias("d"), group_col, "full_outer")
-    exists = F.col("s.n").isNotNull()
-    touched = F.col("d.dn").isNotNull()
-    n_new = F.coalesce("s.n", F.lit(0)) + F.coalesce("d.dn", F.lit(0))
-    min_alive = (F.coalesce("s.cnt_min", F.lit(0)) + F.coalesce("d.d_cnt_min", F.lit(0))) > 0
-    max_alive = (F.coalesce("s.cnt_max", F.lit(0)) + F.coalesce("d.d_cnt_max", F.lit(0))) > 0
-    dirty_min = exists & touched & ~min_alive & (
-        F.col("d.min_add").isNull() | (F.col("d.min_add") > F.col("s.min_v"))
-    )
-    dirty_max = exists & touched & ~max_alive & (
-        F.col("d.max_add").isNull() | (F.col("d.max_add") < F.col("s.max_v"))
-    )
-    new_min = (
-        F.when(~exists, F.col("d.min_add"))
-        .when(min_alive, F.least("s.min_v", F.coalesce("d.min_add", "s.min_v")))
-        .otherwise(F.col("d.min_add"))  # exhausted but an add took over (≤ old min)
-    )
-    new_max = (
-        F.when(~exists, F.col("d.max_add"))
-        .when(max_alive, F.greatest("s.max_v", F.coalesce("d.max_add", "s.max_v")))
-        .otherwise(F.col("d.max_add"))
-    )
-    classified = m.select(
-        F.col(group_col),
-        n_new.alias("n_rows"),
-        new_min.alias("min_cents"),
-        new_max.alias("max_cents"),
-        (dirty_min | dirty_max).alias("_dirty"),
+    upd = support_delta_update(
+        S, d_vals.select(group_col, "s", "v"), group_col
     ).persist()
 
-    clean = classified.where(~F.col("_dirty") & (F.col("n_rows") > 0)).drop("_dirty")
+    untouched = S.join(upd.select(group_col), group_col, "left_anti").select(
+        F.col(group_col),
+        F.col("n").alias("n_rows"),
+        F.col("min_v").alias("min_cents"),
+        F.col("max_v").alias("max_cents"),
+    )
+    clean = upd.where(~F.col("_dirty") & (F.col("n") > 0)).select(
+        F.col(group_col),
+        F.col("n").alias("n_rows"),
+        F.col("min_v").alias("min_cents"),
+        F.col("max_v").alias("max_cents"),
+    )
 
     # exact bounded rescan of the dirty groups only: survivors = untouched
     # snapshot rows of those groups ∪ the delta's +1 images landing there
-    dirty_groups = classified.where("_dirty").select(group_col)
-    untouched = snapshot.select(
-        F.col(key), F.col(group_col), cents_col(F.col(val_col)).alias("v")
-    ).join(F.broadcast(dirty_groups), group_col, "left_semi").join(
-        delta.select(key).distinct(), key, "left_anti"
-    ).select(group_col, "v")
-    readds = d_vals.where("s = 1").join(
-        F.broadcast(dirty_groups), group_col, "left_semi"
-    ).select(group_col, "v")
-    rescan = (
-        untouched.unionByName(readds)
-        .groupBy(group_col)
-        .agg(
-            F.count("*").alias("n_rows"),
-            F.min("v").alias("min_cents"),
-            F.max("v").alias("max_cents"),
-        )
+    dirty_groups = upd.where("_dirty").select(group_col)
+    survivors = _dirty_survivors(
+        snapshot, delta, d_vals, dirty_groups, key, group_col, val_col
     )
-    return clean.unionByName(rescan)
+    rescan = survivors.groupBy(group_col).agg(
+        F.count("*").alias("n_rows"),
+        F.min("v").alias("min_cents"),
+        F.max("v").alias("max_cents"),
+    )
+    return untouched.unionByName(clean).unionByName(rescan)
+
+
+def _dirty_survivors(
+    snapshot: DataFrame,
+    delta: DataFrame,
+    d_vals: DataFrame,
+    dirty_groups: DataFrame,
+    key: str,
+    group_col: str,
+    val_col: str,
+) -> DataFrame:
+    untouched = (
+        snapshot.select(
+            F.col(key), F.col(group_col), cents_col(F.col(val_col)).alias("v")
+        )
+        .join(F.broadcast(dirty_groups), group_col, "left_semi")
+        .join(delta.select(key).distinct(), key, "left_anti")
+        .select(group_col, "v")
+    )
+    readds = (
+        d_vals.where("s = 1")
+        .join(F.broadcast(dirty_groups), group_col, "left_semi")
+        .select(group_col, "v")
+    )
+    return untouched.unionByName(readds)

@@ -93,59 +93,57 @@ from pgcapture_spark.querydefs import (  # noqa: E402,F401
 )
 
 # The driver verifies the FIRST ~50 registry entries each round. Rounds 1-5
-# drove ALL 218 pre-freeze queries green (CORRECTNESS_r01..r05 — cumulative
-# coverage complete, freeze lifted per the r5 verdict).
-# ROUND-6 WINDOW: the 22 NEW r6-wave queries (the queued post-freeze
-# operators — IVM join view batch+streamed, theta-sketch top-k
-# intersections, edit-distance join, z-order row-group stats — plus the
-# training-pipeline tail: packing, decontamination, A/B + attribution
-# stats, basket lift, class balance, mix/temperature scheduling, vocab
-# coverage, seasonal outliers, CUSUM changepoints, Matryoshka recall,
-# filtered ANN, embedding drift, CDC presence + order audits), then the 9
-# streamed applies RE-verified on the round-6
-# BUCKETED state layer (their state commits changed from full-snapshot
-# rewrite to O(touched-buckets) — a green row re-certifies the conversion),
-# padded with previously-green canaries across the engine pillars.
+# drove ALL 218 pre-freeze queries green; round 6 added 22 more (cumulative
+# 241/241 per the r6 verdict).
+# ROUND-7 WINDOW: the 10 NEW r7-wave queries (the non-abelian IVM hard
+# cases — min/max with bounded GROUP-pruned rescan, batch + streamed on
+# tri-table bucketed state; COUNT DISTINCT via its abelian support table;
+# the 4-table star join view — plus the schema-evolving streamed apply on
+# EvolvingBucketedState, tx-registry retention as a declared maintenance
+# op, the streamed PSI drift monitor and streamed exact dedup on
+# summary-sized bucketed state, position-based attribution, and the
+# bucket-skew compaction planner), then the streamed consumers RE-verified
+# because round 7 changed their read side (O(touched-bucket) reads for the
+# IVM join view + incremental agg; mark_batch/collect_set/commit-contract
+# changes touch every bucketed-state consumer), padded with
+# previously-green canaries across the engine pillars.
 #
-# PACE discipline (r5 verdict task #2): add no more new queries per round
-# than one ~50-slot driver window verifies; every addition lands with a
-# DuckDB oracle and goes straight into the window (never the unverified
-# pool).
-# QUEUED_R7 candidates (stage into the next window, same pace rule):
-#   graph k-core peeling (iterative, rows-only check), session-window
-#   last/first-touch attribution variants, streaming dedup with TTL'd
-#   state (dropDuplicates + watermark eviction audit), tx-registry prune
-#   as a declared maintenance query (operator exists:
-#   streaming/pipeline.py::prune_tx_registry), snapshot-diff compaction
-#   planner over bucketed state manifests, per-source quality-drift
-#   monitors (PSI over time windows — extends corpus_drift_psi).
+# PACE discipline: add no more new queries per round than one ~50-slot
+# driver window verifies; every addition lands with a DuckDB oracle and
+# goes straight into the window (never the unverified pool).
+# QUEUED_R8 candidates (stage into the next window, same pace rule):
+#   graph k-core peeling (iterative, rows-only check), Holt linear-trend
+#   smoothing (struct-state fold — pin DuckDB literals to DOUBLE or the
+#   reduce runs in DECIMAL), per-source windowed PSI drift (time-bucketed
+#   extension of corpus_drift_psi_streamed), snapshot-diff planner over
+#   LIVE bucketed-state manifests, streamed star-view maintenance
+#   (compose ivm_star_view into ivm_join_stream's fold).
 _WINDOW: tuple[str, ...] = (
-    # --- r6 wave (new this round; 22 queries) ---
-    "cdc_ivm_join_view", "cdc_ivm_join_view_streamed",
-    "agg_theta_intersect_topk", "dedup_editdist_join",
-    "events_zorder_rowgroup_stats", "corpus_pack_chunks",
-    "corpus_decontaminate", "events_ab_test_stats", "basket_brand_lift",
-    "sample_class_balance", "corpus_mix_schedule",
-    "sim_matryoshka_recall", "sim_filtered_ann", "ts_changepoint_cusum",
-    "cdc_present_stats", "events_attribution_linear",
-    "events_attribution_last_touch", "ts_seasonal_hourly_outlier",
-    "text_vocab_coverage", "corpus_temperature_mix", "cdc_feed_order_audit",
-    "sim_embedding_drift",
-    # --- streamed applies re-verified on bucketed state (changed this round)
+    # --- r7 wave (new this round; 10 queries) ---
+    "cdc_ivm_minmax_view", "cdc_ivm_minmax_view_streamed",
+    "cdc_ivm_distinct_view", "cdc_ivm_starjoin_view",
+    "cdc_apply_ddl_streamed", "cdc_tx_registry_prune",
+    "corpus_drift_psi_streamed", "dedup_exact_streamed",
+    "events_attribution_position", "state_bucket_skew_plan",
+    # --- streamed consumers re-verified on the r7 read-side changes ---
+    "cdc_ivm_join_view_streamed", "cdc_incremental_agg_streamed",
     "cdc_apply_customer_streamed", "cdc_apply_customer_feedsource",
     "cdc_apply_multi_streamed", "cdc_apply_proto_streamed",
     "cdc_apply_proto_multi_streamed", "cdc_apply_proto_multi_streamed_orders",
     "cdc_apply_pgoutput_streamed", "cdc_apply_pglogical_streamed",
-    "cdc_scd2_streamed", "cdc_incremental_agg_streamed",
-    "cdc_apply_lineitem_composite_streamed",
+    "cdc_scd2_streamed", "cdc_apply_lineitem_composite_streamed",
+    "corpus_drift_psi",
     # --- canaries (previously driver-green; engine pillars) ---
     "cdc_apply_customer", "cdc_apply_orders", "cdc_apply_from_proto",
     "cdc_toast_effective_image", "backfill_union_merge",
+    "cdc_apply_ddl_evolution", "cdc_incremental_agg", "cdc_ivm_join_view",
     "tpch_q1_pricing_summary", "tpch_q3_shipping_priority",
     "events_asof_join", "events_stream_windowed", "ts_ohlc_streamed",
-    "dedup_minhash_lsh", "corpus_dedup_keepbest", "sim_cosine_topk",
-    "sim_ivf_ann", "kmeans_embed", "graph_triangle_count",
-    "agg_kmv_distinct",
+    "dedup_minhash_lsh", "dedup_editdist_join", "corpus_dedup_keepbest",
+    "sim_cosine_topk", "sim_ivf_ann", "sim_filtered_ann", "kmeans_embed",
+    "graph_triangle_count", "agg_kmv_distinct", "agg_theta_intersect_topk",
+    "events_attribution_linear", "corpus_pack_chunks",
+    "ts_changepoint_cusum", "text_vocab_coverage",
 )
 
 

@@ -118,6 +118,64 @@ def cdc_ivm_minmax_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "cdc_ivm_minmax_view_streamed",
+    _MINMAX_ORACLE,
+    "The non-abelian MIN/MAX view maintained CONTINUOUSLY on bucketed state"
+    " (streaming/mv.py::minmax_stream): snapshot (key-bucketed), a"
+    " GROUP-co-bucketed (key, group, value) projection, and the per-group"
+    " support table advance under ONE atomic manifest per micro-batch."
+    " Delta-conclusive groups update by the same support algebra as the"
+    " batch form (shared ivm_minmax.support_delta_update); groups whose"
+    " extreme population is exhausted recompute from the co-bucketed"
+    " projection's touched buckets only — the dirty rescan is GROUP-pruned,"
+    " which the key bucketing alone could never give. Converges to the"
+    " batch oracle.",
+)
+def cdc_ivm_minmax_view_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from pgcapture_spark.sources.feed import cached_fixture_segments, read_feed_stream
+    from pgcapture_spark.streaming.multi import BucketedMultiTableState
+    from pgcapture_spark.streaming.mv import minmax_stream
+
+    register_views(spark, sf_dir, ("customer",))
+    d = tempfile.mkdtemp(prefix="pgcs_q_minmaxstream_")
+    feed_dir = cached_fixture_segments(
+        spark, sf_dir, "cust_feed",
+        lambda: _feed(spark, sf_dir, "customer"), n_segments=5,
+    )
+    schema = spark.read.parquet(feed_dir).schema
+    state = BucketedMultiTableState(
+        spark,
+        f"{d}/state",
+        ["snapshot", "by_group", "support"],
+        {
+            "snapshot": "c_custkey",
+            "by_group": "c_nationkey",
+            "support": "c_nationkey",
+        },
+        n_buckets=16,
+    )
+    query = minmax_stream(
+        read_feed_stream(spark, feed_dir, schema, max_files_per_trigger=2),
+        state,
+        spark.table("customer"),
+        "c_custkey",
+        "c_nationkey",
+        "c_acctbal",
+        CDC_COLS["customer"],
+        f"{d}/ckpt",
+    )
+    query.awaitTermination(300)
+    return state.read()["support"].select(
+        "c_nationkey",
+        F.col("n").alias("n_rows"),
+        F.col("min_v").alias("min_cents"),
+        F.col("max_v").alias("max_cents"),
+    )
+
+
 _DISTINCT_ORACLE = f"""
 WITH applied AS ({_CUSTOMER_APPLIED})
 SELECT c_nationkey,
@@ -372,3 +430,231 @@ def cdc_tx_registry_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     before, after = prune_tx_registry(tx_state, _PRUNE_SAFE_ORD)
     assert after <= before and tx_state.last_batch() == 0
     return tx_state.read()
+
+
+# ------------------------------------------------- streamed exact dedup
+
+_DEDUP_STREAM_ORACLE = """
+SELECT sha256(text) AS content_sha,
+       CAST(min(doc_id) AS BIGINT) AS keeper_doc_id,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM documents WHERE text IS NOT NULL
+GROUP BY 1
+"""
+
+
+@q(
+    "dedup_exact_streamed",
+    _DEDUP_STREAM_ORACLE,
+    "Exact dedup as a CONTINUOUS consumer: documents arrive as a stream in"
+    " doc_id order; per micro-batch each text's sha256 fingerprint folds"
+    " into bucketed state holding ONLY (digest, first-seen keeper,"
+    " occurrence count) — 32-byte digests shuffle and persist, never"
+    " document payloads, and each trigger reads/rewrites only the digest"
+    " buckets the batch touches. first-seen = least(doc_id) is associative,"
+    " so replays and cross-batch duplicates resolve identically to the"
+    " batch oracle (min doc_id per digest).",
+)
+def dedup_exact_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from pgcapture_spark.sources.feed import cached_fixture_segments, read_feed_stream
+    from pgcapture_spark.streaming.pipeline import commit_keyed_state
+    from pgcapture_spark.streaming.state import BucketedSnapshotState
+
+    register_views(spark, sf_dir, ("documents",))
+    docs = spark.table("documents").where("text IS NOT NULL")
+    d = tempfile.mkdtemp(prefix="pgcs_q_dedupstream_")
+    feed_dir = cached_fixture_segments(
+        spark, sf_dir, "dedup_docs",
+        lambda: docs.select("doc_id", "text"),
+        n_segments=5, order_col="doc_id",
+    )
+    schema = spark.read.parquet(feed_dir).schema
+    state = BucketedSnapshotState(spark, f"{d}/state", "content_sha", n_buckets=16)
+
+    def _batch(batch_df, batch_id):
+        if batch_id <= state.last_batch():
+            return
+        bc = (
+            batch_df.select(
+                F.sha2("text", 256).alias("content_sha"), "doc_id"
+            )
+            .groupBy("content_sha")
+            .agg(
+                F.min("doc_id").cast("long").alias("keeper_doc_id"),
+                F.count("*").cast("long").alias("n_docs"),
+            )
+            .persist()
+        )
+        try:
+            def _merge(cur):
+                if cur is None:
+                    return bc
+                m = cur.alias("c").join(
+                    bc.alias("b"), on="content_sha", how="full_outer"
+                )
+                return m.select(
+                    "content_sha",
+                    F.least(
+                        F.coalesce("c.keeper_doc_id", "b.keeper_doc_id"),
+                        F.coalesce("b.keeper_doc_id", "c.keeper_doc_id"),
+                    ).alias("keeper_doc_id"),
+                    (
+                        F.coalesce("c.n_docs", F.lit(0))
+                        + F.coalesce("b.n_docs", F.lit(0))
+                    ).alias("n_docs"),
+                )
+
+            commit_keyed_state(state, batch_id, bc.select("content_sha"), _merge)
+        finally:
+            bc.unpersist()
+
+    query = (
+        read_feed_stream(spark, feed_dir, schema, max_files_per_trigger=2)
+        .writeStream.foreachBatch(_batch)
+        .option("checkpointLocation", f"{d}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(300)
+    return state.read()
+
+
+# ------------------------------------- position-based multi-touch attribution
+
+# integer division differs lexically per engine (Spark DIV, DuckDB //)
+_POS_CREDIT_TPL = """
+CASE WHEN n_touches = 1 THEN 1000000
+     WHEN n_touches = 2 THEN 500000
+     WHEN rn_a = 1 THEN 400000
+     WHEN rn_d = 1 THEN 400000
+     ELSE 200000 {idiv} (n_touches - 2) END
+"""
+_POS_CREDIT_DUCK = _POS_CREDIT_TPL.format(idiv="//")
+_POS_CREDIT_SPARK = _POS_CREDIT_TPL.format(idiv="DIV")
+
+
+@q(
+    "events_attribution_position",
+    f"""
+WITH p AS (SELECT event_id AS purchase_id, user_id, ts AS p_ts
+           FROM events WHERE event_type = 'purchase'),
+t AS (SELECT event_id AS touch_id, user_id, event_type, ts AS t_ts
+      FROM events WHERE event_type IN ('click', 'view')),
+pairs AS (
+  SELECT p.purchase_id, t.touch_id, t.event_type, t.t_ts
+  FROM p JOIN t ON p.user_id = t.user_id
+   AND t.t_ts < p.p_ts AND t.t_ts >= p.p_ts - INTERVAL 3 DAY
+),
+per AS (
+  SELECT purchase_id, touch_id, event_type,
+         count(*) OVER (PARTITION BY purchase_id) AS n_touches,
+         row_number() OVER (PARTITION BY purchase_id
+                            ORDER BY t_ts, touch_id) AS rn_a,
+         row_number() OVER (PARTITION BY purchase_id
+                            ORDER BY t_ts DESC, touch_id DESC) AS rn_d
+  FROM pairs
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_touches,
+       CAST(sum({_POS_CREDIT_DUCK}) AS BIGINT) AS credit_ppm
+FROM per GROUP BY event_type
+""",
+    "POSITION-BASED (U-shaped 40/20/40) attribution — completes the"
+    " linear / last-touch family: first and last touch of each purchase's"
+    " 3-day window earn 400k ppm each, middles split the remaining 200k"
+    " (integer division; 1-touch and 2-touch journeys degenerate to 100%/"
+    "50-50). Rank under an explicit (ts, touch_id) total order so ties are"
+    " deterministic; one purchase-keyed exchange shared by the count and"
+    " both rank passes.",
+)
+def events_attribution_position(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    register_views(spark, sf_dir, ("events",))
+    ev = spark.table("events")
+    p = ev.where("event_type = 'purchase'").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    t = ev.where("event_type IN ('click', 'view')").select(
+        F.col("event_id").alias("touch_id"),
+        F.col("user_id").alias("t_user"),
+        "event_type",
+        F.col("ts").alias("t_ts"),
+    )
+    pairs = p.join(
+        t,
+        (F.col("p_user") == F.col("t_user"))
+        & (F.col("t_ts") < F.col("p_ts"))
+        & (F.col("t_ts") >= F.expr("p_ts - INTERVAL 3 DAY")),
+    ).select("purchase_id", "touch_id", "event_type", "t_ts")
+    pk = W.partitionBy("purchase_id")
+    per = pairs.select(
+        "purchase_id",
+        "touch_id",
+        "event_type",
+        F.count("*").over(pk).alias("n_touches"),
+        F.row_number().over(pk.orderBy("t_ts", "touch_id")).alias("rn_a"),
+        F.row_number().over(
+            pk.orderBy(F.col("t_ts").desc(), F.col("touch_id").desc())
+        ).alias("rn_d"),
+    )
+    return per.groupBy("event_type").agg(
+        F.count("*").alias("n_touches"),
+        F.sum(F.expr(_POS_CREDIT_SPARK)).cast("long").alias("credit_ppm"),
+    )
+
+
+# --------------------------------------------- bucket-layout compaction plan
+
+_SKEW_N_BUCKETS = 32
+
+
+def _skew_plan_sql() -> str:
+    from pgcapture_spark.operators.kmv import kmv_hash_expr
+
+    hv = kmv_hash_expr("c_custkey")
+    return f"""
+WITH b AS (
+  SELECT ({hv}) % {_SKEW_N_BUCKETS} AS bucket_id,
+         28 + length(coalesce(c_name, '')) + length(coalesce(c_mktsegment, ''))
+           AS est
+  FROM customer
+),
+per AS (
+  SELECT bucket_id,
+         CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(sum(est) AS BIGINT) AS est_bytes
+  FROM b GROUP BY bucket_id
+),
+tot AS (
+  SELECT bucket_id, n_rows, est_bytes,
+         CAST(sum(est_bytes) OVER () / {_SKEW_N_BUCKETS} AS BIGINT) AS target
+  FROM per
+)
+SELECT bucket_id, n_rows, est_bytes,
+       CASE WHEN est_bytes > 2 * target THEN 'split'
+            WHEN est_bytes * 2 < target THEN 'compact'
+            ELSE 'keep' END AS action
+FROM tot
+"""
+
+
+@q(
+    "state_bucket_skew_plan",
+    _skew_plan_sql(),
+    "Bucketed-state MAINTENANCE planner (the OPTIMIZE companion to the"
+    " streaming state layer): audit a key-bucketed layout's balance — rows"
+    " and byte estimates per bucket under a portable multiplicative hash —"
+    " and emit the rewrite plan (split overweight buckets, compact"
+    " underweight ones vs the uniform target). The audit costs one"
+    " aggregation over the table; the totals window runs over n_buckets"
+    " rows only. Integer arithmetic end-to-end, so the plan is"
+    " deterministic cross-engine.",
+)
+def state_bucket_skew_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, ("customer",))
+    return spark.sql(_skew_plan_sql())

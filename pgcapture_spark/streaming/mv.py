@@ -127,6 +127,138 @@ def incremental_agg_stream(
     )
 
 
+def minmax_stream(
+    feed_stream: DataFrame,
+    state,  # BucketedMultiTableState over ["snapshot", "by_group", "support"]
+    initial_snapshot: DataFrame,
+    key: str,
+    group_col: str,
+    val_col: str,
+    cols: list[str],
+    checkpoint_dir: str,
+) -> StreamingQuery:
+    """Streamed maintenance of the NON-abelian per-group MIN/MAX view — the
+    full form of ``operators/ivm_minmax.py`` with all three tables advancing
+    under one atomic bucketed manifest:
+
+    - ``snapshot`` (bucketed by KEY): before-image lookups + the merge, read
+      by the batch's key-buckets only,
+    - ``by_group`` (the (key, group, v) projection bucketed by GROUP — the
+      same co-bucketed-index move as ivm_join_stream's orders_ck): gives the
+      dirty rescan a GROUP-pruned read, which the key bucketing could never
+      provide,
+    - ``support`` (bucketed by GROUP): one row per group; delta-conclusive
+      groups update by the shared support algebra
+      (ivm_minmax.support_delta_update — batch and streamed forms cannot
+      drift), exhausted-extreme groups recompute from the post-batch
+      ``by_group`` slice of just their buckets.
+
+    Per-trigger cost: O(touched key-buckets) + O(touched group-buckets) +
+    O(dirty groups' population) — never O(snapshot). Converges to the
+    from-scratch min/max/count of the applied snapshot."""
+    from pgcapture_spark.operators.incremental import cents_col
+    from pgcapture_spark.operators.ivm_minmax import (
+        minmax_support,
+        support_delta_update,
+    )
+
+    def _vals(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col(key), F.col(group_col), cents_col(F.col(val_col)).alias("v")
+        )
+
+    def _batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id <= state.last_batch():
+            return
+        if not state.initialized():
+            vals0 = _vals(initial_snapshot)
+            state.initialize(
+                {
+                    "snapshot": initial_snapshot.select(key, *cols),
+                    "by_group": vals0,
+                    "support": minmax_support(
+                        vals0.select(group_col, "v"), group_col
+                    ),
+                }
+            )
+        kb = state.touched_buckets("snapshot", batch_df.select(key))
+        if not kb:
+            state.mark_batch(batch_id)
+            return
+        snap_slice = state.read_buckets("snapshot", kb)
+        if snap_slice is None:
+            snap_slice = initial_snapshot.select(key, *cols).limit(0)
+        delta = signed_key_delta(snap_slice, batch_df, key, cols).persist()
+        d_vals = delta.select(
+            F.col(key),
+            F.col(group_col),
+            F.col("s"),
+            cents_col(F.col(val_col)).alias("v"),
+        )
+        merged = {
+            "snapshot": (
+                _merge_slice_with_delta(snap_slice, delta, key, cols),
+                kb,
+            )
+        }
+        merged_bg = None
+        try:
+            gb = state.touched_buckets("by_group", d_vals.select(group_col))
+            if gb:
+                bg_slice = state.read_buckets("by_group", gb)
+                if bg_slice is None:
+                    bg_slice = _vals(initial_snapshot).limit(0)
+                bg_slice = bg_slice.select(key, group_col, "v")
+                merged_bg = (
+                    bg_slice.join(delta.select(key).distinct(), key, "left_anti")
+                    .unionByName(d_vals.where("s = 1").select(key, group_col, "v"))
+                    .persist()
+                )
+                sup_slice = state.read_buckets("support", gb)
+                if sup_slice is None:
+                    sup_slice = minmax_support(
+                        _vals(initial_snapshot).select(group_col, "v"), group_col
+                    ).limit(0)
+                upd = support_delta_update(
+                    sup_slice, d_vals.select(group_col, "s", "v"), group_col
+                ).persist()
+                try:
+                    untouched = sup_slice.join(
+                        upd.select(group_col), group_col, "left_anti"
+                    )
+                    clean = upd.where(~F.col("_dirty") & (F.col("n") > 0)).drop(
+                        "_dirty"
+                    )
+                    dirty_groups = upd.where("_dirty").select(group_col)
+                    rescan = minmax_support(
+                        merged_bg.join(
+                            F.broadcast(dirty_groups), group_col, "left_semi"
+                        ).select(group_col, "v"),
+                        group_col,
+                    )
+                    new_sup = untouched.unionByName(clean).unionByName(rescan)
+                    merged["by_group"] = (merged_bg, gb)
+                    merged["support"] = (new_sup, gb)
+                    state.commit(merged, batch_id)
+                    state.vacuum()
+                finally:
+                    upd.unpersist()
+            else:
+                state.commit(merged, batch_id)
+                state.vacuum()
+        finally:
+            if merged_bg is not None:
+                merged_bg.unpersist()
+            delta.unpersist()
+
+    return (
+        feed_stream.writeStream.foreachBatch(_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def ivm_join_stream(
     feed_stream: DataFrame,
     state,  # BucketedMultiTableState over ["orders", "customer", "orders_ck", "mv"]

@@ -152,6 +152,92 @@ def test_minmax_dirty_path_actually_fires_on_cdc_feed(spark):
     assert dirty > 0
 
 
+def test_minmax_stream_crash_resume_and_touched_reads_only(spark):
+    """Streamed min/max on the tri-table bucketed state: kill after the
+    first committed batch, resume the same checkpoint — converges to the
+    from-scratch aggregate; every per-batch read is a strict bucket subset
+    (never a full-state materialization)."""
+    import shutil
+    import tempfile
+    import time
+
+    from pgcapture_spark.catalog import CDC_COLS, register_views
+    from pgcapture_spark.operators.apply import cdc_apply
+    from pgcapture_spark.operators.incremental import cents_col
+    from pgcapture_spark.queries import _feed
+    from pgcapture_spark.sources.feed import materialize_feed, read_feed_stream
+    from pgcapture_spark.streaming.multi import BucketedMultiTableState
+    from pgcapture_spark.streaming.mv import minmax_stream
+    from tests.conftest import SF_SMALL
+    from tests.test_streaming import _RecordingMultiState
+
+    register_views(spark, SF_SMALL, ("customer",))
+    snap = spark.table("customer")
+    feed = _feed(spark, SF_SMALL, "customer")
+    applied = cdc_apply(snap, feed, "c_custkey", CDC_COLS["customer"])
+    expected = applied.groupBy("c_nationkey").agg(
+        F.count("*").alias("n_rows"),
+        F.min(cents_col(F.col("c_acctbal"))).alias("min_cents"),
+        F.max(cents_col(F.col("c_acctbal"))).alias("max_cents"),
+    )
+    d = tempfile.mkdtemp(prefix="pgcs_t_minmaxstream_")
+    n_buckets = 64
+    try:
+        materialize_feed(feed, f"{d}/feed", n_segments=5)
+        schema = spark.read.parquet(f"{d}/feed").schema
+
+        def mk_state():
+            return BucketedMultiTableState(
+                spark,
+                f"{d}/state",
+                ["snapshot", "by_group", "support"],
+                {
+                    "snapshot": "c_custkey",
+                    "by_group": "c_nationkey",
+                    "support": "c_nationkey",
+                },
+                n_buckets=n_buckets,
+            )
+
+        def run(st, ckpt):
+            return minmax_stream(
+                read_feed_stream(spark, f"{d}/feed", schema, max_files_per_trigger=1),
+                st, snap, "c_custkey", "c_nationkey", "c_acctbal",
+                CDC_COLS["customer"], ckpt,
+            )
+
+        state = _RecordingMultiState(mk_state())
+        q = run(state, f"{d}/ckpt")
+        deadline = time.time() + 120
+        while state.last_batch() < 0 and time.time() < deadline:
+            time.sleep(0.2)
+        q.stop()
+        q.awaitTermination(60)
+        assert state.last_batch() >= 0
+        mid = state.last_batch()
+
+        state2 = _RecordingMultiState(mk_state())
+        q2 = run(state2, f"{d}/ckpt")
+        q2.awaitTermination(300)
+        assert state2.last_batch() > mid
+
+        for st in (state, state2):
+            assert st.full_reads == 0
+            assert all(0 < len(b) < n_buckets for _, b in st.read_calls)
+
+        sup = mk_state().read()["support"]
+        got = sup.select(
+            "c_nationkey",
+            F.col("n").alias("n_rows"),
+            F.col("min_v").alias("min_cents"),
+            F.col("max_v").alias("max_cents"),
+        )
+        assert got.exceptAll(expected).count() == 0
+        assert expected.exceptAll(got).count() == 0
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def test_distinct_view_null_values_count_rows_not_distinct(spark):
     snap = spark.createDataFrame(
         [(1, 0, "A"), (2, 0, "B"), (3, 0, None), (4, 1, "A")],
