@@ -82,6 +82,18 @@ ALLOWED_SCANS = {
     # cached delta's plan per InMemoryTableScan occurrence, so the counter
     # sees feed-synthesis scans (~8-15 per feed, the BLANKET class) twice
     "cdc_ivm_join_view": 36,
+    # same class, r7 wave: each references the synthesized feed through a
+    # persisted delta (substitution VERIFIED working — the executed plan
+    # shows InMemoryTableScan at every reference; warm runtime ~4.4s at
+    # sf0.1 ≈ one delta fold + one support window + the bounded rescan),
+    # but the formatted explain reprints the cached subtree per occurrence:
+    # minmax references delta/S/upd across the update + rescan + merge arms
+    # (~12 reprints × 8 feed-synthesis scans), starjoin two feeds like the
+    # join view, distinct the one unpersisted delta (img + before-image
+    # semi = 2×8, the cdc_incremental_agg shape)
+    "cdc_ivm_minmax_view": 110,
+    "cdc_ivm_starjoin_view": 40,
+    "cdc_ivm_distinct_view": 18,
 }
 BLANKET = 8  # everything CDC-feed-derived scans its source ~5-8x
 
