@@ -224,6 +224,18 @@ HEADLINE = [
     "cdc_feed_order_audit",
     "sim_embedding_drift",
     "cdc_apply_lineitem_composite_streamed",
+    # round-7 wave: non-abelian IVM (batch + streamed), schema-evolving
+    # streamed apply, maintenance/monitoring consumers, attribution tail
+    "cdc_ivm_minmax_view",
+    "cdc_ivm_minmax_view_streamed",
+    "cdc_ivm_distinct_view",
+    "cdc_ivm_starjoin_view",
+    "cdc_apply_ddl_streamed",
+    "cdc_tx_registry_prune",
+    "corpus_drift_psi_streamed",
+    "dedup_exact_streamed",
+    "events_attribution_position",
+    "state_bucket_skew_plan",
 ]
 
 

@@ -354,14 +354,19 @@ def apply_stream_with_ddl(
         if fields is None:
             fields = list(initial_snapshot.dtypes)
         fields = _evolved_fields(batch_df, fields)
+        from pyspark.sql import functions as F
+
         extra = {"schema": [list(f) for f in fields]}
         cols = [n for n, _ in fields if n != key]
         changes = batch_df.where("op <> 'DDL'")
-        # a manifest-schema column the stream cannot carry (ALTER ADD for a
-        # column absent from the feed's physical schema) can only ever be
-        # NULL — fold the carried columns, NULL-fill the rest
+        # a manifest-schema column the stream cannot physically carry (e.g.
+        # an ALTER ADD for a column the feed's fixed schema lacks) behaves
+        # like permanently-TOAST-absent: fold only the carried columns and
+        # mark the rest never-set, so surviving rows INHERIT their base
+        # value and inserts get NULL — never blanket-NULL-fill
         fold_cols = [c for c in cols if c in changes.columns]
         img = last_image(changes, key, fold_cols).persist()
+        types = dict(fields)
         try:
             buckets = state.touched_buckets(img.select(key))
             if not buckets:
@@ -373,20 +378,17 @@ def apply_stream_with_ddl(
                 if cur is not None
                 else state.aligned(initial_snapshot, fields).limit(0)
             )
-            merged = merge_images(base, img, key, fold_cols)
-            types = dict(fields)
+            full_img = img
             for c in cols:
                 if c not in fold_cols:
-                    merged = merged.withColumn(c, F_lit_null(types[c]))
+                    full_img = full_img.withColumn(
+                        f"_set_{c}", F.lit(None).cast(f"struct<v:{types[c]}>")
+                    )
+            merged = merge_images(base, full_img, key, cols)
             state.commit_buckets(merged.select(key, *cols), buckets, batch_id, extra=extra)
             state.vacuum()
         finally:
             img.unpersist()
-
-    def F_lit_null(spark_type: str):
-        from pyspark.sql import functions as F
-
-        return F.lit(None).cast(spark_type)
 
     def _apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_id <= state.last_batch():

@@ -39,6 +39,51 @@ def test_evolve_snapshot_add_is_null_filled(spark):
     assert row.note is None
 
 
+def test_bucketed_ddl_drop_column_hides_lazily(spark):
+    """DROP COLUMN on the bucketed path: the dropped column disappears from
+    reads immediately (manifest alignment) even while untouched buckets'
+    old files still physically carry it; a later ADD of a same-typed new
+    column NULL-fills for pre-DDL rows."""
+    d = tempfile.mkdtemp(prefix="pgcs_ddldrop_")
+    try:
+        from pgcapture_spark.streaming.state import EvolvingBucketedState
+
+        snap = spark.createDataFrame(
+            [(i, float(i), f"m{i}") for i in range(40)],
+            "k bigint, v double, m string",
+        )
+        feed = spark.createDataFrame(
+            [
+                # batch 1 territory: plain update of k=1
+                (100, "UPDATE", None, 1, 99.0, None, "k,v"),
+                # batch 2: DROP m, ADD note; post-DDL update sets note on k=2
+                (200, "DDL", "ALTER TABLE t DROP COLUMN m, ADD COLUMN note text",
+                 None, None, None, ""),
+                (300, "UPDATE", None, 2, None, "hello", "k,note"),
+            ],
+            "ord bigint, op string, query string, k bigint, v double,"
+            " note string, present string",
+        )
+        feed_dir = f"{d}/feed"
+        materialize_feed(feed, feed_dir, n_segments=2)
+        schema = spark.read.parquet(feed_dir).schema
+        state = EvolvingBucketedState(spark, f"{d}/state", "k", n_buckets=16)
+        q = apply_stream_with_ddl(
+            read_feed_stream(spark, feed_dir, schema, max_files_per_trigger=1),
+            state, snap, "k", f"{d}/ckpt",
+        )
+        q.awaitTermination(120)
+        final = state.read()
+        assert sorted(final.columns) == ["k", "note", "v"]  # m gone, note added
+        rows = {r.k: r for r in final.collect()}
+        assert len(rows) == 40
+        assert rows[1].v == 99.0 and rows[1].note is None
+        assert rows[2].note == "hello"
+        assert rows[3].note is None  # untouched bucket row: lazy NULL-fill
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def test_bucketed_ddl_apply_lazy_evolution(spark):
     """EvolvingBucketedState: the ALTER is a version boundary — buckets
     untouched by any post-init batch keep their ORIGINAL vinit files (never
