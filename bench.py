@@ -236,6 +236,8 @@ HEADLINE = [
     "dedup_exact_streamed",
     "events_attribution_position",
     "state_bucket_skew_plan",
+    "cdc_ivm_topk_view",
+    "cdc_ivm_topk_view_streamed",
 ]
 
 

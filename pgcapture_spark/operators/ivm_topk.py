@@ -1,0 +1,252 @@
+"""Incremental maintenance of per-group TOP-K under CDC deletes — the
+generalization of the MIN/MAX hard case (``operators/ivm_minmax.py``): the
+view keeps the k best ROWS per group, so a retraction inside the kept set
+needs a replacement that no per-group aggregate row can name.
+
+The maintained SUPPORT is a bounded candidate window per group — the top-m
+rows (m = k + slack) — plus an explicit per-group THRESHOLD ``_th``: the
+certificate that every group row the window does NOT hold (unseen rows) has
+v <= ``_th``. ``_th`` is NULL when the window is COMPLETE (holds the whole
+group — no unseen rows exist). Per signed delta (``ivm.signed_key_delta``):
+
+- retractions remove their key from the window; unseen retractions only
+  move the group count,
+- additions ABOVE the threshold enter the window (below it they join the
+  unseen population, which the threshold already bounds); the window
+  re-trims to m, raising the threshold to the new floor when it cuts,
+- the group is DIRTY when the threshold is live (unseen rows may exist) and
+  the re-trimmed window cannot certify its top-k: fewer than k rows, or a
+  k-th value that fails to STRICTLY beat the threshold (strict, because
+  value ties break by key and an unseen equal-valued row could win the
+  tie). Only dirty groups rescan — an exact, semi-join-pruned pass
+  (group-partition-pruned at 100 TB when the base is clustered by group).
+
+Refilling a gutted window with LOW additions proves nothing — the threshold
+test is what catches the batch that retracts most of a group's window while
+inserting small rows (the case a survivor-count test silently gets wrong).
+
+Reference semantics: a consumer maintaining a derived view over the
+replicated snapshot under the change stream (pkg/pgcapture/consumer.go:86-142);
+the dirty rescan mirrors the dump-on-demand repair path (pkg/dblog semantics).
+
+Cross-engine determinism: values are exact integer cents; ordering ties
+break by ascending key — (v DESC, key ASC) is a total order in both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pgcapture_spark.operators.incremental import cents_col
+from pgcapture_spark.operators.ivm import signed_key_delta
+
+
+def topk_support(vals: DataFrame, key: str, group_col: str, m: int) -> DataFrame:
+    """The maintained window from a (key, group, v) projection: the top-m
+    rows per group under the total order (v DESC, key ASC), each carrying
+    the group threshold ``_th`` (the m-th value when the group was cut,
+    NULL when the window holds the whole group). One shuffle; at scale this
+    is the stored support table, rebuilt only for dirty groups."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(group_col).orderBy(F.col("v").desc(), F.col(key).asc())
+    wg = W.partitionBy(group_col)
+    return (
+        vals.select(key, group_col, "v")
+        .withColumn("_rn", F.row_number().over(w))
+        .withColumn("_sz", F.count("*").over(wg))
+        .where(F.col("_rn") <= m)
+        .withColumn("_th", F.when(F.col("_sz") > m, F.min("v").over(wg)))
+        .drop("_rn", "_sz")
+    )
+
+
+def topk_support_update(
+    S_slice: DataFrame,
+    n_counts: DataFrame,
+    d_vals: DataFrame,
+    key: str,
+    group_col: str,
+    k: int,
+    m: int,
+) -> tuple[DataFrame, DataFrame]:
+    """The window algebra — shared by the batch view and ``topk_stream`` so
+    the two forms cannot drift. ``S_slice``: stored support rows (with
+    ``_th``) covering every touched group (extra groups are ignored);
+    ``n_counts``: (group, n) POST-delta group sizes for every touched group
+    (batch derives them as n0 + Σs, the streamed form counts its complete
+    merged by_group slice); ``d_vals``: the signed value delta
+    (key, group, s, v).
+
+    Returns ``(trimmed, meta, cached)``: ``trimmed`` is the re-trimmed
+    window for every touched group, carrying the advanced threshold (raised
+    when the trim cut, cleared when the window now holds the whole group);
+    ``meta`` has one row per touched group — (group, n, c, _dirty);
+    ``cached`` lists the internally persisted frames (the threshold table
+    and the ranked candidate window — both delta-sized, referenced by
+    several branches) for the caller to unpersist after its commit."""
+    from pyspark.sql import Window as W
+
+    touched = d_vals.select(group_col).distinct()
+    slice_t = S_slice.join(F.broadcast(touched), group_col, "left_semi")
+    th = (
+        slice_t.groupBy(group_col).agg(F.first("_th").alias("_th0")).persist()
+    )
+    survivors = slice_t.drop("_th").join(
+        d_vals.select(key).distinct(), key, "left_anti"
+    )
+    adds = (
+        d_vals.where(F.col("s") == 1)
+        .select(key, group_col, "v")
+        .join(F.broadcast(th), group_col, "left")
+        # below-threshold additions join the unseen population the
+        # threshold already bounds; above it (or with no threshold) they
+        # enter the window
+        .where(F.col("_th0").isNull() | (F.col("v") > F.col("_th0")))
+        .drop("_th0")
+    )
+    cand = survivors.unionByName(adds)
+    w = W.partitionBy(group_col).orderBy(F.col("v").desc(), F.col(key).asc())
+    wg = W.partitionBy(group_col)
+    ranked = (
+        cand.withColumn("_rn", F.row_number().over(w))
+        .withColumn("_c0", F.count("*").over(wg))
+    )
+    kept = ranked.where(F.col("_rn") <= m).persist()
+    cmeta = kept.groupBy(group_col).agg(
+        F.count("*").alias("c"),
+        F.max(F.col("_c0")).alias("c0"),
+        F.min(F.when(F.col("_rn") <= k, F.col("v"))).alias("kth_v"),
+        F.min("v").alias("new_floor"),
+    )
+    c_new = F.coalesce(F.col("c"), F.lit(0))
+    n_new = F.coalesce(F.col("n"), F.lit(0))
+    # threshold advance: cleared when the window holds the whole group,
+    # raised to the new floor when the trim cut, else carried unchanged.
+    # A group whose window emptied entirely (no cmeta row) keeps its old
+    # threshold — live, so it classifies dirty below whenever rows remain.
+    th_new = (
+        F.when(c_new == n_new, F.lit(None))
+        .when(F.coalesce(F.col("c0"), F.lit(0)) > m, F.col("new_floor"))
+        .otherwise(F.col("_th0"))
+    )
+    live = th_new.isNotNull()
+    dirty = live & (
+        (c_new < k) | ~(F.col("kth_v") > th_new)
+    )
+    meta = (
+        touched.join(F.broadcast(n_counts), group_col, "left")
+        .join(F.broadcast(cmeta), group_col, "left")
+        .join(F.broadcast(th), group_col, "left")
+        .select(
+            F.col(group_col),
+            n_new.alias("n"),
+            c_new.alias("c"),
+            F.coalesce(dirty, F.lit(False)).alias("_dirty"),
+            th_new.alias("_th"),
+        )
+    )
+    trimmed = (
+        kept.drop("_rn", "_c0")
+        .join(F.broadcast(meta.select(group_col, "_th")), group_col, "left")
+    )
+    return trimmed, meta, [th, kept]
+
+
+def ivm_topk_view(
+    snapshot: DataFrame,
+    changes: DataFrame,
+    key: str,
+    group_col: str,
+    val_col: str,
+    cols: list[str],
+    k: int = 3,
+    m: int | None = None,
+    support: DataFrame | None = None,
+    gcounts: DataFrame | None = None,
+) -> DataFrame:
+    """Maintain V = top-k rows per group under a CDC feed without a full
+    re-rank: window algebra for the delta-decidable groups, an exact bounded
+    rescan for the dirty ones. ``support``/``gcounts`` are the stored state
+    tables (recomputed here when absent — a real deployment reads them; the
+    recompute scans are what the streamed form's bucketed state eliminates).
+
+    Returns (group_col, rk, key, v) with rk in [1, k]; groups emptied by the
+    feed drop. Converges to the from-scratch ranked top-k of the applied
+    snapshot (the oracle)."""
+    from pyspark.sql import Window as W
+
+    if m is None:
+        m = 2 * k + 2
+    # the (key, group, v) projection feeds the support build, the pre-delta
+    # group counts, AND the dirty rescan's row source — persist it once so
+    # the base table is scanned once (a stored-support deployment reads the
+    # by_group state table instead, as topk_stream does)
+    snap_vals = snapshot.select(
+        F.col(key), F.col(group_col), cents_col(F.col(val_col)).alias("v")
+    ).persist()
+    S = (
+        support
+        if support is not None
+        else topk_support(snap_vals, key, group_col, m).persist()
+    )
+    # localCheckpoint (lazy) rather than persist: the delta is referenced by
+    # ~8 downstream branches, and with plain persist each reference embeds
+    # the whole feed-fold subtree in the logical plan — Catalyst planning
+    # time, not execution, then dominates (measured 16.5s -> 4.0s warm at
+    # sf0.1). The cut is O(delta) executor storage; the cached result is
+    # what every branch needs anyway.
+    delta = signed_key_delta(snapshot, changes, key, cols).localCheckpoint(
+        eager=False
+    )
+    d_vals = delta.select(
+        F.col(key), F.col(group_col), F.col("s"), cents_col(F.col(val_col)).alias("v")
+    )
+    touched = d_vals.select(group_col).distinct()
+    G = (
+        gcounts
+        if gcounts is not None
+        else snap_vals.join(F.broadcast(touched), group_col, "left_semi")
+        .groupBy(group_col)
+        .agg(F.count("*").alias("n"))
+    )
+    # post-delta group sizes: stored pre-delta counts + the delta's signed sum
+    dn = d_vals.groupBy(group_col).agg(F.sum("s").alias("dn"))
+    n_post = (
+        dn.join(F.broadcast(G.withColumnRenamed("n", "n0")), group_col, "left")
+        .select(
+            F.col(group_col),
+            (F.coalesce(F.col("n0"), F.lit(0)) + F.col("dn")).alias("n"),
+        )
+    )
+    trimmed, meta, _cached = topk_support_update(
+        S, n_post, d_vals, key, group_col, k, m
+    )
+    meta = meta.persist()
+
+    # exact bounded rescan of the dirty groups only: survivors = untouched
+    # snapshot rows of those groups ∪ the delta's +1 images landing there —
+    # the same signed-delta identity as the snapshot merge. The snapshot
+    # read is broadcast-semi-join pruned to the dirty groups.
+    dirty = meta.where("_dirty").select(group_col)
+    surv = snap_vals.join(F.broadcast(dirty), group_col, "left_semi").join(
+        d_vals.select(key).distinct(), key, "left_anti"
+    )
+    adds = (
+        d_vals.where(F.col("s") == 1)
+        .select(key, group_col, "v")
+        .join(F.broadcast(dirty), group_col, "left_semi")
+    )
+    rescan = topk_support(surv.unionByName(adds), key, group_col, m)
+
+    untouched = S.join(F.broadcast(touched), group_col, "left_anti")
+    clean = trimmed.join(F.broadcast(dirty), group_col, "left_anti")
+    new_support = untouched.unionByName(clean).unionByName(rescan)
+
+    w = W.partitionBy(group_col).orderBy(F.col("v").desc(), F.col(key).asc())
+    return (
+        new_support.withColumn("rk", F.row_number().over(w).cast("long"))
+        .where(F.col("rk") <= k)
+        .select(group_col, "rk", key, "v")
+    )

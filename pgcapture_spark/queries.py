@@ -119,7 +119,8 @@ from pgcapture_spark.querydefs import (  # noqa: E402,F401
 #   LIVE bucketed-state manifests, streamed star-view maintenance
 #   (compose ivm_star_view into ivm_join_stream's fold).
 _WINDOW: tuple[str, ...] = (
-    # --- r7 wave (new this round; 10 queries) ---
+    # --- r7 wave (new this round; 12 queries) ---
+    "cdc_ivm_topk_view", "cdc_ivm_topk_view_streamed",
     "cdc_ivm_minmax_view", "cdc_ivm_minmax_view_streamed",
     "cdc_ivm_distinct_view", "cdc_ivm_starjoin_view",
     "cdc_apply_ddl_streamed", "cdc_tx_registry_prune",
@@ -143,7 +144,6 @@ _WINDOW: tuple[str, ...] = (
     "sim_cosine_topk", "sim_ivf_ann", "sim_filtered_ann", "kmeans_embed",
     "graph_triangle_count", "agg_kmv_distinct", "agg_theta_intersect_topk",
     "events_attribution_linear", "corpus_pack_chunks",
-    "ts_changepoint_cusum", "text_vocab_coverage",
 )
 
 

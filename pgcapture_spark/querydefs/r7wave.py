@@ -658,3 +658,120 @@ FROM tot
 def state_bucket_skew_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir, ("customer",))
     return spark.sql(_skew_plan_sql())
+
+
+# ------------------------------------------------- per-group TOP-K IVM
+
+_TOPK_ORACLE = f"""
+WITH applied AS ({_CUSTOMER_APPLIED}),
+ranked AS (
+  SELECT c_nationkey, c_custkey,
+         CAST(floor(coalesce(c_acctbal, 0.0) * 100 + 0.5) AS BIGINT) AS acct_cents,
+         row_number() OVER (
+           PARTITION BY c_nationkey
+           ORDER BY CAST(floor(coalesce(c_acctbal, 0.0) * 100 + 0.5) AS BIGINT) DESC,
+                    c_custkey ASC
+         ) AS rk
+  FROM applied
+)
+SELECT c_nationkey, CAST(rk AS BIGINT) AS rk, c_custkey, acct_cents
+FROM ranked WHERE rk <= 3
+"""
+
+
+@q(
+    "cdc_ivm_topk_view",
+    _TOPK_ORACLE,
+    "Maintained per-group TOP-K under deletes — the generalization of the"
+    " min/max hard case: the view keeps the k best ROWS per group, so a"
+    " retraction inside the kept set needs a replacement no aggregate row"
+    " can name. The support is a bounded candidate window (top-m per group,"
+    " m = k + slack); retractions drop out of it, additions re-trim it —"
+    " O(delta) — and only groups whose surviving window falls below k while"
+    " rows exist beyond it rescan (exact, semi-join-pruned;"
+    " operators/ivm_topk.py). Ties break (v DESC, key ASC) — a total order"
+    " both engines share. Oracle: from-scratch row_number <= k over the"
+    " applied snapshot.",
+)
+def cdc_ivm_topk_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pgcapture_spark.operators.ivm_topk import ivm_topk_view
+
+    register_views(spark, sf_dir, ("customer",))
+    return ivm_topk_view(
+        spark.table("customer"),
+        _feed(spark, sf_dir, "customer"),
+        "c_custkey",
+        "c_nationkey",
+        "c_acctbal",
+        CDC_COLS["customer"],
+        k=3,
+    ).select(
+        "c_nationkey",
+        "rk",
+        "c_custkey",
+        F.col("v").alias("acct_cents"),
+    )
+
+
+@q(
+    "cdc_ivm_topk_view_streamed",
+    _TOPK_ORACLE,
+    "The per-group TOP-K view maintained CONTINUOUSLY on the same tri-table"
+    " bucketed state as the min/max form (streaming/mv.py::topk_stream):"
+    " snapshot (key-bucketed), the GROUP-co-bucketed (key, group, value)"
+    " projection, and the top-m candidate window advance under ONE atomic"
+    " manifest per micro-batch. Window-conclusive groups re-trim by the"
+    " SHARED algebra (ivm_topk.topk_support_update — batch and streamed"
+    " forms cannot drift); slack-exhausted groups rebuild from the merged"
+    " by_group slice, whose group-bucketed layout also yields the exact"
+    " post-batch group sizes with no stored count table. Per-trigger reads"
+    " and commits are O(touched buckets). Converges to the batch oracle.",
+)
+def cdc_ivm_topk_view_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from pyspark.sql import Window as W
+
+    from pgcapture_spark.sources.feed import cached_fixture_segments, read_feed_stream
+    from pgcapture_spark.streaming.multi import BucketedMultiTableState
+    from pgcapture_spark.streaming.mv import topk_stream
+
+    register_views(spark, sf_dir, ("customer",))
+    d = tempfile.mkdtemp(prefix="pgcs_q_topkstream_")
+    feed_dir = cached_fixture_segments(
+        spark, sf_dir, "cust_feed",
+        lambda: _feed(spark, sf_dir, "customer"), n_segments=5,
+    )
+    schema = spark.read.parquet(feed_dir).schema
+    state = BucketedMultiTableState(
+        spark,
+        f"{d}/state",
+        ["snapshot", "by_group", "support"],
+        {
+            "snapshot": "c_custkey",
+            "by_group": "c_nationkey",
+            "support": "c_nationkey",
+        },
+        n_buckets=16,
+    )
+    query = topk_stream(
+        read_feed_stream(spark, feed_dir, schema, max_files_per_trigger=2),
+        state,
+        spark.table("customer"),
+        "c_custkey",
+        "c_nationkey",
+        "c_acctbal",
+        CDC_COLS["customer"],
+        f"{d}/ckpt",
+        k=3,
+    )
+    query.awaitTermination(300)
+    sup = state.read()["support"]
+    w = W.partitionBy("c_nationkey").orderBy(
+        F.col("v").desc(), F.col("c_custkey").asc()
+    )
+    return (
+        sup.withColumn("rk", F.row_number().over(w).cast("long"))
+        .where(F.col("rk") <= 3)
+        .select("c_nationkey", "rk", "c_custkey", F.col("v").alias("acct_cents"))
+    )

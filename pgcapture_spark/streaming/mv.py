@@ -405,3 +405,144 @@ def ivm_join_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def topk_stream(
+    feed_stream: DataFrame,
+    state,  # BucketedMultiTableState over ["snapshot", "by_group", "support"]
+    initial_snapshot: DataFrame,
+    key: str,
+    group_col: str,
+    val_col: str,
+    cols: list[str],
+    checkpoint_dir: str,
+    k: int = 3,
+    m: int | None = None,
+) -> StreamingQuery:
+    """Streamed maintenance of the per-group TOP-K view — the full form of
+    ``operators/ivm_topk.py`` on the same tri-table bucketed state as
+    ``minmax_stream``:
+
+    - ``snapshot`` (bucketed by KEY): before-image lookups + the merge,
+    - ``by_group`` (the (key, group, v) projection bucketed by GROUP): the
+      group-pruned source for the dirty rescan AND the exact post-batch
+      group sizes (a group's rows all live in one bucket, so the merged
+      slice is complete for every touched group),
+    - ``support`` (bucketed by GROUP): the top-m candidate window per group;
+      delta-conclusive groups re-trim by the shared window algebra
+      (ivm_topk.topk_support_update — batch and streamed forms cannot
+      drift), slack-exhausted groups rebuild from the merged by_group slice.
+
+    Per-trigger cost: O(touched key-buckets) + O(touched group-buckets) —
+    never O(snapshot). Converges to the from-scratch ranked top-k."""
+    from pgcapture_spark.operators.incremental import cents_col
+    from pgcapture_spark.operators.ivm_topk import topk_support, topk_support_update
+
+    if m is None:
+        m = 2 * k + 2
+
+    def _vals(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col(key), F.col(group_col), cents_col(F.col(val_col)).alias("v")
+        )
+
+    def _batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id <= state.last_batch():
+            return
+        if not state.initialized():
+            vals0 = _vals(initial_snapshot)
+            state.initialize(
+                {
+                    "snapshot": initial_snapshot.select(key, *cols),
+                    "by_group": vals0,
+                    "support": topk_support(vals0, key, group_col, m),
+                }
+            )
+        kb = state.touched_buckets("snapshot", batch_df.select(key))
+        if not kb:
+            state.mark_batch(batch_id)
+            return
+        snap_slice = state.read_buckets("snapshot", kb)
+        if snap_slice is None:
+            snap_slice = initial_snapshot.select(key, *cols).limit(0)
+        delta = signed_key_delta(snap_slice, batch_df, key, cols).persist()
+        d_vals = delta.select(
+            F.col(key),
+            F.col(group_col),
+            F.col("s"),
+            cents_col(F.col(val_col)).alias("v"),
+        )
+        merged = {
+            "snapshot": (
+                _merge_slice_with_delta(snap_slice, delta, key, cols),
+                kb,
+            )
+        }
+        merged_bg = None
+        meta = None
+        upd_cached: list = []
+        try:
+            gb = state.touched_buckets("by_group", d_vals.select(group_col))
+            if gb:
+                bg_slice = state.read_buckets("by_group", gb)
+                if bg_slice is None:
+                    bg_slice = _vals(initial_snapshot).limit(0)
+                bg_slice = bg_slice.select(key, group_col, "v")
+                merged_bg = (
+                    bg_slice.join(delta.select(key).distinct(), key, "left_anti")
+                    .unionByName(d_vals.where("s = 1").select(key, group_col, "v"))
+                    .persist()
+                )
+                sup_slice = state.read_buckets("support", gb)
+                if sup_slice is None:
+                    # schema-only empty frame (window rows + threshold)
+                    sup_slice = (
+                        _vals(initial_snapshot)
+                        .limit(0)
+                        .withColumn("_th", F.col("v"))
+                    )
+                sup_slice = sup_slice.select(key, group_col, "v", "_th")
+                touched = d_vals.select(group_col).distinct()
+                # exact post-batch group sizes: the merged by_group slice is
+                # COMPLETE for every touched group (group-bucketed layout),
+                # so no stored count table is needed
+                n_post = (
+                    merged_bg.join(F.broadcast(touched), group_col, "left_semi")
+                    .groupBy(group_col)
+                    .agg(F.count("*").alias("n"))
+                )
+                trimmed, meta, upd_cached = topk_support_update(
+                    sup_slice, n_post, d_vals, key, group_col, k, m
+                )
+                meta = meta.persist()
+                dirty = meta.where("_dirty").select(group_col)
+                untouched = sup_slice.join(
+                    F.broadcast(touched), group_col, "left_anti"
+                )
+                clean = trimmed.join(F.broadcast(dirty), group_col, "left_anti")
+                rescan = topk_support(
+                    merged_bg.join(F.broadcast(dirty), group_col, "left_semi"),
+                    key,
+                    group_col,
+                    m,
+                )
+                new_sup = untouched.unionByName(clean).unionByName(rescan)
+                merged["by_group"] = (merged_bg, gb)
+                merged["support"] = (new_sup, gb)
+            state.commit(merged, batch_id)
+            state.vacuum()
+        finally:
+            if meta is not None:
+                meta.unpersist()
+            for f in upd_cached:
+                f.unpersist()
+            if merged_bg is not None:
+                merged_bg.unpersist()
+            delta.unpersist()
+
+    return (
+        feed_stream.writeStream.foreachBatch(_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
