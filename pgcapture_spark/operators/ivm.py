@@ -176,20 +176,20 @@ def ivm_join_view(
     a real deployment reads it, never recomputes)."""
     if base is None:
         base = join_view_base(orders, customer)
-    # persist the (touched-keys-sized) deltas: each is referenced by two of
-    # the three delta-join terms. Best-effort — the join-merged shape below
-    # lets the cache substitute (a UNION of branches sharing a persisted
-    # subtree defeats it entirely: DeduplicateRelations re-ids the repeated
-    # relation before the cache lookup); where the analyzer still re-ids one
-    # occurrence, that reference re-synthesizes the feed — the pipelined
-    # re-scan class every CDC-feed-derived query here shares (documented
-    # plan-audit allowance; measured for cdc_incremental_agg that caching
-    # the shared derivation is SLOWER than the codegen re-scan at bench
-    # scale). The session's next query drops the cache (see queries.q).
-    d_o = signed_key_delta(orders, orders_feed, "o_orderkey", orders_cols).persist()
+    # lineage-cut the (touched-keys-sized) deltas rather than persist: each
+    # is referenced by two of the three delta-join terms, and with plain
+    # persist every reference embeds the whole feed-fold subtree in the
+    # logical plan — Catalyst PLANNING, not execution, then dominates (the
+    # ivm_topk measurement: 16.5s -> 4.0s warm at sf0.1 from this one
+    # change; same class here). The lazy localCheckpoint materializes once,
+    # costs O(delta) executor storage, and every downstream reference plans
+    # against a leaf.
+    d_o = signed_key_delta(
+        orders, orders_feed, "o_orderkey", orders_cols
+    ).localCheckpoint(eager=False)
     d_c = signed_key_delta(
         customer, customer_feed, "c_custkey", customer_cols
-    ).persist()
+    ).localCheckpoint(eager=False)
     return merge_view_delta(base, ivm_join_delta(orders, customer, d_o, d_c))
 
 
@@ -219,7 +219,9 @@ def ivm_distinct_view(
         if support is not None
         else snapshot.groupBy(group_col, dist_col).agg(F.count("*").alias("cnt"))
     )
-    delta = signed_key_delta(snapshot, changes, key, cols)
+    delta = signed_key_delta(snapshot, changes, key, cols).localCheckpoint(
+        eager=False
+    )
     d_sup = (
         delta.groupBy(group_col, dist_col)
         .agg(F.sum("s").alias("dcnt"))

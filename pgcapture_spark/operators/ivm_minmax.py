@@ -176,7 +176,12 @@ def ivm_minmax_view(
         else minmax_support(snap_vals, group_col).persist()
     )
 
-    delta = signed_key_delta(snapshot, changes, key, cols).persist()
+    # lazy lineage cut, not persist: the delta feeds the support update,
+    # the dirty rescan, and the merge — leaf-planning each reference (see
+    # ivm.ivm_join_view's note; measured on ivm_topk 16.5s -> 4.0s warm)
+    delta = signed_key_delta(snapshot, changes, key, cols).localCheckpoint(
+        eager=False
+    )
     d_vals = delta.select(
         F.col(key), F.col(group_col), F.col("s"), cents_col(F.col(val_col)).alias("v")
     )

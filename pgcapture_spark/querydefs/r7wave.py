@@ -262,12 +262,13 @@ def cdc_ivm_starjoin_view(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("sum_cents").alias("sum_cents"),
         )
     )
+    # lazy lineage cut (see ivm.ivm_join_view's note): leaf-plan the deltas
     d_o = signed_key_delta(
         orders, _feed(spark, sf_dir, "orders"), "o_orderkey", CDC_COLS["orders"]
-    ).persist()
+    ).localCheckpoint(eager=False)
     d_c = signed_key_delta(
         customer, _feed(spark, sf_dir, "customer"), "c_custkey", CDC_COLS["customer"]
-    ).persist()
+    ).localCheckpoint(eager=False)
     view_delta = ivm_join_delta(orders, customer, d_o, d_c)
     return ivm_star_view(view_delta, dims, base)
 

@@ -75,25 +75,11 @@ ALLOWED_SCANS = {
     # CCNet terciles: LM build + threshold quantiles + scoring arms each
     # re-derive the token stream (same measured re-scan-beats-cache result)
     "corpus_perplexity_buckets": 8,
-    # join-view IVM references TWO synthesized CDC feeds across its three
-    # delta terms + the base view; the deltas persist and the join-merged
-    # shape lets the cache substitute (a union there defeats substitution
-    # entirely — see operators/ivm.py), but the formatted explain prints the
-    # cached delta's plan per InMemoryTableScan occurrence, so the counter
-    # sees feed-synthesis scans (~8-15 per feed, the BLANKET class) twice
-    "cdc_ivm_join_view": 36,
-    # same class, r7 wave: each references the synthesized feed through a
-    # persisted delta (substitution VERIFIED working — the executed plan
-    # shows InMemoryTableScan at every reference; warm runtime ~4.4s at
-    # sf0.1 ≈ one delta fold + one support window + the bounded rescan),
-    # but the formatted explain reprints the cached subtree per occurrence:
-    # minmax references delta/S/upd across the update + rescan + merge arms
-    # (~12 reprints × 8 feed-synthesis scans), starjoin two feeds like the
-    # join view, distinct the one unpersisted delta (img + before-image
-    # semi = 2×8, the cdc_incremental_agg shape)
-    "cdc_ivm_minmax_view": 110,
-    "cdc_ivm_starjoin_view": 40,
-    "cdc_ivm_distinct_view": 18,
+    # the IVM batch views lineage-cut their signed deltas (lazy
+    # localCheckpoint — see ivm.ivm_join_view's note), so every delta
+    # reference plans against a leaf and the formatted explain shows 1-2
+    # base scans; they ride the cdc_ BLANKET now (re-measured after the
+    # cut: join 2, minmax 2, starjoin 2, distinct 1, topk 1)
 }
 BLANKET = 8  # everything CDC-feed-derived scans its source ~5-8x
 
