@@ -337,6 +337,11 @@ def ivm_join_stream(
         # mixed delta-join terms read only the buckets the DELTA's join keys
         # hash into: customer by ΔO's custkeys, orders (via the co-bucketed
         # projection) by ΔC's custkeys
+        # ONE probe covers both custkey-bucketed tables: customer and
+        # orders_ck share the state's bucket count and the bucket id is
+        # pmod(hash(value), n) — the same custkey values land in the same
+        # ids regardless of which table (or column name) carries them, so
+        # the ΔO⋈C read probe and the orders_ck merge probe are one job
         cb = state.touched_buckets(
             "customer", do.select(F.col("o_custkey").alias("c_custkey"))
         )
@@ -366,8 +371,10 @@ def ivm_join_stream(
                     )
             # orders_ck advances with ΔO: its touched buckets are named by
             # the delta's ± custkey images (an o_custkey UPDATE moves the row
-            # between buckets — the -1 names the old bucket, the +1 the new)
-            ckb = state.touched_buckets("orders_ck", do.select("o_custkey"))
+            # between buckets — the -1 names the old bucket, the +1 the new).
+            # Those are exactly the ids the cb probe already collected (same
+            # custkey values, same shared bucket-id space — see above)
+            ckb = cb
             if ckb:
                 base_ck = state.read_buckets("orders_ck", ckb)
                 base_ck = (
