@@ -320,3 +320,81 @@ def test_topk_threshold_survives_clean_update_for_next_delta(spark):
     out1 = ivm_topk_view(snap, feed1, "k", "g", "v", ["g", "v"], k=2, m=3, support=S0)
     got1 = {(r["g"], r["rk"]): (r["k"], r["v"]) for r in out1.collect()}
     assert got1 == {(0, 1): (1, 900), (0, 2): (2, 800)}
+
+
+# --------------------------------------------------------- property sweep
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@st.composite
+def _topk_case(draw):
+    n_snap = draw(st.integers(0, 10))
+    snap = [
+        (kk, draw(st.integers(0, 3)), float(draw(st.integers(0, 15))))
+        for kk in range(1, n_snap + 1)
+    ]
+    n_ops = draw(st.integers(1, 8))
+    ops = []
+    next_key = n_snap + 1
+    for i in range(n_ops):
+        kind = draw(st.sampled_from(["INSERT", "DELETE", "UPDATE", "UPDATE_PARTIAL"]))
+        if kind == "INSERT":
+            key = next_key
+            next_key += 1
+            ops.append(
+                (100 * (i + 1), "INSERT", "k,g,v", key,
+                 draw(st.integers(0, 3)), float(draw(st.integers(0, 15))))
+            )
+        else:
+            hi = next_key - 1
+            key = draw(st.integers(1, max(1, hi)))
+            if kind == "DELETE":
+                ops.append((100 * (i + 1), "DELETE", "k", key, None, None))
+            elif kind == "UPDATE":
+                ops.append(
+                    (100 * (i + 1), "UPDATE", "k,g,v", key,
+                     draw(st.integers(0, 3)), float(draw(st.integers(0, 15))))
+                )
+            else:
+                # group rides the before image (TOAST-absent column)
+                ops.append(
+                    (100 * (i + 1), "UPDATE", "k,v", key,
+                     None, float(draw(st.integers(0, 15))))
+                )
+    k = draw(st.integers(1, 4))
+    m = k + draw(st.integers(0, 4))
+    return snap, ops, k, m
+
+
+@settings(max_examples=12, deadline=None)
+@given(case=_topk_case())
+def test_topk_property_converges_to_from_scratch(spark, case):
+    """Randomized sweep over snapshots, op mixes (inserts, deletes, full and
+    TOAST-partial updates, cross-group moves, feed-born keys), k, and slack
+    — including m == k (every in-window retraction dirties) and heavy value
+    ties (the (v DESC, key ASC) trim boundary). The maintained view must
+    equal the from-scratch ranked top-k of the applied snapshot."""
+    from pyspark.sql import Window as W
+
+    from pgcapture_spark.operators.apply import cdc_apply
+    from pgcapture_spark.operators.incremental import cents_col
+
+    snap_rows, ops, k, m = case
+    snap = spark.createDataFrame(snap_rows, "k bigint, g int, v double")
+    feed = _feed_rows(spark, ops)
+    got = {
+        (r["g"], r["rk"]): (r["k"], r["v"])
+        for r in ivm_topk_view(snap, feed, "k", "g", "v", ["g", "v"], k=k, m=m).collect()
+    }
+    applied = cdc_apply(snap, feed, "k", ["g", "v"])
+    w = W.partitionBy("g").orderBy(cents_col(F.col("v")).desc(), F.col("k").asc())
+    expected = {
+        (r["g"], r["rk"]): (r["k"], r["v"])
+        for r in applied.withColumn("rk", F.row_number().over(w).cast("long"))
+        .where(F.col("rk") <= k)
+        .select("g", "rk", "k", cents_col(F.col("v")).alias("v"))
+        .collect()
+    }
+    assert got == expected, f"k={k} m={m} ops={ops} snap={snap_rows}"
