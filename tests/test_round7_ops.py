@@ -260,3 +260,78 @@ def test_distinct_view_null_values_count_rows_not_distinct(spark):
     }
     # g0: rows {1:A, 2:NULL} -> distinct 1, rows 2; g1: {4:A, 9:C} -> 2, 2
     assert got == {0: (1, 2), 1: (2, 2)}
+
+
+# --------------------------------------------------------- property sweep
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@st.composite
+def _minmax_case(draw):
+    n_snap = draw(st.integers(0, 10))
+    snap = [
+        (kk, draw(st.integers(0, 3)), float(draw(st.integers(0, 15))))
+        for kk in range(1, n_snap + 1)
+    ]
+    n_ops = draw(st.integers(1, 8))
+    ops = []
+    next_key = n_snap + 1
+    for i in range(n_ops):
+        kind = draw(st.sampled_from(["INSERT", "DELETE", "UPDATE", "UPDATE_PARTIAL"]))
+        if kind == "INSERT":
+            key = next_key
+            next_key += 1
+            ops.append(
+                (100 * (i + 1), "INSERT", "k,g,v", key,
+                 draw(st.integers(0, 3)), float(draw(st.integers(0, 15))))
+            )
+        else:
+            key = draw(st.integers(1, max(1, next_key - 1)))
+            if kind == "DELETE":
+                ops.append((100 * (i + 1), "DELETE", "k", key, None, None))
+            elif kind == "UPDATE":
+                ops.append(
+                    (100 * (i + 1), "UPDATE", "k,g,v", key,
+                     draw(st.integers(0, 3)), float(draw(st.integers(0, 15))))
+                )
+            else:
+                # group rides the before image (TOAST-absent column)
+                ops.append(
+                    (100 * (i + 1), "UPDATE", "k,v", key,
+                     None, float(draw(st.integers(0, 15))))
+                )
+    return snap, ops
+
+
+@settings(max_examples=12, deadline=None)
+@given(case=_minmax_case())
+def test_minmax_property_converges_to_from_scratch(spark, case):
+    """Randomized sweep over snapshots and op mixes (inserts, deletes, full
+    and TOAST-partial updates, cross-group moves, feed-born keys, duplicate
+    extreme populations by construction of the small value domain): the
+    support-algebra view must equal the from-scratch min/max/count of the
+    applied snapshot."""
+    from pgcapture_spark.operators.apply import cdc_apply
+    from pgcapture_spark.operators.incremental import cents_col
+
+    snap_rows, ops = case
+    snap = spark.createDataFrame(snap_rows, "k bigint, g int, v double")
+    feed = _feed_rows(spark, ops)
+    got = {
+        r["g"]: (r["n_rows"], r["min_cents"], r["max_cents"])
+        for r in ivm_minmax_view(snap, feed, "k", "g", "v", ["g", "v"]).collect()
+    }
+    applied = cdc_apply(snap, feed, "k", ["g", "v"])
+    expected = {
+        r["g"]: (r["n_rows"], r["min_cents"], r["max_cents"])
+        for r in applied.groupBy("g")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min(cents_col(F.col("v"))).alias("min_cents"),
+            F.max(cents_col(F.col("v"))).alias("max_cents"),
+        )
+        .collect()
+    }
+    assert got == expected, f"ops={ops} snap={snap_rows}"
