@@ -238,6 +238,7 @@ HEADLINE = [
     "state_bucket_skew_plan",
     "cdc_ivm_topk_view",
     "cdc_ivm_topk_view_streamed",
+    "agg_kmv_distinct_streamed",
 ]
 
 

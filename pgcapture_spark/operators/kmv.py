@@ -96,16 +96,26 @@ def kmv_estimates(
     distinct values the sketch IS the exact distinct set: kth_min = max of
     the sketch and est_distinct = its size (both engines share this rule).
     """
-    summaries = kmv_partition_summaries(rows, group_col, value_col, k)
-    # the union arm merges the per-partition SUMMARIES, never the raw rows:
-    # any hash among the global k smallest is among its own partition-group's
-    # k smallest, so the summaries contain it. Fanning each summary row out
-    # to (g, is_union=false) + (NULL, is_union=true) keeps the whole pass-2 a
-    # SINGLE scan of pass 1's output + one hash aggregation (a second
-    # reference to `summaries` would recompute the corpus scan). The union
-    # arm is a separate BOOLEAN grouping key — not a magic string — so a
-    # real group literally named 'ALL' (or a NULL group) can never merge into
-    # it; only the output LABEL is shared (documented display convention).
+    return kmv_finalize(
+        kmv_partition_summaries(rows, group_col, value_col, k), group_col, k
+    )
+
+
+def kmv_finalize(summaries: DataFrame, group_col: str, k: int) -> DataFrame:
+    """Pass 2, shared by the batch estimator and the streamed consumer (so
+    the two cannot drift): turn (g, hv) summary rows — each group's k (or
+    fewer) smallest distinct hashes, possibly with per-partition duplicates
+    — into (group, kth_min, est_distinct) rows plus the 'ALL' union arm.
+
+    The union arm merges the per-group SUMMARIES, never the raw rows:
+    any hash among the global k smallest is among its own partition-group's
+    k smallest, so the summaries contain it. Fanning each summary row out
+    to (g, is_union=false) + (NULL, is_union=true) keeps the whole pass-2 a
+    SINGLE scan of the summaries + one hash aggregation (a second
+    reference to `summaries` would recompute its lineage). The union
+    arm is a separate BOOLEAN grouping key — not a magic string — so a
+    real group literally named 'ALL' (or a NULL group) can never merge into
+    it; only the output LABEL is shared (documented display convention)."""
     both = (
         summaries.select(
             F.explode(

@@ -119,7 +119,8 @@ from pgcapture_spark.querydefs import (  # noqa: E402,F401
 #   LIVE bucketed-state manifests, streamed star-view maintenance
 #   (compose ivm_star_view into ivm_join_stream's fold).
 _WINDOW: tuple[str, ...] = (
-    # --- r7 wave (new this round; 12 queries) ---
+    # --- r7 wave (new this round; 13 queries) ---
+    "agg_kmv_distinct_streamed",
     "cdc_ivm_topk_view", "cdc_ivm_topk_view_streamed",
     "cdc_ivm_minmax_view", "cdc_ivm_minmax_view_streamed",
     "cdc_ivm_distinct_view", "cdc_ivm_starjoin_view",
@@ -143,7 +144,7 @@ _WINDOW: tuple[str, ...] = (
     "dedup_minhash_lsh", "dedup_editdist_join", "corpus_dedup_keepbest",
     "sim_cosine_topk", "sim_ivf_ann", "sim_filtered_ann", "kmeans_embed",
     "graph_triangle_count", "agg_kmv_distinct", "agg_theta_intersect_topk",
-    "events_attribution_linear", "corpus_pack_chunks",
+    "events_attribution_linear",
 )
 
 

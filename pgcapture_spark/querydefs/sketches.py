@@ -541,3 +541,79 @@ def agg_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir, ("events",))
     ev = spark.table("events").where(F.col("event_id").isNotNull())
     return kmv_estimates(ev, "event_type", "event_id", k=64)
+
+
+@q(
+    "agg_kmv_distinct_streamed",
+    _KMV_DUCK,
+    "The KMV sketch as a CONTINUOUS-INGEST consumer: event segments stream"
+    " in; each micro-batch's per-group k-smallest-distinct-hash summary"
+    " merges into a BUCKETED per-group sketch state (keep the k smallest of"
+    " the union — the mergeable-summaries property), so state is forever"
+    " <= groups x k rows, never event-volume. Estimates (per group + the"
+    " 'ALL' union arm) derive from the state alone through the SAME"
+    " finalizer as the batch form (kmv.kmv_finalize — the two cannot"
+    " drift). The explicit integer-permutation hash makes the converged"
+    " sketch bit-identical to the batch agg_kmv_distinct, so this reuses"
+    " its oracle verbatim.",
+)
+def agg_kmv_distinct_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from pyspark.sql import Window as W
+
+    from pgcapture_spark.operators.kmv import (
+        kmv_finalize,
+        kmv_partition_summaries,
+    )
+    from pgcapture_spark.sources.feed import cached_fixture_segments, read_feed_stream
+    from pgcapture_spark.streaming.pipeline import commit_keyed_state
+    from pgcapture_spark.streaming.state import BucketedSnapshotState
+
+    register_views(spark, sf_dir, ("events",))
+    k = 64
+    ev = spark.table("events").where(F.col("event_id").isNotNull())
+    d = tempfile.mkdtemp(prefix="pgcs_q_kmvstream_")
+    feed_dir = cached_fixture_segments(
+        spark, sf_dir, "kmv_events",
+        lambda: ev.select("event_id", "event_type"),
+        n_segments=5, order_col="event_id",
+    )
+    schema = spark.read.parquet(feed_dir).schema
+    state = BucketedSnapshotState(spark, f"{d}/state", ["g"], n_buckets=8)
+
+    def _ksmallest(df):
+        w = W.partitionBy("g").orderBy("hv")
+        return (
+            df.dropDuplicates(["g", "hv"])
+            .withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= k)
+            .drop("_rn")
+        )
+
+    def _batch(batch_df, batch_id):
+        if batch_id <= state.last_batch():
+            return
+        bs = kmv_partition_summaries(batch_df, "event_type", "event_id", k).persist()
+        try:
+
+            def _merge(cur):
+                base = cur if cur is not None else bs.limit(0)
+                return _ksmallest(base.unionByName(bs))
+
+            commit_keyed_state(state, batch_id, bs.select("g"), _merge)
+        finally:
+            bs.unpersist()
+
+    query = (
+        read_feed_stream(spark, feed_dir, schema, max_files_per_trigger=2)
+        .writeStream.foreachBatch(_batch)
+        .option("checkpointLocation", f"{d}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(300)
+    sk = state.read()
+    if sk is None:
+        sk = spark.createDataFrame([], "g string, hv long")
+    return kmv_finalize(sk.select("g", "hv"), "event_type", k)

