@@ -239,6 +239,7 @@ HEADLINE = [
     "cdc_ivm_topk_view",
     "cdc_ivm_topk_view_streamed",
     "agg_kmv_distinct_streamed",
+    "cdc_ivm_starjoin_view_streamed",
 ]
 
 

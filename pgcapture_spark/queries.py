@@ -116,11 +116,10 @@ from pgcapture_spark.querydefs import (  # noqa: E402,F401
 #   smoothing (struct-state fold — pin DuckDB literals to DOUBLE or the
 #   reduce runs in DECIMAL), per-source windowed PSI drift (time-bucketed
 #   extension of corpus_drift_psi_streamed), snapshot-diff planner over
-#   LIVE bucketed-state manifests, streamed star-view maintenance
-#   (compose ivm_star_view into ivm_join_stream's fold).
+#   LIVE bucketed-state manifests.
 _WINDOW: tuple[str, ...] = (
-    # --- r7 wave (new this round; 13 queries) ---
-    "agg_kmv_distinct_streamed",
+    # --- r7 wave (new this round; 14 queries) ---
+    "agg_kmv_distinct_streamed", "cdc_ivm_starjoin_view_streamed",
     "cdc_ivm_topk_view", "cdc_ivm_topk_view_streamed",
     "cdc_ivm_minmax_view", "cdc_ivm_minmax_view_streamed",
     "cdc_ivm_distinct_view", "cdc_ivm_starjoin_view",
@@ -144,7 +143,6 @@ _WINDOW: tuple[str, ...] = (
     "dedup_minhash_lsh", "dedup_editdist_join", "corpus_dedup_keepbest",
     "sim_cosine_topk", "sim_ivf_ann", "sim_filtered_ann", "kmeans_embed",
     "graph_triangle_count", "agg_kmv_distinct", "agg_theta_intersect_topk",
-    "events_attribution_linear",
 )
 
 

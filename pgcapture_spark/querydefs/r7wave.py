@@ -776,3 +776,67 @@ def cdc_ivm_topk_view_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rk") <= 3)
         .select("c_nationkey", "rk", "c_custkey", F.col("v").alias("acct_cents"))
     )
+
+
+@q(
+    "cdc_ivm_starjoin_view_streamed",
+    _STAR_ORACLE,
+    "The 4-table star view maintained CONTINUOUSLY: ivm_join_stream carries"
+    " a FIFTH state table — the region-grain rollup — advanced per"
+    " micro-batch by ivm_star_view over the SAME signed join-view delta"
+    " (static dims add no delta terms, so the star grain costs one"
+    " broadcast rollup join per trigger). All five tables commit under ONE"
+    " atomic bucketed manifest; the star table's touched buckets are named"
+    " by the delta's coarse keys, untouched region buckets are never read"
+    " or rewritten. Reuses the batch starjoin oracle verbatim (the typed"
+    " multi-table stream is oracle-equivalent to the two single-table"
+    " feeds, as cdc_ivm_join_view_streamed already establishes).",
+)
+def cdc_ivm_starjoin_view_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from pgcapture_spark.fixtures.cdc_feed import SPARK, multi_feed_sql
+    from pgcapture_spark.sources.feed import cached_fixture_segments, read_feed_stream
+    from pgcapture_spark.streaming.multi import BucketedMultiTableState
+    from pgcapture_spark.streaming.mv import ivm_join_stream
+
+    register_views(spark, sf_dir, ("customer", "orders", "nation", "region"))
+    dims = (
+        spark.table("nation")
+        .join(
+            spark.table("region"),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select(F.col("n_nationkey").alias("c_nationkey"), "r_name")
+    )
+    d = tempfile.mkdtemp(prefix="pgcs_q_ivmstar_")
+    feed_dir = cached_fixture_segments(
+        spark, sf_dir, "ivm_multi",
+        lambda: spark.sql(multi_feed_sql(SPARK)), n_segments=5,
+    )
+    schema = spark.read.parquet(feed_dir).schema
+    state = BucketedMultiTableState(
+        spark,
+        f"{d}/state",
+        ["orders", "customer", "orders_ck", "mv", "mv_star"],
+        {
+            "orders": "o_orderkey",
+            "customer": "c_custkey",
+            "orders_ck": "o_custkey",
+            "mv": "c_nationkey",
+            "mv_star": "r_name",
+        },
+        n_buckets=16,
+    )
+    query = ivm_join_stream(
+        read_feed_stream(spark, feed_dir, schema, max_files_per_trigger=3),
+        state,
+        spark.table("orders"),
+        spark.table("customer"),
+        CDC_COLS["orders"],
+        CDC_COLS["customer"],
+        f"{d}/ckpt",
+        star_dims=dims,
+    )
+    query.awaitTermination(300)
+    return state.read()["mv_star"]

@@ -261,13 +261,14 @@ def minmax_stream(
 
 def ivm_join_stream(
     feed_stream: DataFrame,
-    state,  # BucketedMultiTableState over ["orders", "customer", "orders_ck", "mv"]
+    state,  # BucketedMultiTableState over ["orders", "customer", "orders_ck", "mv"] (+ "mv_star" with star_dims)
     initial_orders: DataFrame,
     initial_customer: DataFrame,
     orders_cols: list[str],
     customer_cols: list[str],
     checkpoint_dir: str,
     table_col: str = "table_name",
+    star_dims: DataFrame | None = None,
 ) -> StreamingQuery:
     """Streamed JOIN-view maintenance: ONE typed stream carrying orders AND
     customer changes; each micro-batch computes the signed join-view delta
@@ -291,9 +292,19 @@ def ivm_join_stream(
       (pkg/pgcapture/consumer.go:86-142); this is that index, IVM-maintained.
 
     Converges to ``join_view_base(applied orders, applied customer)`` — the
-    same from-scratch oracle as the batch ``cdc_ivm_join_view``."""
+    same from-scratch oracle as the batch ``cdc_ivm_join_view``.
+
+    ``star_dims`` (optional): a static c_nationkey → r_name dimension chain.
+    When given, the state carries a FIFTH table ``mv_star`` — the view
+    rolled up to region grain — advanced per batch by ``ivm_star_view`` over
+    the SAME view delta (static dims add no delta terms of their own, so
+    the star view costs one broadcast rollup join per trigger; the reason
+    star-schema MVs stay cheap at 100 TB). Its touched buckets are named by
+    the delta's coarse keys; untouched region buckets are never read or
+    rewritten."""
     from pgcapture_spark.operators.ivm import (
         ivm_join_delta,
+        ivm_star_view,
         join_view_base,
         merge_view_delta,
     )
@@ -306,18 +317,30 @@ def ivm_join_stream(
     def _empty(t: str) -> DataFrame:
         return initial[t].select(keys[t], *cols[t]).limit(0)
 
+    def _star_base(o: DataFrame, c: DataFrame) -> DataFrame:
+        return (
+            join_view_base(o, c)
+            .join(F.broadcast(star_dims), "c_nationkey")
+            .groupBy("r_name")
+            .agg(
+                F.sum("n_orders").alias("n_orders"),
+                F.sum("sum_cents").alias("sum_cents"),
+            )
+        )
+
     def _batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_id <= state.last_batch():
             return
         if not state.initialized():
-            state.initialize(
-                {
-                    "orders": initial_orders.select("o_orderkey", *orders_cols),
-                    "customer": initial_customer.select("c_custkey", *customer_cols),
-                    "orders_ck": initial_orders.select("o_orderkey", *_CK_COLS),
-                    "mv": join_view_base(initial_orders, initial_customer),
-                }
-            )
+            seed = {
+                "orders": initial_orders.select("o_orderkey", *orders_cols),
+                "customer": initial_customer.select("c_custkey", *customer_cols),
+                "orders_ck": initial_orders.select("o_orderkey", *_CK_COLS),
+                "mv": join_view_base(initial_orders, initial_customer),
+            }
+            if star_dims is not None:
+                seed["mv_star"] = _star_base(initial_orders, initial_customer)
+            state.initialize(seed)
         subs = {
             t: batch_df.where(F.col(table_col) == F.lit(t)).select(
                 "ord", "op", "present", keys[t], *cols[t]
@@ -396,6 +419,21 @@ def ivm_join_stream(
                     # simply the empty view
                     mv_cur = join_view_base(initial_orders, initial_customer).limit(0)
                 merged["mv"] = (merge_view_delta(mv_cur, view_delta), mv_buckets)
+            if star_dims is not None:
+                touched_r = view_delta.join(
+                    F.broadcast(star_dims), "c_nationkey"
+                ).select("r_name")
+                sb = state.touched_buckets("mv_star", touched_r)
+                if sb:
+                    star_cur = state.read_buckets("mv_star", sb)
+                    if star_cur is None:
+                        star_cur = _star_base(
+                            initial_orders, initial_customer
+                        ).limit(0)
+                    merged["mv_star"] = (
+                        ivm_star_view(view_delta, star_dims, star_cur),
+                        sb,
+                    )
             if merged:
                 state.commit(merged, batch_id)
                 state.vacuum()

@@ -353,3 +353,67 @@ def test_kmv_streamed_state_is_k_bounded_and_converges(spark, tmpdir):
     assert expected.exceptAll(got).count() == 0
     # the bit-identical match to the batch sketch IS the k-bound proof:
     # a state row beyond each group's k smallest would change kth_min
+
+
+def test_ivm_star_stream_fifth_table_converges_and_reads_slices_only(spark):
+    """The star-grain table rides ivm_join_stream's fold as a FIFTH state
+    table: converges to the batch ivm_star_view result, advances under the
+    same atomic manifest, and its per-batch reads are strict bucket
+    subsets like every other table's."""
+    import shutil
+    import tempfile
+
+    from pgcapture_spark.catalog import CDC_COLS, register_views
+    from pgcapture_spark.fixtures.cdc_feed import SPARK, multi_feed_sql
+    from pgcapture_spark.queries import REGISTRY, _feed
+    from pgcapture_spark.sources.feed import materialize_feed, read_feed_stream
+    from pgcapture_spark.streaming.multi import BucketedMultiTableState
+    from pgcapture_spark.streaming.mv import ivm_join_stream
+    from tests.conftest import SF_SMALL
+    from tests.test_streaming import _RecordingMultiState
+
+    register_views(spark, SF_SMALL, ("customer", "orders", "nation", "region"))
+    expected = REGISTRY["cdc_ivm_starjoin_view"].fn(spark, SF_SMALL)
+    orders, customer = spark.table("orders"), spark.table("customer")
+    dims = (
+        spark.table("nation")
+        .join(spark.table("region"), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select(F.col("n_nationkey").alias("c_nationkey"), "r_name")
+    )
+    d = tempfile.mkdtemp(prefix="pgcs_t_starstream_")
+    n_buckets = 64
+    try:
+        feed = spark.sql(multi_feed_sql(SPARK))
+        materialize_feed(feed, f"{d}/feed", n_segments=4)
+        schema = spark.read.parquet(f"{d}/feed").schema
+        def mk_state():
+            return BucketedMultiTableState(
+                spark,
+                f"{d}/state",
+                ["orders", "customer", "orders_ck", "mv", "mv_star"],
+                {
+                    "orders": "o_orderkey",
+                    "customer": "c_custkey",
+                    "orders_ck": "o_custkey",
+                    "mv": "c_nationkey",
+                    "mv_star": "r_name",
+                },
+                n_buckets=n_buckets,
+            )
+
+        state = _RecordingMultiState(mk_state())
+        q = ivm_join_stream(
+            read_feed_stream(spark, f"{d}/feed", schema, max_files_per_trigger=1),
+            state, orders, customer,
+            CDC_COLS["orders"], CDC_COLS["customer"], f"{d}/ckpt",
+            star_dims=dims,
+        )
+        q.awaitTermination(300)
+        got = mk_state().read()["mv_star"]
+        assert got.exceptAll(expected).count() == 0
+        assert expected.exceptAll(got).count() == 0
+        assert state.full_reads == 0
+        star_reads = [b for t, b in state.read_calls if t == "mv_star"]
+        assert star_reads and all(0 < len(b) < n_buckets for b in star_reads)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
