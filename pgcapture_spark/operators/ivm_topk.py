@@ -88,6 +88,11 @@ def topk_support_update(
     several branches) for the caller to unpersist after its commit."""
     from pyspark.sql import Window as W
 
+    if m < k:
+        # a window smaller than the view can never certify its top-k: every
+        # touched group would classify dirty and rescan — correct but the
+        # degenerate configuration is always a caller bug
+        raise ValueError(f"slack window m={m} must be >= k={k}")
     touched = d_vals.select(group_col).distinct()
     slice_t = S_slice.join(F.broadcast(touched), group_col, "left_semi")
     th = (

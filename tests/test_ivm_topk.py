@@ -398,3 +398,18 @@ def test_topk_property_converges_to_from_scratch(spark, case):
         .collect()
     }
     assert got == expected, f"k={k} m={m} ops={ops} snap={snap_rows}"
+
+
+def test_topk_rejects_window_smaller_than_k(spark):
+    """m < k can never certify a top-k (every touched group would rescan) —
+    always a caller bug, rejected loudly."""
+    import pytest
+
+    with pytest.raises(ValueError, match="must be >= k"):
+        _run(
+            spark,
+            [(1, 0, 9.0)],
+            [(100, "DELETE", "k", 1, None, None)],
+            k=3,
+            m=2,
+        )
