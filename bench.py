@@ -240,6 +240,7 @@ HEADLINE = [
     "cdc_ivm_topk_view_streamed",
     "agg_kmv_distinct_streamed",
     "cdc_ivm_starjoin_view_streamed",
+    "ts_holt_trend",
 ]
 
 

@@ -525,3 +525,86 @@ def _set_itp_oracle() -> None:
 
 
 _set_itp_oracle()
+
+
+# ------------------------------------------------------- Holt linear trend
+
+_HOLT_WHERE = "user_id % 20 = 9"
+
+# binary-exact smoothing constants: 0.5 and 0.25 are representable doubles,
+# so every recurrence step is the same IEEE op sequence in both engines
+_DUCK_HOLT = f"""
+WITH s AS (
+  SELECT user_id,
+         list([CAST(value AS DOUBLE), 0.0] ORDER BY ts, event_id) AS pairs,
+         count(*) AS n_events
+  FROM events WHERE {_HOLT_WHERE} GROUP BY user_id
+),
+f AS (
+  SELECT user_id, n_events,
+         list_reduce(pairs, (acc, x) ->
+           [0.5 * x[1] + 0.5 * (acc[1] + acc[2]),
+            0.25 * ((0.5 * x[1] + 0.5 * (acc[1] + acc[2])) - acc[1])
+              + 0.75 * acc[2]]) AS lb
+  FROM s
+)
+SELECT user_id, n_events,
+       floor(lb[1] * 1000000 + 0.5) / 1000000 AS level_q,
+       floor(lb[2] * 1000000 + 0.5) / 1000000 AS trend_q,
+       floor((lb[1] + 3 * lb[2]) * 1000000 + 0.5) / 1000000 AS forecast3_q
+FROM f
+"""
+
+
+@q(
+    "ts_holt_trend",
+    _DUCK_HOLT,
+    "North-star time-series: per-entity Holt double exponential smoothing"
+    " (level + linear trend; alpha=0.5, beta=0.25 — binary-exact constants)"
+    " with a 3-step-ahead forecast. The series assembles in ONE entity-key"
+    " shuffle; the recurrence folds left-to-right over [value, 0] pairs with"
+    " an [level, trend] array accumulator — the identical IEEE op sequence"
+    " in both engines, so the doubles are bit-identical before quantization"
+    " (the ts_ewma recipe generalized to vector state). Initialization"
+    " contract: level = first value, trend = 0.",
+)
+def ts_holt_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-entity series fit executor memory under the hypertable assumption
+    (see ts_ewma); the fold is inherently sequential per entity — for
+    unbounded single entities, apply the linear-recurrence segmenting trick
+    (state is an affine map; compose per-segment 2x2 matrices)."""
+    register_views(spark, sf_dir, ("events",))
+    series = (
+        spark.table("events")
+        .where(_HOLT_WHERE)
+        .groupBy("user_id")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(ts, event_id,"
+                " CAST(value AS DOUBLE) AS v))), s -> array(s.v, 0.0D))"
+            ).alias("pairs"),
+            F.count("*").alias("n_events"),
+        )
+    )
+    lb = (
+        "aggregate(slice(pairs, 2, size(pairs) - 1), element_at(pairs, 1),"
+        " (acc, x) -> array("
+        "0.5D * element_at(x, 1) + 0.5D * (element_at(acc, 1) + element_at(acc, 2)),"
+        " 0.25D * ((0.5D * element_at(x, 1)"
+        " + 0.5D * (element_at(acc, 1) + element_at(acc, 2)))"
+        " - element_at(acc, 1)) + 0.75D * element_at(acc, 2)))"
+    )
+    return series.select(
+        "user_id",
+        "n_events",
+        F.expr(
+            f"floor(element_at({lb}, 1) * 1000000 + 0.5D) / 1000000"
+        ).alias("level_q"),
+        F.expr(
+            f"floor(element_at({lb}, 2) * 1000000 + 0.5D) / 1000000"
+        ).alias("trend_q"),
+        F.expr(
+            f"floor((element_at({lb}, 1) + 3 * element_at({lb}, 2))"
+            " * 1000000 + 0.5D) / 1000000"
+        ).alias("forecast3_q"),
+    )
