@@ -241,6 +241,7 @@ HEADLINE = [
     "agg_kmv_distinct_streamed",
     "cdc_ivm_starjoin_view_streamed",
     "ts_holt_trend",
+    "graph_kcore_mutual_knn",
 ]
 
 

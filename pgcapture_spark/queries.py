@@ -114,13 +114,13 @@ from pgcapture_spark.querydefs import (  # noqa: E402,F401
 # driver window verifies; every addition lands with a DuckDB oracle and
 # goes straight into the window (never the unverified pool).
 # QUEUED_R8 candidates (stage into the next window, same pace rule):
-#   graph k-core peeling (iterative, rows-only check), per-source windowed
-#   PSI drift (time-bucketed extension of corpus_drift_psi_streamed),
-#   snapshot-diff planner over LIVE bucketed-state manifests.
+#   per-source windowed PSI drift (time-bucketed extension of
+#   corpus_drift_psi_streamed), snapshot-diff planner over LIVE
+#   bucketed-state manifests.
 _WINDOW: tuple[str, ...] = (
-    # --- r7 wave (new this round; 15 queries) ---
+    # --- r7 wave (new this round; 16 queries) ---
     "agg_kmv_distinct_streamed", "cdc_ivm_starjoin_view_streamed",
-    "ts_holt_trend",
+    "ts_holt_trend", "graph_kcore_mutual_knn",
     "cdc_ivm_topk_view", "cdc_ivm_topk_view_streamed",
     "cdc_ivm_minmax_view", "cdc_ivm_minmax_view_streamed",
     "cdc_ivm_distinct_view", "cdc_ivm_starjoin_view",
@@ -143,7 +143,7 @@ _WINDOW: tuple[str, ...] = (
     "events_asof_join", "events_stream_windowed", "ts_ohlc_streamed",
     "dedup_minhash_lsh", "dedup_editdist_join", "corpus_dedup_keepbest",
     "sim_ivf_ann", "sim_filtered_ann", "kmeans_embed",
-    "graph_triangle_count", "agg_kmv_distinct", "agg_theta_intersect_topk",
+    "graph_triangle_count", "agg_kmv_distinct",
 )
 
 

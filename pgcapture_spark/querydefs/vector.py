@@ -1703,3 +1703,75 @@ def sim_pq_train_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir, ("embeddings",))
     return pq_train_encode(spark.table("embeddings"), m=4, k=4, iters=2, dim=64)
+
+
+# ------------------------------------------------- k-core of the mutual kNN
+
+
+def _kcore_duck(k: int, rounds: int) -> str:
+    """Unrolled synchronous peeling — the same generated-SQL recipe as the
+    integer PageRank above: stage i's edges keep only endpoints whose stage
+    i-1 degree is >= k. The Spark side runs the identical fixed rounds plus
+    a fixpoint certificate (operators/kcore.py), so both engines compute
+    literally the same R stages."""
+    # every CTE is MATERIALIZED: DuckDB inlines CTEs by default, and each
+    # stage references its predecessor several times — inlining would
+    # re-expand the knn subtree exponentially across R rounds
+    stages = [
+        f"""e0 AS MATERIALIZED (SELECT a.src_id AS a, a.dst_id AS b
+      FROM knn a JOIN knn b ON a.src_id = b.dst_id AND a.dst_id = b.src_id
+      WHERE a.src_id < a.dst_id)"""
+    ]
+    for i in range(1, rounds + 1):
+        p = i - 1
+        stages.append(
+            f"""d{p} AS MATERIALIZED (SELECT node, count(*) AS c FROM (
+        SELECT a AS node FROM e{p} UNION ALL SELECT b AS node FROM e{p})
+      GROUP BY node),
+    k{p} AS MATERIALIZED (SELECT node FROM d{p} WHERE c >= {k}),
+    e{i} AS MATERIALIZED (SELECT e.a, e.b FROM e{p} e
+      JOIN k{p} x ON e.a = x.node JOIN k{p} y ON e.b = y.node)"""
+        )
+    final = f"""SELECT node AS vec_id, CAST(c AS BIGINT) AS core_degree FROM (
+      SELECT node, count(*) AS c FROM (
+        SELECT a AS node FROM e{rounds} UNION ALL SELECT b AS node FROM e{rounds})
+      GROUP BY node)"""
+    return (
+        "WITH knn AS MATERIALIZED (" + _DUCK_KNN_GRAPH + "),\n    "
+        + ",\n    ".join(stages)
+        + "\n"
+        + final
+    )
+
+
+@q(
+    "graph_kcore_mutual_knn",
+    None,  # set below (needs the module-level KCORE_ROUNDS constant)
+    "North-star graph: k-core decomposition of the MUTUAL k-NN graph — the"
+    " reciprocal-neighbor density filter (SemDeDup-style community core)."
+    " Synchronous peeling: every round drops ALL currently-under-degree"
+    " nodes at once (degree agg + two semi-joins over the SHRINKING edge"
+    " list), a compile-time round count shared with the oracle's unrolled"
+    " stages, and a FIXPOINT CERTIFICATE that fails loudly if the constant"
+    " were ever too small (measured 4-8 rounds at sf0.001-0.1; R=16). The"
+    " iterative edge list is lineage-cut every few rounds so Catalyst plans"
+    " stay round-sized (the ivm family's planning-time discipline).",
+)
+def graph_kcore_mutual_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pgcapture_spark.operators.kcore import kcore_peel, mutual_edges
+    from pgcapture_spark.operators.similarity import knn_graph
+
+    register_views(spark, sf_dir, ("embeddings",))
+    knn = knn_graph(spark.table("embeddings"), k=3, nbits=6)
+    core = kcore_peel(mutual_edges(knn), k=2)
+    return core.select(F.col("node").alias("vec_id"), "core_degree")
+
+
+def _set_kcore_oracle() -> None:
+    from pgcapture_spark.operators.kcore import KCORE_ROUNDS
+    from pgcapture_spark.queries import REGISTRY
+
+    REGISTRY["graph_kcore_mutual_knn"].oracle = _kcore_duck(2, KCORE_ROUNDS)
+
+
+_set_kcore_oracle()

@@ -417,3 +417,34 @@ def test_ivm_star_stream_fifth_table_converges_and_reads_slices_only(spark):
         assert star_reads and all(0 < len(b) < n_buckets for b in star_reads)
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_kcore_peel_known_graph_and_nonconvergence_guard(spark):
+    """Hand-checkable peel: a triangle survives the 2-core, a pendant chain
+    peels away transitively (needing >1 round); a rounds bound too small
+    fails loudly instead of returning the intermediate state."""
+    import pytest
+
+    from pgcapture_spark.operators.kcore import kcore_peel
+
+    # triangle 1-2-3 + chain 3-4-5 (4 and 5 peel in successive rounds)
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (3, 4), (4, 5)], "a bigint, b bigint"
+    )
+    got = {
+        (r["node"], r["core_degree"]) for r in kcore_peel(edges, k=2).collect()
+    }
+    assert got == {(1, 2), (2, 2), (3, 2)}
+    with pytest.raises(RuntimeError, match="did not converge"):
+        kcore_peel(edges, k=2, rounds=1)
+
+
+def test_mutual_edges_keeps_reciprocal_pairs_only(spark):
+    from pgcapture_spark.operators.kcore import mutual_edges
+
+    directed = spark.createDataFrame(
+        [(1, 2), (2, 1), (1, 3), (4, 2), (2, 4), (4, 2)],
+        "src_id bigint, dst_id bigint",
+    )
+    got = {(r["a"], r["b"]) for r in mutual_edges(directed).collect()}
+    assert got == {(1, 2), (2, 4)}
