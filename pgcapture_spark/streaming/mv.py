@@ -314,6 +314,18 @@ def ivm_join_stream(
     initial = {"orders": initial_orders, "customer": initial_customer}
     _CK_COLS = ["o_custkey", "o_totalprice"]
 
+    # the ckb = cb probe fuse below hard-codes a cross-table contract:
+    # customer and orders_ck must BOTH bucket on the custkey value (one
+    # shared pmod(hash(custkey), n_buckets) id space), or the fused probe
+    # would strand rows — fail at construction, not mid-commit via
+    # _assert_buckets_within (ADVICE r7)
+    if state.keys.get("customer") != "c_custkey" or state.keys.get("orders_ck") != "o_custkey":
+        raise ValueError(
+            "ivm_join_stream requires state keyed customer=c_custkey and "
+            f"orders_ck=o_custkey (got {state.keys!r}) — the fused custkey "
+            "probe assumes both tables share the custkey bucket-id space"
+        )
+
     def _empty(t: str) -> DataFrame:
         return initial[t].select(keys[t], *cols[t]).limit(0)
 
