@@ -170,6 +170,8 @@ class BucketedMultiTableState:
             json.dump(manifest, f)
         os.replace(tmp, self._manifest)
 
+    _READ_OPTS: dict[str, str] = {}
+
     def read_buckets(self, table: str, buckets: list[int]) -> DataFrame | None:
         manifest = self._load()
         paths = []
@@ -181,7 +183,10 @@ class BucketedMultiTableState:
                     paths.append(p)
         if not paths:
             return None
-        return self.spark.read.parquet(*paths)
+        reader = self.spark.read
+        for k, v in self._READ_OPTS.items():
+            reader = reader.option(k, v)
+        return reader.parquet(*paths)
 
     def read(self) -> dict[str, DataFrame] | None:
         if not os.path.exists(self._manifest):
@@ -347,16 +352,28 @@ def apply_stream_multi_table(
     )
 
 
-class DynamicMultiTableState(MultiTableState):
-    """MultiTableState whose table set GROWS mid-stream: the manifest also
-    persists the relation registry, so a restart rehydrates learned tables
-    without re-observing their CREATE TABLE events (which live in already-
-    committed, skipped batches)."""
+class DynamicMultiTableState(BucketedMultiTableState):
+    """BucketedMultiTableState whose table set GROWS mid-stream — the scale
+    form of the dynamic relation-learning apply (the r7 verdict's last
+    full-rewrite consumer, closed): every learned table is key-bucketed, a
+    micro-batch reads and rewrites only the buckets its change set touches,
+    and the relation registry rides the SAME atomic manifest as the bucket
+    pointers — a restart rehydrates learned tables without re-observing their
+    CREATE TABLE / Relation events (which live in already-committed, skipped
+    batches).
 
-    def __init__(self, spark: SparkSession, root: str, registry):
-        super().__init__(spark, root, registry.tables())
+    Schema evolution (ALTER / re-sent Relation message) is lazy, exactly like
+    EvolvingBucketedState: buckets written after the refresh carry the new
+    shape, untouched buckets keep their old files, reads merge schemas and
+    align to the registry's CURRENT field list."""
+
+    _READ_OPTS = {"mergeSchema": "true"}
+
+    def __init__(self, spark: SparkSession, root: str, registry, n_buckets: int = 32):
+        super().__init__(spark, root, [], {}, n_buckets)
         self.registry = registry
         self._rehydrate()
+        self.adopt_tables()
 
     def _rehydrate(self) -> None:
         from pgcapture_spark.streaming.registry import RelationRegistry
@@ -366,26 +383,74 @@ class DynamicMultiTableState(MultiTableState):
                 m = json.load(f)
             if "registry" in m:
                 self.registry = RelationRegistry.from_dict(m["registry"])
-                self.tables = m["tables"]
 
-    def commit(self, snapshots: dict[str, DataFrame], batch_id: int) -> None:
-        self.tables = self.registry.tables()
-        version = f"v{batch_id:012d}"
-        base = os.path.join(self.root, version)
-        for t in self.tables:
-            snapshots[t].write.mode("overwrite").parquet(os.path.join(base, t))
-        fd, tmp = tempfile.mkstemp(dir=self.root, suffix=".manifest")
-        with os.fdopen(fd, "w") as f:
-            json.dump(
-                {
-                    "version": version,
-                    "batch_id": batch_id,
-                    "tables": self.tables,
-                    "registry": self.registry.to_dict(),
-                },
-                f,
+    def _swap(self, manifest: dict) -> None:
+        # the registry swings with the bucket pointers — one atomic rename
+        manifest["registry"] = self.registry.to_dict()
+        super()._swap(manifest)
+
+    def adopt_tables(self) -> None:
+        """Sync the bucketed table set with the registry's single-key
+        relations. Keyless / composite-key relations are quarantined (logged,
+        never applied — the single-key dynamic path cannot merge them
+        correctly; composite identities stay on the typed pipeline)."""
+        for t in self.registry.tables():
+            if t in self.keys:
+                continue
+            key_cols = self.registry.key(t)
+            if len(key_cols) != 1:
+                _LOG.warning(
+                    "DynamicMultiTableState: quarantining relation %r "
+                    "(key=%r; single-column keys only on the dynamic path)",
+                    t,
+                    key_cols,
+                )
+                continue
+            self.tables.append(t)
+            self.keys[t] = key_cols[0]
+
+    def _fields_spark(self, t: str) -> list[tuple[str, str]]:
+        from pgcapture_spark.functions.pgtypes import spark_type_for_oid
+
+        return [(n, spark_type_for_oid(oid)) for n, oid in self.registry.fields(t)]
+
+    def seed_table(self, t: str, snapshot: DataFrame) -> None:
+        """One-time O(snapshot) backfill of a table's buckets (the initialize
+        analog, per table so mid-stream tables can start empty while static
+        ones seed from their snapshots). Idempotent — re-seeding after a
+        crash before the first data commit overwrites the same version."""
+        out = os.path.join(self.root, "vinit", t)
+        (
+            snapshot.withColumn("_b", self._bucket_col(t))
+            .write.mode("overwrite")
+            .partitionBy("_b")
+            .parquet(out)
+        )
+        manifest = self._load()
+        for b in range(self.n_buckets):
+            manifest["buckets"].setdefault(t, {})[str(b)] = "vinit"
+        self._swap(manifest)
+
+    def read(self) -> dict[str, DataFrame] | None:
+        """Every REGISTRY relation, aligned to its current field list:
+        bucketed tables read from their pointers (absent columns NULL-fill
+        across schema versions), quarantined / never-touched relations
+        surface as empty snapshots of their learned shape."""
+        from pgcapture_spark.streaming.state import align_to_fields
+
+        if not os.path.exists(self._manifest):
+            return None
+        out: dict[str, DataFrame] = {}
+        for t in self.registry.tables():
+            df = (
+                self.read_buckets(t, list(range(self.n_buckets)))
+                if t in self.keys
+                else None
             )
-        os.replace(tmp, self._manifest)
+            if df is None:
+                df = self.registry.empty_snapshot(self.spark, t)
+            out[t] = align_to_fields(df, self._fields_spark(t))
+        return out
 
 
 def apply_stream_dynamic(
@@ -396,24 +461,31 @@ def apply_stream_dynamic(
 ) -> StreamingQuery:
     """Multi-table apply over the GENERIC binary feed with in-stream relation
     learning: a CREATE TABLE event mid-stream materializes a new table (empty
-    snapshot with the parsed wire schema) and its subsequent row events decode
+    buckets with the parsed wire schema) and its subsequent row events decode
     and apply — the PGXSchemaLoader-refresh behavior (pkg/decode/schema.go:
-    114-159) on Spark.
+    114-159) on Spark, now on bucketed state: per micro-batch every table
+    reads and rewrites ONLY the key-buckets its change set touches (one union
+    probe job across tables, one atomic manifest commit carrying the evolved
+    registry).
 
     Feed schema: lsn, seq, ord, commit_ts, op, table_name, query,
     fields array<struct<name,oid,bin>>, old_fields (DELETE old key image).
-    Single-column keys (the composite path stays on the typed pipeline)."""
+    Single-column keys (the composite path stays on the typed pipeline);
+    ``initial_snapshots`` tables must be registered in the state's registry
+    (learn_static) and are seeded into buckets once, on first contact."""
+    from pgcapture_spark.operators.apply import last_image, merge_images
     from pgcapture_spark.operators.generic_feed import decode_binary_feed
+    from pgcapture_spark.streaming.state import align_to_fields
 
     reg = state.registry
 
     def _batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_id <= state.last_batch():
             return
-        current = state.read()
-        if current is None:
-            current = dict(initial_snapshots)
         spark = batch_df.sparkSession
+        if not state.initialized():
+            for t, snap in initial_snapshots.items():
+                state.seed_table(t, snap)
         # 1) relation learning — the schema subset is tiny (driver-side,
         # ordered). Two in-band forms, exactly the reference's two refresh
         # triggers: DDL text (parse CREATE/ALTER) and Relation ('R') messages
@@ -431,46 +503,15 @@ def apply_stream_dynamic(
                     (f["name"], f["oid"], bool(f["bin"] and f["bin"][0]))
                     for f in (row["fields"] or [])
                 ]
-                new_table = (
-                    row["table_name"] if reg.learn_relation(row["table_name"], cols) else None
-                )
+                reg.learn_relation(row["table_name"], cols)
             else:
-                new_table = reg.learn_ddl(row["query"])
-            if new_table is not None and new_table not in current:
-                current[new_table] = reg.empty_snapshot(spark, new_table)
-        # 2) per-table decode + fold (same O(touched) shape as the typed path);
-        # snapshots are first aligned to the (possibly ALTER-evolved) relation
-        # shape: added columns appear NULL-filled, dropped ones disappear —
-        # the reference's post-DDL column-cache refresh
-        from pgcapture_spark.functions.pgtypes import spark_type_for_oid
-
-        new = {}
-        for t in reg.tables():
-            snap_cols = set(current[t].columns)
-            for name, oid in reg.fields(t):
-                if name not in snap_cols:
-                    current[t] = current[t].withColumn(
-                        name, F.lit(None).cast(spark_type_for_oid(oid))
-                    )
-            current[t] = current[t].select(*[n for n, _ in reg.fields(t)])
-            key_cols = reg.key(t)
-            if len(key_cols) != 1:
-                # quarantine, don't crash: a mid-stream CREATE with no PRIMARY
-                # KEY (key=[]) or a composite PK can't take the single-key
-                # dynamic path — applying on key_cols[0] alone would merge
-                # wrongly, and an IndexError here would kill the whole
-                # multi-table query. Carry the snapshot forward untouched and
-                # log; composite keys stay on the typed pipeline (cdc_apply
-                # with composite key columns).
-                _LOG.warning(
-                    "apply_stream_dynamic: skipping relation %r (key=%r; "
-                    "single-column keys only on the dynamic path)",
-                    t,
-                    key_cols,
-                )
-                new[t] = current[t]
-                continue
-            key = key_cols[0]
+                reg.learn_ddl(row["query"])
+        state.adopt_tables()
+        # 2) per-table decode + fold to per-key images (the registry supplies
+        # wire schema + identity — nothing table-specific in the consumer)
+        imgs: dict[str, DataFrame] = {}
+        for t in state.tables:
+            key = state.keys[t]
             _, key_oid = next(f for f in reg.fields(t) if f[0] == key)
             sub = batch_df.where(
                 (F.col("table_name") == F.lit(t))
@@ -482,8 +523,47 @@ def apply_stream_dynamic(
                 old_key=(f"old_{key}", key, key_oid),
                 fused=True,  # the apply consumes every column of the relation
             ).withColumn(key, F.coalesce(F.col(key), F.col(f"old_{key}")))
-            new[t] = cdc_apply(current[t], typed, key, reg.value_cols(t))
-        state.commit(new, batch_id)
+            imgs[t] = last_image(typed, key, reg.value_cols(t)).persist()
+        try:
+            # ONE probe job across all tables (see fold_commit_multi)
+            probe = None
+            for t in state.tables:
+                part = imgs[t].select(
+                    F.lit(t).alias("_t"), state._bucket_col(t).alias("_b")
+                )
+                probe = part if probe is None else probe.unionByName(part)
+            touched: dict[str, list[int]] = {}
+            if probe is not None:
+                for r in probe.distinct().collect():
+                    touched.setdefault(r["_t"], []).append(r["_b"])
+            # 3) merge each touched table's bucket slice — aligned to the
+            # (possibly evolved) relation shape first: added columns appear
+            # NULL-filled, dropped ones disappear (the reference's post-DDL
+            # column-cache refresh, lazily per bucket)
+            merged: dict[str, tuple[DataFrame, list[int]]] = {}
+            for t, buckets in sorted(touched.items()):
+                buckets = sorted(buckets)
+                key = state.keys[t]
+                fields = state._fields_spark(t)
+                cur = state.read_buckets(t, buckets)
+                base = align_to_fields(
+                    cur if cur is not None else reg.empty_snapshot(spark, t),
+                    fields,
+                )
+                merged[t] = (
+                    merge_images(base, imgs[t], key, reg.value_cols(t)),
+                    buckets,
+                )
+            if merged:
+                state.commit(merged, batch_id)
+                state.vacuum()
+            else:
+                # schema-only / empty batch: the registry still rides the
+                # manifest rename that advances the replay gate
+                state.mark_batch(batch_id)
+        finally:
+            for img in imgs.values():
+                img.unpersist()
 
     return (
         feed_stream.writeStream.foreachBatch(_batch)

@@ -284,6 +284,21 @@ def _assert_buckets_within(version_dir: str, buckets: list[int]) -> None:
         )
 
 
+def align_to_fields(df: DataFrame, fields: list[tuple[str, str]]) -> DataFrame:
+    """Project ``df`` onto an authoritative ``[(name, spark_type), ...]`` field
+    list: absent columns NULL-fill (lazy schema evolution — old bucket files
+    predate an ALTER ADD), extra columns disappear (post-DROP files still
+    carry them). Shared by EvolvingBucketedState and the dynamic multi-table
+    state."""
+    from pyspark.sql import functions as F
+
+    have = set(df.columns)
+    for name, spark_type in fields:
+        if name not in have:
+            df = df.withColumn(name, F.lit(None).cast(spark_type))
+    return df.select(*[n for n, _ in fields])
+
+
 class EvolvingBucketedState(BucketedSnapshotState):
     """BucketedSnapshotState whose row schema may EVOLVE mid-stream (the
     in-band DDL path, SURVEY §7 P5): a schema change is a VERSION BOUNDARY —
@@ -308,15 +323,7 @@ class EvolvingBucketedState(BucketedSnapshotState):
         return [tuple(f) for f in raw] if raw is not None else None
 
     def aligned(self, df: DataFrame | None, fields: list[tuple[str, str]]) -> DataFrame | None:
-        from pyspark.sql import functions as F
-
-        if df is None:
-            return None
-        have = set(df.columns)
-        for name, spark_type in fields:
-            if name not in have:
-                df = df.withColumn(name, F.lit(None).cast(spark_type))
-        return df.select(*[n for n, _ in fields])
+        return align_to_fields(df, fields) if df is not None else None
 
     def read(self) -> DataFrame | None:
         df = super().read()

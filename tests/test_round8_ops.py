@@ -90,3 +90,71 @@ def test_backfill_streamed_bucketed_reads_touched_only(spark):
         assert expected.exceptAll(got).count() == 0
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_dynamic_apply_bucketed_reads_touched_only(spark):
+    """The dynamic relation-learning apply on its bucketed layout: a static
+    table seeded from its snapshot AND a table CREATEd mid-stream both read
+    strict bucket subsets per micro-batch — never a full-table
+    materialization — while the registry rides the manifest. Converges to
+    the typed batch apply for the static table."""
+    from tests.test_dynamic_registry import _generic_stream_df
+
+    from pgcapture_spark.operators.generic_feed import CUSTOMER_FIELD_OIDS
+    from pgcapture_spark.sources.feed import materialize_feed, read_feed_stream
+    from pgcapture_spark.streaming.multi import (
+        DynamicMultiTableState,
+        apply_stream_dynamic,
+    )
+    from pgcapture_spark.streaming.registry import RelationRegistry
+
+    class _Recording(DynamicMultiTableState):
+        def __init__(self, *a, **kw):
+            super().__init__(*a, **kw)
+            self.read_calls: list[tuple[str, int]] = []
+
+        def read_buckets(self, table, buckets):
+            self.read_calls.append((table, len(buckets)))
+            return super().read_buckets(table, buckets)
+
+    d = tempfile.mkdtemp(prefix="pgcs_t_dynaudit_")
+    n_buckets = 256
+    try:
+        feed, _ = _generic_stream_df(spark)
+        materialize_feed(feed, f"{d}/feed", n_segments=6, order_col="ord")
+        schema = spark.read.parquet(f"{d}/feed").schema
+
+        reg = RelationRegistry()
+        reg.learn_static("customer", ["c_custkey"], CUSTOMER_FIELD_OIDS)
+        state = _Recording(spark, f"{d}/state", reg, n_buckets=n_buckets)
+        q = apply_stream_dynamic(
+            read_feed_stream(spark, f"{d}/feed", schema, max_files_per_trigger=2),
+            state,
+            {"customer": spark.table("customer")},
+            f"{d}/ckpt",
+        )
+        q.awaitTermination(300)
+
+        # every stream-time read was a strict bucket subset, for the seeded
+        # static table AND the mid-stream-learned one (read() calls
+        # read_buckets with the full range — only the final read below does)
+        assert state.read_calls
+        assert all(0 < n < n_buckets for _, n in state.read_calls)
+        assert {t for t, _ in state.read_calls} >= {"customer", "sidecar"}
+
+        # registry rides the manifest
+        manifest = json.load(open(f"{d}/state/MANIFEST.json"))
+        assert "sidecar" in manifest["registry"]
+
+        expected = cdc_apply(
+            spark.table("customer"),
+            _feed(spark, SF_SMALL, "customer"),
+            "c_custkey",
+            _CUST_COLS,
+        )
+        got = DynamicMultiTableState(spark, f"{d}/state", RelationRegistry(),
+                                     n_buckets=n_buckets).read()["customer"]
+        assert got.select(*expected.columns).exceptAll(expected).count() == 0
+        assert expected.exceptAll(got.select(*expected.columns)).count() == 0
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
