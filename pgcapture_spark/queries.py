@@ -90,64 +90,61 @@ from pgcapture_spark.querydefs import (  # noqa: E402,F401
     retrieval as _qd_retrieval,
     r6wave as _qd_r6wave,
     r7wave as _qd_r7wave,
+    r8wave as _qd_r8wave,
 )
 
 # The driver verifies the FIRST ~50 registry entries each round. Rounds 1-5
-# drove ALL 218 pre-freeze queries green; round 6 added 22 more (cumulative
-# 241/241 per the r6 verdict).
-# ROUND-7 WINDOW: the 16 NEW r7-wave queries (the non-abelian IVM hard
-# cases — min/max AND top-k with bounded GROUP-pruned rescans, batch +
-# streamed on tri-table bucketed state; COUNT DISTINCT via its abelian
-# support table; the 4-table star join view, batch + STREAMED as a fifth
-# state table on ivm_join_stream — plus the schema-evolving streamed apply
-# on EvolvingBucketedState, tx-registry retention as a declared maintenance
-# op, the streamed PSI drift monitor, streamed exact dedup, and the
-# streamed KMV sketch on summary-sized bucketed state, position-based
-# attribution, and the bucket-skew compaction planner), then the streamed
-# consumers RE-verified
-# because round 7 changed their read side (O(touched-bucket) reads for the
-# IVM join view + incremental agg; mark_batch/collect_set/commit-contract
-# changes touch every bucketed-state consumer), padded with
-# previously-green canaries across the engine pillars.
-# Rotated OUT of the r7 window (all previously driver-green; greens are
+# drove ALL 218 pre-freeze queries green; round 6 added 22 more; round 7
+# added 16 (cumulative 257/257 per the r7 verdict).
+# ROUND-8 WINDOW: the 4 NEW r8-wave queries (AS-OF read + pointer-pruned
+# snapshot diff over the LIVE bucketed state's retained manifests, the
+# debounce flush rules as an exact batch oracle incl. the lsn=0 dump
+# precedence, and the per-source WINDOWED PSI drift monitor), then the
+# consumers RE-verified because round 8 changed their state layer:
+# backfill_streamed and cdc_relation_learn moved onto bucketed state (the
+# last two full-rewrite consumers), every BucketedMultiTableState consumer
+# gained the fused subset-schema commit + per-trigger lineage cuts, the
+# psi/doc-feature helpers grew grouping parameters, cdc_snapshot_diff now
+# rides the shared diff_frames, and ivm_topk_view materializes eagerly.
+# Padded with previously-green canaries across the engine pillars.
+# Rotated OUT of the r8 window (all previously driver-green; greens are
 # cumulative, so rotation changes verification coverage, not status):
-# sim_cosine_topk, agg_theta_intersect_topk, events_attribution_linear,
-# corpus_pack_chunks, ts_changepoint_cusum, text_vocab_coverage.
+# cdc_apply_customer_feedsource, cdc_apply_pgoutput_streamed,
+# cdc_apply_pglogical_streamed, cdc_apply_lineitem_composite_streamed,
+# cdc_ddl_skipset-era canaries (see r7 list), dedup_editdist_join,
+# corpus_dedup_keepbest, sim_filtered_ann, graph_triangle_count,
+# agg_kmv_distinct, cdc_apply_ddl_evolution, events_attribution_position,
+# state_bucket_skew_plan, cdc_tx_registry_prune.
 #
 # PACE discipline: add no more new queries per round than one ~50-slot
 # driver window verifies; every addition lands with a DuckDB oracle and
 # goes straight into the window (never the unverified pool).
-# QUEUED_R8 candidates (stage into the next window, same pace rule):
-#   per-source windowed PSI drift (time-bucketed extension of
-#   corpus_drift_psi_streamed), snapshot-diff planner over LIVE
-#   bucketed-state manifests.
 _WINDOW: tuple[str, ...] = (
-    # --- r7 wave (new this round; 16 queries) ---
-    "agg_kmv_distinct_streamed", "cdc_ivm_starjoin_view_streamed",
-    "ts_holt_trend", "graph_kcore_mutual_knn",
-    "cdc_ivm_topk_view", "cdc_ivm_topk_view_streamed",
-    "cdc_ivm_minmax_view", "cdc_ivm_minmax_view_streamed",
-    "cdc_ivm_distinct_view", "cdc_ivm_starjoin_view",
-    "cdc_apply_ddl_streamed", "cdc_tx_registry_prune",
-    "corpus_drift_psi_streamed", "dedup_exact_streamed",
-    "events_attribution_position", "state_bucket_skew_plan",
-    # --- streamed consumers re-verified on the r7 read-side changes ---
+    # --- r8 wave (new this round; 4 queries) ---
+    "cdc_time_travel_manifest", "cdc_snapshot_diff_manifest",
+    "cdc_debounce_flush_rules", "corpus_drift_psi_windowed",
+    # --- consumers re-verified on the r8 state-layer changes ---
+    "backfill_streamed", "cdc_relation_learn",
     "cdc_ivm_join_view_streamed", "cdc_incremental_agg_streamed",
-    "cdc_apply_customer_streamed", "cdc_apply_customer_feedsource",
-    "cdc_apply_multi_streamed", "cdc_apply_proto_streamed",
-    "cdc_apply_proto_multi_streamed", "cdc_apply_proto_multi_streamed_orders",
-    "cdc_apply_pgoutput_streamed", "cdc_apply_pglogical_streamed",
-    "cdc_scd2_streamed", "cdc_apply_lineitem_composite_streamed",
-    "corpus_drift_psi",
+    "cdc_ivm_minmax_view_streamed", "cdc_ivm_topk_view_streamed",
+    "cdc_ivm_starjoin_view_streamed", "cdc_ivm_topk_view",
+    "cdc_ivm_minmax_view", "cdc_ivm_distinct_view", "cdc_ivm_starjoin_view",
+    "cdc_apply_multi_streamed", "cdc_apply_proto_multi_streamed",
+    "cdc_apply_proto_multi_streamed_orders", "cdc_apply_ddl_streamed",
+    "cdc_scd2_streamed", "cdc_apply_customer_streamed",
+    "cdc_apply_proto_streamed",
+    "corpus_drift_psi", "corpus_drift_psi_streamed", "cdc_snapshot_diff",
+    "backfill_union_merge", "backfill_chunk_scan",
     # --- canaries (previously driver-green; engine pillars) ---
     "cdc_apply_customer", "cdc_apply_orders", "cdc_apply_from_proto",
-    "cdc_toast_effective_image", "backfill_union_merge",
-    "cdc_apply_ddl_evolution", "cdc_incremental_agg", "cdc_ivm_join_view",
+    "cdc_apply_from_pgoutput", "cdc_apply_from_pglogical",
+    "cdc_toast_effective_image", "cdc_incremental_agg", "cdc_ivm_join_view",
     "tpch_q1_pricing_summary", "tpch_q3_shipping_priority",
     "events_asof_join", "events_stream_windowed", "ts_ohlc_streamed",
-    "dedup_minhash_lsh", "dedup_editdist_join", "corpus_dedup_keepbest",
-    "sim_ivf_ann", "sim_filtered_ann", "kmeans_embed",
-    "graph_triangle_count", "agg_kmv_distinct",
+    "dedup_exact_streamed", "agg_kmv_distinct_streamed",
+    "dedup_minhash_lsh", "sim_ivf_ann", "kmeans_embed",
+    "graph_kcore_mutual_knn", "ts_holt_trend", "cdc_debounce_events",
+    "cdc_time_travel",
 )
 
 

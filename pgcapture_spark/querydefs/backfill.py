@@ -124,50 +124,32 @@ def build_dblog_interleave_feed(
     consistent replica image as-of its injection point (the watermark rule,
     pkg/dblog/dumper.go:172-186). Returns (base snapshot, feed_dir); segment
     mtimes force the interleave order under maxFilesPerTrigger=1."""
-    import os
-    import shutil
-    import time
-
     from pyspark.sql import functions as F
+
+    from pgcapture_spark.sources.feed import ord_quartile_bounds, write_segments
 
     register_views(spark, sf_dir, ("customer",))
     base = spark.table("customer")
     feed = _feed(spark, sf_dir, "customer")
 
     # segment boundaries: ord quartiles (exact percentiles — 3 scalars)
-    p = feed.agg(
-        *[
-            F.expr(f"percentile_disc({q_}) WITHIN GROUP (ORDER BY ord)").alias(f"p{i}")
-            for i, q_ in enumerate((0.25, 0.5, 0.75))
-        ],
-        F.max("ord").alias("p3"),
-    ).collect()[0]
-    bounds = [int(p[i]) for i in range(4)]
+    bounds = ord_quartile_bounds(feed)
 
-    feed_dir = f"{d}/feed"
-    os.makedirs(feed_dir)
-
-    def _write_piece(df, idx: int) -> None:
-        tmp = f"{d}/piece{idx}"
-        df.unionByName(feed.limit(0), allowMissingColumns=True).select(
+    def _piece(df):
+        return df.unionByName(feed.limit(0), allowMissingColumns=True).select(
             *feed.columns
-        ).coalesce(1).write.mode("overwrite").parquet(tmp)
-        part = next(
-            f for f in os.listdir(tmp) if f.startswith("part-") and f.endswith(".parquet")
         )
-        dst = os.path.join(feed_dir, f"seg-{idx:03d}.parquet")
-        shutil.move(os.path.join(tmp, part), dst)
-        ts = time.time() - 10 * (16 - idx)
-        os.utime(dst, (ts, ts))
 
+    pieces = []
     lo_ord = -1
     for i, hi_ord in enumerate(bounds):
-        _write_piece(feed.where((F.col("ord") > lo_ord) & (F.col("ord") <= hi_ord)), 2 * i)
+        pieces.append(_piece(feed.where((F.col("ord") > lo_ord) & (F.col("ord") <= hi_ord))))
         # the "replica" as-of this stream position, chunked on key buckets
         replica = cdc_apply(base, feed.where(F.col("ord") <= hi_ord), "c_custkey", _CUST_COLS)
-        _write_piece(
-            dump_chunk(replica, "c_custkey", _CUST_COLS, 16 * i, 16 * i + 15, dump_id=i),
-            2 * i + 1,
+        pieces.append(
+            _piece(dump_chunk(replica, "c_custkey", _CUST_COLS, 16 * i, 16 * i + 15, dump_id=i))
         )
         lo_ord = hi_ord
+    feed_dir = f"{d}/feed"
+    write_segments(pieces, feed_dir)
     return base, feed_dir

@@ -179,34 +179,11 @@ def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     cols = CDC_COLS["customer"]
     feed = _feed(spark, sf_dir, "customer")
     snap = spark.table("customer")
-    a = cdc_apply(snap, feed.where(F.col("lsn") <= _PIN_LSN), "c_custkey", cols).alias("a")
-    b = cdc_apply(snap, feed, "c_custkey", cols).alias("b")
-    joined = a.join(b, F.col("a.c_custkey") == F.col("b.c_custkey"), "full_outer")
-    changed = F.concat_ws(
-        ",",
-        *[
-            F.when(~F.col(f"a.{c}").eqNullSafe(F.col(f"b.{c}")), F.lit(c))
-            for c in cols
-        ],
-    )
-    any_diff = None
-    for c in cols:
-        d = ~F.col(f"a.{c}").eqNullSafe(F.col(f"b.{c}"))
-        any_diff = d if any_diff is None else (any_diff | d)
-    status = (
-        F.when(F.col("a.c_custkey").isNull(), F.lit("ADDED"))
-        .when(F.col("b.c_custkey").isNull(), F.lit("REMOVED"))
-        .otherwise(F.lit("CHANGED"))
-    )
-    return joined.where(
-        F.col("a.c_custkey").isNull() | F.col("b.c_custkey").isNull() | any_diff
-    ).select(
-        F.coalesce(F.col("a.c_custkey"), F.col("b.c_custkey")).alias("c_custkey"),
-        status.alias("status"),
-        F.when(
-            F.col("a.c_custkey").isNull() | F.col("b.c_custkey").isNull(), F.lit("")
-        ).otherwise(changed).alias("changed_cols"),
-    )
+    from pgcapture_spark.operators.timetravel import diff_frames
+
+    a = cdc_apply(snap, feed.where(F.col("lsn") <= _PIN_LSN), "c_custkey", cols)
+    b = cdc_apply(snap, feed, "c_custkey", cols)
+    return diff_frames(a, b, "c_custkey", cols)
 
 
 # ------------------------------------------------------ FK consistency

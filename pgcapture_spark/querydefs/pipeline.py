@@ -775,12 +775,14 @@ def corpus_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return psi_from_counts(counts)
 
 
-def doc_feature_rows(docs: DataFrame) -> DataFrame:
-    """(doc_id, feature, bucket) rows of the drift monitor's two tracked
+def doc_feature_rows(docs: DataFrame, extra_cols: tuple[str, ...] = ()) -> DataFrame:
+    """(doc_id, *extra_cols, feature, bucket) rows of the drift monitor's two tracked
     distributions (length buckets capped at 7, language) — shared by the
-    batch PSI and its streamed accumulator."""
+    batch PSI, its streamed accumulator, and the windowed per-source monitor
+    (which passes the extra grouping columns through)."""
     return docs.select(
         "doc_id",
+        *extra_cols,
         F.explode(
             F.array(
                 F.struct(
@@ -799,18 +801,22 @@ def doc_feature_rows(docs: DataFrame) -> DataFrame:
                 ),
             )
         ).alias("fb"),
-    ).select("doc_id", "fb.feature", "fb.bucket")
+    ).select("doc_id", *extra_cols, "fb.feature", "fb.bucket")
 
 
-def psi_from_counts(counts: DataFrame) -> DataFrame:
-    """PSI per feature from (feature, bucket, cur_cnt, ref_cnt) rows —
+def psi_from_counts(
+    counts: DataFrame, group_keys: tuple[str, ...] = ("feature",)
+) -> DataFrame:
+    """PSI per group from (*group_keys, bucket, cur_cnt, ref_cnt) rows —
     Laplace-smoothed, per-term nano-quantized (exact integer sum
-    cross-engine). Per-feature totals are WINDOWS over the bucket counts
+    cross-engine). Per-group totals are WINDOWS over the bucket counts
     (not a second aggregation + join): one lineage, the input scans once;
-    the window exchange operates on bucket-sized rows only."""
+    the window exchange operates on bucket-sized rows only. ``group_keys``
+    defaults to the corpus-wide per-feature monitor; the windowed per-source
+    variant passes (source, win, feature)."""
     from pyspark.sql import Window as W
 
-    wf = W.partitionBy("feature")
+    wf = W.partitionBy(*group_keys)
     counts = (
         counts.withColumn("n_buckets", F.count("*").over(wf))
         .withColumn("n_cur", F.sum("cur_cnt").over(wf))
@@ -828,8 +834,8 @@ def psi_from_counts(counts: DataFrame) -> DataFrame:
         " * 1000000000 + 0.5D) AS BIGINT)"
     )
     return (
-        counts.select("feature", term.alias("t"), "n_buckets", "n_ref", "n_cur")
-        .groupBy("feature")
+        counts.select(*group_keys, term.alias("t"), "n_buckets", "n_ref", "n_cur")
+        .groupBy(*group_keys)
         .agg(
             F.sum("t").cast("long").alias("psi_nano"),
             F.max("n_buckets").alias("n_buckets"),

@@ -1,0 +1,392 @@
+"""Round-8 registry wave: point-in-time operations over the LIVE bucketed
+state's own version history (AS-OF read + pointer-pruned snapshot diff — the
+manifest layer doubles as a Delta/Iceberg-style time-travel catalog), the
+consumer-side debounce flush rules as an exact batch oracle (C2's full
+semantics incl. the lsn=0 dump-event precedence, pkg/pgcapture/debounce.go:
+87-155), and the per-source WINDOWED drift monitor (the time-bucketed
+extension of corpus_drift_psi).
+
+Determinism contract as everywhere: integer ord/checkpoint encodings,
+percentile_disc segment boundaries both engines can name, nano-quantized PSI
+terms.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pgcapture_spark.catalog import CDC_COLS, register_views
+from pgcapture_spark.fixtures.cdc_feed import DUCKDB, cdc_customer_sql
+from pgcapture_spark.operators.apply import apply_oracle_sql
+from pgcapture_spark.queries import _feed, q
+
+_CUST_COLS = CDC_COLS["customer"]
+
+
+# -------------------------------------------------- manifest time travel
+
+def _run_retained_apply(spark: SparkSession, sf_dir: str):
+    """Shared fixture for the manifest queries: apply the customer feed in 4
+    micro-batches split at EXACT ord quartiles (percentile_disc — DuckDB can
+    name the same boundaries) onto a retain_versions BucketedSnapshotState,
+    capturing a manifest snapshot after every commit. Returns
+    (state, manifests dict batch_id → manifest)."""
+    import tempfile
+
+    from pgcapture_spark.sources.feed import (
+        ord_quartile_bounds,
+        read_feed_stream,
+        write_segments,
+    )
+    from pgcapture_spark.streaming.pipeline import apply_stream
+    from pgcapture_spark.streaming.state import BucketedSnapshotState
+
+    register_views(spark, sf_dir, ("customer",))
+    base = spark.table("customer")
+    feed = _feed(spark, sf_dir, "customer")
+    bounds = ord_quartile_bounds(feed)
+    pieces, lo = [], -1
+    for hi in bounds:
+        pieces.append(feed.where((F.col("ord") > lo) & (F.col("ord") <= hi)))
+        lo = hi
+    d = tempfile.mkdtemp(prefix="pgcs_q_ttmanifest_")
+    write_segments(pieces, f"{d}/feed")
+    schema = spark.read.parquet(f"{d}/feed").schema
+    state = BucketedSnapshotState(
+        spark, f"{d}/state", "c_custkey", n_buckets=16, retain_versions=True
+    )
+    manifests: dict[int, dict] = {}
+
+    def _capture(batch_id: int, _n: int) -> None:
+        manifests[batch_id] = state.manifest_snapshot()
+
+    query = apply_stream(
+        read_feed_stream(spark, f"{d}/feed", schema, max_files_per_trigger=1),
+        state,
+        base,
+        "c_custkey",
+        _CUST_COLS,
+        f"{d}/ckpt",
+        on_batch=_capture,
+    )
+    query.awaitTermination(300)
+    return state, manifests
+
+
+def _asof_feed_sql() -> str:
+    """The DuckDB rendering of 'everything the first two micro-batches
+    carried': feed rows at or below the ord MEDIAN (batch 0 = ≤ q1,
+    batch 1 = ≤ q2 — the same percentile_disc boundaries the Spark side
+    split segments at)."""
+    feed = cdc_customer_sql(DUCKDB)
+    return (
+        f"SELECT * FROM ({feed}) WHERE ord <= ("
+        f"SELECT percentile_disc(0.5) WITHIN GROUP (ORDER BY ord) FROM ({feed}))"
+    )
+
+
+@q(
+    "cdc_time_travel_manifest",
+    apply_oracle_sql(_asof_feed_sql(), "customer", "c_custkey", _CUST_COLS),
+    "AS-OF read over the LIVE bucketed state's own version history: a saved"
+    " manifest snapshot maps every bucket to the version dir current at that"
+    " commit, so the table AS OF micro-batch 1 is ONE manifest-resolved read"
+    " — no feed replay (cdc_time_travel re-applies the log to a pinned LSN;"
+    " this answers from the state layer alone, the Delta/Iceberg time-travel"
+    " shape). retain_versions is the retention window that keeps superseded"
+    " version dirs resolvable.",
+)
+def cdc_time_travel_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    state, manifests = _run_retained_apply(spark, sf_dir)
+    return state.read_asof(manifests[1]).select("c_custkey", *_CUST_COLS)
+
+
+def _diff_manifest_duck() -> str:
+    feed = cdc_customer_sql(DUCKDB)
+    snap_a = apply_oracle_sql(_asof_feed_sql(), "customer", "c_custkey", _CUST_COLS)
+    snap_b = apply_oracle_sql(feed, "customer", "c_custkey", _CUST_COLS)
+    changed = ",\n    ".join(
+        f"CASE WHEN a.{c} IS DISTINCT FROM b.{c} THEN '{c}' END" for c in _CUST_COLS
+    )
+    any_diff = " OR ".join(f"a.{c} IS DISTINCT FROM b.{c}" for c in _CUST_COLS)
+    return f"""
+WITH snap_a AS ({snap_a}), snap_b AS ({snap_b})
+SELECT COALESCE(a.c_custkey, b.c_custkey) AS c_custkey,
+       CASE WHEN a.c_custkey IS NULL THEN 'ADDED'
+            WHEN b.c_custkey IS NULL THEN 'REMOVED'
+            ELSE 'CHANGED' END AS status,
+       CASE WHEN a.c_custkey IS NULL OR b.c_custkey IS NULL THEN ''
+            ELSE concat_ws(',', {changed}) END AS changed_cols
+FROM snap_a a FULL OUTER JOIN snap_b b ON a.c_custkey = b.c_custkey
+WHERE a.c_custkey IS NULL OR b.c_custkey IS NULL OR {any_diff}
+"""
+
+
+@q(
+    "cdc_snapshot_diff_manifest",
+    _diff_manifest_duck(),
+    "Snapshot-diff planner over LIVE bucketed-state manifests: two retained"
+    " manifest snapshots differ exactly in the buckets whose version"
+    " pointers differ (equal pointers reference the same immutable files),"
+    " so the ADDED/REMOVED/CHANGED audit reads ONLY those buckets from each"
+    " side — at 100 TB a diff between adjacent commits costs the few buckets"
+    " they rewrote, with the pruning decided driver-side from two tiny"
+    " manifests (operators/timetravel.py). Same output contract as the"
+    " feed-replay cdc_snapshot_diff.",
+)
+def cdc_snapshot_diff_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pgcapture_spark.operators.timetravel import snapshot_diff_asof
+
+    state, manifests = _run_retained_apply(spark, sf_dir)
+    return snapshot_diff_asof(
+        state, manifests[1], state.manifest_snapshot(), "c_custkey", _CUST_COLS
+    )
+
+
+# -------------------------------------------------- debounce flush rules
+
+_DEBOUNCE_DUCK = """
+WITH base AS (
+  SELECT event_id AS id, user_id AS k FROM events
+  WHERE event_id IS NOT NULL AND user_id IS NOT NULL
+),
+e AS (
+  SELECT id, k, id % 11 = 3 AS is_dump,
+         CASE WHEN id % 11 = 3 THEN 'UPDATE'
+              WHEN id % 5 = 0 THEN 'INSERT'
+              WHEN id % 5 = 1 THEN 'DELETE'
+              ELSE 'UPDATE' END AS op,
+         CASE WHEN id % 11 = 3 THEN id ELSE 100000000 + id * 100 END AS ck
+  FROM base
+),
+arr AS (
+  -- pseudo arrival TIME (not a dense rank — no global sort at any scale):
+  -- a fixed permutation-ish hash of the checkpoint order; ties break by id
+  SELECT *, (id * 48271) % 2147483647 AS at FROM e
+),
+win AS (SELECT *, CAST(floor(at / 268435456.0) AS BIGINT) AS iv FROM arr),
+segd AS (
+  SELECT *, count(*) FILTER (WHERE op IN ('INSERT', 'DELETE')) OVER (
+      PARTITION BY k, iv ORDER BY at, id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS seg
+  FROM win
+),
+sfx AS (
+  SELECT *,
+         max(CASE WHEN is_dump THEN 1 ELSE 0 END) OVER wl AS later_dump,
+         max(ck) OVER wl AS later_max
+  FROM segd WHERE op = 'UPDATE'
+  WINDOW wl AS (PARTITION BY k, iv, seg ORDER BY at, id
+                ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+),
+surv AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY k, iv, seg ORDER BY at, id) AS rn
+    FROM sfx
+    WHERE coalesce(later_dump, 0) = 0 AND (later_max IS NULL OR later_max < ck)
+  ) WHERE rn = 1
+)
+SELECT k AS user_id, iv AS interval_id, CAST(seg AS BIGINT) AS segment_id,
+       id AS event_id, op, is_dump, 'debounced' AS kind
+FROM surv
+UNION ALL
+SELECT k, iv, CAST(seg AS BIGINT), id, op, is_dump, 'direct'
+FROM segd WHERE op IN ('INSERT', 'DELETE')
+"""
+
+
+@q(
+    "cdc_debounce_flush_rules",
+    _DEBOUNCE_DUCK,
+    "C2's EXACT flush rules as a batch oracle (pkg/pgcapture/debounce.go:"
+    " 87-155), on a requeue-REORDERED arrival stream — the condition the"
+    " rules exist for: INSERT/DELETE flush the key's buffered UPDATE then"
+    " deliver immediately (segment boundaries); within a segment the stored"
+    " survivor follows the sequential replace-if-newer fold where an"
+    " arriving lsn=0 dump ALWAYS counts as latest and an arriving older"
+    " event is dropped. The fold's survivor is closed-form: the earliest"
+    " arrival all of whose successors are non-dump and checkpoint-older —"
+    " two suffix-frame window aggregates, no per-row state. Delivered ="
+    " direct I/D events + per-(key, interval, segment) survivors.",
+)
+def cdc_debounce_flush_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    register_views(spark, sf_dir, ("events",))
+    base = (
+        spark.table("events")
+        .where(F.col("event_id").isNotNull() & F.col("user_id").isNotNull())
+        .select(F.col("event_id").alias("id"), F.col("user_id").alias("k"))
+    )
+    e = base.select(
+        "id",
+        "k",
+        (F.col("id") % 11 == 3).alias("is_dump"),
+        F.when(F.col("id") % 11 == 3, F.lit("UPDATE"))
+        .when(F.col("id") % 5 == 0, F.lit("INSERT"))
+        .when(F.col("id") % 5 == 1, F.lit("DELETE"))
+        .otherwise(F.lit("UPDATE"))
+        .alias("op"),
+        F.when(F.col("id") % 11 == 3, F.col("id"))
+        .otherwise(F.lit(100000000) + F.col("id") * 100)
+        .alias("ck"),
+    )
+    # deterministic requeue shuffle: pseudo arrival TIME is a fixed hash of
+    # the checkpoint order (the gateway redelivers out of order; the
+    # debounce rules exist to keep the newest image winning anyway). A time
+    # value, NOT a dense global rank — intervals are slices of the pseudo
+    # clock, so no single-partition global sort exists at any scale; every
+    # window below partitions by (key, interval).
+    arr = e.withColumn("at", (F.col("id") * 48271) % 2147483647).withColumn(
+        "iv", F.floor(F.col("at") / 268435456.0).cast("long")
+    )
+    # segment = number of PRIOR direct (I/D) flush points for this key+interval
+    w_seg = (
+        W.partitionBy("k", "iv")
+        .orderBy("at", "id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    segd = arr.withColumn(
+        "seg",
+        F.count(F.when(F.col("op").isin("INSERT", "DELETE"), 1)).over(w_seg),
+    )
+    upd = segd.where(F.col("op") == "UPDATE")
+    w_later = (
+        W.partitionBy("k", "iv", "seg")
+        .orderBy("at", "id")
+        .rowsBetween(1, W.unboundedFollowing)
+    )
+    sfx = upd.withColumn(
+        "later_dump", F.max(F.when(F.col("is_dump"), 1).otherwise(0)).over(w_later)
+    ).withColumn("later_max", F.max("ck").over(w_later))
+    ok = sfx.where(
+        (F.coalesce(F.col("later_dump"), F.lit(0)) == 0)
+        & (F.col("later_max").isNull() | (F.col("later_max") < F.col("ck")))
+    )
+    w_first = W.partitionBy("k", "iv", "seg").orderBy("at", "id")
+    surv = ok.withColumn("rn", F.row_number().over(w_first)).where("rn = 1")
+    out_cols = [
+        F.col("k").alias("user_id"),
+        F.col("iv").alias("interval_id"),
+        F.col("seg").cast("long").alias("segment_id"),
+        F.col("id").alias("event_id"),
+        "op",
+        "is_dump",
+    ]
+    return surv.select(*out_cols, F.lit("debounced").alias("kind")).unionByName(
+        segd.where(F.col("op").isin("INSERT", "DELETE")).select(
+            *out_cols, F.lit("direct").alias("kind")
+        )
+    )
+
+
+# -------------------------------------------------- windowed drift monitor
+
+_PSI_WINDOWED_DUCK = """
+WITH feat AS (
+  SELECT CAST(floor(doc_id / 128) AS BIGINT) AS win, coalesce(source, '~') AS source,
+         'len_bucket' AS feature,
+         coalesce(CAST(least(CAST(floor(n_chars / 500) AS BIGINT), 7)
+                       AS VARCHAR), '~') AS bucket
+  FROM documents WHERE doc_id IS NOT NULL
+  UNION ALL
+  SELECT CAST(floor(doc_id / 128) AS BIGINT), coalesce(source, '~'), 'lang',
+         coalesce(lang, '~')
+  FROM documents WHERE doc_id IS NOT NULL
+),
+counts AS (
+  SELECT source, win, feature, bucket, CAST(count(*) AS BIGINT) AS c
+  FROM feat GROUP BY 1, 2, 3, 4
+),
+pair AS (
+  SELECT coalesce(cur.source, ref.source) AS source,
+         coalesce(cur.win, ref.win + 1) AS win,
+         coalesce(cur.feature, ref.feature) AS feature,
+         coalesce(cur.bucket, ref.bucket) AS bucket,
+         coalesce(cur.c, 0) AS cur_cnt, coalesce(ref.c, 0) AS ref_cnt
+  FROM counts cur FULL OUTER JOIN counts ref
+    ON cur.source = ref.source AND cur.feature = ref.feature
+   AND cur.bucket = ref.bucket AND cur.win = ref.win + 1
+  WHERE coalesce(cur.win, ref.win + 1)
+        BETWEEN 1 AND (SELECT max(win) FROM counts)
+),
+tot AS (
+  SELECT *, CAST(count(*) OVER wg AS BIGINT) AS n_buckets,
+         CAST(sum(cur_cnt) OVER wg AS BIGINT) AS n_cur,
+         CAST(sum(ref_cnt) OVER wg AS BIGINT) AS n_ref
+  FROM pair WINDOW wg AS (PARTITION BY source, win, feature)
+),
+terms AS (
+  SELECT source, win, feature,
+         CAST(floor((((cur_cnt + 1.0) / (n_cur + n_buckets))
+                     - ((ref_cnt + 1.0) / (n_ref + n_buckets)))
+                    * ln(((cur_cnt + 1.0) / (n_cur + n_buckets))
+                         / ((ref_cnt + 1.0) / (n_ref + n_buckets)))
+                    * 1000000000 + 0.5) AS BIGINT) AS t,
+         n_buckets, n_ref, n_cur
+  FROM tot
+)
+SELECT source, win, feature, CAST(sum(t) AS BIGINT) AS psi_nano,
+       max(n_buckets) AS n_buckets, max(n_ref) AS n_ref, max(n_cur) AS n_cur
+FROM terms GROUP BY 1, 2, 3
+"""
+
+
+@q(
+    "corpus_drift_psi_windowed",
+    _PSI_WINDOWED_DUCK,
+    "Per-source WINDOWED drift: PSI between every corpus window and its"
+    " predecessor (doc_id windows as the ingestion-time proxy), per source"
+    " and tracked feature — the rolling monitor a continuously-refreshed"
+    " training corpus runs, vs corpus_drift_psi's one-shot snapshot pair."
+    " Bucket counts aggregate once; the window pairing is a self-join of the"
+    " DISTRIBUTION-sized count table shifted by one window (never a second"
+    " corpus scan), then the shared Laplace-smoothed nano-quantized PSI"
+    " (psi_from_counts) grouped by (source, win, feature). A (source, win)"
+    " whose source vanished mid-stream still surfaces (cur_cnt=0 rows) —"
+    " disappearance IS drift.",
+)
+def corpus_drift_psi_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pgcapture_spark.querydefs.pipeline import doc_feature_rows, psi_from_counts
+
+    register_views(spark, sf_dir, ("documents",))
+    docs = (
+        spark.table("documents")
+        .where(F.col("doc_id").isNotNull())
+        .withColumn("win", F.floor(F.col("doc_id") / 128).cast("long"))
+        .withColumn("src", F.coalesce(F.col("source"), F.lit("~")))
+    )
+    counts = (
+        doc_feature_rows(docs, extra_cols=("win", "src"))
+        .groupBy("src", "win", "feature", "bucket")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    cur = counts.select(
+        F.col("src").alias("source"), "win", "feature", "bucket", F.col("c")
+    )
+    ref = counts.select(
+        F.col("src").alias("source"),
+        (F.col("win") + 1).alias("win"),
+        "feature",
+        "bucket",
+        F.col("c").alias("ref_c"),
+    )
+    max_win = counts.select(F.max("win").alias("mx"))
+    pair = (
+        cur.join(ref, ["source", "win", "feature", "bucket"], "full_outer")
+        .select(
+            "source",
+            "win",
+            "feature",
+            "bucket",
+            F.coalesce(F.col("c"), F.lit(0)).alias("cur_cnt"),
+            F.coalesce(F.col("ref_c"), F.lit(0)).alias("ref_cnt"),
+        )
+        # one-row broadcast bound: windows past the corpus end (created by
+        # the ref shift) and window 0 (no predecessor) drop
+        .join(F.broadcast(max_win))
+        .where((F.col("win") >= 1) & (F.col("win") <= F.col("mx")))
+        .drop("mx")
+    )
+    return psi_from_counts(pair, ("source", "win", "feature"))

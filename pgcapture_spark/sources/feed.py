@@ -47,6 +47,57 @@ def materialize_feed(
         os.utime(os.path.join(out_dir, name), (ts, ts))
 
 
+def write_segments(pieces: list[DataFrame], feed_dir: str) -> None:
+    """Write each piece as ONE parquet segment (``seg-%03d``) with strictly
+    increasing mtimes — the same log contract as :func:`materialize_feed`
+    (delivery in segment order), but with CALLER-CHOSEN piece boundaries.
+    Unlike ``repartitionByRange`` (sampled split points), explicit pieces
+    split at boundaries an oracle can name — e.g. ord quartiles via
+    ``percentile_disc``, so a DuckDB side can reproduce exactly which events
+    each micro-batch carried (the AS-OF fixtures need this)."""
+    import shutil
+    import tempfile
+
+    os.makedirs(feed_dir, exist_ok=True)
+    tmp_root = tempfile.mkdtemp(prefix="pgcs_seg_")
+    try:
+        n = len(pieces)
+        t0 = time.time() - 10 * (n + 1)
+        for idx, df in enumerate(pieces):
+            tmp = os.path.join(tmp_root, f"piece{idx}")
+            df.coalesce(1).write.mode("overwrite").parquet(tmp)
+            part = next(
+                f for f in os.listdir(tmp)
+                if f.startswith("part-") and f.endswith(".parquet")
+            )
+            dst = os.path.join(feed_dir, f"seg-{idx:03d}.parquet")
+            shutil.move(os.path.join(tmp, part), dst)
+            ts = t0 + 10 * idx
+            os.utime(dst, (ts, ts))
+    finally:
+        import shutil as _sh
+
+        _sh.rmtree(tmp_root, ignore_errors=True)
+
+
+def ord_quartile_bounds(feed: DataFrame, order_col: str = "ord") -> list[int]:
+    """Exact ord quartile boundaries (3 percentile_disc scalars + max — ONE
+    tiny aggregate job). percentile_disc picks actual ord values, so DuckDB's
+    percentile_disc names the same boundaries on the same feed."""
+    from pyspark.sql import functions as F
+
+    row = feed.agg(
+        *[
+            F.expr(
+                f"percentile_disc({p}) WITHIN GROUP (ORDER BY {order_col})"
+            ).alias(f"p{i}")
+            for i, p in enumerate((0.25, 0.5, 0.75))
+        ],
+        F.max(order_col).alias("p3"),
+    ).collect()[0]
+    return [int(row[i]) for i in range(4)]
+
+
 def compact_log(
     spark: SparkSession,
     log_dir: str,

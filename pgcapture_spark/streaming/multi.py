@@ -150,8 +150,11 @@ class BucketedMultiTableState:
 
     def initialize(self, snapshots: dict[str, DataFrame]) -> None:
         """Seed every table's buckets from its initial snapshot (one-time
-        O(snapshot) write — the backfill; every later trigger is O(touched))."""
-        for t in self.tables:
+        O(snapshot) write — the backfill; every later trigger is O(touched)).
+        Tables seed CONCURRENTLY — independent jobs, same as commit()."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        def _seed(t: str) -> None:
             (
                 snapshots[t]
                 .withColumn("_b", self._bucket_col(t))
@@ -159,6 +162,9 @@ class BucketedMultiTableState:
                 .partitionBy("_b")
                 .parquet(os.path.join(self.root, "vinit", t))
             )
+
+        with ThreadPoolExecutor(max_workers=min(8, max(1, len(self.tables)))) as ex:
+            list(ex.map(_seed, self.tables))
         buckets = {
             t: {str(b): "vinit" for b in range(self.n_buckets)} for t in self.tables
         }
@@ -195,24 +201,64 @@ class BucketedMultiTableState:
             t: self.read_buckets(t, list(range(self.n_buckets))) for t in self.tables
         }
 
+    def _fuse_groups(
+        self, merged: dict[str, tuple[DataFrame, list[int]]]
+    ) -> list[list[str]]:
+        """Partition the commit's tables into write groups: tables sharing
+        the SAME touched-bucket list, the same bucketing key columns, and a
+        SUBSET schema (one table's column:dtype set contained in the
+        other's) write as ONE job — the tri-table MV consumers' by_group
+        (key, group, v) / support (key, group, v, _th) pair, same group key
+        and same buckets every trigger. The subset rule keeps the union
+        dense: the subset table's files gain only the superset's few extra
+        columns (NULL), which its readers' explicit selects prune. Tables
+        sharing merely a key (minmax by_group vs its 6-column support) or
+        nothing (orders vs customer) never fuse — a sparse union frame is
+        not a saving, and extra columns leaking into an unselective reader
+        broke exactly that pair."""
+        items = list(merged.items())
+        groups: list[list[str]] = []
+        used: set[str] = set()
+        for i, (t, (df, buckets)) in enumerate(items):
+            if t in used:
+                continue
+            grp = [t]
+            used.add(t)
+            d1 = set(df.dtypes)
+            for t2, (df2, b2) in items[i + 1 :]:
+                if t2 in used or sorted(b2) != sorted(buckets):
+                    continue
+                if _key_list(self.keys[t2]) != _key_list(self.keys[t]):
+                    continue
+                d2 = set(df2.dtypes)
+                if not (d1 <= d2 or d2 <= d1):
+                    continue
+                grp.append(t2)
+                used.add(t2)
+            groups.append(grp)
+        return groups
+
     def commit(
         self, merged: dict[str, tuple[DataFrame, list[int]]], batch_id: int
     ) -> None:
         """Write each table's merged touched-bucket rows under one new version
-        dir (tables write CONCURRENTLY — they are independent jobs and the
-        local scheduler overlaps them, so per-trigger wall-clock does not
-        serialize on table count), then swing ALL bucket pointers in one
-        atomic manifest rename. Idempotent per batch_id. Every table's rows
-        must hash into its passed bucket list — enforced post-write, see
-        ``state._assert_buckets_within`` (a stray row would be stranded)."""
+        dir, then swing ALL bucket pointers in one atomic manifest rename.
+        Idempotent per batch_id. Independent tables write CONCURRENTLY
+        (separate jobs, overlapped by the scheduler); tables sharing bucket
+        list + key + compatible schema FUSE into one write job tagged by a
+        ``_tbl`` partition column whose dirs are renamed into the per-table
+        layout (one job instead of two — per-trigger fixed cost, ADVICE r7).
+        Every table's rows must hash into its passed bucket list — enforced
+        post-write, see ``state._assert_buckets_within`` (a stray row would
+        be stranded)."""
         from concurrent.futures import ThreadPoolExecutor
 
         from pgcapture_spark.streaming.state import _assert_buckets_within
 
         version = f"v{batch_id:012d}"
 
-        def _write(item):
-            t, (df, buckets) = item
+        def _write_single(t: str) -> None:
+            df, buckets = merged[t]
             out = os.path.join(self.root, version, t)
             (
                 # cluster by bucket first: one task (and one file) per
@@ -225,8 +271,55 @@ class BucketedMultiTableState:
             )
             _assert_buckets_within(out, buckets)
 
-        with ThreadPoolExecutor(max_workers=min(8, max(1, len(merged)))) as ex:
-            list(ex.map(_write, merged.items()))
+        def _write_fused(grp: list[str]) -> None:
+            buckets = merged[grp[0]][1]
+            fused = None
+            for t in grp:
+                part = (
+                    merged[t][0]
+                    .withColumn("_b", self._bucket_col(t))
+                    .withColumn("_tbl", F.lit(t))
+                )
+                fused = (
+                    part
+                    if fused is None
+                    else fused.unionByName(part, allowMissingColumns=True)
+                )
+            tmp = os.path.join(self.root, version, "__fused_" + "_".join(grp))
+            (
+                fused.repartition(max(1, len(buckets)), F.col("_b"))
+                .write.mode("overwrite")
+                .partitionBy("_tbl", "_b")
+                .parquet(tmp)
+            )
+            for t in grp:
+                src = os.path.join(tmp, f"_tbl={t}")
+                dst = os.path.join(self.root, version, t)
+                if os.path.isdir(src):
+                    # idempotent replay: the same batch id re-fuses into the
+                    # same version dir — clear a previous rename's target
+                    if os.path.isdir(dst):
+                        import shutil as _sh
+
+                        _sh.rmtree(dst)
+                    os.rename(src, dst)
+                    _assert_buckets_within(dst, buckets)
+                # a table whose merged slice is EMPTY writes no _tbl dir:
+                # its pointers still re-point below and reads skip the
+                # missing _b dirs (the empty-slice contract)
+            import shutil as _sh
+
+            _sh.rmtree(tmp, ignore_errors=True)  # _SUCCESS + empty leftovers
+
+        def _write(grp: list[str]) -> None:
+            if len(grp) == 1:
+                _write_single(grp[0])
+            else:
+                _write_fused(grp)
+
+        groups = self._fuse_groups(merged)
+        with ThreadPoolExecutor(max_workers=min(8, max(1, len(groups)))) as ex:
+            list(ex.map(_write, groups))
         manifest = self._load()
         for t, (_, buckets) in merged.items():
             for b in buckets:

@@ -96,28 +96,30 @@ def incremental_agg_stream(
         snap_slice = state.read_buckets("snapshot", kb)
         if snap_slice is None:
             snap_slice = initial_snapshot.select(key, *cols).limit(0)
-        delta = signed_key_delta(snap_slice, batch_df, key, cols).persist()
+        # lazy lineage cut, not persist — the per-TRIGGER planning-time
+        # discipline (see topk_stream's note): every downstream reference
+        # plans against a leaf instead of re-embedding the feed-fold subtree
+        delta = signed_key_delta(snap_slice, batch_df, key, cols).localCheckpoint(
+            eager=False
+        )
+        d_agg = signed_agg_delta(delta, group_col, val_col).persist()
         try:
-            d_agg = signed_agg_delta(delta, group_col, val_col).persist()
-            try:
-                merged = {
-                    "snapshot": (
-                        _merge_slice_with_delta(snap_slice, delta, key, cols),
-                        kb,
-                    )
-                }
-                gb = state.touched_buckets("agg", d_agg.select(group_col))
-                if gb:
-                    agg_slice = state.read_buckets("agg", gb)
-                    if agg_slice is None:
-                        agg_slice = group_agg(initial_snapshot, group_col, val_col).limit(0)
-                    merged["agg"] = (merge_agg_delta(agg_slice, d_agg, group_col), gb)
-                state.commit(merged, batch_id)
-                state.vacuum()
-            finally:
-                d_agg.unpersist()
+            merged = {
+                "snapshot": (
+                    _merge_slice_with_delta(snap_slice, delta, key, cols),
+                    kb,
+                )
+            }
+            gb = state.touched_buckets("agg", d_agg.select(group_col))
+            if gb:
+                agg_slice = state.read_buckets("agg", gb)
+                if agg_slice is None:
+                    agg_slice = group_agg(initial_snapshot, group_col, val_col).limit(0)
+                merged["agg"] = (merge_agg_delta(agg_slice, d_agg, group_col), gb)
+            state.commit(merged, batch_id)
+            state.vacuum()
         finally:
-            delta.unpersist()
+            d_agg.unpersist()
 
     return (
         feed_stream.writeStream.foreachBatch(_batch)
@@ -188,7 +190,11 @@ def minmax_stream(
         snap_slice = state.read_buckets("snapshot", kb)
         if snap_slice is None:
             snap_slice = initial_snapshot.select(key, *cols).limit(0)
-        delta = signed_key_delta(snap_slice, batch_df, key, cols).persist()
+        # lazy lineage cuts, not persist — the per-TRIGGER planning-time
+        # discipline (see topk_stream's note)
+        delta = signed_key_delta(snap_slice, batch_df, key, cols).localCheckpoint(
+            eager=False
+        )
         d_vals = delta.select(
             F.col(key),
             F.col(group_col),
@@ -201,55 +207,52 @@ def minmax_stream(
                 kb,
             )
         }
-        merged_bg = None
+        gb = state.touched_buckets("by_group", d_vals.select(group_col))
+        if not gb:
+            state.commit(merged, batch_id)
+            state.vacuum()
+            return
+        bg_slice = state.read_buckets("by_group", gb)
+        if bg_slice is None:
+            bg_slice = _vals(initial_snapshot).limit(0)
+        bg_slice = bg_slice.select(key, group_col, "v")
+        merged_bg = (
+            bg_slice.join(delta.select(key).distinct(), key, "left_anti")
+            .unionByName(d_vals.where("s = 1").select(key, group_col, "v"))
+            .localCheckpoint(eager=False)
+        )
+        sup_slice = state.read_buckets("support", gb)
+        if sup_slice is None:
+            sup_slice = minmax_support(
+                _vals(initial_snapshot).select(group_col, "v"), group_col
+            ).limit(0)
+        sup_slice = sup_slice.select(
+            group_col, "n", "min_v", "cnt_min", "max_v", "cnt_max"
+        )
+        upd = support_delta_update(
+            sup_slice, d_vals.select(group_col, "s", "v"), group_col
+        ).persist()
         try:
-            gb = state.touched_buckets("by_group", d_vals.select(group_col))
-            if gb:
-                bg_slice = state.read_buckets("by_group", gb)
-                if bg_slice is None:
-                    bg_slice = _vals(initial_snapshot).limit(0)
-                bg_slice = bg_slice.select(key, group_col, "v")
-                merged_bg = (
-                    bg_slice.join(delta.select(key).distinct(), key, "left_anti")
-                    .unionByName(d_vals.where("s = 1").select(key, group_col, "v"))
-                    .persist()
-                )
-                sup_slice = state.read_buckets("support", gb)
-                if sup_slice is None:
-                    sup_slice = minmax_support(
-                        _vals(initial_snapshot).select(group_col, "v"), group_col
-                    ).limit(0)
-                upd = support_delta_update(
-                    sup_slice, d_vals.select(group_col, "s", "v"), group_col
-                ).persist()
-                try:
-                    untouched = sup_slice.join(
-                        upd.select(group_col), group_col, "left_anti"
-                    )
-                    clean = upd.where(~F.col("_dirty") & (F.col("n") > 0)).drop(
-                        "_dirty"
-                    )
-                    dirty_groups = upd.where("_dirty").select(group_col)
-                    rescan = minmax_support(
-                        merged_bg.join(
-                            F.broadcast(dirty_groups), group_col, "left_semi"
-                        ).select(group_col, "v"),
-                        group_col,
-                    )
-                    new_sup = untouched.unionByName(clean).unionByName(rescan)
-                    merged["by_group"] = (merged_bg, gb)
-                    merged["support"] = (new_sup, gb)
-                    state.commit(merged, batch_id)
-                    state.vacuum()
-                finally:
-                    upd.unpersist()
-            else:
-                state.commit(merged, batch_id)
-                state.vacuum()
+            untouched = sup_slice.join(
+                upd.select(group_col), group_col, "left_anti"
+            )
+            clean = upd.where(~F.col("_dirty") & (F.col("n") > 0)).drop(
+                "_dirty"
+            )
+            dirty_groups = upd.where("_dirty").select(group_col)
+            rescan = minmax_support(
+                merged_bg.join(
+                    F.broadcast(dirty_groups), group_col, "left_semi"
+                ).select(group_col, "v"),
+                group_col,
+            )
+            new_sup = untouched.unionByName(clean).unionByName(rescan)
+            merged["by_group"] = (merged_bg, gb)
+            merged["support"] = (new_sup, gb)
+            state.commit(merged, batch_id)
+            state.vacuum()
         finally:
-            if merged_bg is not None:
-                merged_bg.unpersist()
-            delta.unpersist()
+            upd.unpersist()
 
     return (
         feed_stream.writeStream.foreachBatch(_batch)
@@ -359,7 +362,9 @@ def ivm_join_stream(
             )
             for t in ("orders", "customer")
         }
-        # before-image slices: ONLY the key-buckets this batch's keys touch
+        # before-image slices: ONLY the key-buckets this batch's keys touch.
+        # Deltas are lazily lineage-cut, not persisted — the per-TRIGGER
+        # planning-time discipline (see topk_stream's note)
         kb, slices, deltas = {}, {}, {}
         for t in ("orders", "customer"):
             kb[t] = state.touched_buckets(t, subs[t].select(keys[t]))
@@ -367,7 +372,9 @@ def ivm_join_stream(
             slices[t] = (
                 cur.select(keys[t], *cols[t]) if cur is not None else _empty(t)
             )
-            deltas[t] = signed_key_delta(slices[t], subs[t], keys[t], cols[t]).persist()
+            deltas[t] = signed_key_delta(
+                slices[t], subs[t], keys[t], cols[t]
+            ).localCheckpoint(eager=False)
         do, dc = deltas["orders"], deltas["customer"]
         # mixed delta-join terms read only the buckets the DELTA's join keys
         # hash into: customer by ΔO's custkeys, orders (via the co-bucketed
@@ -395,66 +402,63 @@ def ivm_join_stream(
             if ord_t2 is not None
             else initial_orders.select("o_orderkey", *_CK_COLS).limit(0)
         )
-        view_delta = ivm_join_delta(ord_t2, cust_t1, do, dc).persist()
-        try:
-            merged: dict[str, tuple[DataFrame, list[int]]] = {}
-            for t in ("orders", "customer"):
-                if kb[t]:
-                    merged[t] = (
-                        _merge_slice_with_delta(slices[t], deltas[t], keys[t], cols[t]),
-                        kb[t],
-                    )
-            # orders_ck advances with ΔO: its touched buckets are named by
-            # the delta's ± custkey images (an o_custkey UPDATE moves the row
-            # between buckets — the -1 names the old bucket, the +1 the new).
-            # Those are exactly the ids the cb probe already collected (same
-            # custkey values, same shared bucket-id space — see above)
-            ckb = cb
-            if ckb:
-                base_ck = state.read_buckets("orders_ck", ckb)
-                base_ck = (
-                    base_ck.select("o_orderkey", *_CK_COLS)
-                    if base_ck is not None
-                    else initial_orders.select("o_orderkey", *_CK_COLS).limit(0)
+        view_delta = ivm_join_delta(ord_t2, cust_t1, do, dc).localCheckpoint(
+            eager=False
+        )
+        merged: dict[str, tuple[DataFrame, list[int]]] = {}
+        for t in ("orders", "customer"):
+            if kb[t]:
+                merged[t] = (
+                    _merge_slice_with_delta(slices[t], deltas[t], keys[t], cols[t]),
+                    kb[t],
                 )
-                merged["orders_ck"] = (
-                    _merge_slice_with_delta(base_ck, do, "o_orderkey", _CK_COLS),
-                    ckb,
+        # orders_ck advances with ΔO: its touched buckets are named by
+        # the delta's ± custkey images (an o_custkey UPDATE moves the row
+        # between buckets — the -1 names the old bucket, the +1 the new).
+        # Those are exactly the ids the cb probe already collected (same
+        # custkey values, same shared bucket-id space — see above)
+        ckb = cb
+        if ckb:
+            base_ck = state.read_buckets("orders_ck", ckb)
+            base_ck = (
+                base_ck.select("o_orderkey", *_CK_COLS)
+                if base_ck is not None
+                else initial_orders.select("o_orderkey", *_CK_COLS).limit(0)
+            )
+            merged["orders_ck"] = (
+                _merge_slice_with_delta(base_ck, do, "o_orderkey", _CK_COLS),
+                ckb,
+            )
+        mv_buckets = state.touched_buckets("mv", view_delta.select("c_nationkey"))
+        if mv_buckets:
+            mv_cur = state.read_buckets("mv", mv_buckets)
+            if mv_cur is None:
+                # every touched mv bucket may be EMPTY in every referenced
+                # version (partitionBy writes no dir for empty buckets —
+                # e.g. a previously-unseen nation group): the slice is
+                # simply the empty view
+                mv_cur = join_view_base(initial_orders, initial_customer).limit(0)
+            merged["mv"] = (merge_view_delta(mv_cur, view_delta), mv_buckets)
+        if star_dims is not None:
+            touched_r = view_delta.join(
+                F.broadcast(star_dims), "c_nationkey"
+            ).select("r_name")
+            sb = state.touched_buckets("mv_star", touched_r)
+            if sb:
+                star_cur = state.read_buckets("mv_star", sb)
+                if star_cur is None:
+                    star_cur = _star_base(
+                        initial_orders, initial_customer
+                    ).limit(0)
+                merged["mv_star"] = (
+                    ivm_star_view(view_delta, star_dims, star_cur),
+                    sb,
                 )
-            mv_buckets = state.touched_buckets("mv", view_delta.select("c_nationkey"))
-            if mv_buckets:
-                mv_cur = state.read_buckets("mv", mv_buckets)
-                if mv_cur is None:
-                    # every touched mv bucket may be EMPTY in every referenced
-                    # version (partitionBy writes no dir for empty buckets —
-                    # e.g. a previously-unseen nation group): the slice is
-                    # simply the empty view
-                    mv_cur = join_view_base(initial_orders, initial_customer).limit(0)
-                merged["mv"] = (merge_view_delta(mv_cur, view_delta), mv_buckets)
-            if star_dims is not None:
-                touched_r = view_delta.join(
-                    F.broadcast(star_dims), "c_nationkey"
-                ).select("r_name")
-                sb = state.touched_buckets("mv_star", touched_r)
-                if sb:
-                    star_cur = state.read_buckets("mv_star", sb)
-                    if star_cur is None:
-                        star_cur = _star_base(
-                            initial_orders, initial_customer
-                        ).limit(0)
-                    merged["mv_star"] = (
-                        ivm_star_view(view_delta, star_dims, star_cur),
-                        sb,
-                    )
-            if merged:
-                state.commit(merged, batch_id)
-                state.vacuum()
-            else:
-                state.mark_batch(batch_id)
-        finally:
-            view_delta.unpersist()
-            for d in deltas.values():
-                d.unpersist()
+        if merged:
+            state.commit(merged, batch_id)
+            state.vacuum()
+        else:
+            state.mark_batch(batch_id)
 
     return (
         feed_stream.writeStream.foreachBatch(_batch)
@@ -522,7 +526,15 @@ def topk_stream(
         snap_slice = state.read_buckets("snapshot", kb)
         if snap_slice is None:
             snap_slice = initial_snapshot.select(key, *cols).limit(0)
-        delta = signed_key_delta(snap_slice, batch_df, key, cols).persist()
+        # lazy lineage cut, not persist (the same planning-time discipline as
+        # the batch forms, operators/ivm*.py): the delta is referenced by
+        # every downstream branch, and with plain persist each reference
+        # embeds the whole feed-fold subtree in the logical plan — per
+        # TRIGGER, so the streamed form pays Catalyst planning 3× per batch.
+        # Blocks free via ContextCleaner when the batch closure drops them.
+        delta = signed_key_delta(snap_slice, batch_df, key, cols).localCheckpoint(
+            eager=False
+        )
         d_vals = delta.select(
             F.col(key),
             F.col(group_col),
@@ -535,7 +547,6 @@ def topk_stream(
                 kb,
             )
         }
-        merged_bg = None
         meta = None
         upd_cached: list = []
         try:
@@ -545,10 +556,12 @@ def topk_stream(
                 if bg_slice is None:
                     bg_slice = _vals(initial_snapshot).limit(0)
                 bg_slice = bg_slice.select(key, group_col, "v")
+                # referenced by the by_group write, the post-batch group
+                # counts, AND the dirty rescan — leaf-plan it too
                 merged_bg = (
                     bg_slice.join(delta.select(key).distinct(), key, "left_anti")
                     .unionByName(d_vals.where("s = 1").select(key, group_col, "v"))
-                    .persist()
+                    .localCheckpoint(eager=False)
                 )
                 sup_slice = state.read_buckets("support", gb)
                 if sup_slice is None:
@@ -593,9 +606,6 @@ def topk_stream(
                 meta.unpersist()
             for f in upd_cached:
                 f.unpersist()
-            if merged_bg is not None:
-                merged_bg.unpersist()
-            delta.unpersist()
 
     return (
         feed_stream.writeStream.foreachBatch(_batch)

@@ -110,6 +110,7 @@ class BucketedSnapshotState:
         root: str,
         key: str | list[str],
         n_buckets: int = 32,
+        retain_versions: bool = False,
     ):
         self.spark = spark
         self.root = root
@@ -118,6 +119,12 @@ class BucketedSnapshotState:
         self.key_cols = [key] if isinstance(key, str) else list(key)
         self.key = key
         self.n_buckets = n_buckets
+        # retention window for point-in-time reads: with retain_versions,
+        # vacuum() keeps superseded version dirs so a SAVED manifest snapshot
+        # stays resolvable (read_asof) — the Delta/Iceberg
+        # deleted-file-retention analog. Storage then grows with history;
+        # a real deployment bounds it by age, this engine by the flag.
+        self.retain_versions = retain_versions
         os.makedirs(root, exist_ok=True)
 
     @property
@@ -198,6 +205,30 @@ class BucketedSnapshotState:
             return None
         return self.read_buckets(list(range(self.n_buckets)))
 
+    def manifest_snapshot(self) -> dict:
+        """The current manifest as a plain dict — a RETAINED copy of this is
+        a point-in-time handle: ``read_asof`` resolves against it as long as
+        its version dirs survive (``retain_versions``)."""
+        return self._load()
+
+    def read_asof(
+        self, manifest: dict, buckets: list[int] | None = None
+    ) -> DataFrame | None:
+        """Point-in-time read against a SAVED manifest snapshot (time travel
+        over the state's own version history — the manifest maps each bucket
+        to the version dir that was current at capture time, so the read is
+        exactly the state as of that commit). Requires ``retain_versions``
+        (or a caller that has not vacuumed past the capture)."""
+        paths = self._bucket_paths(
+            manifest, buckets if buckets is not None else list(range(self.n_buckets))
+        )
+        if not paths:
+            return None
+        reader = self.spark.read
+        for k, v in self._READ_OPTS.items():
+            reader = reader.option(k, v)
+        return reader.parquet(*paths)
+
     def mark_batch(self, batch_id: int, extra: dict | None = None) -> None:
         """Advance the manifest's replay gate WITHOUT touching any bucket
         pointer — for micro-batches whose merge is empty (no touched
@@ -258,7 +289,10 @@ class BucketedSnapshotState:
         """Remove version dirs no manifest entry references (the OPTIMIZE/
         VACUUM maintenance analog — log compaction for the state). Safe
         because the manifest swap is atomic: readers resolve paths from a
-        manifest snapshot they already loaded."""
+        manifest snapshot they already loaded. A no-op under
+        ``retain_versions`` (the time-travel retention window)."""
+        if self.retain_versions:
+            return []
         manifest = self._load()
         return _vacuum_versions(self.root, set(manifest["buckets"].values()))
 

@@ -92,6 +92,100 @@ def test_backfill_streamed_bucketed_reads_touched_only(spark):
         shutil.rmtree(d, ignore_errors=True)
 
 
+def test_manifest_diff_reads_only_changed_buckets(spark):
+    """snapshot_diff_asof prunes to the buckets whose version pointers
+    differ between the two retained manifests — and still produces the
+    complete diff (equal pointers reference identical immutable files)."""
+    from pgcapture_spark.operators.timetravel import (
+        changed_buckets,
+        diff_frames,
+        snapshot_diff_asof,
+    )
+    from pgcapture_spark.querydefs.r8wave import _run_retained_apply
+
+    state, manifests = _run_retained_apply(spark, SF_SMALL)
+    m_a, m_b = manifests[1], state.manifest_snapshot()
+    n = state.n_buckets
+    diff_b = changed_buckets(m_a, m_b, n)
+    assert 0 < len(diff_b) <= n
+
+    reads: list[int] = []
+    orig = state.read_asof
+
+    def recording(manifest, buckets=None):
+        reads.append(len(buckets) if buckets is not None else n)
+        return orig(manifest, buckets)
+
+    state.read_asof = recording
+    got = snapshot_diff_asof(state, m_a, m_b, "c_custkey", _CUST_COLS)
+    # pruned: both sides read exactly the changed-bucket lists
+    assert reads == [len(diff_b), len(diff_b)]
+
+    full = diff_frames(
+        orig(m_a).select("c_custkey", *_CUST_COLS),
+        orig(m_b).select("c_custkey", *_CUST_COLS),
+        "c_custkey",
+        _CUST_COLS,
+    )
+    assert got.exceptAll(full).count() == 0
+    assert full.exceptAll(got).count() == 0
+
+
+def test_debounce_flush_rules_match_reference_fold(spark):
+    """The declared cdc_debounce_flush_rules window algebra must deliver
+    EXACTLY what a direct simulation of the reference's DebounceHandler
+    state machine delivers (pkg/pgcapture/debounce.go:87-155): per (key,
+    interval) buffer, INSERT/DELETE flush-then-fire, UPDATE replace-if-
+    newer with lsn=0 dump events always counting as latest, arriving older
+    events dropped, interval end flushes the survivor."""
+    import duckdb
+
+    from pgcapture_spark.queries import REGISTRY
+
+    sf = SF_SMALL
+    con = duckdb.connect()
+    rows = con.sql(
+        f"""
+        SELECT event_id AS id, user_id AS k,
+               event_id % 11 = 3 AS dump,
+               CASE WHEN event_id % 11 = 3 THEN 'UPDATE'
+                    WHEN event_id % 5 = 0 THEN 'INSERT'
+                    WHEN event_id % 5 = 1 THEN 'DELETE'
+                    ELSE 'UPDATE' END AS op,
+               CASE WHEN event_id % 11 = 3 THEN event_id
+                    ELSE 100000000 + event_id * 100 END AS ck,
+               (event_id * 48271) % 2147483647 AS at
+        FROM '{sf}/events.parquet'
+        WHERE event_id IS NOT NULL AND user_id IS NOT NULL
+        ORDER BY at, id
+        """
+    ).fetchall()
+
+    # the reference fold, per (key, interval) buffer
+    delivered: set[tuple] = set()
+    buffers: dict[tuple, tuple] = {}  # (k, iv) -> (id, ck, dump)
+    for id_, k, dump, op, ck, at in rows:
+        iv = at // 268435456
+        bk = (k, iv)
+        if op in ("INSERT", "DELETE"):
+            if bk in buffers:
+                delivered.add((k, buffers.pop(bk)[0], "debounced"))
+            delivered.add((k, id_, "direct"))
+        else:  # UPDATE: replace-if-newer, dump always latest, older dropped
+            prev = buffers.get(bk)
+            if prev is None or dump or ck > prev[1]:
+                buffers[bk] = (id_, ck, dump)  # prev (if any) committed, not delivered
+            # else: arriving older — committed, dropped
+    for (k, _iv), (id_, _ck, _d) in buffers.items():  # interval-end flush
+        delivered.add((k, id_, "debounced"))
+
+    got = {
+        (r.user_id, r.event_id, r.kind)
+        for r in REGISTRY["cdc_debounce_flush_rules"].fn(spark, sf).collect()
+    }
+    assert got == delivered
+
+
 def test_dynamic_apply_bucketed_reads_touched_only(spark):
     """The dynamic relation-learning apply on its bucketed layout: a static
     table seeded from its snapshot AND a table CREATEd mid-stream both read
