@@ -242,6 +242,12 @@ HEADLINE = [
     "cdc_ivm_starjoin_view_streamed",
     "ts_holt_trend",
     "graph_kcore_mutual_knn",
+    # round-8 wave: manifest time travel + pointer-pruned snapshot diff,
+    # the exact debounce flush rules, per-source windowed drift
+    "cdc_time_travel_manifest",
+    "cdc_snapshot_diff_manifest",
+    "cdc_debounce_flush_rules",
+    "corpus_drift_psi_windowed",
 ]
 
 

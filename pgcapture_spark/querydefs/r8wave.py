@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pgcapture_spark.catalog import CDC_COLS, register_views
-from pgcapture_spark.fixtures.cdc_feed import DUCKDB, cdc_customer_sql
+from pgcapture_spark.fixtures.cdc_feed import DUCKDB, cdc_customer_sql, cdc_orders_sql
 from pgcapture_spark.operators.apply import apply_oracle_sql
 from pgcapture_spark.queries import _feed, q
 
@@ -142,6 +142,67 @@ def cdc_snapshot_diff_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snapshot_diff_asof(
         state, manifests[1], state.manifest_snapshot(), "c_custkey", _CUST_COLS
     )
+
+
+# ----------------------------------------- consumer-maintained secondary index
+
+_ORDERS_APPLIED = apply_oracle_sql(
+    cdc_orders_sql(DUCKDB), "orders", "o_orderkey", CDC_COLS["orders"]
+)
+
+
+@q(
+    "cdc_secondary_index_view",
+    f"SELECT o_orderkey, o_custkey, o_totalprice FROM ({_ORDERS_APPLIED})",
+    "The consumer-maintained SECONDARY INDEX as its own verified artifact:"
+    " ivm_join_stream's orders_ck state table — the (o_orderkey, o_custkey,"
+    " o_totalprice) projection bucketed by o_custkey, advanced per trigger"
+    " by the same signed delta as the primary snapshot (its touched buckets"
+    " named by the delta's ± custkey images, so an o_custkey UPDATE moves"
+    " the row between buckets). This is the reference's"
+    " consumer-maintaining-its-own-index pattern"
+    " (pkg/pgcapture/consumer.go:86-142) made first-class: the index table"
+    " itself must equal the applied base table's projection — previously"
+    " only implied through the join view it serves.",
+)
+def cdc_secondary_index_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from pgcapture_spark.fixtures.cdc_feed import SPARK, multi_feed_sql
+    from pgcapture_spark.sources.feed import cached_fixture_segments, read_feed_stream
+    from pgcapture_spark.streaming.multi import BucketedMultiTableState
+    from pgcapture_spark.streaming.mv import ivm_join_stream
+
+    register_views(spark, sf_dir, ("customer", "orders"))
+    d = tempfile.mkdtemp(prefix="pgcs_q_secidx_")
+    feed_dir = cached_fixture_segments(
+        spark, sf_dir, "ivm_multi",
+        lambda: spark.sql(multi_feed_sql(SPARK)), n_segments=5,
+    )
+    schema = spark.read.parquet(feed_dir).schema
+    state = BucketedMultiTableState(
+        spark,
+        f"{d}/state",
+        ["orders", "customer", "orders_ck", "mv"],
+        {
+            "orders": "o_orderkey",
+            "customer": "c_custkey",
+            "orders_ck": "o_custkey",
+            "mv": "c_nationkey",
+        },
+        n_buckets=16,
+    )
+    query = ivm_join_stream(
+        read_feed_stream(spark, feed_dir, schema, max_files_per_trigger=3),
+        state,
+        spark.table("orders"),
+        spark.table("customer"),
+        CDC_COLS["orders"],
+        CDC_COLS["customer"],
+        f"{d}/ckpt",
+    )
+    query.awaitTermination(300)
+    return state.read()["orders_ck"].select("o_orderkey", "o_custkey", "o_totalprice")
 
 
 # -------------------------------------------------- debounce flush rules
