@@ -92,6 +92,62 @@ def test_backfill_streamed_bucketed_reads_touched_only(spark):
         shutil.rmtree(d, ignore_errors=True)
 
 
+def test_fuse_groups_subset_schema_rule(spark):
+    """BucketedMultiTableState.commit's write fusion: tables fuse ONLY when
+    they share the touched-bucket list, the bucketing key columns, and one
+    schema is a subset of the other — by_group/support (topk shape) fuse;
+    minmax's support (disjoint value columns beyond the group key) and
+    differently-bucketed or differently-keyed tables never do."""
+    from pgcapture_spark.streaming.multi import BucketedMultiTableState
+
+    d = tempfile.mkdtemp(prefix="pgcs_t_fuse_")
+    try:
+        state = BucketedMultiTableState(
+            spark, d,
+            ["by_group", "support", "minmax_sup", "orders_ck"],
+            {"by_group": "g", "support": "g", "minmax_sup": "g", "orders_ck": "o"},
+            n_buckets=8,
+        )
+        bg = spark.createDataFrame([(1, 10, 5)], "k bigint, g bigint, v bigint")
+        sup = spark.createDataFrame(
+            [(1, 10, 5, None)], "k bigint, g bigint, v bigint, _th bigint"
+        )
+        mm = spark.createDataFrame(
+            [(10, 1, 5, 1, 5, 1)],
+            "g bigint, n bigint, min_v bigint, cnt_min bigint,"
+            " max_v bigint, cnt_max bigint",
+        )
+        ck = spark.createDataFrame([(1, 10, 5)], "k bigint, o bigint, v bigint")
+        groups = state._fuse_groups(
+            {
+                "by_group": (bg, [0, 1]),
+                "support": (sup, [0, 1]),       # subset schema, same key+buckets -> fuse
+                "minmax_sup": (mm, [0, 1]),     # only 'g' shared -> no fuse
+                "orders_ck": (ck, [0, 1]),      # different key -> no fuse
+            }
+        )
+        assert sorted(map(sorted, groups)) == [
+            ["by_group", "support"], ["minmax_sup"], ["orders_ck"],
+        ]
+        # different bucket list blocks fusion even with identical schemas
+        groups2 = state._fuse_groups(
+            {"by_group": (bg, [0, 1]), "support": (sup, [0, 2])}
+        )
+        assert sorted(map(sorted, groups2)) == [["by_group"], ["support"]]
+
+        # end-to-end: the fused write lands per-table dirs readable alone
+        allb = list(range(8))
+        state.commit({"by_group": (bg, allb), "support": (sup, allb)}, 0)
+        got_bg = state.read_buckets("by_group", list(range(8)))
+        got_sup = state.read_buckets("support", list(range(8)))
+        assert got_bg.select("k", "g", "v").collect() == bg.collect()
+        assert [tuple(r) for r in got_sup.select("k", "g", "v", "_th").collect()] == [
+            (1, 10, 5, None)
+        ]
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def test_manifest_diff_reads_only_changed_buckets(spark):
     """snapshot_diff_asof prunes to the buckets whose version pointers
     differ between the two retained manifests — and still produces the
