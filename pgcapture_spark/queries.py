@@ -120,10 +120,10 @@ from pgcapture_spark.querydefs import (  # noqa: E402,F401
 # driver window verifies; every addition lands with a DuckDB oracle and
 # goes straight into the window (never the unverified pool).
 _WINDOW: tuple[str, ...] = (
-    # --- r8 wave (new this round; 5 queries) ---
+    # --- r8 wave (new this round; 6 queries) ---
     "cdc_time_travel_manifest", "cdc_snapshot_diff_manifest",
     "cdc_debounce_flush_rules", "corpus_drift_psi_windowed",
-    "cdc_secondary_index_view",
+    "cdc_secondary_index_view", "state_rebucket_migrate",
     # --- consumers re-verified on the r8 state-layer changes ---
     "backfill_streamed", "cdc_relation_learn",
     "cdc_ivm_join_view_streamed", "cdc_incremental_agg_streamed",

@@ -144,6 +144,30 @@ def cdc_snapshot_diff_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -------------------------------------------------- bucket-layout migration
+
+
+@q(
+    "state_rebucket_migrate",
+    apply_oracle_sql(cdc_customer_sql(DUCKDB), "customer", "c_custkey", _CUST_COLS),
+    "EXECUTE the layout migration state_bucket_skew_plan only plans: a live"
+    " bucketed state built by the streamed apply (16 key-buckets) is"
+    " rewritten under a different bucket count (8) — one full read + one"
+    " bucket-clustered write into a fresh root, the source untouched during"
+    " the copy and the replay gate carried over so the stream resumes where"
+    " the old layout stopped (the OPTIMIZE/ZORDER-execution analog for the"
+    " state layer; at 100 TB this is the planned-downtime-free answer to"
+    " bucket skew or growth). Oracle: the migrated state must equal the"
+    " batch apply of the whole feed — migration changes layout, never"
+    " content.",
+)
+def state_rebucket_migrate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    state, _manifests = _run_retained_apply(spark, sf_dir)
+    migrated = state.rebucket(state.root + "_rb8", new_n_buckets=8)
+    assert migrated.last_batch() == state.last_batch()  # replay gate carried
+    return migrated.read().select("c_custkey", *_CUST_COLS)
+
+
 # ----------------------------------------- consumer-maintained secondary index
 
 _ORDERS_APPLIED = apply_oracle_sql(

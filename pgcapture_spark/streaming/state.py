@@ -296,6 +296,28 @@ class BucketedSnapshotState:
         manifest = self._load()
         return _vacuum_versions(self.root, set(manifest["buckets"].values()))
 
+    def rebucket(self, new_root: str, new_n_buckets: int) -> "BucketedSnapshotState":
+        """Execute the layout migration ``state_bucket_skew_plan`` plans:
+        rewrite the live snapshot under a NEW bucket count (one full read +
+        one bucket-clustered write — O(table) by nature, it IS the
+        migration), into a fresh root. The source state is untouched, so
+        readers keep resolving the old manifest during the copy and the
+        cut-over is the caller swapping roots; the replay gate (batch_id)
+        carries over so a resumed stream continues exactly where the old
+        layout stopped. Single-writer maintenance, like prune/compact."""
+        new = BucketedSnapshotState(
+            self.spark, new_root, self.key, new_n_buckets,
+            retain_versions=self.retain_versions,
+        )
+        cur = self.read()
+        if cur is None:
+            raise ValueError("rebucket: source state is uninitialized")
+        new.initialize(cur)
+        manifest = new._load()
+        manifest["batch_id"] = self.last_batch()
+        new._swap(manifest)
+        return new
+
 
 def _assert_buckets_within(version_dir: str, buckets: list[int]) -> None:
     """Enforce the commit contract: the partitioned write may only have
