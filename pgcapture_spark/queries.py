@@ -96,10 +96,13 @@ from pgcapture_spark.querydefs import (  # noqa: E402,F401
 # The driver verifies the FIRST ~50 registry entries each round. Rounds 1-5
 # drove ALL 218 pre-freeze queries green; round 6 added 22 more; round 7
 # added 16 (cumulative 257/257 per the r7 verdict).
-# ROUND-8 WINDOW: the 4 NEW r8-wave queries (AS-OF read + pointer-pruned
+# ROUND-8 WINDOW: the 7 NEW r8-wave queries (AS-OF read + pointer-pruned
 # snapshot diff over the LIVE bucketed state's retained manifests, the
-# debounce flush rules as an exact batch oracle incl. the lsn=0 dump
-# precedence, and the per-source WINDOWED PSI drift monitor), then the
+# debounce flush rules as exact batch oracles — both the interval fold
+# incl. the lsn=0 dump precedence AND the key-change old-image flush path,
+# each verified against a direct simulation of the Go state machine — the
+# per-source WINDOWED PSI drift monitor, the co-bucketed secondary index
+# verified directly, and the executed bucket-layout migration), then the
 # consumers RE-verified because round 8 changed their state layer:
 # backfill_streamed and cdc_relation_learn moved onto bucketed state (the
 # last two full-rewrite consumers), every BucketedMultiTableState consumer
@@ -120,9 +123,10 @@ from pgcapture_spark.querydefs import (  # noqa: E402,F401
 # driver window verifies; every addition lands with a DuckDB oracle and
 # goes straight into the window (never the unverified pool).
 _WINDOW: tuple[str, ...] = (
-    # --- r8 wave (new this round; 6 queries) ---
+    # --- r8 wave (new this round; 7 queries) ---
     "cdc_time_travel_manifest", "cdc_snapshot_diff_manifest",
-    "cdc_debounce_flush_rules", "corpus_drift_psi_windowed",
+    "cdc_debounce_flush_rules", "cdc_debounce_keychange_rules",
+    "corpus_drift_psi_windowed",
     "cdc_secondary_index_view", "state_rebucket_migrate",
     # --- consumers re-verified on the r8 state-layer changes ---
     "backfill_streamed", "cdc_relation_learn",

@@ -366,6 +366,193 @@ def cdc_debounce_flush_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------- debounce key-change flush path
+
+_DEBOUNCE_KC_DUCK = """
+WITH base AS (
+  SELECT event_id AS id, user_id % 40 AS k, (user_id + event_id) % 40 AS alt
+  FROM events WHERE event_id IS NOT NULL AND user_id IS NOT NULL
+),
+e AS (
+  SELECT id, k, id % 11 = 3 AS is_dump,
+         CASE WHEN id % 11 = 3 THEN 'UPDATE'
+              WHEN id % 5 = 0 THEN 'INSERT'
+              WHEN id % 5 = 1 THEN 'DELETE'
+              ELSE 'UPDATE' END AS op,
+         id % 11 <> 3 AND id % 5 NOT IN (0, 1) AND id % 7 = 2 AS has_old,
+         CASE WHEN id % 11 <> 3 AND id % 5 NOT IN (0, 1) AND id % 7 = 2
+              THEN alt END AS old_k,
+         CASE WHEN id % 11 = 3 THEN id ELSE 100000000 + id * 100 END AS ck,
+         (id * 48271) % 2147483647 AS at
+  FROM base
+),
+win AS (SELECT *, CAST(floor(at / 268435456.0) AS BIGINT) AS iv FROM e),
+-- boundary rows: I/D events on their own key, plus every UPDATE carrying an
+-- old image on the OLD key (the Handle() old-image flush) — b=1 sorts a
+-- boundary AFTER its own event row at the same (at, id)
+stream AS (
+  SELECT k AS bk, iv, at, id, 0 AS b, op, is_dump, has_old, old_k, ck FROM win
+  UNION ALL
+  SELECT old_k, iv, at, id, 1, NULL, NULL, NULL, NULL, NULL
+  FROM win WHERE has_old
+  UNION ALL
+  SELECT k, iv, at, id, 1, NULL, NULL, NULL, NULL, NULL
+  FROM win WHERE op IN ('INSERT', 'DELETE')
+),
+segd AS (
+  SELECT *, CAST(coalesce(sum(b) OVER (
+      PARTITION BY bk, iv ORDER BY at, id, b
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      + CASE WHEN b = 0 AND coalesce(has_old, false) AND old_k = bk
+             THEN 1 ELSE 0 END AS BIGINT) AS seg
+  FROM stream
+),
+upd AS (SELECT * FROM segd WHERE b = 0 AND op = 'UPDATE'),
+sfx AS (
+  SELECT *,
+         max(CASE WHEN is_dump THEN 1 ELSE 0 END) OVER wl AS later_dump,
+         max(ck) OVER wl AS later_max
+  FROM upd
+  WINDOW wl AS (PARTITION BY bk, iv, seg ORDER BY at, id
+                ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+),
+surv AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY bk, iv, seg ORDER BY at, id) AS rn
+    FROM sfx
+    WHERE coalesce(later_dump, 0) = 0 AND (later_max IS NULL OR later_max < ck)
+  ) WHERE rn = 1
+)
+SELECT bk AS user_key, iv AS interval_id, id AS event_id, op, is_dump,
+       'debounced' AS kind
+FROM surv
+UNION ALL
+SELECT bk, iv, id, op, is_dump, 'direct'
+FROM segd WHERE b = 0 AND op IN ('INSERT', 'DELETE')
+"""
+
+
+@q(
+    "cdc_debounce_keychange_rules",
+    _DEBOUNCE_KC_DUCK,
+    "C2's remaining flush rule — the KEY-CHANGE path: an UPDATE carrying an"
+    " old image flushes (delivers) the OLD key's buffered event before its"
+    " own replace-if-newer fold runs on the NEW key"
+    " (pkg/pgcapture/debounce.go:112-119: handle(prev) + delete on"
+    " debounceKey(change.Old)); when old and new key coincide, the arriving"
+    " event therefore stores UNCONDITIONALLY — even an older checkpoint —"
+    " because its own flush emptied the buffer. Modeled as a boundary"
+    " relation (I/D events + old-image flush markers on the OLD key), a"
+    " per-(key, interval) running boundary count assigning segments (an"
+    " update's own same-key marker opens its segment, counted explicitly),"
+    " and the same closed-form suffix-condition survivor per segment —"
+    " still pure window algebra, no per-row state. Verified against a"
+    " direct simulation of the reference fold in tests.",
+)
+def cdc_debounce_keychange_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    register_views(spark, sf_dir, ("events",))
+    base = (
+        spark.table("events")
+        .where(F.col("event_id").isNotNull() & F.col("user_id").isNotNull())
+        .select(
+            F.col("event_id").alias("id"),
+            (F.col("user_id") % 40).alias("k"),
+            ((F.col("user_id") + F.col("event_id")) % 40).alias("alt"),
+        )
+    )
+    is_dump = F.col("id") % 11 == 3
+    is_ins = F.col("id") % 5 == 0
+    is_del = F.col("id") % 5 == 1
+    has_old = ~is_dump & ~is_ins & ~is_del & (F.col("id") % 7 == 2)
+    e = base.select(
+        "id",
+        "k",
+        is_dump.alias("is_dump"),
+        F.when(is_dump, F.lit("UPDATE"))
+        .when(is_ins, F.lit("INSERT"))
+        .when(is_del, F.lit("DELETE"))
+        .otherwise(F.lit("UPDATE"))
+        .alias("op"),
+        has_old.alias("has_old"),
+        F.when(has_old, F.col("alt")).alias("old_k"),
+        F.when(is_dump, F.col("id"))
+        .otherwise(F.lit(100000000) + F.col("id") * 100)
+        .alias("ck"),
+        ((F.col("id") * 48271) % 2147483647).alias("at"),
+    ).withColumn("iv", F.floor(F.col("at") / 268435456.0).cast("long"))
+    nulls = [
+        F.lit(None).cast(t).alias(c)
+        for c, t in (
+            ("op", "string"), ("is_dump", "boolean"), ("has_old", "boolean"),
+            ("old_k", "bigint"), ("ck", "bigint"),
+        )
+    ]
+    stream = (
+        e.select(
+            F.col("k").alias("bk"), "iv", "at", "id", F.lit(0).alias("b"),
+            "op", "is_dump", "has_old", "old_k", "ck",
+        )
+        .unionByName(
+            e.where("has_old").select(
+                F.col("old_k").alias("bk"), "iv", "at", "id",
+                F.lit(1).alias("b"), *nulls,
+            )
+        )
+        .unionByName(
+            e.where(F.col("op").isin("INSERT", "DELETE")).select(
+                F.col("k").alias("bk"), "iv", "at", "id",
+                F.lit(1).alias("b"), *nulls,
+            )
+        )
+    )
+    w_seg = (
+        W.partitionBy("bk", "iv")
+        .orderBy("at", "id", "b")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    segd = stream.withColumn(
+        "seg",
+        (
+            F.coalesce(F.sum("b").over(w_seg), F.lit(0))
+            + F.when(
+                (F.col("b") == 0)
+                & F.coalesce(F.col("has_old"), F.lit(False))
+                & (F.col("old_k") == F.col("bk")),
+                1,
+            ).otherwise(0)
+        ).cast("long"),
+    )
+    upd = segd.where((F.col("b") == 0) & (F.col("op") == "UPDATE"))
+    w_later = (
+        W.partitionBy("bk", "iv", "seg")
+        .orderBy("at", "id")
+        .rowsBetween(1, W.unboundedFollowing)
+    )
+    sfx = upd.withColumn(
+        "later_dump", F.max(F.when(F.col("is_dump"), 1).otherwise(0)).over(w_later)
+    ).withColumn("later_max", F.max("ck").over(w_later))
+    ok = sfx.where(
+        (F.coalesce(F.col("later_dump"), F.lit(0)) == 0)
+        & (F.col("later_max").isNull() | (F.col("later_max") < F.col("ck")))
+    )
+    w_first = W.partitionBy("bk", "iv", "seg").orderBy("at", "id")
+    surv = ok.withColumn("rn", F.row_number().over(w_first)).where("rn = 1")
+    out = [
+        F.col("bk").alias("user_key"),
+        F.col("iv").alias("interval_id"),
+        F.col("id").alias("event_id"),
+        "op",
+        "is_dump",
+    ]
+    return surv.select(*out, F.lit("debounced").alias("kind")).unionByName(
+        segd.where((F.col("b") == 0) & F.col("op").isin("INSERT", "DELETE")).select(
+            *out, F.lit("direct").alias("kind")
+        )
+    )
+
+
 # -------------------------------------------------- windowed drift monitor
 
 _PSI_WINDOWED_DUCK = """

@@ -242,6 +242,68 @@ def test_debounce_flush_rules_match_reference_fold(spark):
     assert got == delivered
 
 
+def test_debounce_keychange_rules_match_reference_fold(spark):
+    """cdc_debounce_keychange_rules vs a direct simulation of the full
+    Handle() state machine INCLUDING the old-image flush path
+    (pkg/pgcapture/debounce.go:112-119): an UPDATE carrying an old image
+    delivers the OLD key's buffered event first; when old == new key the
+    arriving event then stores unconditionally (its own flush emptied the
+    buffer) — even with an older checkpoint."""
+    import duckdb
+
+    from pgcapture_spark.queries import REGISTRY
+
+    sf = SF_SMALL
+    con = duckdb.connect()
+    rows = con.sql(
+        f"""
+        SELECT event_id AS id, user_id % 40 AS k,
+               (user_id + event_id) % 40 AS alt,
+               event_id % 11 = 3 AS dump,
+               CASE WHEN event_id % 11 = 3 THEN 'UPDATE'
+                    WHEN event_id % 5 = 0 THEN 'INSERT'
+                    WHEN event_id % 5 = 1 THEN 'DELETE'
+                    ELSE 'UPDATE' END AS op,
+               event_id % 11 <> 3 AND event_id % 5 NOT IN (0, 1)
+                 AND event_id % 7 = 2 AS has_old,
+               CASE WHEN event_id % 11 = 3 THEN event_id
+                    ELSE 100000000 + event_id * 100 END AS ck,
+               (event_id * 48271) % 2147483647 AS at
+        FROM '{sf}/events.parquet'
+        WHERE event_id IS NOT NULL AND user_id IS NOT NULL
+        ORDER BY at, id
+        """
+    ).fetchall()
+
+    delivered: set[tuple] = set()
+    buffers: dict[tuple, tuple] = {}  # (key, iv) -> (id, ck, dump)
+    for id_, k, alt, dump, op, has_old, ck, at in rows:
+        iv = at // 268435456
+        if op in ("INSERT", "DELETE"):
+            if (k, iv) in buffers:
+                delivered.add((k, buffers.pop((k, iv))[0], "debounced"))
+            delivered.add((k, id_, "direct"))
+            continue
+        # UPDATE: the old-image flush runs FIRST, unconditionally
+        if has_old and (alt, iv) in buffers:
+            delivered.add((alt, buffers.pop((alt, iv))[0], "debounced"))
+        prev = buffers.get((k, iv))
+        if prev is None or dump or ck > prev[1]:
+            buffers[(k, iv)] = (id_, ck, dump)
+        # else: arriving older — committed, dropped
+    for (k, _iv), (id_, _ck, _d) in buffers.items():
+        delivered.add((k, id_, "debounced"))
+
+    got = {
+        (r.user_key, r.event_id, r.kind)
+        for r in REGISTRY["cdc_debounce_keychange_rules"].fn(spark, sf).collect()
+    }
+    assert got == delivered
+    # the fixture must actually exercise the key-change path
+    n_kc = sum(1 for r in rows if r[5] and r[1] != r[2])
+    assert n_kc > 5, f"fixture produced only {n_kc} cross-key old images"
+
+
 def test_dynamic_apply_bucketed_reads_touched_only(spark):
     """The dynamic relation-learning apply on its bucketed layout: a static
     table seeded from its snapshot AND a table CREATEd mid-stream both read
