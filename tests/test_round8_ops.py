@@ -242,6 +242,51 @@ def test_debounce_flush_rules_match_reference_fold(spark):
     assert got == delivered
 
 
+def test_debounce_survivor_closed_form_property():
+    """The closed-form survivor rule the two debounce queries encode —
+    'the earliest arrival all of whose successors are non-dump and
+    checkpoint-older' — must equal the sequential replace-if-newer fold
+    (dump always replaces; older arrivals drop) for EVERY sequence, not
+    just the fixture's. Pure-Python hypothesis sweep over one segment;
+    distinct checkpoints (the fixture's construction guarantees this —
+    equal checkpoints only arise from redelivery of one event)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @st.composite
+    def segments(draw):
+        n = draw(st.integers(min_value=1, max_value=9))
+        cks = draw(
+            st.lists(
+                st.integers(min_value=0, max_value=1000),
+                min_size=n, max_size=n, unique=True,
+            )
+        )
+        dumps = draw(st.lists(st.booleans(), min_size=n, max_size=n))
+        return list(zip(cks, dumps))
+
+    @given(segments())
+    @settings(max_examples=300, deadline=None)
+    def run(seg):
+        # sequential fold (the reference semantics)
+        stored = None
+        for i, (ck, dump) in enumerate(seg):
+            if stored is None or dump or ck > seg[stored][0]:
+                stored = i
+        # closed form: earliest i with all later (non-dump and ck < ck_i)
+        ok = [
+            i
+            for i in range(len(seg))
+            if all(
+                (not d2) and c2 < seg[i][0] for c2, d2 in seg[i + 1 :]
+            )
+        ]
+        assert ok, "at least the last element always qualifies"
+        assert min(ok) == stored
+
+    run()
+
+
 def test_debounce_keychange_rules_match_reference_fold(spark):
     """cdc_debounce_keychange_rules vs a direct simulation of the full
     Handle() state machine INCLUDING the old-image flush path
