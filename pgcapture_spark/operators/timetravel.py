@@ -90,6 +90,14 @@ def snapshot_diff_asof(
         if schema_src is None:
             # no changed buckets at all — empty diff with the right schema
             sample = state.read()
+            if sample is None:
+                # uninitialized (or all-empty) state: there is no schema to
+                # shape the empty diff — fail loudly instead of AttributeError
+                raise ValueError(
+                    "snapshot_diff_asof: state has no readable data to derive "
+                    "the diff schema from (uninitialized or every bucket "
+                    "empty) — nothing to diff"
+                )
             empty = sample.select(key, *cols).limit(0)
             a = b = empty
         else:

@@ -229,6 +229,22 @@ def cdc_secondary_index_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     return state.read()["orders_ck"].select("o_orderkey", "o_custkey", "o_totalprice")
 
 
+def _assert_ck_unique(base: DataFrame) -> None:
+    """ck-encoding collision guard (ADVICE r8): the closed-form survivor's
+    strict ``later_max < ck`` omits the reference's equal-checkpoint branch
+    (debounce.go: Checkpoint.Equal → handle(prev) then store — BOTH deliver),
+    which is equivalent to the sequential fold only while checkpoint
+    encodings never collide. Dump cks (= id) and non-dump cks (= 1e8 +
+    id·100) first collide at event_id ≥ 1e8 — fail loudly before a larger
+    events fixture could silently break oracle fidelity."""
+    mx = base.agg(F.max("id").alias("m")).first()["m"]
+    assert mx is None or mx < 100_000_000, (
+        f"debounce ck encoding collides at event_id >= 1e8 (max id {mx}); the"
+        " closed form would diverge from the reference's equal-checkpoint"
+        " branch (deliver both) there"
+    )
+
+
 # -------------------------------------------------- debounce flush rules
 
 _DEBOUNCE_DUCK = """
@@ -304,6 +320,7 @@ def cdc_debounce_flush_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("event_id").isNotNull() & F.col("user_id").isNotNull())
         .select(F.col("event_id").alias("id"), F.col("user_id").alias("k"))
     )
+    _assert_ck_unique(base)
     e = base.select(
         "id",
         "k",
@@ -462,6 +479,7 @@ def cdc_debounce_keychange_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             ((F.col("user_id") + F.col("event_id")) % 40).alias("alt"),
         )
     )
+    _assert_ck_unique(base)
     is_dump = F.col("id") % 11 == 3
     is_ins = F.col("id") % 5 == 0
     is_del = F.col("id") % 5 == 1

@@ -53,6 +53,13 @@ def get_spark(
         .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         # let the pgcapture_feed Python source receive pushed filters
         .config("spark.sql.python.filterPushdown.enabled", "true")
+        # the streamed consumers cut per-trigger lineage with
+        # localCheckpoint(eager=False); those RDD blocks are freed by the
+        # ContextCleaner only when a driver GC runs, so on a long-running
+        # stream the default 30min periodic-GC interval lets per-trigger
+        # delta blocks pool in executor storage between cycles (ADVICE r8).
+        # 5min bounds the pool to a few triggers' worth of small deltas.
+        .config("spark.cleaner.periodicGC.interval", "5min")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

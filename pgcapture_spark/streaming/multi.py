@@ -576,8 +576,16 @@ def apply_stream_dynamic(
         if batch_id <= state.last_batch():
             return
         spark = batch_df.sparkSession
-        if not state.initialized():
-            for t, snap in initial_snapshots.items():
+        # per-TABLE seed guard, not state.initialized(): seed_table swaps the
+        # manifest once per table, so a crash between seeding table A and
+        # table B would leave B permanently unseeded under a whole-state
+        # guard (its merges would silently fall back to an empty base —
+        # ADVICE r8). A table is seeded iff its bucket pointers exist; the
+        # per-table vinit write is idempotent, so re-seeding after a crash
+        # before the first data commit just overwrites the same version.
+        seeded = state._load()["buckets"]
+        for t, snap in initial_snapshots.items():
+            if not seeded.get(t):  # no bucket pointers yet (absent or {})
                 state.seed_table(t, snap)
         # 1) relation learning — the schema subset is tiny (driver-side,
         # ordered). Two in-band forms, exactly the reference's two refresh

@@ -531,7 +531,12 @@ def topk_stream(
         # every downstream branch, and with plain persist each reference
         # embeds the whole feed-fold subtree in the logical plan — per
         # TRIGGER, so the streamed form pays Catalyst planning 3× per batch.
-        # Blocks free via ContextCleaner when the batch closure drops them.
+        # Blocks free via ContextCleaner when the batch closure drops them —
+        # which needs a driver GC: the engine session pins
+        # spark.cleaner.periodicGC.interval=5min (session.py) so long-running
+        # streams pool at most a few triggers' worth of delta blocks. The
+        # trade-off vs persist(): executor loss fails the batch (Spark
+        # retries it) instead of recomputing lineage that no longer exists.
         delta = signed_key_delta(snap_slice, batch_df, key, cols).localCheckpoint(
             eager=False
         )
