@@ -248,6 +248,19 @@ HEADLINE = [
     "cdc_snapshot_diff_manifest",
     "cdc_debounce_flush_rules",
     "corpus_drift_psi_windowed",
+    # round-9 wave: bounded retention, multi-table manifest ops (payer =
+    # cdc_ivm_view_asof_manifest pays the converged retained ivm run per
+    # pass; diff + rebucket reuse it), multi-table DBLog interleave (payer/
+    # partner like proto-multi), composite dynamic learn, streamed windowed
+    # drift
+    "cdc_time_travel_retention",
+    "cdc_ivm_view_asof_manifest",
+    "cdc_snapshot_diff_asof_multi",
+    "state_rebucket_multi_migrate",
+    "backfill_streamed_multi",
+    "backfill_streamed_multi_orders",
+    "cdc_relation_learn_composite",
+    "corpus_drift_psi_windowed_streamed",
 ]
 
 
@@ -273,33 +286,44 @@ def main() -> None:
     # compare min-to-min and read value_run2 as the same-host noise envelope.
     timings: dict[str, float] = {}
     timings_run2: dict[str, float] = {}
+    from pgcapture_spark.querydefs.r9wave import _BF_MULTI_DIRS, _IVM_ASOF_DIRS
     from pgcapture_spark.querydefs.streamq import _PROTO_MULTI_DIRS
 
-    def _reset_proto_multi_cache() -> None:
+    def _reset_cache_dirs(cache: dict) -> None:
         # rmtree BEFORE dropping the entry: a bare .clear() orphans the
         # previous converged-run tempdir (state/ckpt parquet) and repeated
         # bench runs leak /tmp disk (ADVICE r4)
         import shutil
 
-        for d in _PROTO_MULTI_DIRS.values():
+        for d in cache.values():
             shutil.rmtree(d, ignore_errors=True)
-        _PROTO_MULTI_DIRS.clear()
+        cache.clear()
 
-    # The multi-table streamed pair shares one converged run per session
-    # (parquet-backed cache keyed by sf_dir). The FIRST of the pair pays the
-    # full pipeline cost on every timed pass (cache reset per pass — the
-    # pipeline cost must not vanish from the totals); the SECOND reuses the
-    # converged snapshot, as any real session would (verdict r4 flag: paying
-    # for the identical converged run twice per bench measured nothing new).
-    _CACHED_RUN_RESETS = {"cdc_apply_proto_multi_streamed": _reset_proto_multi_cache}
-    # the partner's cheap timing is only honest if the payer ran FIRST in
+    # Converged streamed runs shared by query groups (parquet-backed caches
+    # keyed by sf_dir). The FIRST of each group pays the full pipeline cost
+    # on every timed pass (cache reset per pass — the pipeline cost must not
+    # vanish from the totals); the others reuse the converged snapshot, as
+    # any real session would (verdict r4 flag: paying for the identical
+    # converged run twice per bench measured nothing new).
+    _CACHED_RUN_RESETS = {
+        "cdc_apply_proto_multi_streamed": lambda: _reset_cache_dirs(_PROTO_MULTI_DIRS),
+        "cdc_ivm_view_asof_manifest": lambda: _reset_cache_dirs(_IVM_ASOF_DIRS),
+        "backfill_streamed_multi": lambda: _reset_cache_dirs(_BF_MULTI_DIRS),
+    }
+    # the partners' cheap timings are only honest if their payer ran FIRST in
     # this same process — enforce the ordering instead of trusting list
-    # position (a reorder would silently shift the ~9s pipeline cost)
-    _PAIR = ("cdc_apply_proto_multi_streamed", "cdc_apply_proto_multi_streamed_orders")
-    if _PAIR[1] in HEADLINE:
-        assert _PAIR[0] in HEADLINE and HEADLINE.index(_PAIR[0]) < HEADLINE.index(
-            _PAIR[1]
-        ), "converged-run payer must precede its cache-sharing partner in HEADLINE"
+    # position (a reorder would silently shift the pipeline cost)
+    _PAIRS = (
+        ("cdc_apply_proto_multi_streamed", "cdc_apply_proto_multi_streamed_orders"),
+        ("cdc_ivm_view_asof_manifest", "cdc_snapshot_diff_asof_multi"),
+        ("cdc_ivm_view_asof_manifest", "state_rebucket_multi_migrate"),
+        ("backfill_streamed_multi", "backfill_streamed_multi_orders"),
+    )
+    for payer, partner in _PAIRS:
+        if partner in HEADLINE:
+            assert payer in HEADLINE and HEADLINE.index(payer) < HEADLINE.index(
+                partner
+            ), "converged-run payer must precede its cache-sharing partner in HEADLINE"
     for name in HEADLINE:
         fn = REGISTRY[name].fn
         runs: list[float] = []
@@ -320,7 +344,8 @@ def main() -> None:
         timings_run2[name] = round(ordered[1] if len(ordered) > 1 else ordered[0], 3)
         # drop per-query caches so queries are measured independently
         spark.catalog.clearCache()
-    _reset_proto_multi_cache()  # leave no tempdirs behind
+    for _reset in _CACHED_RUN_RESETS.values():  # leave no tempdirs behind
+        _reset()
 
     total = round(sum(timings.values()), 3)
     total_run2 = round(sum(timings_run2.values()), 3)

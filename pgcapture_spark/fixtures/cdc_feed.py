@@ -299,6 +299,38 @@ FROM __ev
 """
 
 
+def metrics_composite_feed_sql() -> str:
+    """Change feed for a mid-stream-learned table whose replica identity is
+    COMPOSITE — (g_id, s_id) — exercising the dynamic relation-learning
+    path's multi-column key support (the reference identity may be any
+    column set, pkg/decode/schema.go:161-191). 24 key pairs × 3 events;
+    presence model fully exercised: TOAST-absent m_note (id%3=0),
+    explicit-NULL m_note (id%4=2), DELETE as old-key-only images carrying
+    BOTH identity columns (id%7=6). Pure integer arithmetic — the same text
+    runs on Spark SQL and DuckDB."""
+    return """
+WITH __ev AS (SELECT id FROM range(72) t(id))
+SELECT id + 1 AS lsn, 1 AS seq, CAST(id AS BIGINT) AS ord,
+       CAST(NULL AS TIMESTAMP) AS commit_ts,
+       CASE WHEN id % 7 = 6 THEN 'DELETE'
+            WHEN id < 24 THEN 'INSERT' ELSE 'UPDATE' END AS op,
+       CAST(id % 6 AS BIGINT) AS g_id,
+       CAST(floor(id / 6.0) AS BIGINT) % 4 AS s_id,
+       CASE WHEN id % 7 = 6 THEN CAST(NULL AS DOUBLE)
+            ELSE CAST(id AS DOUBLE) / 2 END AS m_value,
+       CASE WHEN id % 7 = 6 OR id % 4 = 2 THEN CAST(NULL AS STRING)
+            ELSE 'n-' || CAST(id AS STRING) END AS m_note,
+       CASE WHEN id % 7 = 6 THEN CAST(id % 6 AS BIGINT)
+            ELSE CAST(NULL AS BIGINT) END AS old_g_id,
+       CASE WHEN id % 7 = 6 THEN CAST(floor(id / 6.0) AS BIGINT) % 4
+            ELSE CAST(NULL AS BIGINT) END AS old_s_id,
+       CASE WHEN id % 7 = 6 THEN ''
+            WHEN id % 3 = 0 THEN 'g_id,s_id,m_value'
+            ELSE 'g_id,s_id,m_value,m_note' END AS present
+FROM __ev
+"""
+
+
 def generic_feed_sql(dialect: str) -> str:
     """FIXTURES.md T1-shaped generic stream: customer+orders change events
     flattened to metadata columns, PLUS Begin/Commit frame rows per

@@ -105,3 +105,64 @@ def snapshot_diff_asof(
             a = a if a is not None else empty
             b = b if b is not None else empty
     return diff_frames(a.select(key, *cols), b.select(key, *cols), key, cols)
+
+
+def changed_buckets_table(
+    m_a: dict, m_b: dict, table: str, n_buckets: int
+) -> list[int]:
+    """Per-table form of ``changed_buckets`` over two CROSS-TABLE manifest
+    snapshots (BucketedMultiTableState.manifest_asof): the named table's
+    buckets whose version pointers differ."""
+    ba = m_a.get("buckets", {}).get(table, {})
+    bb = m_b.get("buckets", {}).get(table, {})
+    return [b for b in range(n_buckets) if ba.get(str(b)) != bb.get(str(b))]
+
+
+def snapshot_diff_asof_table(
+    state, table: str, m_a: dict, m_b: dict, key: str, cols: list[str]
+) -> DataFrame:
+    """Diff ONE table of a BucketedMultiTableState between two retained
+    cross-table manifests, reading only the buckets whose pointers differ
+    (the multi-table form of ``snapshot_diff_asof`` — the pruning argument
+    is identical: equal pointers reference the same immutable files). Both
+    manifests come from one atomic rename each, so the diff is a
+    transactionally consistent audit of what the commits in between did to
+    this table."""
+    diff_b = changed_buckets_table(m_a, m_b, table, state.n_buckets)
+    a = state.read_asof(table, m_a, diff_b) if diff_b else None
+    b = state.read_asof(table, m_b, diff_b) if diff_b else None
+    if a is None or b is None:
+        schema_src = a if a is not None else b
+        if schema_src is None:
+            sample = state.read_buckets(table, list(range(state.n_buckets)))
+            if sample is None:
+                raise ValueError(
+                    f"snapshot_diff_asof_table: table {table!r} has no "
+                    "readable data to derive the diff schema from"
+                )
+            schema_src = sample
+        empty = schema_src.select(key, *cols).limit(0)
+        a = a if a is not None else empty
+        b = b if b is not None else empty
+    return diff_frames(a.select(key, *cols), b.select(key, *cols), key, cols)
+
+
+def diff_oracle_sql(snap_a_sql: str, snap_b_sql: str, key: str, cols: list[str]) -> str:
+    """DuckDB oracle for the ADDED/REMOVED/CHANGED diff contract between two
+    keyed snapshot SQLs — shared by the single- and multi-table manifest
+    diff queries."""
+    changed = ",\n    ".join(
+        f"CASE WHEN a.{c} IS DISTINCT FROM b.{c} THEN '{c}' END" for c in cols
+    )
+    any_diff = " OR ".join(f"a.{c} IS DISTINCT FROM b.{c}" for c in cols)
+    return f"""
+WITH snap_a AS ({snap_a_sql}), snap_b AS ({snap_b_sql})
+SELECT COALESCE(a.{key}, b.{key}) AS {key},
+       CASE WHEN a.{key} IS NULL THEN 'ADDED'
+            WHEN b.{key} IS NULL THEN 'REMOVED'
+            ELSE 'CHANGED' END AS status,
+       CASE WHEN a.{key} IS NULL OR b.{key} IS NULL THEN ''
+            ELSE concat_ws(',', {changed}) END AS changed_cols
+FROM snap_a a FULL OUTER JOIN snap_b b ON a.{key} = b.{key}
+WHERE a.{key} IS NULL OR b.{key} IS NULL OR {any_diff}
+"""

@@ -91,64 +91,63 @@ from pgcapture_spark.querydefs import (  # noqa: E402,F401
     r6wave as _qd_r6wave,
     r7wave as _qd_r7wave,
     r8wave as _qd_r8wave,
+    r9wave as _qd_r9wave,
 )
 
 # The driver verifies the FIRST ~50 registry entries each round. Rounds 1-5
 # drove ALL 218 pre-freeze queries green; round 6 added 22 more; round 7
-# added 16 (cumulative 257/257 per the r7 verdict).
-# ROUND-8 WINDOW: the 7 NEW r8-wave queries (AS-OF read + pointer-pruned
-# snapshot diff over the LIVE bucketed state's retained manifests, the
-# debounce flush rules as exact batch oracles — both the interval fold
-# incl. the lsn=0 dump precedence AND the key-change old-image flush path,
-# each verified against a direct simulation of the Go state machine — the
-# per-source WINDOWED PSI drift monitor, the co-bucketed secondary index
-# verified directly, and the executed bucket-layout migration), then the
-# consumers RE-verified because round 8 changed their state layer:
-# backfill_streamed and cdc_relation_learn moved onto bucketed state (the
-# last two full-rewrite consumers), every BucketedMultiTableState consumer
-# gained the fused subset-schema commit + per-trigger lineage cuts, the
-# psi/doc-feature helpers grew grouping parameters, cdc_snapshot_diff now
-# rides the shared diff_frames, and ivm_topk_view materializes eagerly.
-# Padded with previously-green canaries across the engine pillars.
-# Rotated OUT of the r8 window (all previously driver-green; greens are
+# added 16; round 8 added 7 (cumulative 264/264 per the r8 verdict).
+# ROUND-9 WINDOW: the 8 NEW r9-wave queries (the BOUNDED time-travel
+# retention window with storage-bound + loud-failure asserts inline,
+# composite replica identities on the dynamic relation-learning path, the
+# multi-table manifest layer's AS-OF read / pointer-pruned per-table diff /
+# executed whole-state bucket migration, the multi-table DBLog interleave
+# checked on BOTH tables, and the windowed PSI monitor as a continuous
+# consumer), then the consumers RE-verified because round 9 changed their
+# state layer again: every Bucketed{Snapshot,MultiTable}State commit now
+# runs the history-push path (retention machinery), the dynamic apply's
+# seeding guard is per-table, adopt_tables adopts composite keys, and
+# initialize accepts partial snapshot dicts (rebucket). Padded with
+# previously-green canaries across the engine pillars.
+# Rotated OUT of the r9 window (all previously driver-green; greens are
 # cumulative, so rotation changes verification coverage, not status):
-# cdc_apply_customer_feedsource, cdc_apply_pgoutput_streamed,
-# cdc_apply_pglogical_streamed, cdc_apply_lineitem_composite_streamed,
-# cdc_ddl_skipset-era canaries (see r7 list), dedup_editdist_join,
-# corpus_dedup_keepbest, sim_filtered_ann, graph_triangle_count,
-# agg_kmv_distinct, cdc_apply_ddl_evolution, events_attribution_position,
-# state_bucket_skew_plan, cdc_tx_registry_prune.
+# cdc_debounce_flush_rules, cdc_debounce_keychange_rules,
+# cdc_secondary_index_view, cdc_apply_from_proto, cdc_apply_from_pgoutput,
+# cdc_apply_from_pglogical, cdc_toast_effective_image, backfill_chunk_scan,
+# tpch_q3_shipping_priority, events_stream_windowed, dedup_minhash_lsh,
+# sim_ivf_ann, kmeans_embed, graph_kcore_mutual_knn, ts_holt_trend,
+# cdc_debounce_events, cdc_time_travel.
 #
 # PACE discipline: add no more new queries per round than one ~50-slot
 # driver window verifies; every addition lands with a DuckDB oracle and
 # goes straight into the window (never the unverified pool).
 _WINDOW: tuple[str, ...] = (
-    # --- r8 wave (new this round; 7 queries) ---
+    # --- r9 wave (new this round; 8 queries) ---
+    "cdc_time_travel_retention", "cdc_relation_learn_composite",
+    "cdc_ivm_view_asof_manifest", "cdc_snapshot_diff_asof_multi",
+    "state_rebucket_multi_migrate",
+    "backfill_streamed_multi", "backfill_streamed_multi_orders",
+    "corpus_drift_psi_windowed_streamed",
+    # --- consumers re-verified on the r9 state-layer changes ---
     "cdc_time_travel_manifest", "cdc_snapshot_diff_manifest",
-    "cdc_debounce_flush_rules", "cdc_debounce_keychange_rules",
-    "corpus_drift_psi_windowed",
-    "cdc_secondary_index_view", "state_rebucket_migrate",
-    # --- consumers re-verified on the r8 state-layer changes ---
-    "backfill_streamed", "cdc_relation_learn",
+    "state_rebucket_migrate", "cdc_relation_learn",
+    "backfill_streamed", "backfill_union_merge",
     "cdc_ivm_join_view_streamed", "cdc_incremental_agg_streamed",
     "cdc_ivm_minmax_view_streamed", "cdc_ivm_topk_view_streamed",
-    "cdc_ivm_starjoin_view_streamed", "cdc_ivm_topk_view",
-    "cdc_ivm_minmax_view", "cdc_ivm_distinct_view", "cdc_ivm_starjoin_view",
+    "cdc_ivm_starjoin_view_streamed",
     "cdc_apply_multi_streamed", "cdc_apply_proto_multi_streamed",
     "cdc_apply_proto_multi_streamed_orders", "cdc_apply_ddl_streamed",
     "cdc_scd2_streamed", "cdc_apply_customer_streamed",
-    "cdc_apply_proto_streamed",
+    "cdc_apply_proto_streamed", "corpus_drift_psi_windowed",
     "corpus_drift_psi", "corpus_drift_psi_streamed", "cdc_snapshot_diff",
-    "backfill_union_merge", "backfill_chunk_scan",
-    # --- canaries (previously driver-green; engine pillars) ---
-    "cdc_apply_customer", "cdc_apply_orders", "cdc_apply_from_proto",
-    "cdc_apply_from_pgoutput", "cdc_apply_from_pglogical",
-    "cdc_toast_effective_image", "cdc_incremental_agg", "cdc_ivm_join_view",
-    "tpch_q1_pricing_summary", "tpch_q3_shipping_priority",
-    "events_asof_join", "events_stream_windowed", "ts_ohlc_streamed",
     "dedup_exact_streamed", "agg_kmv_distinct_streamed",
-    "dedup_minhash_lsh", "sim_ivf_ann", "kmeans_embed",
-    "graph_kcore_mutual_knn", "ts_holt_trend", "cdc_debounce_events",
+    # --- canaries (previously driver-green; engine pillars) ---
+    "cdc_apply_customer", "cdc_apply_orders",
+    "cdc_apply_from_binary_feed_composite",
+    "cdc_incremental_agg", "cdc_ivm_join_view", "cdc_ivm_topk_view",
+    "cdc_ivm_minmax_view", "cdc_ivm_distinct_view", "cdc_ivm_starjoin_view",
+    "tpch_q1_pricing_summary",
+    "events_asof_join", "ts_ohlc_streamed",
     "cdc_time_travel",
 )
 

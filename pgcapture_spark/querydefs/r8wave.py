@@ -26,12 +26,13 @@ _CUST_COLS = CDC_COLS["customer"]
 
 # -------------------------------------------------- manifest time travel
 
-def _run_retained_apply(spark: SparkSession, sf_dir: str):
+def _run_retained_apply(spark: SparkSession, sf_dir: str, retain: bool | int = True):
     """Shared fixture for the manifest queries: apply the customer feed in 4
     micro-batches split at EXACT ord quartiles (percentile_disc — DuckDB can
     name the same boundaries) onto a retain_versions BucketedSnapshotState,
-    capturing a manifest snapshot after every commit. Returns
-    (state, manifests dict batch_id → manifest)."""
+    capturing a manifest snapshot after every commit. ``retain`` is the
+    retention mode (True = keep all, int N = the bounded window — r9wave's
+    retention queries). Returns (state, manifests dict batch_id → manifest)."""
     import tempfile
 
     from pgcapture_spark.sources.feed import (
@@ -54,7 +55,7 @@ def _run_retained_apply(spark: SparkSession, sf_dir: str):
     write_segments(pieces, f"{d}/feed")
     schema = spark.read.parquet(f"{d}/feed").schema
     state = BucketedSnapshotState(
-        spark, f"{d}/state", "c_custkey", n_buckets=16, retain_versions=True
+        spark, f"{d}/state", "c_custkey", n_buckets=16, retain_versions=retain
     )
     manifests: dict[int, dict] = {}
 

@@ -104,13 +104,102 @@ class BucketedMultiTableState:
         tables: list[str],
         keys: dict[str, str | list[str]],
         n_buckets: int = 32,
+        retain_versions: bool | int = False,
     ):
         self.spark = spark
         self.root = root
         self.tables = list(tables)
         self.keys = dict(keys)
         self.n_buckets = n_buckets
+        # same retention-window contract as BucketedSnapshotState: int N
+        # keeps the last N superseded manifests (every table's pointer map
+        # together — a retained entry is a CONSISTENT cross-table snapshot,
+        # because all tables swing in one rename), True keeps all, False none
+        self.retain_versions = retain_versions
         os.makedirs(root, exist_ok=True)
+
+    @property
+    def _retain_n(self) -> int | None:
+        r = self.retain_versions
+        if r is True:
+            return None
+        return int(r) if r else 0
+
+    def _push_history(self, manifest: dict) -> None:
+        """See BucketedSnapshotState._push_history — here each entry carries
+        EVERY table's bucket→version map (one atomic cross-table handle)."""
+        if not self.retain_versions:
+            return
+        hist = manifest.setdefault("history", [])
+        hist.append(
+            {
+                "batch_id": manifest["batch_id"],
+                "buckets": {t: dict(m) for t, m in manifest["buckets"].items()},
+            }
+        )
+        n = self._retain_n
+        if n is not None:
+            del hist[: max(0, len(hist) - n)]
+
+    def retained_batches(self) -> list[int]:
+        manifest = self._load()
+        return [h["batch_id"] for h in manifest.get("history", [])] + [
+            manifest["batch_id"]
+        ]
+
+    def manifest_asof(self, batch_id: int) -> dict:
+        """The retained CROSS-TABLE manifest as of ``batch_id`` — every
+        table's pointer map as committed by that batch's single atomic
+        rename, so an as-of read over several tables is transactionally
+        consistent. Fails loudly past the retention window."""
+        manifest = self._load()
+        if manifest["batch_id"] == batch_id:
+            return {
+                "batch_id": batch_id,
+                "buckets": {t: dict(m) for t, m in manifest["buckets"].items()},
+            }
+        for h in reversed(manifest.get("history", [])):
+            if h["batch_id"] == batch_id:
+                return h
+        raise ValueError(
+            f"as-of batch {batch_id} is not retained — the retention window "
+            f"(retain_versions={self.retain_versions!r}) holds batches "
+            f"{self.retained_batches()}"
+        )
+
+    def read_asof(
+        self, table: str, manifest: dict, buckets: list[int] | None = None
+    ) -> DataFrame | None:
+        """Point-in-time read of ONE table against a retained cross-table
+        manifest (``manifest_asof``). A referenced version dir that vacuum
+        removed fails loudly; a missing ``_b=`` subdir inside a live version
+        is a legitimately empty bucket."""
+        if buckets is None:
+            buckets = list(range(self.n_buckets))
+        per_t = manifest["buckets"].get(table, {})
+        need = {per_t[str(b)] for b in buckets if str(b) in per_t}
+        gone = sorted(
+            v for v in need if not os.path.isdir(os.path.join(self.root, v))
+        )
+        if gone:
+            raise ValueError(
+                f"as-of read of {table!r} references vacuumed version dirs "
+                f"{gone} — the manifest snapshot is past the retention window "
+                f"(retain_versions={self.retain_versions!r})"
+            )
+        paths = []
+        for b in buckets:
+            ver = per_t.get(str(b))
+            if ver is not None:
+                p = os.path.join(self.root, ver, table, f"_b={b}")
+                if os.path.isdir(p):
+                    paths.append(p)
+        if not paths:
+            return None
+        reader = self.spark.read
+        for k, v in self._READ_OPTS.items():
+            reader = reader.option(k, v)
+        return reader.parquet(*paths)
 
     @property
     def _manifest(self) -> str:
@@ -145,6 +234,7 @@ class BucketedMultiTableState:
         micro-batches whose merge set is empty (see
         BucketedSnapshotState.mark_batch)."""
         manifest = self._load()
+        self._push_history(manifest)
         manifest["batch_id"] = batch_id
         self._swap(manifest)
 
@@ -163,8 +253,12 @@ class BucketedMultiTableState:
                 .parquet(os.path.join(self.root, "vinit", t))
             )
 
-        with ThreadPoolExecutor(max_workers=min(8, max(1, len(self.tables)))) as ex:
-            list(ex.map(_seed, self.tables))
+        # a table absent from ``snapshots`` starts with no data files (its
+        # pointers still reference vinit; reads of never-written buckets are
+        # None) — the shape rebucket needs for an empty source table
+        seed_tables = [t for t in self.tables if t in snapshots]
+        with ThreadPoolExecutor(max_workers=min(8, max(1, len(seed_tables) or 1))) as ex:
+            list(ex.map(_seed, seed_tables))
         buckets = {
             t: {str(b): "vinit" for b in range(self.n_buckets)} for t in self.tables
         }
@@ -321,6 +415,7 @@ class BucketedMultiTableState:
         with ThreadPoolExecutor(max_workers=min(8, max(1, len(groups)))) as ex:
             list(ex.map(_write, groups))
         manifest = self._load()
+        self._push_history(manifest)
         for t, (_, buckets) in merged.items():
             for b in buckets:
                 manifest["buckets"].setdefault(t, {})[str(b)] = version
@@ -328,13 +423,50 @@ class BucketedMultiTableState:
         self._swap(manifest)
 
     def vacuum(self) -> list[str]:
+        """Remove version dirs referenced by neither the current pointers nor
+        the retained history window (see BucketedSnapshotState.vacuum)."""
         from pgcapture_spark.streaming.state import _vacuum_versions
 
+        if self.retain_versions is True:
+            return []
         manifest = self._load()
         referenced = {
             v for per_t in manifest["buckets"].values() for v in per_t.values()
         }
+        for h in manifest.get("history", []):
+            for per_t in h["buckets"].values():
+                referenced.update(per_t.values())
         return _vacuum_versions(self.root, referenced)
+
+    def rebucket(
+        self, new_root: str, new_n_buckets: int
+    ) -> "BucketedMultiTableState":
+        """Execute a bucket-layout migration for the WHOLE multi-table state
+        (the multi-table form of BucketedSnapshotState.rebucket,
+        state.py): every table's live snapshot is rewritten bucket-clustered
+        under the new count into a fresh root — one full read + one write
+        per table, O(state) being the floor for a migration — while the
+        source stays untouched (readers keep resolving its manifest during
+        the copy) and the replay gate carries over, so a resumed stream and
+        every consumer view continue exactly where the old layout stopped.
+        Cut-over is the caller swapping roots. Single-writer maintenance."""
+        new = BucketedMultiTableState(
+            self.spark, new_root, self.tables, self.keys, new_n_buckets,
+            retain_versions=self.retain_versions,
+        )
+        return self._rebucket_into(new)
+
+    def _rebucket_into(self, new: "BucketedMultiTableState"):
+        cur = self.read()
+        if cur is None:
+            raise ValueError("rebucket: source state is uninitialized")
+        new.initialize(
+            {t: df for t, df in cur.items() if df is not None and t in new.keys}
+        )
+        manifest = new._load()
+        manifest["batch_id"] = self.last_batch()
+        new._swap(manifest)
+        return new
 
 
 def fold_commit_multi(
@@ -483,29 +615,42 @@ class DynamicMultiTableState(BucketedMultiTableState):
         super()._swap(manifest)
 
     def adopt_tables(self) -> None:
-        """Sync the bucketed table set with the registry's single-key
-        relations. Keyless / composite-key relations are quarantined (logged,
-        never applied — the single-key dynamic path cannot merge them
-        correctly; composite identities stay on the typed pipeline)."""
+        """Sync the bucketed table set with the registry's keyed relations.
+        Composite replica identities bucket on the hash of ALL key columns —
+        the same contract as the typed pipeline (state.py:117-121; the
+        reference's identity may be any column set,
+        pkg/decode/schema.go:161-191). Only KEYLESS relations are
+        quarantined (logged, never applied — with no replica identity there
+        is nothing to merge on; the reference likewise cannot apply a
+        REPLICA IDENTITY NOTHING table's updates)."""
         for t in self.registry.tables():
             if t in self.keys:
                 continue
             key_cols = self.registry.key(t)
-            if len(key_cols) != 1:
+            if not key_cols:
                 _LOG.warning(
-                    "DynamicMultiTableState: quarantining relation %r "
-                    "(key=%r; single-column keys only on the dynamic path)",
+                    "DynamicMultiTableState: quarantining keyless relation %r"
+                    " — no replica identity to merge on",
                     t,
-                    key_cols,
                 )
                 continue
             self.tables.append(t)
-            self.keys[t] = key_cols[0]
+            self.keys[t] = key_cols[0] if len(key_cols) == 1 else list(key_cols)
 
     def _fields_spark(self, t: str) -> list[tuple[str, str]]:
         from pgcapture_spark.functions.pgtypes import spark_type_for_oid
 
         return [(n, spark_type_for_oid(oid)) for n, oid in self.registry.fields(t)]
+
+    def rebucket(self, new_root: str, new_n_buckets: int) -> "DynamicMultiTableState":
+        """Layout migration carrying the learned relation registry: the new
+        root's manifest swaps registry + pointers together (``_swap``), so a
+        stream resuming on the migrated state rehydrates every learned
+        relation without re-observing its CREATE/Relation events."""
+        new = DynamicMultiTableState(
+            self.spark, new_root, self.registry, n_buckets=new_n_buckets
+        )
+        return self._rebucket_into(new)
 
     def seed_table(self, t: str, snapshot: DataFrame) -> None:
         """One-time O(snapshot) backfill of a table's buckets (the initialize
@@ -612,8 +757,13 @@ def apply_stream_dynamic(
         # wire schema + identity — nothing table-specific in the consumer)
         imgs: dict[str, DataFrame] = {}
         for t in state.tables:
-            key = state.keys[t]
-            _, key_oid = next(f for f in reg.fields(t) if f[0] == key)
+            key_cols = _key_list(state.keys[t])
+            oids = dict(reg.fields(t))
+            # the DELETE/key-change old image carries EVERY replica-identity
+            # column (composite identities included — the wire's old_fields
+            # array holds one entry per key column, exactly the typed
+            # pipeline's contract, extras.py binary-composite apply)
+            old_keys = [(f"old_{k}", k, oids[k]) for k in key_cols]
             sub = batch_df.where(
                 (F.col("table_name") == F.lit(t))
                 & ~F.col("op").isin("DDL", "RELATION")
@@ -621,10 +771,16 @@ def apply_stream_dynamic(
             typed = decode_binary_feed(
                 sub,
                 reg.fields(t),
-                old_key=(f"old_{key}", key, key_oid),
+                old_key=old_keys,
                 fused=True,  # the apply consumes every column of the relation
-            ).withColumn(key, F.coalesce(F.col(key), F.col(f"old_{key}")))
-            imgs[t] = last_image(typed, key, reg.value_cols(t)).persist()
+            )
+            for k in key_cols:
+                typed = typed.withColumn(
+                    k, F.coalesce(F.col(k), F.col(f"old_{k}"))
+                )
+            imgs[t] = last_image(
+                typed, state.keys[t], reg.value_cols(t)
+            ).persist()
         try:
             # ONE probe job across all tables (see fold_commit_multi)
             probe = None

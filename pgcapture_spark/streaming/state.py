@@ -110,7 +110,7 @@ class BucketedSnapshotState:
         root: str,
         key: str | list[str],
         n_buckets: int = 32,
-        retain_versions: bool = False,
+        retain_versions: bool | int = False,
     ):
         self.spark = spark
         self.root = root
@@ -119,13 +119,25 @@ class BucketedSnapshotState:
         self.key_cols = [key] if isinstance(key, str) else list(key)
         self.key = key
         self.n_buckets = n_buckets
-        # retention window for point-in-time reads: with retain_versions,
-        # vacuum() keeps superseded version dirs so a SAVED manifest snapshot
-        # stays resolvable (read_asof) — the Delta/Iceberg
-        # deleted-file-retention analog. Storage then grows with history;
-        # a real deployment bounds it by age, this engine by the flag.
+        # time-travel retention (the Delta/Iceberg deleted-file-retention
+        # analog): an int N is the retention WINDOW — every commit pushes
+        # the superseded manifest onto a bounded ``history`` list riding the
+        # manifest itself, ``manifest_asof``/``read_asof`` resolve any of
+        # the last N commits, and vacuum() removes version dirs referenced
+        # by NEITHER the current manifest NOR the retained history, so
+        # storage stays O(live data + N commits of rewrites). True retains
+        # everything (vacuum no-op, unbounded — only for short-lived
+        # fixtures); False (default) keeps no history.
         self.retain_versions = retain_versions
         os.makedirs(root, exist_ok=True)
+
+    @property
+    def _retain_n(self) -> int | None:
+        """History entries to keep: None = unlimited (True), 0 = none."""
+        r = self.retain_versions
+        if r is True:
+            return None
+        return int(r) if r else 0
 
     @property
     def _manifest(self) -> str:
@@ -211,17 +223,76 @@ class BucketedSnapshotState:
         its version dirs survive (``retain_versions``)."""
         return self._load()
 
+    def _push_history(self, manifest: dict) -> None:
+        """Record the (about-to-be-superseded) manifest's pointer map on its
+        bounded ``history`` list — called BEFORE a swap mutates it. Each
+        entry is a complete point-in-time handle (batch_id + bucket→version
+        map); trimming to the window is what bounds both the manifest size
+        and, via vacuum, the version-dir storage."""
+        if not self.retain_versions:
+            return
+        hist = manifest.setdefault("history", [])
+        hist.append(
+            {"batch_id": manifest["batch_id"], "buckets": dict(manifest["buckets"])}
+        )
+        n = self._retain_n
+        if n is not None:
+            del hist[: max(0, len(hist) - n)]
+
+    def retained_batches(self) -> list[int]:
+        """Batch ids resolvable by ``manifest_asof`` (oldest→current)."""
+        manifest = self._load()
+        return [h["batch_id"] for h in manifest.get("history", [])] + [
+            manifest["batch_id"]
+        ]
+
+    def manifest_asof(self, batch_id: int) -> dict:
+        """The retained manifest snapshot AS OF ``batch_id`` — the state's
+        bucket→version map right after that batch committed. Fails loudly
+        past the retention window (the Delta/Iceberg 'version not in log'
+        error): history older than the last N commits has been trimmed and
+        its exclusively-referenced version dirs vacuumed."""
+        manifest = self._load()
+        if manifest["batch_id"] == batch_id:
+            return {"batch_id": batch_id, "buckets": dict(manifest["buckets"])}
+        for h in reversed(manifest.get("history", [])):
+            if h["batch_id"] == batch_id:
+                return h
+        raise ValueError(
+            f"as-of batch {batch_id} is not retained — the retention window "
+            f"(retain_versions={self.retain_versions!r}) holds batches "
+            f"{self.retained_batches()}; older manifests were trimmed and "
+            "their version dirs vacuumed"
+        )
+
     def read_asof(
         self, manifest: dict, buckets: list[int] | None = None
     ) -> DataFrame | None:
         """Point-in-time read against a SAVED manifest snapshot (time travel
         over the state's own version history — the manifest maps each bucket
         to the version dir that was current at capture time, so the read is
-        exactly the state as of that commit). Requires ``retain_versions``
-        (or a caller that has not vacuumed past the capture)."""
-        paths = self._bucket_paths(
-            manifest, buckets if buckets is not None else list(range(self.n_buckets))
+        exactly the state as of that commit). The manifest must be within
+        the retention window: a referenced version dir that no longer exists
+        means vacuum ran past the capture, and the read fails loudly instead
+        of silently returning a hole (a missing ``_b=`` subdir inside a LIVE
+        version dir, by contrast, is a legitimately empty bucket)."""
+        if buckets is None:
+            buckets = list(range(self.n_buckets))
+        need = {
+            manifest["buckets"][str(b)]
+            for b in buckets
+            if str(b) in manifest["buckets"]
+        }
+        gone = sorted(
+            v for v in need if not os.path.isdir(os.path.join(self.root, v))
         )
+        if gone:
+            raise ValueError(
+                f"as-of read references vacuumed version dirs {gone} — the "
+                "manifest snapshot is past the retention window "
+                f"(retain_versions={self.retain_versions!r})"
+            )
+        paths = self._bucket_paths(manifest, buckets)
         if not paths:
             return None
         reader = self.spark.read
@@ -237,6 +308,7 @@ class BucketedSnapshotState:
         callbacks see progress), instead of relying on empty replays being
         no-ops. A manifest rename is the whole cost."""
         manifest = self._load()
+        self._push_history(manifest)
         manifest["batch_id"] = batch_id
         if extra:
             manifest.update(extra)
@@ -278,6 +350,7 @@ class BucketedSnapshotState:
         )
         _assert_buckets_within(out, buckets)
         manifest = self._load()
+        self._push_history(manifest)
         for b in buckets:
             manifest["buckets"][str(b)] = version
         manifest["batch_id"] = batch_id
@@ -286,15 +359,21 @@ class BucketedSnapshotState:
         self._swap(manifest)
 
     def vacuum(self) -> list[str]:
-        """Remove version dirs no manifest entry references (the OPTIMIZE/
-        VACUUM maintenance analog — log compaction for the state). Safe
-        because the manifest swap is atomic: readers resolve paths from a
-        manifest snapshot they already loaded. A no-op under
-        ``retain_versions`` (the time-travel retention window)."""
-        if self.retain_versions:
+        """Remove version dirs referenced by NEITHER the current manifest NOR
+        the retained history window (the OPTIMIZE/VACUUM maintenance analog —
+        log compaction for the state). Safe because the manifest swap is
+        atomic: readers resolve paths from a manifest snapshot they already
+        loaded. With an int retention window the history list is already
+        trimmed to the last N commits, so this bounds total storage to
+        O(live data + N commits of bucket rewrites); ``retain_versions=True``
+        (unbounded) makes it a no-op."""
+        if self.retain_versions is True:
             return []
         manifest = self._load()
-        return _vacuum_versions(self.root, set(manifest["buckets"].values()))
+        referenced = set(manifest["buckets"].values())
+        for h in manifest.get("history", []):
+            referenced.update(h["buckets"].values())
+        return _vacuum_versions(self.root, referenced)
 
     def rebucket(self, new_root: str, new_n_buckets: int) -> "BucketedSnapshotState":
         """Execute the layout migration ``state_bucket_skew_plan`` plans:
