@@ -24,6 +24,16 @@ like-for-like):
   rounds across the boundary by excluding _orders. Protocol 2 also added
   value_run2 (sum of per-query second-best passes — the same-host noise
   envelope; identical code measured 148-180s across round-4 runs).
+- round-9 amendment (within protocol 2, affects only the NEW r9 payers so
+  no cross-round comparison shifts): r9 run 1 measured the ivmasof /
+  bfmulti payers with their fixture FEED synthesis inside the per-pass
+  reset — the quartile-piece writes recomputed the synthesized multi feed
+  once per piece, so the payer lines carried ~2/3 fixture-build, not
+  consumption. Runs 2+ cache the piece-exact feed per (kind, sf_dir) like
+  every other streamed fixture (sources/feed.py cached_fixture_pieces) and
+  reset only the STATE per pass — the same INPUT-edge contract
+  cdc_ivm_join_view_streamed has had since r6. Compare those two lines
+  run-2-onward only.
 """
 
 from __future__ import annotations
@@ -261,6 +271,12 @@ HEADLINE = [
     "backfill_streamed_multi_orders",
     "cdc_relation_learn_composite",
     "corpus_drift_psi_windowed_streamed",
+    # r9 second wave: retention bound on the cross-table manifest + view
+    # delta (both reuse the retained-ivm payer's converged run), dynamic
+    # state migration (reuses the composite-learn payer's run)
+    "cdc_time_travel_retention_multi",
+    "cdc_ivm_view_delta_manifest",
+    "state_rebucket_dynamic_migrate",
 ]
 
 
@@ -286,7 +302,11 @@ def main() -> None:
     # compare min-to-min and read value_run2 as the same-host noise envelope.
     timings: dict[str, float] = {}
     timings_run2: dict[str, float] = {}
-    from pgcapture_spark.querydefs.r9wave import _BF_MULTI_DIRS, _IVM_ASOF_DIRS
+    from pgcapture_spark.querydefs.r9wave import (
+        _BF_MULTI_DIRS,
+        _IVM_ASOF_DIRS,
+        _RELCOMP_DIRS,
+    )
     from pgcapture_spark.querydefs.streamq import _PROTO_MULTI_DIRS
 
     def _reset_cache_dirs(cache: dict) -> None:
@@ -309,6 +329,7 @@ def main() -> None:
         "cdc_apply_proto_multi_streamed": lambda: _reset_cache_dirs(_PROTO_MULTI_DIRS),
         "cdc_ivm_view_asof_manifest": lambda: _reset_cache_dirs(_IVM_ASOF_DIRS),
         "backfill_streamed_multi": lambda: _reset_cache_dirs(_BF_MULTI_DIRS),
+        "cdc_relation_learn_composite": lambda: _reset_cache_dirs(_RELCOMP_DIRS),
     }
     # the partners' cheap timings are only honest if their payer ran FIRST in
     # this same process — enforce the ordering instead of trusting list
@@ -317,7 +338,10 @@ def main() -> None:
         ("cdc_apply_proto_multi_streamed", "cdc_apply_proto_multi_streamed_orders"),
         ("cdc_ivm_view_asof_manifest", "cdc_snapshot_diff_asof_multi"),
         ("cdc_ivm_view_asof_manifest", "state_rebucket_multi_migrate"),
+        ("cdc_ivm_view_asof_manifest", "cdc_time_travel_retention_multi"),
+        ("cdc_ivm_view_asof_manifest", "cdc_ivm_view_delta_manifest"),
         ("backfill_streamed_multi", "backfill_streamed_multi_orders"),
+        ("cdc_relation_learn_composite", "state_rebucket_dynamic_migrate"),
     )
     for payer, partner in _PAIRS:
         if partner in HEADLINE:

@@ -114,59 +114,80 @@ def cdc_time_travel_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     " onto an empty snapshot, grouped by (g_id, s_id).",
 )
 def cdc_relation_learn_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    state = _relcomp_state(spark, sf_dir)
+    assert state.keys["readings"] == ["g_id", "s_id"]  # adopted, not quarantined
+    return state.read()["readings"]
+
+
+# one converged dynamic-learn run per (process, sf_dir) — the composite
+# declare and the dynamic-state rebucket read the same state
+_RELCOMP_DIRS: dict[str, str] = {}
+
+
+def _relcomp_state(spark: SparkSession, sf_dir: str):
     import tempfile
 
     from pgcapture_spark.operators.generic_feed import to_binary_feed
-    from pgcapture_spark.sources.feed import materialize_feed, read_feed_stream
+    from pgcapture_spark.sources.feed import (
+        cached_fixture_segments,
+        read_feed_stream,
+    )
     from pgcapture_spark.streaming.multi import (
         DynamicMultiTableState,
         apply_stream_dynamic,
     )
     from pgcapture_spark.streaming.registry import RelationRegistry
 
-    meta = ("lsn", "seq", "ord", "commit_ts", "op", "table_name", "query")
-    typed = spark.sql(metrics_composite_feed_sql())
-    wire = (
-        to_binary_feed(
-            typed,
-            [("g_id", 20), ("s_id", 20), ("m_value", 701), ("m_note", 25)],
-            old_key=[("old_g_id", "g_id", 20), ("old_s_id", "s_id", 20)],
+    def _wire_feed() -> DataFrame:
+        meta = ("lsn", "seq", "ord", "commit_ts", "op", "table_name", "query")
+        typed = spark.sql(metrics_composite_feed_sql())
+        wire = (
+            to_binary_feed(
+                typed,
+                [("g_id", 20), ("s_id", 20), ("m_value", 701), ("m_note", 25)],
+                old_key=[("old_g_id", "g_id", 20), ("old_s_id", "s_id", 20)],
+            )
+            .withColumn("table_name", F.lit("readings"))
+            .withColumn("query", F.lit(None).cast("string"))
+            .select(*meta, "fields", "old_fields")
         )
-        .withColumn("table_name", F.lit("readings"))
-        .withColumn("query", F.lit(None).cast("string"))
-        .select(*meta, "fields", "old_fields")
+        # the Relation message: BOTH identity columns key-flagged (bin[0])
+        rel = spark.createDataFrame(
+            [(0, 0, -1, None, "RELATION", "readings", None)],
+            "lsn bigint, seq int, ord bigint, commit_ts timestamp, op string,"
+            " table_name string, query string",
+        ).select(
+            *meta,
+            F.expr(
+                "array(named_struct('name', 'g_id', 'oid', 20, 'bin', X'01'),"
+                " named_struct('name', 's_id', 'oid', 20, 'bin', X'01'),"
+                " named_struct('name', 'm_value', 'oid', 701, 'bin', X'00'),"
+                " named_struct('name', 'm_note', 'oid', 25, 'bin', X'00'))"
+            ).alias("fields"),
+            F.expr(
+                "CAST(NULL AS array<struct<name:string,oid:int,bin:binary>>)"
+            ).alias("old_fields"),
+        )
+        return rel.unionAll(wire)
+
+    feed_dir = cached_fixture_segments(
+        spark, sf_dir, "relcomp_wire", _wire_feed, n_segments=4
     )
-    # the Relation message: BOTH identity columns key-flagged (bin[0])
-    rel = spark.createDataFrame(
-        [(0, 0, -1, None, "RELATION", "readings", None)],
-        "lsn bigint, seq int, ord bigint, commit_ts timestamp, op string,"
-        " table_name string, query string",
-    ).select(
-        *meta,
-        F.expr(
-            "array(named_struct('name', 'g_id', 'oid', 20, 'bin', X'01'),"
-            " named_struct('name', 's_id', 'oid', 20, 'bin', X'01'),"
-            " named_struct('name', 'm_value', 'oid', 701, 'bin', X'00'),"
-            " named_struct('name', 'm_note', 'oid', 25, 'bin', X'00'))"
-        ).alias("fields"),
-        F.expr("CAST(NULL AS array<struct<name:string,oid:int,bin:binary>>)").alias(
-            "old_fields"
-        ),
-    )
-    d = tempfile.mkdtemp(prefix="pgcs_q_relcomp_")
-    feed_dir = f"{d}/feed"
-    materialize_feed(rel.unionAll(wire), feed_dir, n_segments=4)
-    schema = spark.read.parquet(feed_dir).schema
-    state = DynamicMultiTableState(spark, f"{d}/state", RelationRegistry())
-    query = apply_stream_dynamic(
-        read_feed_stream(spark, feed_dir, schema, max_files_per_trigger=2),
-        state,
-        {},
-        f"{d}/ckpt",
-    )
-    query.awaitTermination(300)
-    assert state.keys["readings"] == ["g_id", "s_id"]  # adopted, not quarantined
-    return state.read()["readings"]
+    key = os.path.abspath(sf_dir)
+    d = _RELCOMP_DIRS.get(key)
+    if d is None or not os.path.isdir(f"{d}/state"):
+        d = tempfile.mkdtemp(prefix="pgcs_q_relcomp_")
+        schema = spark.read.parquet(feed_dir).schema
+        state = DynamicMultiTableState(spark, f"{d}/state", RelationRegistry())
+        query = apply_stream_dynamic(
+            read_feed_stream(spark, feed_dir, schema, max_files_per_trigger=2),
+            state,
+            {},
+            f"{d}/ckpt",
+        )
+        query.awaitTermination(300)
+        _RELCOMP_DIRS[key] = d
+    return DynamicMultiTableState(spark, f"{d}/state", RelationRegistry())
 
 
 # -------------------------- multi-table manifest ops (shared converged run)
@@ -187,38 +208,48 @@ _IVM_KEYS = {
 def _retained_ivm_state(spark: SparkSession, sf_dir: str):
     """The streamed JOIN-view consumer (ivm_join_stream) run over the multi
     feed split at EXACT ord quartiles (one segment per trigger → batches
-    0..3, boundaries DuckDB can name) on a retain_versions=3
-    BucketedMultiTableState — every commit retains the superseded
-    cross-table manifest, so batches 0..3 are all as-of resolvable."""
+    0..3, boundaries DuckDB can name) on a retain_versions=2
+    BucketedMultiTableState — every commit pushes the superseded cross-table
+    manifest onto the bounded history, so batches 1..3 are as-of resolvable
+    while batch 0 (and vinit) age out of the window (asserted by
+    cdc_time_travel_retention_multi). The quartile feed is a cached INPUT
+    (fixture edge, one synthesis per process+sf_dir); the state fold — the
+    consumption being measured — rebuilds per cache reset."""
     import tempfile
 
     from pgcapture_spark.sources.feed import (
+        cached_fixture_pieces,
         ord_quartile_bounds,
         read_feed_stream,
-        write_segments,
     )
     from pgcapture_spark.streaming.multi import BucketedMultiTableState
     from pgcapture_spark.streaming.mv import ivm_join_stream
 
     register_views(spark, sf_dir, ("customer", "orders"))
-    key = os.path.abspath(sf_dir)
-    d = _IVM_ASOF_DIRS.get(key)
-    if d is None or not os.path.isdir(f"{d}/state"):
-        d = tempfile.mkdtemp(prefix="pgcs_q_ivmasof_")
-        feed = spark.sql(multi_feed_sql(SPARK))
+
+    def _build():
+        # persist: the 4 piece writes + the quartile job otherwise recompute
+        # the synthesized multi feed once each
+        feed = spark.sql(multi_feed_sql(SPARK)).persist()
         bounds = ord_quartile_bounds(feed)
         pieces, lo = [], -1
         for hi in bounds:
             pieces.append(feed.where((F.col("ord") > lo) & (F.col("ord") <= hi)))
             lo = hi
-        write_segments(pieces, f"{d}/feed")
-        schema = spark.read.parquet(f"{d}/feed").schema
+        return pieces, feed.unpersist
+
+    feed_dir = cached_fixture_pieces(spark, sf_dir, "ivmasof_quart", _build)
+    key = os.path.abspath(sf_dir)
+    d = _IVM_ASOF_DIRS.get(key)
+    if d is None or not os.path.isdir(f"{d}/state"):
+        d = tempfile.mkdtemp(prefix="pgcs_q_ivmasof_")
+        schema = spark.read.parquet(feed_dir).schema
         state = BucketedMultiTableState(
             spark, f"{d}/state", _IVM_TABLES, _IVM_KEYS,
-            n_buckets=16, retain_versions=3,
+            n_buckets=16, retain_versions=2,
         )
         query = ivm_join_stream(
-            read_feed_stream(spark, f"{d}/feed", schema, max_files_per_trigger=1),
+            read_feed_stream(spark, feed_dir, schema, max_files_per_trigger=1),
             state,
             spark.table("orders"),
             spark.table("customer"),
@@ -231,7 +262,7 @@ def _retained_ivm_state(spark: SparkSession, sf_dir: str):
     from pgcapture_spark.streaming.multi import BucketedMultiTableState
 
     return BucketedMultiTableState(
-        spark, f"{d}/state", _IVM_TABLES, _IVM_KEYS, n_buckets=16, retain_versions=3
+        spark, f"{d}/state", _IVM_TABLES, _IVM_KEYS, n_buckets=16, retain_versions=2
     )
 
 
@@ -357,9 +388,9 @@ def _backfill_multi_snapshots(spark: SparkSession, sf_dir: str) -> dict[str, Dat
 
     from pgcapture_spark.operators.backfill import dump_chunk
     from pgcapture_spark.sources.feed import (
+        cached_fixture_pieces,
         ord_quartile_bounds,
         read_feed_stream,
-        write_segments,
     )
     from pgcapture_spark.streaming.multi import (
         BucketedMultiTableState,
@@ -367,13 +398,16 @@ def _backfill_multi_snapshots(spark: SparkSession, sf_dir: str) -> dict[str, Dat
     )
 
     register_views(spark, sf_dir, ("customer", "orders"))
-    key = os.path.abspath(sf_dir)
-    d = _BF_MULTI_DIRS.get(key)
     tables = ["customer", "orders"]
     base = {t: spark.table(t) for t in tables}
-    if d is None or not os.path.isdir(f"{d}/state"):
-        d = tempfile.mkdtemp(prefix="pgcs_q_bfmulti_")
-        feed = spark.sql(multi_feed_sql(SPARK))
+
+    def _build():
+        # the gateway conversation is an INPUT (fixture edge): 8 segments,
+        # each chunk a cdc_apply replica image — persist the source feeds so
+        # the 4 quartile-piece writes and 8 chunk jobs don't recompute the
+        # synthesized feeds from scratch each
+        feed = spark.sql(multi_feed_sql(SPARK)).persist()
+        tfeeds = {t: _feed(spark, sf_dir, t).persist() for t in tables}
         bounds = ord_quartile_bounds(feed)
 
         def _pad(df: DataFrame) -> DataFrame:
@@ -390,7 +424,7 @@ def _backfill_multi_snapshots(spark: SparkSession, sf_dir: str) -> dict[str, Dat
                 # share the multi feed's ord domain), chunked on key buckets
                 replica = cdc_apply(
                     base[t],
-                    _feed(spark, sf_dir, t).where(F.col("ord") <= hi),
+                    tfeeds[t].where(F.col("ord") <= hi),
                     _BF_KEYS[t],
                     _BF_COLS[t],
                 )
@@ -403,13 +437,25 @@ def _backfill_multi_snapshots(spark: SparkSession, sf_dir: str) -> dict[str, Dat
                 chunks = ch if chunks is None else chunks.unionByName(ch)
             pieces.append(chunks)
             lo = hi
-        write_segments(pieces, f"{d}/feed")
-        schema = spark.read.parquet(f"{d}/feed").schema
+
+        def _cleanup():
+            feed.unpersist()
+            for df in tfeeds.values():
+                df.unpersist()
+
+        return pieces, _cleanup
+
+    feed_dir = cached_fixture_pieces(spark, sf_dir, "bfmulti_interleave", _build)
+    key = os.path.abspath(sf_dir)
+    d = _BF_MULTI_DIRS.get(key)
+    if d is None or not os.path.isdir(f"{d}/state"):
+        d = tempfile.mkdtemp(prefix="pgcs_q_bfmulti_")
+        schema = spark.read.parquet(feed_dir).schema
         state = BucketedMultiTableState(
             spark, f"{d}/state", tables, _BF_KEYS, n_buckets=16
         )
         query = apply_stream_multi_table(
-            read_feed_stream(spark, f"{d}/feed", schema, max_files_per_trigger=1),
+            read_feed_stream(spark, feed_dir, schema, max_files_per_trigger=1),
             state,
             {t: base[t].where("1=0") for t in tables},
             _BF_KEYS,
@@ -579,3 +625,135 @@ def _set_psi_windowed_streamed_oracle() -> None:
 
 
 _set_psi_windowed_streamed_oracle()
+
+
+# ------------------------- wave 2: retention bound on the CROSS-TABLE
+# manifest, view delta between retained manifests, dynamic-state migration
+
+
+@q(
+    "cdc_time_travel_retention_multi",
+    apply_oracle_sql(
+        _prefix_sql(cdc_customer_sql(DUCKDB)), "customer", "c_custkey", _CUST_COLS
+    ),
+    "The retention WINDOW on the CROSS-TABLE manifest (the multi-table form"
+    " of cdc_time_travel_retention): the retained join-view consumer runs"
+    " with retain_versions=2 over batches 0..3, so the bounded history holds"
+    " batches 1..3 while batch 0 and the vinit seed age out — asserted"
+    " inline: manifest_asof(0) fails loudly, and the on-disk version dirs"
+    " are EXACTLY the union of every retained manifest's pointer targets"
+    " across ALL FOUR state tables (vacuum keeps storage O(live + N commits"
+    " of rewrites) — a version dir referenced by ANY table of ANY retained"
+    " entry survives, everything else is removed). Returns the customer"
+    " table as of batch 1 — a transactionally consistent cross-table"
+    " snapshot entry, read on a DIFFERENT table than the mv/orders the"
+    " sibling as-of queries check.",
+)
+def cdc_time_travel_retention_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    state = _retained_ivm_state(spark, sf_dir)
+    assert state.retained_batches() == [1, 2, 3], state.retained_batches()
+    try:
+        state.manifest_asof(0)
+        raise AssertionError("manifest_asof(0) must fail past the retention window")
+    except ValueError:
+        pass
+    referenced: set[str] = set()
+    for b in state.retained_batches():
+        for per_t in state.manifest_asof(b)["buckets"].values():
+            referenced.update(per_t.values())
+    on_disk = {
+        n
+        for n in os.listdir(state.root)
+        if n.startswith("v") and os.path.isdir(os.path.join(state.root, n))
+    }
+    assert on_disk == referenced, (sorted(on_disk), sorted(referenced))
+    return state.read_asof("customer", state.manifest_asof(1)).select(
+        "c_custkey", *_CUST_COLS
+    )
+
+
+_VIEW_PREFIX_SQL = ivm_join_oracle_sql(
+    apply_oracle_sql(
+        _prefix_sql(cdc_orders_sql(DUCKDB)), "orders", "o_orderkey", _ORD_COLS
+    ),
+    apply_oracle_sql(
+        _prefix_sql(cdc_customer_sql(DUCKDB)), "customer", "c_custkey", _CUST_COLS
+    ),
+)
+_VIEW_FULL_SQL = ivm_join_oracle_sql(_ORDERS_APPLIED, _CUSTOMER_APPLIED)
+
+
+@q(
+    "cdc_ivm_view_delta_manifest",
+    None,  # set below (diff_oracle_sql over the prefix/full recomputed view)
+    "Pointer-pruned delta of the DERIVED view itself: what the commits since"
+    " batch 1 did to the maintained per-nation aggregate — the mv table of"
+    " the cross-table manifest diffed between the retained entry and the"
+    " current one, reading ONLY mv buckets whose version pointers differ."
+    " The audit a serving layer actually wants ('which nations moved since"
+    " the last publish?') costs the few aggregate buckets the commits"
+    " rewrote — never a view recomputation, never the base tables. Oracle:"
+    " the ADDED/REMOVED/CHANGED contract between the view recomputed from"
+    " scratch at the feed prefix and at the full feed.",
+)
+def cdc_ivm_view_delta_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pgcapture_spark.operators.timetravel import snapshot_diff_asof_table
+
+    state = _retained_ivm_state(spark, sf_dir)
+    return snapshot_diff_asof_table(
+        state,
+        "mv",
+        state.manifest_asof(1),
+        state.manifest_asof(state.last_batch()),
+        "c_nationkey",
+        ["n_orders", "sum_cents"],
+    )
+
+
+def _set_view_delta_oracle() -> None:
+    from pgcapture_spark.operators.timetravel import diff_oracle_sql
+    from pgcapture_spark.queries import REGISTRY
+
+    REGISTRY["cdc_ivm_view_delta_manifest"].oracle = diff_oracle_sql(
+        _VIEW_PREFIX_SQL, _VIEW_FULL_SQL, "c_nationkey", ["n_orders", "sum_cents"]
+    )
+
+
+_set_view_delta_oracle()
+
+
+@q(
+    "state_rebucket_dynamic_migrate",
+    apply_oracle_sql(
+        metrics_composite_feed_sql(),
+        "(SELECT CAST(NULL AS BIGINT) AS g_id, CAST(NULL AS BIGINT) AS s_id,"
+        " CAST(NULL AS DOUBLE) AS m_value, CAST(NULL AS STRING) AS m_note"
+        " WHERE 1 = 0)",
+        ["g_id", "s_id"],
+        ["m_value", "m_note"],
+    ),
+    "EXECUTE the bucket-layout migration for a DYNAMIC relation-learning"
+    " state (the last state class without a declared migration): the"
+    " converged composite-identity learn run (32 key-buckets) is rewritten"
+    " under 8 into a fresh root with the learned relation REGISTRY riding"
+    " the new manifest's same atomic swap — a stream resuming on the"
+    " migrated root rehydrates every learned relation (composite keys"
+    " included) without re-observing its Relation events. Asserted inline:"
+    " replay gate carried, registry fields and the two-column identity"
+    " carried. Oracle: unchanged content — migration changes layout, never"
+    " data (same fold oracle as cdc_relation_learn_composite).",
+)
+def state_rebucket_dynamic_migrate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pgcapture_spark.streaming.multi import DynamicMultiTableState
+    from pgcapture_spark.streaming.registry import RelationRegistry
+
+    state = _relcomp_state(spark, sf_dir)
+    migrated = state.rebucket(state.root + "_rb8", new_n_buckets=8)
+    assert migrated.last_batch() == state.last_batch()  # replay gate carried
+    assert migrated.n_buckets == 8
+    # the real rehydration claim: a FRESH handle on the migrated root (an
+    # empty registry passed in) learns everything from the manifest alone
+    reopened = DynamicMultiTableState(spark, migrated.root, RelationRegistry(), n_buckets=8)
+    assert reopened.keys["readings"] == ["g_id", "s_id"]  # identity carried
+    assert reopened.registry.fields("readings") == state.registry.fields("readings")
+    return reopened.read()["readings"]

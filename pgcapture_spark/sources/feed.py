@@ -228,3 +228,31 @@ def cached_fixture_segments(
         materialize_feed(build(), d, n_segments=n_segments, order_col=order_col)
         _FIXTURE_CACHE[key] = d
     return d
+
+
+def cached_fixture_pieces(spark: SparkSession, sf_dir: str, kind: str, build) -> str:
+    """CALLER-CHOSEN piece boundaries variant of ``cached_fixture_segments``
+    (the AS-OF / interleave fixtures split at exact ord quartiles or inject
+    dump-chunk segments — boundaries ``materialize_feed``'s range split can't
+    express). ``build`` returns ``(pieces, cleanup)``: the ordered list of
+    piece DataFrames and a cleanup callable (or None) invoked after the
+    segments are written — builders persist their source feed so the
+    per-piece writes don't recompute the whole synthesized feed once per
+    piece. The log is an INPUT (fixture edge): synthesized once per
+    (kind, sf_dir) per process so repeated invocations measure CONSUMPTION,
+    the same contract as ``cached_fixture_segments``."""
+    import tempfile
+
+    key = (f"pieces:{kind}", os.path.abspath(sf_dir))
+    d = _FIXTURE_CACHE.get(key)
+    if d is None or not os.path.isdir(d):
+        root = tempfile.mkdtemp(prefix=f"pgcs_segcache_{kind}_")
+        d = os.path.join(root, "log")
+        pieces, cleanup = build()
+        try:
+            write_segments(pieces, d)
+        finally:
+            if cleanup is not None:
+                cleanup()
+        _FIXTURE_CACHE[key] = d
+    return d
