@@ -277,10 +277,18 @@ HEADLINE = [
     "cdc_time_travel_retention_multi",
     "cdc_ivm_view_delta_manifest",
     "state_rebucket_dynamic_migrate",
+    "cdc_time_travel_retention_dynamic",
 ]
 
 
 def main() -> None:
+    import shutil
+
+    from pgcapture_spark.session import route_tempfiles_private
+
+    # private per-process scratch root: a concurrent gate/audit/judge run can
+    # never collide with (or clean up) this bench's query scratch dirs
+    scratch = route_tempfiles_private("pgcs_bench_")
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark(app="pgcapture-spark-bench")
@@ -306,6 +314,7 @@ def main() -> None:
         _BF_MULTI_DIRS,
         _IVM_ASOF_DIRS,
         _RELCOMP_DIRS,
+        _RELRET_DIRS,
     )
     from pgcapture_spark.querydefs.streamq import _PROTO_MULTI_DIRS
 
@@ -330,6 +339,7 @@ def main() -> None:
         "cdc_ivm_view_asof_manifest": lambda: _reset_cache_dirs(_IVM_ASOF_DIRS),
         "backfill_streamed_multi": lambda: _reset_cache_dirs(_BF_MULTI_DIRS),
         "cdc_relation_learn_composite": lambda: _reset_cache_dirs(_RELCOMP_DIRS),
+        "cdc_time_travel_retention_dynamic": lambda: _reset_cache_dirs(_RELRET_DIRS),
     }
     # the partners' cheap timings are only honest if their payer ran FIRST in
     # this same process — enforce the ordering instead of trusting list
@@ -415,6 +425,7 @@ def main() -> None:
         compact = candidate
     print(json.dumps(compact))
     spark.stop()
+    shutil.rmtree(scratch, ignore_errors=True)
 
 
 if __name__ == "__main__":

@@ -135,7 +135,7 @@ _WINDOW: tuple[str, ...] = (
     # the derived view's pointer-pruned delta between retained manifests,
     # and the dynamic state's executed layout migration (registry carried)
     "cdc_time_travel_retention_multi", "cdc_ivm_view_delta_manifest",
-    "state_rebucket_dynamic_migrate",
+    "state_rebucket_dynamic_migrate", "cdc_time_travel_retention_dynamic",
     # --- consumers re-verified on the r9 state-layer changes ---
     "cdc_time_travel_manifest", "cdc_snapshot_diff_manifest",
     "state_rebucket_migrate", "cdc_relation_learn",

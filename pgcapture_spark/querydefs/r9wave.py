@@ -124,10 +124,45 @@ def cdc_relation_learn_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
 _RELCOMP_DIRS: dict[str, str] = {}
 
 
+def _relcomp_wire_feed(spark: SparkSession) -> DataFrame:
+    """The composite-identity wire feed: one Relation message (BOTH identity
+    columns key-flagged, bin[0]) followed by the binary-rendered typed feed."""
+    from pgcapture_spark.operators.generic_feed import to_binary_feed
+
+    meta = ("lsn", "seq", "ord", "commit_ts", "op", "table_name", "query")
+    typed = spark.sql(metrics_composite_feed_sql())
+    wire = (
+        to_binary_feed(
+            typed,
+            [("g_id", 20), ("s_id", 20), ("m_value", 701), ("m_note", 25)],
+            old_key=[("old_g_id", "g_id", 20), ("old_s_id", "s_id", 20)],
+        )
+        .withColumn("table_name", F.lit("readings"))
+        .withColumn("query", F.lit(None).cast("string"))
+        .select(*meta, "fields", "old_fields")
+    )
+    rel = spark.createDataFrame(
+        [(0, 0, -1, None, "RELATION", "readings", None)],
+        "lsn bigint, seq int, ord bigint, commit_ts timestamp, op string,"
+        " table_name string, query string",
+    ).select(
+        *meta,
+        F.expr(
+            "array(named_struct('name', 'g_id', 'oid', 20, 'bin', X'01'),"
+            " named_struct('name', 's_id', 'oid', 20, 'bin', X'01'),"
+            " named_struct('name', 'm_value', 'oid', 701, 'bin', X'00'),"
+            " named_struct('name', 'm_note', 'oid', 25, 'bin', X'00'))"
+        ).alias("fields"),
+        F.expr(
+            "CAST(NULL AS array<struct<name:string,oid:int,bin:binary>>)"
+        ).alias("old_fields"),
+    )
+    return rel.unionAll(wire)
+
+
 def _relcomp_state(spark: SparkSession, sf_dir: str):
     import tempfile
 
-    from pgcapture_spark.operators.generic_feed import to_binary_feed
     from pgcapture_spark.sources.feed import (
         cached_fixture_segments,
         read_feed_stream,
@@ -138,40 +173,9 @@ def _relcomp_state(spark: SparkSession, sf_dir: str):
     )
     from pgcapture_spark.streaming.registry import RelationRegistry
 
-    def _wire_feed() -> DataFrame:
-        meta = ("lsn", "seq", "ord", "commit_ts", "op", "table_name", "query")
-        typed = spark.sql(metrics_composite_feed_sql())
-        wire = (
-            to_binary_feed(
-                typed,
-                [("g_id", 20), ("s_id", 20), ("m_value", 701), ("m_note", 25)],
-                old_key=[("old_g_id", "g_id", 20), ("old_s_id", "s_id", 20)],
-            )
-            .withColumn("table_name", F.lit("readings"))
-            .withColumn("query", F.lit(None).cast("string"))
-            .select(*meta, "fields", "old_fields")
-        )
-        # the Relation message: BOTH identity columns key-flagged (bin[0])
-        rel = spark.createDataFrame(
-            [(0, 0, -1, None, "RELATION", "readings", None)],
-            "lsn bigint, seq int, ord bigint, commit_ts timestamp, op string,"
-            " table_name string, query string",
-        ).select(
-            *meta,
-            F.expr(
-                "array(named_struct('name', 'g_id', 'oid', 20, 'bin', X'01'),"
-                " named_struct('name', 's_id', 'oid', 20, 'bin', X'01'),"
-                " named_struct('name', 'm_value', 'oid', 701, 'bin', X'00'),"
-                " named_struct('name', 'm_note', 'oid', 25, 'bin', X'00'))"
-            ).alias("fields"),
-            F.expr(
-                "CAST(NULL AS array<struct<name:string,oid:int,bin:binary>>)"
-            ).alias("old_fields"),
-        )
-        return rel.unionAll(wire)
-
     feed_dir = cached_fixture_segments(
-        spark, sf_dir, "relcomp_wire", _wire_feed, n_segments=4
+        spark, sf_dir, "relcomp_wire", lambda: _relcomp_wire_feed(spark),
+        n_segments=4,
     )
     key = os.path.abspath(sf_dir)
     d = _RELCOMP_DIRS.get(key)
@@ -720,6 +724,120 @@ def _set_view_delta_oracle() -> None:
 
 
 _set_view_delta_oracle()
+
+
+# one retained dynamic-learn run per (process, sf_dir)
+_RELRET_DIRS: dict[str, str] = {}
+
+
+def _relret_state(spark: SparkSession, sf_dir: str):
+    """The composite relation-learn apply split at EXACT ord quartiles of
+    the data rows (the Relation message at ord=-1 rides piece 0) on a
+    retain_versions=2 DynamicMultiTableState — batches 0..3, retained
+    window [1, 2, 3]."""
+    import tempfile
+
+    from pgcapture_spark.sources.feed import (
+        cached_fixture_pieces,
+        ord_quartile_bounds,
+        read_feed_stream,
+    )
+    from pgcapture_spark.streaming.multi import (
+        DynamicMultiTableState,
+        apply_stream_dynamic,
+    )
+    from pgcapture_spark.streaming.registry import RelationRegistry
+
+    def _build():
+        wire = _relcomp_wire_feed(spark).persist()
+        # quartiles over the DATA rows (ord >= 0) — the DuckDB oracle names
+        # the same boundaries over the typed feed, which has no Relation row
+        bounds = ord_quartile_bounds(wire.where(F.col("ord") >= 0))
+        pieces, lo = [], -2  # ord=-1 Relation message lands in piece 0
+        for hi in bounds:
+            pieces.append(wire.where((F.col("ord") > lo) & (F.col("ord") <= hi)))
+            lo = hi
+        return pieces, wire.unpersist
+
+    feed_dir = cached_fixture_pieces(spark, sf_dir, "relret_quart", _build)
+    key = os.path.abspath(sf_dir)
+    d = _RELRET_DIRS.get(key)
+    if d is None or not os.path.isdir(f"{d}/state"):
+        d = tempfile.mkdtemp(prefix="pgcs_q_relret_")
+        schema = spark.read.parquet(feed_dir).schema
+        state = DynamicMultiTableState(
+            spark, f"{d}/state", RelationRegistry(), retain_versions=2
+        )
+        query = apply_stream_dynamic(
+            read_feed_stream(spark, feed_dir, schema, max_files_per_trigger=1),
+            state,
+            {},
+            f"{d}/ckpt",
+        )
+        query.awaitTermination(300)
+        _RELRET_DIRS[key] = d
+    return DynamicMultiTableState(
+        spark, f"{d}/state", RelationRegistry(), retain_versions=2
+    )
+
+
+def _relcomp_prefix_sql() -> str:
+    """DuckDB rendering of 'everything micro-batches 0 and 1 carried': typed
+    feed rows at or below the ord MEDIAN — the same percentile_disc boundary
+    the Spark pieces split at."""
+    mf = metrics_composite_feed_sql()
+    return (
+        f"SELECT * FROM ({mf}) WHERE ord <= ("
+        f"SELECT percentile_disc(0.5) WITHIN GROUP (ORDER BY ord) FROM ({mf}))"
+    )
+
+
+@q(
+    "cdc_time_travel_retention_dynamic",
+    apply_oracle_sql(
+        _relcomp_prefix_sql(),
+        "(SELECT CAST(NULL AS BIGINT) AS g_id, CAST(NULL AS BIGINT) AS s_id,"
+        " CAST(NULL AS DOUBLE) AS m_value, CAST(NULL AS STRING) AS m_note"
+        " WHERE 1 = 0)",
+        ["g_id", "s_id"],
+        ["m_value", "m_note"],
+    ),
+    "The retention window on the DYNAMIC relation-learning state — the last"
+    " state class without declared time travel: the composite-identity"
+    " learn run (relation adopted from an in-band 'R' message, bucketed on"
+    " BOTH key columns) commits with retain_versions=2 over batches 0..3,"
+    " so the bounded history holds [1, 2, 3] while batch 0 ages out —"
+    " asserted inline: manifest_asof(0) fails loudly, and the on-disk"
+    " version dirs are EXACTLY the union of the retained manifests' pointer"
+    " targets (vacuum bounds storage on a state whose table set wasn't even"
+    " known at construction). Returns the learned table as of batch 1 —"
+    " the fold of the feed prefix the first two micro-batches carried."
+    " Oracle: the presence-aware last-image fold of the typed feed at or"
+    " below its ord median (percentile_disc — both engines name the same"
+    " boundary) onto an empty snapshot.",
+)
+def cdc_time_travel_retention_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    state = _relret_state(spark, sf_dir)
+    assert state.keys["readings"] == ["g_id", "s_id"]
+    assert state.retained_batches() == [1, 2, 3], state.retained_batches()
+    try:
+        state.manifest_asof(0)
+        raise AssertionError("manifest_asof(0) must fail past the retention window")
+    except ValueError:
+        pass
+    referenced: set[str] = set()
+    for b in state.retained_batches():
+        for per_t in state.manifest_asof(b)["buckets"].values():
+            referenced.update(per_t.values())
+    on_disk = {
+        n
+        for n in os.listdir(state.root)
+        if n.startswith("v") and os.path.isdir(os.path.join(state.root, n))
+    }
+    assert on_disk == referenced, (sorted(on_disk), sorted(referenced))
+    return state.read_asof("readings", state.manifest_asof(1)).select(
+        "g_id", "s_id", "m_value", "m_note"
+    )
 
 
 @q(

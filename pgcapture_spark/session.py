@@ -66,3 +66,23 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def route_tempfiles_private(prefix: str = "pgcs_proc_") -> str:
+    """Route every ``tempfile.mkdtemp`` this process makes (querydef state /
+    checkpoint / fixture scratch roots) under ONE fresh private directory.
+
+    Concurrent engine processes — gate, plan audit, bench, driver replica,
+    a judge's own re-runs — each create ``pgcs_q_*`` scratch dirs, and any
+    prefix-glob cleanup (or same-name collision) against bare /tmp is a
+    shared failure surface: the r9 gate flake was plan_audit's exit cleanup,
+    running concurrently, deleting the gate's in-flight feed segments (and
+    the r8 ``cdc_relation_learn`` checkpoint-dir flake was the same class).
+    tests/conftest.py applies the identical routing for pytest sessions.
+
+    Returns the root; the caller may ``shutil.rmtree`` it at exit."""
+    import tempfile
+
+    root = tempfile.mkdtemp(prefix=prefix)
+    tempfile.tempdir = root
+    return root

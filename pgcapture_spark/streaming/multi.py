@@ -594,8 +594,23 @@ class DynamicMultiTableState(BucketedMultiTableState):
 
     _READ_OPTS = {"mergeSchema": "true"}
 
-    def __init__(self, spark: SparkSession, root: str, registry, n_buckets: int = 32):
-        super().__init__(spark, root, [], {}, n_buckets)
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        registry,
+        n_buckets: int = 32,
+        retain_versions: bool | int = False,
+    ):
+        # same retention-window contract as the static multi-table state: a
+        # retained entry snapshots every LEARNED table's pointers together.
+        # History entries carry pointer maps only — the registry in the
+        # CURRENT manifest is the latest, so an as-of read across a schema
+        # evolution aligns to the current field list (the same lazy-alignment
+        # contract as live reads of old buckets)
+        super().__init__(
+            spark, root, [], {}, n_buckets, retain_versions=retain_versions
+        )
         self.registry = registry
         self._rehydrate()
         self.adopt_tables()
@@ -648,7 +663,11 @@ class DynamicMultiTableState(BucketedMultiTableState):
         stream resuming on the migrated state rehydrates every learned
         relation without re-observing its CREATE/Relation events."""
         new = DynamicMultiTableState(
-            self.spark, new_root, self.registry, n_buckets=new_n_buckets
+            self.spark,
+            new_root,
+            self.registry,
+            n_buckets=new_n_buckets,
+            retain_versions=self.retain_versions,
         )
         return self._rebucket_into(new)
 

@@ -27,6 +27,11 @@ from pyspark.sql import SparkSession
 
 
 def main() -> None:
+    import shutil
+
+    from pgcapture_spark.session import route_tempfiles_private
+
+    scratch = route_tempfiles_private("pgcs_replica_")
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     n = int(args[0]) if args else 50
     sf_dir = args[1] if len(args) > 1 else "/root/testdata/sf0.01"
@@ -76,6 +81,8 @@ def main() -> None:
     for name, r in results.items():
         if not r["ok"]:
             print(f"FAIL {name}: {r['err'][:300]}")
+    spark.stop()
+    shutil.rmtree(scratch, ignore_errors=True)
 
 
 if __name__ == "__main__":

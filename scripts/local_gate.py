@@ -22,6 +22,11 @@ from pyspark.sql import SparkSession
 
 
 def main() -> None:
+    import shutil
+
+    from pgcapture_spark.session import route_tempfiles_private
+
+    scratch = route_tempfiles_private("pgcs_gate_")
     rnd = sys.argv[1] if len(sys.argv) > 1 else "03"
     sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
     spark = (
@@ -56,6 +61,8 @@ def main() -> None:
     print(f"\n{n_ok}/{len(REGISTRY)} ok in {time.time() - t_all:.0f}s")
     with open(f"CORRECTNESS_LOCAL_r{rnd}.json", "w") as f:
         json.dump(results, f, indent=1)
+    spark.stop()
+    shutil.rmtree(scratch, ignore_errors=True)
 
 
 if __name__ == "__main__":

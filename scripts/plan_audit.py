@@ -136,7 +136,11 @@ def audit_streamed(spark, registry, sf_dir: str, flags: list) -> int:
 
     # the streamed queries mkdtemp converged-run/fixture scratch dirs that
     # nothing else cleans in a script session — snapshot what exists, rmtree
-    # only what THIS sweep created (same /tmp-leak class bench.py fixes)
+    # only what THIS sweep created. main() routes tempfile under a PRIVATE
+    # per-process root, so this glob can never see (or later delete) another
+    # concurrent process's dirs — the r9 gate flake: this very cleanup,
+    # running in a concurrent audit, deleted a gate query's feed segments
+    # mid-stream when both processes shared bare /tmp
     pre_existing = set(glob.glob(os.path.join(tempfile.gettempdir(), "pgcs_q_*")))
     n_plans = 0
     for name, qd in registry.items():
@@ -184,6 +188,11 @@ def audit_streamed(spark, registry, sf_dir: str, flags: list) -> int:
 
 
 def main() -> int:
+    import shutil
+
+    from pgcapture_spark.session import route_tempfiles_private
+
+    scratch = route_tempfiles_private("pgcs_audit_")
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     sf_dir = args[0] if args else "/root/testdata/sf0.001"
     batch_only = "--batch-only" in sys.argv
@@ -237,6 +246,8 @@ def main() -> int:
     )
     for name, why in flags:
         print(f"  FLAG {name}: {why}")
+    spark.stop()
+    shutil.rmtree(scratch, ignore_errors=True)
     return 1 if flags else 0
 
 

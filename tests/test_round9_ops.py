@@ -317,6 +317,57 @@ def test_rebucket_multi_preserves_every_table_and_gate(spark):
         shutil.rmtree(d, ignore_errors=True)
 
 
+def test_retention_dynamic_bounds_storage_and_carries_through_rebucket(spark):
+    """DynamicMultiTableState retention: the same bounded-history contract as
+    the static states on a table set learned at runtime — retained entries
+    resolve as-of reads, vacuum keeps exactly the retained pointer targets,
+    manifest_asof past the window fails loudly, and rebucket carries the
+    retain_versions setting onto the migrated root."""
+    import pytest
+
+    from pgcapture_spark.streaming.multi import DynamicMultiTableState
+    from pgcapture_spark.streaming.registry import RelationRegistry
+
+    d = tempfile.mkdtemp(prefix="pgcs_t_retdyn_")
+    try:
+        reg = RelationRegistry()
+        reg.learn_static("t_a", ["k"], [("k", 20), ("val", 25)])
+        state = DynamicMultiTableState(
+            spark, f"{d}/st", reg, n_buckets=4, retain_versions=1
+        )
+        state.seed_table("t_a", _mk_rows(spark, 0, 4, "a0"))
+        for i in range(3):
+            delta = _mk_rows(spark, i, i + 1, f"a{i + 1}")
+            tb = state.touched_buckets("t_a", delta)
+            cur = state.read_buckets("t_a", tb)
+            full = cur.alias("c").join(delta.alias("d"), "k", "left_outer").select(
+                "k", F.coalesce("d.val", "c.val").alias("val")
+            )
+            state.commit({"t_a": (full, tb)}, i)
+            state.vacuum()
+        assert state.retained_batches() == [1, 2]
+        a1 = {r.k: r.val for r in state.read_asof("t_a", state.manifest_asof(1)).collect()}
+        assert a1[1] == "a2-1" and a1[2] == "a0-2"  # batch 2 not yet applied
+        with pytest.raises(ValueError, match="not retained"):
+            state.manifest_asof(0)
+        # vacuum bound: on-disk version dirs == union of retained pointers
+        referenced: set[str] = set()
+        for b in state.retained_batches():
+            for per_t in state.manifest_asof(b)["buckets"].values():
+                referenced.update(per_t.values())
+        on_disk = {
+            n
+            for n in os.listdir(state.root)
+            if n.startswith("v") and os.path.isdir(os.path.join(state.root, n))
+        }
+        assert on_disk == referenced, (sorted(on_disk), sorted(referenced))
+        migrated = state.rebucket(f"{d}/st2", new_n_buckets=2)
+        assert migrated.retain_versions == 1  # retention contract carried
+        assert migrated.last_batch() == state.last_batch()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def test_rebucket_dynamic_carries_registry(spark):
     """DynamicMultiTableState.rebucket: the learned relation registry rides
     the migrated manifest, so a fresh handle on the new root rehydrates
