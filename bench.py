@@ -278,6 +278,7 @@ HEADLINE = [
     "cdc_ivm_view_delta_manifest",
     "state_rebucket_dynamic_migrate",
     "cdc_time_travel_retention_dynamic",
+    "cdc_snapshot_diff_asof_dynamic",
 ]
 
 
@@ -352,6 +353,7 @@ def main() -> None:
         ("cdc_ivm_view_asof_manifest", "cdc_ivm_view_delta_manifest"),
         ("backfill_streamed_multi", "backfill_streamed_multi_orders"),
         ("cdc_relation_learn_composite", "state_rebucket_dynamic_migrate"),
+        ("cdc_time_travel_retention_dynamic", "cdc_snapshot_diff_asof_dynamic"),
     )
     for payer, partner in _PAIRS:
         if partner in HEADLINE:

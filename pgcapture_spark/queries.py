@@ -97,7 +97,7 @@ from pgcapture_spark.querydefs import (  # noqa: E402,F401
 # The driver verifies the FIRST ~50 registry entries each round. Rounds 1-5
 # drove ALL 218 pre-freeze queries green; round 6 added 22 more; round 7
 # added 16; round 8 added 7 (cumulative 264/264 per the r8 verdict).
-# ROUND-9 WINDOW: the 11 NEW r9-wave queries (the BOUNDED time-travel
+# ROUND-9 WINDOW: the 13 NEW r9-wave queries (the BOUNDED time-travel
 # retention window with storage-bound + loud-failure asserts inline,
 # composite replica identities on the dynamic relation-learning path, the
 # multi-table manifest layer's AS-OF read / pointer-pruned per-table diff /
@@ -105,7 +105,8 @@ from pgcapture_spark.querydefs import (  # noqa: E402,F401
 # checked on BOTH tables, the windowed PSI monitor as a continuous
 # consumer, and a second wave asserting the retention bound on the
 # cross-table manifest, diffing the derived view between retained
-# manifests, and migrating the dynamic state's bucket layout), then the
+# manifests, migrating the dynamic state's bucket layout, and retention +
+# composite-key pointer-pruned diff on the dynamic state), then the
 # consumers RE-verified because round 9 changed their
 # state layer again: every Bucketed{Snapshot,MultiTable}State commit now
 # runs the history-push path (retention machinery), the dynamic apply's
@@ -125,7 +126,7 @@ from pgcapture_spark.querydefs import (  # noqa: E402,F401
 # driver window verifies; every addition lands with a DuckDB oracle and
 # goes straight into the window (never the unverified pool).
 _WINDOW: tuple[str, ...] = (
-    # --- r9 wave (new this round; 8 + 3 second-wave queries) ---
+    # --- r9 wave (new this round; 8 + 5 follow-wave queries) ---
     "cdc_time_travel_retention", "cdc_relation_learn_composite",
     "cdc_ivm_view_asof_manifest", "cdc_snapshot_diff_asof_multi",
     "state_rebucket_multi_migrate",
@@ -136,6 +137,7 @@ _WINDOW: tuple[str, ...] = (
     # and the dynamic state's executed layout migration (registry carried)
     "cdc_time_travel_retention_multi", "cdc_ivm_view_delta_manifest",
     "state_rebucket_dynamic_migrate", "cdc_time_travel_retention_dynamic",
+    "cdc_snapshot_diff_asof_dynamic",
     # --- consumers re-verified on the r9 state-layer changes ---
     "cdc_time_travel_manifest", "cdc_snapshot_diff_manifest",
     "state_rebucket_migrate", "cdc_relation_learn",

@@ -840,6 +840,107 @@ def cdc_time_travel_retention_dynamic(spark: SparkSession, sf_dir: str) -> DataF
     )
 
 
+_RELCOMP_FULL_FOLD = apply_oracle_sql(
+    metrics_composite_feed_sql(),
+    "(SELECT CAST(NULL AS BIGINT) AS g_id, CAST(NULL AS BIGINT) AS s_id,"
+    " CAST(NULL AS DOUBLE) AS m_value, CAST(NULL AS STRING) AS m_note"
+    " WHERE 1 = 0)",
+    ["g_id", "s_id"],
+    ["m_value", "m_note"],
+)
+
+
+def _diff_dynamic_oracle() -> str:
+    prefix = apply_oracle_sql(
+        _relcomp_prefix_sql(),
+        "(SELECT CAST(NULL AS BIGINT) AS g_id, CAST(NULL AS BIGINT) AS s_id,"
+        " CAST(NULL AS DOUBLE) AS m_value, CAST(NULL AS STRING) AS m_note"
+        " WHERE 1 = 0)",
+        ["g_id", "s_id"],
+        ["m_value", "m_note"],
+    )
+    return f"""
+WITH snap_a AS ({prefix}), snap_b AS ({_RELCOMP_FULL_FOLD})
+SELECT COALESCE(a.g_id, b.g_id) AS g_id,
+       COALESCE(a.s_id, b.s_id) AS s_id,
+       CASE WHEN a.g_id IS NULL THEN 'ADDED'
+            WHEN b.g_id IS NULL THEN 'REMOVED'
+            ELSE 'CHANGED' END AS status,
+       CASE WHEN a.g_id IS NULL OR b.g_id IS NULL THEN ''
+            ELSE concat_ws(',',
+                CASE WHEN a.m_value IS DISTINCT FROM b.m_value THEN 'm_value' END,
+                CASE WHEN a.m_note IS DISTINCT FROM b.m_note THEN 'm_note' END)
+       END AS changed_cols
+FROM snap_a a FULL OUTER JOIN snap_b b ON a.g_id = b.g_id AND a.s_id = b.s_id
+WHERE a.g_id IS NULL OR b.g_id IS NULL
+   OR a.m_value IS DISTINCT FROM b.m_value OR a.m_note IS DISTINCT FROM b.m_note
+"""
+
+
+@q(
+    "cdc_snapshot_diff_asof_dynamic",
+    None,  # set below (composite-key diff oracle over the prefix/full folds)
+    "Pointer-pruned snapshot diff on the DYNAMIC state under a COMPOSITE"
+    " replica identity: the runtime-learned readings table between the"
+    " retained manifest as of batch 1 and the current one — only buckets"
+    " whose version pointers differ are read from either side (the same"
+    " exactness argument as the single/multi forms: equal pointers"
+    " reference identical immutable files), and the ADDED/REMOVED/CHANGED"
+    " contract keys on BOTH identity columns (null-safe per-column change"
+    " lists). Completes the manifest-ops symmetry: every state class —"
+    " single, multi-table, dynamic — now declares time travel, retention,"
+    " diff, and migration.",
+)
+def cdc_snapshot_diff_asof_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pgcapture_spark.operators.timetravel import changed_buckets_table
+
+    state = _relret_state(spark, sf_dir)
+    m_a = state.manifest_asof(1)
+    m_b = state.manifest_asof(state.last_batch())
+    kb = changed_buckets_table(m_a, m_b, "readings", state.n_buckets)
+    assert kb, "the relret fixture commits past batch 1 — buckets must differ"
+    keys, cols = ["g_id", "s_id"], ["m_value", "m_note"]
+    a = state.read_asof("readings", m_a, kb).select(*keys, *cols).alias("a")
+    b = state.read_asof("readings", m_b, kb).select(*keys, *cols).alias("b")
+    joined = a.join(
+        b,
+        [F.col(f"a.{k}").eqNullSafe(F.col(f"b.{k}")) for k in keys],
+        "full_outer",
+    )
+    a_absent = F.col("a.g_id").isNull() & F.col("a.s_id").isNull()
+    b_absent = F.col("b.g_id").isNull() & F.col("b.s_id").isNull()
+    any_diff = None
+    for c in cols:
+        d = ~F.col(f"a.{c}").eqNullSafe(F.col(f"b.{c}"))
+        any_diff = d if any_diff is None else (any_diff | d)
+    changed = F.concat_ws(
+        ",",
+        *[
+            F.when(~F.col(f"a.{c}").eqNullSafe(F.col(f"b.{c}")), F.lit(c))
+            for c in cols
+        ],
+    )
+    return joined.where(a_absent | b_absent | any_diff).select(
+        *[F.coalesce(F.col(f"a.{k}"), F.col(f"b.{k}")).alias(k) for k in keys],
+        F.when(a_absent, F.lit("ADDED"))
+        .when(b_absent, F.lit("REMOVED"))
+        .otherwise(F.lit("CHANGED"))
+        .alias("status"),
+        F.when(a_absent | b_absent, F.lit("")).otherwise(changed).alias(
+            "changed_cols"
+        ),
+    )
+
+
+def _set_diff_dynamic_oracle() -> None:
+    from pgcapture_spark.queries import REGISTRY
+
+    REGISTRY["cdc_snapshot_diff_asof_dynamic"].oracle = _diff_dynamic_oracle()
+
+
+_set_diff_dynamic_oracle()
+
+
 @q(
     "state_rebucket_dynamic_migrate",
     apply_oracle_sql(
