@@ -331,6 +331,43 @@ FROM __ev
 """
 
 
+def metrics_evolve_feed_sql() -> str:
+    """The composite-identity feed EXTENDED by a mid-stream ALTER: same
+    event classes as ``metrics_composite_feed_sql`` (24 composite keys,
+    TOAST-absent m_note id%3=0, explicit-NULL m_note id%4=2, DELETE
+    old-key-only images id%7=6) over 96 events at ord = 2*id, plus a new
+    ``m_flag`` column that exists only AFTER the ALTER boundary (id ≥ 48,
+    ord ≥ 96): pre-ALTER events never list it in ``present`` (the wire rows
+    physically lack the field — exactly a column that didn't exist yet),
+    post-ALTER full-presence rows set it. The odd ord 95 is reserved for
+    the DDL event the wire fixture injects between id 47 and 48. Pure
+    integer arithmetic — the same text runs on Spark SQL and DuckDB."""
+    return """
+WITH __ev AS (SELECT id FROM range(96) t(id))
+SELECT id + 1 AS lsn, 1 AS seq, CAST(id * 2 AS BIGINT) AS ord,
+       CAST(NULL AS TIMESTAMP) AS commit_ts,
+       CASE WHEN id % 7 = 6 THEN 'DELETE'
+            WHEN id < 24 THEN 'INSERT' ELSE 'UPDATE' END AS op,
+       CAST(id % 6 AS BIGINT) AS g_id,
+       CAST(floor(id / 6.0) AS BIGINT) % 4 AS s_id,
+       CASE WHEN id % 7 = 6 THEN CAST(NULL AS DOUBLE)
+            ELSE CAST(id AS DOUBLE) / 2 END AS m_value,
+       CASE WHEN id % 7 = 6 OR id % 4 = 2 THEN CAST(NULL AS STRING)
+            ELSE 'n-' || CAST(id AS STRING) END AS m_note,
+       CASE WHEN id >= 48 AND id % 7 <> 6 AND id % 3 <> 0 AND id % 4 <> 2
+            THEN CAST(id % 5 AS INT) ELSE CAST(NULL AS INT) END AS m_flag,
+       CASE WHEN id % 7 = 6 THEN CAST(id % 6 AS BIGINT)
+            ELSE CAST(NULL AS BIGINT) END AS old_g_id,
+       CASE WHEN id % 7 = 6 THEN CAST(floor(id / 6.0) AS BIGINT) % 4
+            ELSE CAST(NULL AS BIGINT) END AS old_s_id,
+       CASE WHEN id % 7 = 6 THEN ''
+            WHEN id % 3 = 0 THEN 'g_id,s_id,m_value'
+            WHEN id >= 48 AND id % 4 <> 2 THEN 'g_id,s_id,m_value,m_note,m_flag'
+            ELSE 'g_id,s_id,m_value,m_note' END AS present
+FROM __ev
+"""
+
+
 def generic_feed_sql(dialect: str) -> str:
     """FIXTURES.md T1-shaped generic stream: customer+orders change events
     flattened to metadata columns, PLUS Begin/Commit frame rows per

@@ -92,6 +92,7 @@ from pgcapture_spark.querydefs import (  # noqa: E402,F401
     r7wave as _qd_r7wave,
     r8wave as _qd_r8wave,
     r9wave as _qd_r9wave,
+    r10wave as _qd_r10wave,
 )
 
 # The driver verifies the FIRST ~50 registry entries each round. Rounds 1-5
@@ -126,7 +127,11 @@ from pgcapture_spark.querydefs import (  # noqa: E402,F401
 # driver window verifies; every addition lands with a DuckDB oracle and
 # goes straight into the window (never the unverified pool).
 _WINDOW: tuple[str, ...] = (
-    # --- r9 wave (new this round; 8 + 5 follow-wave queries) ---
+    # --- r10 wave (new this round) ---
+    "cdc_time_travel_schema_asof", "cdc_relation_learn_evolve",
+    "cdc_schema_asof_evolving", "cdc_retention_noop_batches",
+    "backfill_requeue_streamed", "backfill_dynamic_interleave",
+    # --- r9 wave (new last round; 8 + 5 follow-wave queries) ---
     "cdc_time_travel_retention", "cdc_relation_learn_composite",
     "cdc_ivm_view_asof_manifest", "cdc_snapshot_diff_asof_multi",
     "state_rebucket_multi_migrate",

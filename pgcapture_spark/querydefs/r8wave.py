@@ -239,11 +239,14 @@ def _assert_ck_unique(base: DataFrame) -> None:
     id·100) first collide at event_id ≥ 1e8 — fail loudly before a larger
     events fixture could silently break oracle fidelity."""
     mx = base.agg(F.max("id").alias("m")).first()["m"]
-    assert mx is None or mx < 100_000_000, (
-        f"debounce ck encoding collides at event_id >= 1e8 (max id {mx}); the"
-        " closed form would diverge from the reference's equal-checkpoint"
-        " branch (deliver both) there"
-    )
+    if not (mx is None or mx < 100_000_000):
+        # explicit raise, not assert: this contract guard must survive
+        # ``python -O`` (ADVICE r9 — assert is stripped under optimized mode)
+        raise ValueError(
+            f"debounce ck encoding collides at event_id >= 1e8 (max id {mx});"
+            " the closed form would diverge from the reference's"
+            " equal-checkpoint branch (deliver both) there"
+        )
 
 
 # -------------------------------------------------- debounce flush rules

@@ -38,6 +38,15 @@ from pgcapture_spark.querydefs.r8wave import _asof_feed_sql, _run_retained_apply
 _CUST_COLS = CDC_COLS["customer"]
 _ORD_COLS = CDC_COLS["orders"]
 
+
+def _check(cond, *detail) -> None:
+    """Inline declared-query contract guard. Explicit raise, not ``assert``:
+    these are load-bearing (storage bound, loud-failure-past-window, carried
+    replay gate) and must survive ``python -O`` (ADVICE r9)."""
+    if not cond:
+        raise AssertionError(*detail)
+
+
 _ORDERS_APPLIED = apply_oracle_sql(
     cdc_orders_sql(DUCKDB), "orders", "o_orderkey", _ORD_COLS
 )
@@ -69,7 +78,7 @@ def cdc_time_travel_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     state, _manifests = _run_retained_apply(spark, sf_dir, retain=2)
     # window of 2 over batches 0..3: history holds batches 1 and 2, plus the
     # current manifest at 3 — batch 0 (and the vinit state at -1) trimmed
-    assert state.retained_batches() == [1, 2, 3], state.retained_batches()
+    _check(state.retained_batches() == [1, 2, 3], state.retained_batches())
     try:
         state.manifest_asof(0)
         raise AssertionError("manifest_asof(0) must fail past the retention window")
@@ -85,7 +94,7 @@ def cdc_time_travel_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         for n in os.listdir(state.root)
         if n.startswith("v") and os.path.isdir(os.path.join(state.root, n))
     }
-    assert on_disk == referenced, (sorted(on_disk), sorted(referenced))
+    _check(on_disk == referenced, sorted(on_disk), sorted(referenced))
     return state.read_asof(state.manifest_asof(1)).select("c_custkey", *_CUST_COLS)
 
 
@@ -115,7 +124,7 @@ def cdc_time_travel_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def cdc_relation_learn_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
     state = _relcomp_state(spark, sf_dir)
-    assert state.keys["readings"] == ["g_id", "s_id"]  # adopted, not quarantined
+    _check(state.keys["readings"] == ["g_id", "s_id"])  # adopted, not quarantined
     return state.read()["readings"]
 
 
@@ -366,8 +375,8 @@ _set_diff_multi_oracle()
 def state_rebucket_multi_migrate(spark: SparkSession, sf_dir: str) -> DataFrame:
     state = _retained_ivm_state(spark, sf_dir)
     migrated = state.rebucket(state.root + "_rb8", new_n_buckets=8)
-    assert migrated.last_batch() == state.last_batch()  # replay gate carried
-    assert migrated.n_buckets == 8
+    _check(migrated.last_batch() == state.last_batch())  # replay gate carried
+    _check(migrated.n_buckets == 8)
     return migrated.read()["mv"].select("c_nationkey", "n_orders", "sum_cents")
 
 
@@ -655,7 +664,7 @@ _set_psi_windowed_streamed_oracle()
 )
 def cdc_time_travel_retention_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     state = _retained_ivm_state(spark, sf_dir)
-    assert state.retained_batches() == [1, 2, 3], state.retained_batches()
+    _check(state.retained_batches() == [1, 2, 3], state.retained_batches())
     try:
         state.manifest_asof(0)
         raise AssertionError("manifest_asof(0) must fail past the retention window")
@@ -670,7 +679,7 @@ def cdc_time_travel_retention_multi(spark: SparkSession, sf_dir: str) -> DataFra
         for n in os.listdir(state.root)
         if n.startswith("v") and os.path.isdir(os.path.join(state.root, n))
     }
-    assert on_disk == referenced, (sorted(on_disk), sorted(referenced))
+    _check(on_disk == referenced, sorted(on_disk), sorted(referenced))
     return state.read_asof("customer", state.manifest_asof(1)).select(
         "c_custkey", *_CUST_COLS
     )
@@ -818,8 +827,8 @@ def _relcomp_prefix_sql() -> str:
 )
 def cdc_time_travel_retention_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
     state = _relret_state(spark, sf_dir)
-    assert state.keys["readings"] == ["g_id", "s_id"]
-    assert state.retained_batches() == [1, 2, 3], state.retained_batches()
+    _check(state.keys["readings"] == ["g_id", "s_id"])
+    _check(state.retained_batches() == [1, 2, 3], state.retained_batches())
     try:
         state.manifest_asof(0)
         raise AssertionError("manifest_asof(0) must fail past the retention window")
@@ -834,7 +843,7 @@ def cdc_time_travel_retention_dynamic(spark: SparkSession, sf_dir: str) -> DataF
         for n in os.listdir(state.root)
         if n.startswith("v") and os.path.isdir(os.path.join(state.root, n))
     }
-    assert on_disk == referenced, (sorted(on_disk), sorted(referenced))
+    _check(on_disk == referenced, sorted(on_disk), sorted(referenced))
     return state.read_asof("readings", state.manifest_asof(1)).select(
         "g_id", "s_id", "m_value", "m_note"
     )
@@ -898,7 +907,7 @@ def cdc_snapshot_diff_asof_dynamic(spark: SparkSession, sf_dir: str) -> DataFram
     m_a = state.manifest_asof(1)
     m_b = state.manifest_asof(state.last_batch())
     kb = changed_buckets_table(m_a, m_b, "readings", state.n_buckets)
-    assert kb, "the relret fixture commits past batch 1 — buckets must differ"
+    _check(kb, "the relret fixture commits past batch 1 — buckets must differ")
     keys, cols = ["g_id", "s_id"], ["m_value", "m_note"]
     a = state.read_asof("readings", m_a, kb).select(*keys, *cols).alias("a")
     b = state.read_asof("readings", m_b, kb).select(*keys, *cols).alias("b")
@@ -968,11 +977,11 @@ def state_rebucket_dynamic_migrate(spark: SparkSession, sf_dir: str) -> DataFram
 
     state = _relcomp_state(spark, sf_dir)
     migrated = state.rebucket(state.root + "_rb8", new_n_buckets=8)
-    assert migrated.last_batch() == state.last_batch()  # replay gate carried
-    assert migrated.n_buckets == 8
+    _check(migrated.last_batch() == state.last_batch())  # replay gate carried
+    _check(migrated.n_buckets == 8)
     # the real rehydration claim: a FRESH handle on the migrated root (an
     # empty registry passed in) learns everything from the manifest alone
     reopened = DynamicMultiTableState(spark, migrated.root, RelationRegistry(), n_buckets=8)
-    assert reopened.keys["readings"] == ["g_id", "s_id"]  # identity carried
-    assert reopened.registry.fields("readings") == state.registry.fields("readings")
+    _check(reopened.keys["readings"] == ["g_id", "s_id"])  # identity carried
+    _check(reopened.registry.fields("readings") == state.registry.fields("readings"))
     return reopened.read()["readings"]

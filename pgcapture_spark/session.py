@@ -80,9 +80,15 @@ def route_tempfiles_private(prefix: str = "pgcs_proc_") -> str:
     the r8 ``cdc_relation_learn`` checkpoint-dir flake was the same class).
     tests/conftest.py applies the identical routing for pytest sessions.
 
-    Returns the root; the caller may ``shutil.rmtree`` it at exit."""
+    Returns the root. Cleanup is registered via ``atexit`` so the scratch
+    tree is removed even when the caller exits on an exception (ADVICE r9:
+    happy-path-only rmtree leaked roots from crashed runs); callers may
+    still rmtree it explicitly — the duplicate removal is a no-op."""
+    import atexit
+    import shutil
     import tempfile
 
     root = tempfile.mkdtemp(prefix=prefix)
     tempfile.tempdir = root
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
     return root

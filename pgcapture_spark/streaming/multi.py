@@ -127,16 +127,28 @@ class BucketedMultiTableState:
 
     def _push_history(self, manifest: dict) -> None:
         """See BucketedSnapshotState._push_history — here each entry carries
-        EVERY table's bucket→version map (one atomic cross-table handle)."""
+        EVERY table's bucket→version map (one atomic cross-table handle),
+        plus the relation ``registry`` snapshot when the manifest carries one
+        (the dynamic state), so an as-of read across a schema evolution
+        aligns to the THEN-current field lists. A no-op commit (mark_batch /
+        pointer-identical state) is absorbed into the newest retained entry
+        as a batch range instead of burning a retention slot (ADVICE r9)."""
+        from pgcapture_spark.streaming.state import _same_state_entry
+
         if not self.retain_versions:
             return
         hist = manifest.setdefault("history", [])
-        hist.append(
-            {
-                "batch_id": manifest["batch_id"],
-                "buckets": {t: dict(m) for t, m in manifest["buckets"].items()},
-            }
-        )
+        entry = {
+            "batch_id": manifest["batch_id"],
+            "buckets": {t: dict(m) for t, m in manifest["buckets"].items()},
+        }
+        if "registry" in manifest:
+            entry["registry"] = json.loads(json.dumps(manifest["registry"]))
+        if hist and _same_state_entry(hist[-1], entry):
+            entry["batch_id_lo"] = hist[-1].get("batch_id_lo", hist[-1]["batch_id"])
+            hist[-1] = entry
+        else:
+            hist.append(entry)
         n = self._retain_n
         if n is not None:
             del hist[: max(0, len(hist) - n)]
@@ -151,16 +163,26 @@ class BucketedMultiTableState:
         """The retained CROSS-TABLE manifest as of ``batch_id`` — every
         table's pointer map as committed by that batch's single atomic
         rename, so an as-of read over several tables is transactionally
-        consistent. Fails loudly past the retention window."""
+        consistent (a fresh copy on every branch — callers may mutate).
+        Fails loudly past the retention window."""
         manifest = self._load()
         if manifest["batch_id"] == batch_id:
-            return {
+            out = {
                 "batch_id": batch_id,
                 "buckets": {t: dict(m) for t, m in manifest["buckets"].items()},
             }
+            if "registry" in manifest:
+                out["registry"] = json.loads(json.dumps(manifest["registry"]))
+            return out
         for h in reversed(manifest.get("history", [])):
-            if h["batch_id"] == batch_id:
-                return h
+            if h.get("batch_id_lo", h["batch_id"]) <= batch_id <= h["batch_id"]:
+                out = {
+                    "batch_id": batch_id,
+                    "buckets": {t: dict(m) for t, m in h["buckets"].items()},
+                }
+                if "registry" in h:
+                    out["registry"] = json.loads(json.dumps(h["registry"]))
+                return out
         raise ValueError(
             f"as-of batch {batch_id} is not retained — the retention window "
             f"(retain_versions={self.retain_versions!r}) holds batches "
@@ -255,7 +277,15 @@ class BucketedMultiTableState:
 
         # a table absent from ``snapshots`` starts with no data files (its
         # pointers still reference vinit; reads of never-written buckets are
-        # None) — the shape rebucket needs for an empty source table
+        # None) — the shape rebucket needs for an empty source table. Partial
+        # dicts are allowed; UNKNOWN keys still fail loudly (ADVICE r9: a
+        # misspelled table key must not become a silently empty table)
+        unknown = sorted(set(snapshots) - set(self.tables))
+        if unknown:
+            raise ValueError(
+                f"initialize: snapshot keys {unknown} are not declared tables "
+                f"{sorted(self.tables)}"
+            )
         seed_tables = [t for t in self.tables if t in snapshots]
         with ThreadPoolExecutor(max_workers=min(8, max(1, len(seed_tables) or 1))) as ex:
             list(ex.map(_seed, seed_tables))
@@ -603,11 +633,10 @@ class DynamicMultiTableState(BucketedMultiTableState):
         retain_versions: bool | int = False,
     ):
         # same retention-window contract as the static multi-table state: a
-        # retained entry snapshots every LEARNED table's pointers together.
-        # History entries carry pointer maps only — the registry in the
-        # CURRENT manifest is the latest, so an as-of read across a schema
-        # evolution aligns to the current field list (the same lazy-alignment
-        # contract as live reads of old buckets)
+        # retained entry snapshots every LEARNED table's pointers together
+        # AND the registry as of that commit (_push_history), so an as-of
+        # read across a schema evolution aligns to the THEN-current field
+        # list — read_asof below (closes the r9 schema-as-of divergence)
         super().__init__(
             spark, root, [], {}, n_buckets, retain_versions=retain_versions
         )
@@ -671,6 +700,33 @@ class DynamicMultiTableState(BucketedMultiTableState):
         )
         return self._rebucket_into(new)
 
+    def registry_asof(self, manifest: dict):
+        """The relation registry AS OF a retained manifest (``manifest_asof``
+        copies it onto the handle). Pre-snapshot manifests (r9 on-disk
+        format) fall back to the current registry."""
+        from pgcapture_spark.streaming.registry import RelationRegistry
+
+        raw = manifest.get("registry")
+        return RelationRegistry.from_dict(raw) if raw is not None else self.registry
+
+    def read_asof(
+        self, table: str, manifest: dict, buckets: list[int] | None = None
+    ) -> DataFrame | None:
+        """Point-in-time read aligned to the schema AS OF that commit: the
+        retained entry's registry snapshot supplies the field list that was
+        authoritative when the entry was current, so "the table as of batch
+        N" across an ALTER shows batch N's columns — not today's (the r9
+        documented divergence, closed)."""
+        df = super().read_asof(table, manifest, buckets)
+        if df is None:
+            return None
+        from pgcapture_spark.functions.pgtypes import spark_type_for_oid
+        from pgcapture_spark.streaming.state import align_to_fields
+
+        reg = self.registry_asof(manifest)
+        fields = [(n, spark_type_for_oid(oid)) for n, oid in reg.fields(table)]
+        return align_to_fields(df, fields)
+
     def seed_table(self, t: str, snapshot: DataFrame) -> None:
         """One-time O(snapshot) backfill of a table's buckets (the initialize
         analog, per table so mid-stream tables can start empty while static
@@ -726,10 +782,12 @@ def apply_stream_dynamic(
     registry).
 
     Feed schema: lsn, seq, ord, commit_ts, op, table_name, query,
-    fields array<struct<name,oid,bin>>, old_fields (DELETE old key image).
-    Single-column keys (the composite path stays on the typed pipeline);
-    ``initial_snapshots`` tables must be registered in the state's registry
-    (learn_static) and are seeded into buckets once, on first contact."""
+    fields array<struct<name,oid,bin>>, old_fields (DELETE old key image —
+    one entry per replica-identity column, composite identities included;
+    learned tables bucket on the hash of ALL key columns, only keyless
+    relations quarantine). ``initial_snapshots`` tables must be registered
+    in the state's registry (learn_static) and are seeded into buckets
+    once, on first contact."""
     from pgcapture_spark.operators.apply import last_image, merge_images
     from pgcapture_spark.operators.generic_feed import decode_binary_feed
     from pgcapture_spark.streaming.state import align_to_fields

@@ -72,6 +72,18 @@ class SnapshotState:
         return _vacuum_versions(self.root, {current})
 
 
+def _same_state_entry(a: dict, b: dict) -> bool:
+    """Whether two history entries describe the SAME state: identical
+    pointer maps and identical schema/registry snapshots (batch ids aside).
+    Both sides are JSON-normalized (entries come off a loaded manifest), so
+    a serialized compare is exact."""
+    keys = ("buckets", "schema", "registry")
+    return all(
+        json.dumps(a.get(k), sort_keys=True) == json.dumps(b.get(k), sort_keys=True)
+        for k in keys
+    )
+
+
 def _vacuum_versions(root: str, referenced: set[str]) -> list[str]:
     import shutil
 
@@ -227,20 +239,40 @@ class BucketedSnapshotState:
         """Record the (about-to-be-superseded) manifest's pointer map on its
         bounded ``history`` list — called BEFORE a swap mutates it. Each
         entry is a complete point-in-time handle (batch_id + bucket→version
-        map); trimming to the window is what bounds both the manifest size
-        and, via vacuum, the version-dir storage."""
+        map, plus the ``schema`` field list when the manifest carries one, so
+        an as-of read aligns to the THEN-current schema, not today's);
+        trimming to the window is what bounds both the manifest size and,
+        via vacuum, the version-dir storage.
+
+        A commit that supersedes NOTHING — ``mark_batch`` on an empty
+        micro-batch — does not burn a retention slot (ADVICE r9: N quiet
+        batches would otherwise evict every data-bearing retained manifest):
+        an entry whose pointer map AND schema equal the newest retained
+        entry is ABSORBED into it as a batch range (``batch_id_lo`` ..
+        ``batch_id``), which ``manifest_asof`` resolves to the same state."""
         if not self.retain_versions:
             return
         hist = manifest.setdefault("history", [])
-        hist.append(
-            {"batch_id": manifest["batch_id"], "buckets": dict(manifest["buckets"])}
-        )
+        entry = {
+            "batch_id": manifest["batch_id"],
+            "buckets": dict(manifest["buckets"]),
+        }
+        if "schema" in manifest:
+            entry["schema"] = [list(f) for f in manifest["schema"]]
+        if hist and _same_state_entry(hist[-1], entry):
+            lo = hist[-1].get("batch_id_lo", hist[-1]["batch_id"])
+            entry["batch_id_lo"] = lo
+            hist[-1] = entry
+        else:
+            hist.append(entry)
         n = self._retain_n
         if n is not None:
             del hist[: max(0, len(hist) - n)]
 
     def retained_batches(self) -> list[int]:
-        """Batch ids resolvable by ``manifest_asof`` (oldest→current)."""
+        """Batch ids resolvable by ``manifest_asof`` (oldest→current). An
+        entry absorbed no-op batches lists only its newest id; every id
+        inside its ``batch_id_lo``..``batch_id`` range still resolves."""
         manifest = self._load()
         return [h["batch_id"] for h in manifest.get("history", [])] + [
             manifest["batch_id"]
@@ -248,16 +280,23 @@ class BucketedSnapshotState:
 
     def manifest_asof(self, batch_id: int) -> dict:
         """The retained manifest snapshot AS OF ``batch_id`` — the state's
-        bucket→version map right after that batch committed. Fails loudly
-        past the retention window (the Delta/Iceberg 'version not in log'
-        error): history older than the last N commits has been trimmed and
-        its exclusively-referenced version dirs vacuumed."""
+        bucket→version map right after that batch committed (a fresh copy on
+        every branch — callers may mutate it freely). Fails loudly past the
+        retention window (the Delta/Iceberg 'version not in log' error):
+        history older than the last N commits has been trimmed and its
+        exclusively-referenced version dirs vacuumed."""
         manifest = self._load()
         if manifest["batch_id"] == batch_id:
-            return {"batch_id": batch_id, "buckets": dict(manifest["buckets"])}
+            out = {"batch_id": batch_id, "buckets": dict(manifest["buckets"])}
+            if "schema" in manifest:
+                out["schema"] = [list(f) for f in manifest["schema"]]
+            return out
         for h in reversed(manifest.get("history", [])):
-            if h["batch_id"] == batch_id:
-                return h
+            if h.get("batch_id_lo", h["batch_id"]) <= batch_id <= h["batch_id"]:
+                out = {"batch_id": batch_id, "buckets": dict(h["buckets"])}
+                if "schema" in h:
+                    out["schema"] = [list(f) for f in h["schema"]]
+                return out
         raise ValueError(
             f"as-of batch {batch_id} is not retained — the retention window "
             f"(retain_versions={self.retain_versions!r}) holds batches "
@@ -463,4 +502,22 @@ class EvolvingBucketedState(BucketedSnapshotState):
     def read(self) -> DataFrame | None:
         df = super().read()
         fields = self.schema_fields()
+        return self.aligned(df, fields) if fields is not None else df
+
+    def read_asof(
+        self, manifest: dict, buckets: list[int] | None = None
+    ) -> DataFrame | None:
+        """Point-in-time read aligned to the schema AS OF that commit: each
+        retained history entry carries the field list that was authoritative
+        when it was current (``_push_history``), so an as-of read crossing an
+        ALTER shows the THEN-current columns — an ADD later than the pinned
+        batch is absent, a column DROPped later is still present (filled from
+        the old files; NULL where a bucket had already been rewritten). Falls
+        back to the current field list only for pre-schema-snapshot manifests
+        (the r9 on-disk format, documented divergence now closed)."""
+        df = super().read_asof(manifest, buckets)
+        raw = manifest.get("schema")
+        fields = (
+            [tuple(f) for f in raw] if raw is not None else self.schema_fields()
+        )
         return self.aligned(df, fields) if fields is not None else df

@@ -20,12 +20,17 @@ def _run_scoped_tmp():
     sessions' Spark JVMs can never share a temp-path failure surface (the r8
     verdict's ``cdc_relation_learn`` flake: a checkpoint dir vanished while
     three sessions ran concurrently against bare ``/tmp`` roots)."""
+    import shutil
     import tempfile
 
     root = tempfile.mkdtemp(prefix="pgcs_run_")
     old, tempfile.tempdir = tempfile.tempdir, root
     yield
     tempfile.tempdir = old
+    # remove the run root too — without this every test session leaks its
+    # private scratch tree into /tmp (ADVICE r9), the very class this
+    # routing exists to prevent
+    shutil.rmtree(root, ignore_errors=True)
 
 
 @pytest.fixture(scope="session")
