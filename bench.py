@@ -279,6 +279,22 @@ HEADLINE = [
     "state_rebucket_dynamic_migrate",
     "cdc_time_travel_retention_dynamic",
     "cdc_snapshot_diff_asof_dynamic",
+    # round-10 wave: schema-as-of time travel (payer = cdc_time_travel_
+    # schema_asof pays the converged evolve-learn run per pass; the evolved
+    # current read reuses it), the evolving-state twin, retention under
+    # no-op batches, dump requeue + dynamic DBLog interleave (own payers),
+    # compaction EXECUTION (state + log), streamed multi-source LWW, and
+    # the as-of join (reuses the retained-ivm payer's run)
+    "cdc_time_travel_schema_asof",
+    "cdc_relation_learn_evolve",
+    "cdc_schema_asof_evolving",
+    "cdc_retention_noop_batches",
+    "backfill_requeue_streamed",
+    "backfill_dynamic_interleave",
+    "state_compact_execute",
+    "cdc_compaction_execute",
+    "cdc_multi_source_lww_streamed",
+    "cdc_asof_join_retained",
 ]
 
 
@@ -317,6 +333,12 @@ def main() -> None:
         _RELCOMP_DIRS,
         _RELRET_DIRS,
     )
+    from pgcapture_spark.querydefs.r10wave import (
+        _BF_REQUEUE_DIRS,
+        _DDL_RETAINED_DIRS,
+        _DYN_INTERLEAVE_DIRS,
+        _EVOLVE_DIRS,
+    )
     from pgcapture_spark.querydefs.streamq import _PROTO_MULTI_DIRS
 
     def _reset_cache_dirs(cache: dict) -> None:
@@ -341,6 +363,10 @@ def main() -> None:
         "backfill_streamed_multi": lambda: _reset_cache_dirs(_BF_MULTI_DIRS),
         "cdc_relation_learn_composite": lambda: _reset_cache_dirs(_RELCOMP_DIRS),
         "cdc_time_travel_retention_dynamic": lambda: _reset_cache_dirs(_RELRET_DIRS),
+        "cdc_time_travel_schema_asof": lambda: _reset_cache_dirs(_EVOLVE_DIRS),
+        "cdc_schema_asof_evolving": lambda: _reset_cache_dirs(_DDL_RETAINED_DIRS),
+        "backfill_requeue_streamed": lambda: _reset_cache_dirs(_BF_REQUEUE_DIRS),
+        "backfill_dynamic_interleave": lambda: _reset_cache_dirs(_DYN_INTERLEAVE_DIRS),
     }
     # the partners' cheap timings are only honest if their payer ran FIRST in
     # this same process — enforce the ordering instead of trusting list
@@ -354,6 +380,8 @@ def main() -> None:
         ("backfill_streamed_multi", "backfill_streamed_multi_orders"),
         ("cdc_relation_learn_composite", "state_rebucket_dynamic_migrate"),
         ("cdc_time_travel_retention_dynamic", "cdc_snapshot_diff_asof_dynamic"),
+        ("cdc_time_travel_schema_asof", "cdc_relation_learn_evolve"),
+        ("cdc_ivm_view_asof_manifest", "cdc_asof_join_retained"),
     )
     for payer, partner in _PAIRS:
         if partner in HEADLINE:

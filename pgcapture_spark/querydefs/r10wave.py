@@ -327,6 +327,328 @@ def cdc_schema_asof_evolving(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ------------------------------------ retention under NO-OP micro-batches
 
 
+# ------------------------------------------ compaction EXECUTION (A1/ops)
+
+
+@q(
+    "state_compact_execute",
+    apply_oracle_sql(cdc_customer_sql(DUCKDB), "customer", "c_custkey", _CUST_COLS),
+    "EXECUTE storage compaction on a live bucketed state (the OPTIMIZE /"
+    " Pulsar-topic-compaction analog the r7 planner queries only PLANNED,"
+    " pkg/sink/pulsar.go:143 broker-side compaction): after the 4-batch"
+    " retained apply the state's storage spans one version dir per commit"
+    " (asserted); compact() rewrites the snapshot as ONE fresh version dir"
+    " (one file per bucket), re-points every bucket WITHOUT advancing the"
+    " replay gate (batch_id unchanged, asserted — a maintenance commit may"
+    " never move the stream's resume position), and vacuums the superseded"
+    " dirs while retained history entries keep their old maps — the as-of"
+    " read at batch 1 still resolves after compaction (asserted)."
+    " Oracle: the full-feed fold — compaction changes layout, never"
+    " content.",
+)
+def state_compact_execute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pgcapture_spark.querydefs.r8wave import _run_retained_apply
+
+    state, _manifests = _run_retained_apply(spark, sf_dir, retain=2)
+    gate = state.last_batch()
+    # pre-compaction the state's storage spans one version dir per commit
+    # (the retained window keeps them); pointer maps may or may not scatter
+    # depending on how many buckets each batch touched at this SF
+    before_dirs = {
+        n
+        for n in os.listdir(state.root)
+        if n.startswith("v") and os.path.isdir(os.path.join(state.root, n))
+    }
+    _check(len(before_dirs) > 1, sorted(before_dirs))
+    version = state.compact()
+    after = set(state.manifest_snapshot()["buckets"].values())
+    _check(after == {version}, sorted(after))  # ONE dir post-compaction
+    _check(state.last_batch() == gate, state.last_batch())  # gate unchanged
+    # time travel inside the window survives compaction
+    _check(state.read_asof(state.manifest_asof(1)).count() > 0)
+    return state.read().select("c_custkey", *_CUST_COLS)
+
+
+_SEG_SHIFT = 16_777_216  # mirrors maintenance.py's planner constants
+_BIN_TARGET = 262_144
+
+
+def _compaction_exec_duck() -> str:
+    from pgcapture_spark.fixtures.cdc_feed import cdc_lineitem_sql
+    from pgcapture_spark.querydefs.maintenance import _compaction_duck
+
+    return f"""
+WITH feed AS ({cdc_lineitem_sql(DUCKDB)}), plan AS ({_compaction_duck()})
+SELECT p.bin_id, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(min(f.ord) AS BIGINT) AS min_ord, CAST(max(f.ord) AS BIGINT) AS max_ord
+FROM feed f JOIN plan p ON f.lsn // {_SEG_SHIFT} = p.seg_id
+GROUP BY p.bin_id
+"""
+
+
+@q(
+    "cdc_compaction_execute",
+    None,  # set below (needs maintenance.py's planner SQL)
+    "EXECUTE the r7 log-compaction PLAN (cdc_compaction_plan bin-packs LSN"
+    " segments into 256 KiB groups; this query performs the rewrite): the"
+    " lineitem change log is clustered by the plan's bin assignment and"
+    " written ONE FILE PER COMPACTION GROUP (asserted by walking the"
+    " compacted log — every bin directory holds exactly one parquet file),"
+    " the same shape compact_log/Pulsar retention produces broker-side."
+    " The join of log rows to the tiny plan is a broadcast; the rewrite is"
+    " one clustered write job. Oracle: per-bin row counts and ord ranges of"
+    " the compacted log must equal the plan applied to the original feed —"
+    " compaction moves bytes, never records.",
+)
+def cdc_compaction_execute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from pgcapture_spark.operators.packing import packed_batches
+
+    feed = _feed(spark, sf_dir, "lineitem")
+    seg = feed.groupBy(F.expr(f"lsn DIV {_SEG_SHIFT}").alias("seg_id")).agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum(F.lit(120) + F.length("present")).cast("long").alias("est_bytes"),
+    )
+    plan = packed_batches(
+        seg, budget=_BIN_TARGET, order_col="seg_id", tokens_col="est_bytes",
+        extra_cols=("n_rows",),
+    ).select("seg_id", F.col("batch_id").cast("long").alias("bin_id"))
+    tagged = feed.withColumn("seg_id", F.expr(f"lsn DIV {_SEG_SHIFT}")).join(
+        F.broadcast(plan), "seg_id"
+    )
+    out = tempfile.mkdtemp(prefix="pgcs_q_compactexec_") + "/log"
+    (
+        # one task per bin → one file per bin directory (collisions merely
+        # put two bins in one task; partitionBy still splits their files)
+        tagged.repartition(F.col("bin_id"))
+        .write.mode("overwrite")
+        .partitionBy("bin_id")
+        .parquet(out)
+    )
+    for name in os.listdir(out):
+        if name.startswith("bin_id="):
+            files = [
+                f
+                for f in os.listdir(os.path.join(out, name))
+                if f.endswith(".parquet")
+            ]
+            _check(len(files) == 1, name, files)
+    compacted = spark.read.parquet(out)
+    return compacted.groupBy("bin_id").agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.min("ord").cast("long").alias("min_ord"),
+        F.max("ord").cast("long").alias("max_ord"),
+    )
+
+
+def _set_compaction_exec_oracle() -> None:
+    from pgcapture_spark.queries import REGISTRY
+
+    REGISTRY["cdc_compaction_execute"].oracle = _compaction_exec_duck()
+
+
+_set_compaction_exec_oracle()
+
+
+# ------------------------------------ multi-source LWW as a streamed fold
+
+
+@q(
+    "cdc_multi_source_lww_streamed",
+    None,  # set below (the batch LWW oracle verbatim)
+    "The multi-source last-writer-wins merge as a CONTINUOUS consumer"
+    " (cdc_multi_source_lww made streaming): the two regions' events are"
+    " re-stamped with the LWW total order (commit_ts, region, seq), split"
+    " at exact ord quartiles of THAT order, and folded segment by segment"
+    " onto key-bucketed state — per trigger only the touched key-buckets"
+    " are read and rewritten, so the active-active merge runs at the same"
+    " O(touched) cost as the single-origin apply. Inline guard: the"
+    " convergence domain (no key sees a partial-presence write after its"
+    " DELETE under the LWW order — the condition under which per-batch"
+    " folding equals the one-shot fold) is asserted, not assumed."
+    " Output: every key BOTH regions wrote, with the winning region.",
+)
+def cdc_multi_source_lww_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from pgcapture_spark.querydefs.history import (
+        _LWW_COLS,
+        _LWW_ORD_SPARK,
+        _LWW_SKEW,
+    )
+    from pgcapture_spark.sources.feed import (
+        cached_fixture_segments,
+        read_feed_stream,
+    )
+    from pgcapture_spark.streaming.pipeline import apply_stream
+    from pgcapture_spark.streaming.state import BucketedSnapshotState
+
+    register_views(spark, sf_dir, ("customer",))
+    a = _feed(spark, sf_dir, "customer")
+    b = a.where("op = 'UPDATE' AND seq = 1").select(
+        "lsn",
+        F.lit(1).alias("seq"),
+        "ord",
+        F.expr(_LWW_SKEW).alias("commit_ts"),
+        F.lit("UPDATE").alias("op"),
+        "c_custkey",
+        F.lit(None).cast("string").alias("c_name"),
+        F.lit(None).cast("int").alias("c_nationkey"),
+        (F.col("c_acctbal") + 1000.0).alias("c_acctbal"),
+        F.lit(None).cast("string").alias("c_mktsegment"),
+        F.lit(None).cast("bigint").alias("old_c_custkey"),
+        F.lit("c_custkey,c_acctbal").alias("present"),
+    )
+    cols = [c.strip() for c in _LWW_COLS.split(",")]
+
+    def _combined():
+        return (
+            a.select(*cols)
+            .withColumn("region", F.lit(0))
+            .unionByName(b.select(*cols).withColumn("region", F.lit(1)))
+            .withColumn("ord", F.expr(_LWW_ORD_SPARK))
+        )
+
+    combined = _combined()
+    # convergence-domain guard (the streamed per-batch fold equals the
+    # one-shot fold only while no key's DELETE precedes a partial-presence
+    # write in LWW order — a re-insert must carry full presence)
+    full_present = "c_custkey," + ",".join(_CUST_COLS)
+    viol = (
+        combined.groupBy("c_custkey")
+        .agg(
+            F.max(F.when(F.col("op") == "DELETE", F.col("ord"))).alias("del_ord"),
+            F.max(
+                F.when(
+                    (F.col("op") != "DELETE")
+                    & (F.col("present") != full_present),
+                    F.col("ord"),
+                )
+            ).alias("partial_ord"),
+        )
+        .where(
+            F.col("del_ord").isNotNull()
+            & F.col("partial_ord").isNotNull()
+            & (F.col("partial_ord") > F.col("del_ord"))
+        )
+        .count()
+    )
+    if viol:
+        raise ValueError(
+            f"LWW streamed fold outside its convergence domain: {viol} keys "
+            "see a partial-presence write after their DELETE under the LWW "
+            "order — the per-batch fold would diverge from the one-shot "
+            "oracle there"
+        )
+    d = tempfile.mkdtemp(prefix="pgcs_q_lwwstream_")
+    feed_dir = cached_fixture_segments(
+        spark, sf_dir, "lww_combined", _combined, n_segments=4
+    )
+    schema = spark.read.parquet(feed_dir).schema
+    state = BucketedSnapshotState(spark, f"{d}/state", "c_custkey", n_buckets=16)
+    query = apply_stream(
+        read_feed_stream(spark, feed_dir, schema, max_files_per_trigger=1),
+        state,
+        spark.table("customer"),
+        "c_custkey",
+        _CUST_COLS,
+        f"{d}/ckpt",
+    )
+    query.awaitTermination(300)
+    conf = (
+        combined.groupBy("c_custkey")
+        .agg(
+            F.expr("CAST(max_by(region, ord) AS BIGINT)").alias("winning_region"),
+            F.countDistinct("region").alias("_nr"),
+        )
+        .where(F.col("_nr") == 2)
+        .drop("_nr")
+    )
+    return state.read().join(conf, on="c_custkey")
+
+
+def _set_lww_streamed_oracle() -> None:
+    from pgcapture_spark.queries import REGISTRY
+    from pgcapture_spark.querydefs.history import _lww_duck
+
+    REGISTRY["cdc_multi_source_lww_streamed"].oracle = _lww_duck()
+
+
+_set_lww_streamed_oracle()
+
+
+# ---------------------- as-of JOIN across tables of one retained manifest
+
+
+def _asof_join_duck() -> str:
+    from pgcapture_spark.querydefs.r9wave import _prefix_sql
+
+    cust = apply_oracle_sql(
+        _prefix_sql(cdc_customer_sql(DUCKDB)), "customer", "c_custkey", _CUST_COLS
+    )
+    from pgcapture_spark.fixtures.cdc_feed import cdc_orders_sql
+
+    orders = apply_oracle_sql(
+        _prefix_sql(cdc_orders_sql(DUCKDB)), "orders", "o_orderkey", _ORD_COLS
+    )
+    return f"""
+WITH c AS ({cust}), o AS ({orders})
+SELECT c.c_mktsegment,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(floor(coalesce(o.o_totalprice, 0.0) * 100 + 0.5) AS BIGINT))
+            AS BIGINT) AS sum_cents
+FROM o JOIN c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_mktsegment
+"""
+
+
+@q(
+    "cdc_asof_join_retained",
+    None,  # set below
+    "AS-OF JOIN across two tables of ONE retained cross-table manifest (the"
+    " serving-layer audit join): customer and orders both resolved from the"
+    " manifest entry for batch 1 — because all four state tables' pointers"
+    " swung in a single atomic rename at that commit, the join is"
+    " transactionally CONSISTENT (neither side can show a later or earlier"
+    " state than the other), which a per-table as-of on two independent"
+    " states cannot guarantee. Revenue per market segment as of the pinned"
+    " commit, computed from the state layer alone — no feed replay, no view."
+    " Oracle: the same join-aggregate over both snapshots recomputed at the"
+    " feed prefix the first two micro-batches carried.",
+)
+def cdc_asof_join_retained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pgcapture_spark.querydefs.r9wave import _retained_ivm_state
+
+    state = _retained_ivm_state(spark, sf_dir)
+    m1 = state.manifest_asof(1)
+    cust = state.read_asof("customer", m1).select("c_custkey", "c_mktsegment")
+    orders = state.read_asof("orders", m1).select("o_custkey", "o_totalprice")
+    return (
+        orders.join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.sum(
+                F.expr(
+                    "CAST(floor(coalesce(o_totalprice, 0.0) * 100 + 0.5) AS BIGINT)"
+                )
+            )
+            .cast("long")
+            .alias("sum_cents"),
+        )
+    )
+
+
+def _set_asof_join_oracle() -> None:
+    from pgcapture_spark.queries import REGISTRY
+
+    REGISTRY["cdc_asof_join_retained"].oracle = _asof_join_duck()
+
+
+_set_asof_join_oracle()
+
+
 # --------------------------- dump REQUEUE on the streamed DBLog interleave
 
 _BF_REQUEUE_DIRS: dict[str, str] = {}

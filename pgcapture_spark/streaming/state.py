@@ -414,6 +414,55 @@ class BucketedSnapshotState:
             referenced.update(h["buckets"].values())
         return _vacuum_versions(self.root, referenced)
 
+    def compact(self) -> str:
+        """OPTIMIZE the state's storage: rewrite the LIVE snapshot as ONE
+        fresh version dir (one file per bucket) and re-point every bucket —
+        a maintenance commit that NEVER advances the replay gate (batch_id
+        unchanged; a maintenance rewrite may not move the stream's resume
+        position — the same contract as ``SnapshotState.commit``'s version
+        override) and then vacuums the superseded dirs. This executes what
+        the compaction planner schedules: after many incremental commits the
+        live pointers scatter across as many version dirs as there were
+        batches; compaction collapses them to one, bounding file count at
+        O(n_buckets) regardless of history length (the Pulsar
+        topic-compaction / Delta OPTIMIZE analog, pkg/sink/pulsar.go:143
+        broker-side compaction). Retained history entries keep their OLD
+        pointer maps and vacuum keeps their dirs — time travel inside the
+        window survives compaction. A generation counter names each rewrite
+        (``vc{batch}g{N}``) so re-running compaction writes a FRESH dir
+        instead of overwriting the manifest-current one in place (mid-write
+        crash safety), and the previous compaction dir vacuums away.
+        Single-writer maintenance, like rebucket/prune. Returns the new
+        version name."""
+        manifest = self._load()
+        cur = self.read()
+        if cur is None:
+            raise ValueError("compact: state is uninitialized")
+        from pyspark.sql import functions as F
+
+        gen = int(manifest.get("compact_gen", 0)) + 1
+        version = f"vc{manifest['batch_id']:012d}g{gen}"
+        out = os.path.join(self.root, version)
+        (
+            cur.withColumn("_b", self._bucket_col())
+            .repartition(self.n_buckets, F.col("_b"))
+            .write.mode("overwrite")
+            .partitionBy("_b")
+            .parquet(out)
+        )
+        # NO history push: compaction changes layout, never content — the
+        # pre-compact pointer map describes the same rows, so recording it
+        # would burn a retention slot on a no-op (retained entries from real
+        # commits keep their old maps, and vacuum keeps their dirs — as-of
+        # reads inside the window are untouched)
+        for b in range(self.n_buckets):
+            if str(b) in manifest["buckets"]:
+                manifest["buckets"][str(b)] = version
+        manifest["compact_gen"] = gen
+        self._swap(manifest)
+        self.vacuum()
+        return version
+
     def rebucket(self, new_root: str, new_n_buckets: int) -> "BucketedSnapshotState":
         """Execute the layout migration ``state_bucket_skew_plan`` plans:
         rewrite the live snapshot under a NEW bucket count (one full read +

@@ -88,6 +88,32 @@ def test_initialize_rejects_unknown_tables(spark):
     assert st2.initialized()
 
 
+def test_compact_preserves_content_and_gate(spark):
+    d = tempfile.mkdtemp(prefix="t_r10_compact_")
+    st = BucketedSnapshotState(spark, d, "k", n_buckets=4, retain_versions=2)
+    st.initialize(_mini(spark))
+    for b in range(3):
+        st.commit_buckets(
+            _mini(spark).where("k < 4").withColumn("v", F.col("v") + b),
+            [0, 1, 2, 3],
+            b,
+        )
+        st.vacuum()
+    before = sorted((r["k"], r["v"]) for r in st.read().collect())
+    m1 = st.manifest_asof(1)
+    v1 = st.compact()
+    assert st.last_batch() == 2  # replay gate unchanged
+    assert set(st.manifest_snapshot()["buckets"].values()) == {v1}
+    assert sorted((r["k"], r["v"]) for r in st.read().collect()) == before
+    # retained history still resolves after compaction vacuumed stale dirs
+    asof1 = sorted((r["k"], r["v"]) for r in st.read_asof(m1).collect())
+    assert asof1 != before and len(asof1) == len(before)
+    # idempotent re-run writes a FRESH generation dir, never in place
+    v2 = st.compact()
+    assert v2 != v1
+    assert sorted((r["k"], r["v"]) for r in st.read().collect()) == before
+
+
 def test_history_entry_carries_schema(spark):
     from pgcapture_spark.streaming.state import EvolvingBucketedState
 
