@@ -295,6 +295,8 @@ HEADLINE = [
     "cdc_compaction_execute",
     "cdc_multi_source_lww_streamed",
     "cdc_asof_join_retained",
+    "state_compact_multi_execute",
+    "state_compact_dynamic_execute",
 ]
 
 
@@ -335,6 +337,8 @@ def main() -> None:
     )
     from pgcapture_spark.querydefs.r10wave import (
         _BF_REQUEUE_DIRS,
+        _COMPACT_DYN_DIRS,
+        _COMPACT_MULTI_DIRS,
         _DDL_RETAINED_DIRS,
         _DYN_INTERLEAVE_DIRS,
         _EVOLVE_DIRS,
@@ -367,6 +371,8 @@ def main() -> None:
         "cdc_schema_asof_evolving": lambda: _reset_cache_dirs(_DDL_RETAINED_DIRS),
         "backfill_requeue_streamed": lambda: _reset_cache_dirs(_BF_REQUEUE_DIRS),
         "backfill_dynamic_interleave": lambda: _reset_cache_dirs(_DYN_INTERLEAVE_DIRS),
+        "state_compact_multi_execute": lambda: _reset_cache_dirs(_COMPACT_MULTI_DIRS),
+        "state_compact_dynamic_execute": lambda: _reset_cache_dirs(_COMPACT_DYN_DIRS),
     }
     # the partners' cheap timings are only honest if their payer ran FIRST in
     # this same process — enforce the ordering instead of trusting list

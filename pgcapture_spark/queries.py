@@ -133,6 +133,7 @@ _WINDOW: tuple[str, ...] = (
     "backfill_requeue_streamed", "backfill_dynamic_interleave",
     "state_compact_execute", "cdc_compaction_execute",
     "cdc_multi_source_lww_streamed", "cdc_asof_join_retained",
+    "state_compact_multi_execute", "state_compact_dynamic_execute",
     # --- r9 wave (new last round; 8 + 5 follow-wave queries) ---
     "cdc_time_travel_retention", "cdc_relation_learn_composite",
     "cdc_ivm_view_asof_manifest", "cdc_snapshot_diff_asof_multi",

@@ -451,6 +451,162 @@ def _set_compaction_exec_oracle() -> None:
 _set_compaction_exec_oracle()
 
 
+_COMPACT_MULTI_DIRS: dict[str, str] = {}
+
+
+def _compact_multi_state(spark: SparkSession, sf_dir: str):
+    """A converged 2-table consumer state for the multi-table compaction
+    declare: the multi feed split at exact ord quartiles (the same cached
+    piece fixture the retained-ivm queries read) folded from the base
+    snapshots by the atomic multi-table apply with retain_versions=2.
+    OWN state dir — compaction mutates layout, so it never runs against a
+    fixture other queries share."""
+    import tempfile
+
+    from pgcapture_spark.fixtures.cdc_feed import multi_feed_sql
+    from pgcapture_spark.fixtures.cdc_feed import SPARK as _SPARK_D
+    from pgcapture_spark.sources.feed import (
+        cached_fixture_pieces,
+        ord_quartile_bounds,
+        read_feed_stream,
+    )
+    from pgcapture_spark.streaming.multi import (
+        BucketedMultiTableState,
+        apply_stream_multi_table,
+    )
+
+    register_views(spark, sf_dir, ("customer", "orders"))
+    tables = ["customer", "orders"]
+    keys = {"customer": "c_custkey", "orders": "o_orderkey"}
+    cols = {"customer": _CUST_COLS, "orders": _ORD_COLS}
+    base = {t: spark.table(t) for t in tables}
+
+    def _build():
+        feed = spark.sql(multi_feed_sql(_SPARK_D)).persist()
+        bounds = ord_quartile_bounds(feed)
+        pieces, lo = [], -1
+        for hi in bounds:
+            pieces.append(feed.where((F.col("ord") > lo) & (F.col("ord") <= hi)))
+            lo = hi
+        return pieces, feed.unpersist
+
+    feed_dir = cached_fixture_pieces(spark, sf_dir, "ivmasof_quart", _build)
+    key = os.path.abspath(sf_dir)
+    d = _COMPACT_MULTI_DIRS.get(key)
+    if d is None or not os.path.isdir(f"{d}/state"):
+        d = tempfile.mkdtemp(prefix="pgcs_q_compactmulti_")
+        schema = spark.read.parquet(feed_dir).schema
+        state = BucketedMultiTableState(
+            spark, f"{d}/state", tables, keys, n_buckets=16, retain_versions=2
+        )
+        query = apply_stream_multi_table(
+            read_feed_stream(spark, feed_dir, schema, max_files_per_trigger=1),
+            state,
+            base,
+            keys,
+            cols,
+            f"{d}/ckpt",
+        )
+        query.awaitTermination(300)
+        _COMPACT_MULTI_DIRS[key] = d
+    from pgcapture_spark.streaming.multi import BucketedMultiTableState
+
+    return BucketedMultiTableState(
+        spark, f"{d}/state", tables, keys, n_buckets=16, retain_versions=2
+    )
+
+
+@q(
+    "state_compact_multi_execute",
+    apply_oracle_sql(cdc_customer_sql(DUCKDB), "customer", "c_custkey", _CUST_COLS),
+    "Storage compaction EXECUTED on a WHOLE multi-table state (completing"
+    " the compaction symmetry started by state_compact_execute): every"
+    " table's live snapshot rewrites bucket-clustered under one fresh"
+    " generation-named version dir (tables write concurrently), ALL tables'"
+    " pointers swing in ONE atomic manifest rename with the replay gate"
+    " unchanged (asserted), vacuum drops dirs referenced by neither the new"
+    " pointers nor the retained window, and the as-of read at batch 1 still"
+    " resolves afterwards (asserted). Oracle: the customer table's content"
+    " is exactly the full-feed fold — compaction changes layout, never"
+    " content, across every table of the consumer at once.",
+)
+def state_compact_multi_execute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    state = _compact_multi_state(spark, sf_dir)
+    gate = state.last_batch()
+    version = state.compact()
+    m = state._load()
+    _check(state.last_batch() == gate, state.last_batch())
+    for t in ("customer", "orders"):
+        _check(set(m["buckets"][t].values()) == {version}, t, m["buckets"][t])
+    _check(state.read_asof("customer", state.manifest_asof(1)).count() > 0)
+    return state.read()["customer"].select("c_custkey", *_CUST_COLS)
+
+
+_COMPACT_DYN_DIRS: dict[str, str] = {}
+
+
+@q(
+    "state_compact_dynamic_execute",
+    apply_oracle_sql(
+        metrics_composite_feed_sql(),
+        _EVOLVE_EMPTY_4,
+        ["g_id", "s_id"],
+        ["m_value", "m_note"],
+    ),
+    "Storage compaction EXECUTED on the DYNAMIC relation-learning state (the"
+    " last state class without a declared compaction — every class now"
+    " declares time travel, retention, diff, migration AND compaction): the"
+    " runtime-learned composite-identity table rewrites bucket-clustered"
+    " under one generation dir with the learned REGISTRY riding the same"
+    " atomic swap, so a FRESH handle on the compacted root rehydrates the"
+    " relation — identity pair included — from the manifest alone"
+    " (asserted), with the replay gate unchanged (asserted). Compaction is"
+    " also where lazy schema evolution catches up physically: frames align"
+    " to the current registry field list before the rewrite. Oracle: the"
+    " full typed-feed fold — layout changed, content identical.",
+)
+def state_compact_dynamic_execute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from pgcapture_spark.sources.feed import cached_fixture_segments, read_feed_stream
+    from pgcapture_spark.streaming.multi import (
+        DynamicMultiTableState,
+        apply_stream_dynamic,
+    )
+    from pgcapture_spark.streaming.registry import RelationRegistry
+    from pgcapture_spark.querydefs.r9wave import _relcomp_wire_feed
+
+    feed_dir = cached_fixture_segments(
+        spark, sf_dir, "relcomp_wire", lambda: _relcomp_wire_feed(spark),
+        n_segments=4,
+    )
+    key = os.path.abspath(sf_dir)
+    d = _COMPACT_DYN_DIRS.get(key)
+    if d is None or not os.path.isdir(f"{d}/state"):
+        d = tempfile.mkdtemp(prefix="pgcs_q_compactdyn_")
+        schema = spark.read.parquet(feed_dir).schema
+        state = DynamicMultiTableState(spark, f"{d}/state", RelationRegistry())
+        query = apply_stream_dynamic(
+            read_feed_stream(spark, feed_dir, schema, max_files_per_trigger=2),
+            state,
+            {},
+            f"{d}/ckpt",
+        )
+        query.awaitTermination(300)
+        _COMPACT_DYN_DIRS[key] = d
+    state = DynamicMultiTableState(spark, f"{d}/state", RelationRegistry())
+    gate = state.last_batch()
+    version = state.compact()
+    _check(state.last_batch() == gate, state.last_batch())
+    _check(
+        set(state._load()["buckets"]["readings"].values()) == {version}
+    )
+    # fresh handle on the compacted root: registry rehydrated from the swap
+    reopened = DynamicMultiTableState(spark, state.root, RelationRegistry())
+    _check(reopened.keys["readings"] == ["g_id", "s_id"])
+    return reopened.read()["readings"]
+
+
 # ------------------------------------ multi-source LWW as a streamed fold
 
 

@@ -468,6 +468,61 @@ class BucketedMultiTableState:
                 referenced.update(per_t.values())
         return _vacuum_versions(self.root, referenced)
 
+    def compact(self) -> str:
+        """OPTIMIZE the whole multi-table state's storage (the multi-table
+        form of ``BucketedSnapshotState.compact``): every table's live
+        snapshot is rewritten bucket-clustered under ONE fresh
+        generation-named version dir (tables write concurrently, one file
+        per bucket per table), then ALL tables' pointers swing in one atomic
+        manifest rename WITHOUT advancing the replay gate, and vacuum
+        removes dirs referenced by neither the new pointers nor retained
+        history. File count collapses to O(tables × n_buckets) regardless
+        of how many commits accumulated. On the dynamic subclass the
+        learned registry rides the same swap (``_swap``), so a stream
+        resuming on compacted state rehydrates unchanged. Returns the new
+        version name."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        manifest = self._load()
+        gen = int(manifest.get("compact_gen", 0)) + 1
+        version = f"vc{manifest['batch_id']:012d}g{gen}"
+
+        def _rewrite(t: str) -> None:
+            cur = self.read_buckets(t, list(range(self.n_buckets)))
+            if cur is None:
+                return  # never-written table: pointers re-point to nothing
+            (
+                self._compact_frame(t, cur)
+                .withColumn("_b", self._bucket_col(t))
+                .repartition(self.n_buckets, F.col("_b"))
+                .write.mode("overwrite")
+                .partitionBy("_b")
+                .parquet(os.path.join(self.root, version, t))
+            )
+
+        tables = [t for t in self.tables if t in manifest["buckets"]]
+        with ThreadPoolExecutor(max_workers=min(8, max(1, len(tables)))) as ex:
+            list(ex.map(_rewrite, tables))
+        # no history push — compaction supersedes layout, never content
+        # (see BucketedSnapshotState.compact)
+        for t in tables:
+            written = os.path.isdir(os.path.join(self.root, version, t))
+            for b in list(manifest["buckets"].get(t, {})):
+                if written:
+                    manifest["buckets"][t][b] = version
+        manifest["compact_gen"] = gen
+        self._swap(manifest)
+        self.vacuum()
+        return version
+
+    def _compact_frame(self, t: str, df: DataFrame) -> DataFrame:
+        """Hook: the frame compaction physically rewrites for table ``t``.
+        The dynamic subclass aligns to the current registry field list —
+        compaction is when lazy schema evolution CATCHES UP on disk
+        (post-DROP files stop carrying dead columns, post-ADD files gain
+        the real NULL column instead of merge-schema absence)."""
+        return df
+
     def rebucket(
         self, new_root: str, new_n_buckets: int
     ) -> "BucketedMultiTableState":
@@ -699,6 +754,13 @@ class DynamicMultiTableState(BucketedMultiTableState):
             retain_versions=self.retain_versions,
         )
         return self._rebucket_into(new)
+
+    def _compact_frame(self, t: str, df: DataFrame) -> DataFrame:
+        from pgcapture_spark.streaming.state import align_to_fields
+
+        return (
+            align_to_fields(df, self._fields_spark(t)) if t in self.keys else df
+        )
 
     def registry_asof(self, manifest: dict):
         """The relation registry AS OF a retained manifest (``manifest_asof``
