@@ -96,57 +96,51 @@ from pgcapture_spark.querydefs import (  # noqa: E402,F401
 )
 
 # The driver verifies the FIRST ~50 registry entries each round. Rounds 1-5
-# drove ALL 218 pre-freeze queries green; round 6 added 22 more; round 7
-# added 16; round 8 added 7 (cumulative 264/264 per the r8 verdict).
-# ROUND-9 WINDOW: the 13 NEW r9-wave queries (the BOUNDED time-travel
-# retention window with storage-bound + loud-failure asserts inline,
-# composite replica identities on the dynamic relation-learning path, the
-# multi-table manifest layer's AS-OF read / pointer-pruned per-table diff /
-# executed whole-state bucket migration, the multi-table DBLog interleave
-# checked on BOTH tables, the windowed PSI monitor as a continuous
-# consumer, and a second wave asserting the retention bound on the
-# cross-table manifest, diffing the derived view between retained
-# manifests, migrating the dynamic state's bucket layout, and retention +
-# composite-key pointer-pruned diff on the dynamic state), then the
-# consumers RE-verified because round 9 changed their
-# state layer again: every Bucketed{Snapshot,MultiTable}State commit now
-# runs the history-push path (retention machinery), the dynamic apply's
-# seeding guard is per-table, adopt_tables adopts composite keys, and
-# initialize accepts partial snapshot dicts (rebucket). Padded with
-# previously-green canaries across the engine pillars.
-# Rotated OUT of the r9 window (all previously driver-green; greens are
+# drove ALL 218 pre-freeze queries green; round 6 added 22; round 7 added
+# 16; round 8 added 7; round 9 added 13 (cumulative 277/277 per the r9
+# verdict).
+# ROUND-10 WINDOW: the 12 NEW r10-wave queries (SCHEMA-AS-OF time travel on
+# the dynamic and evolving states — retained history entries now carry the
+# registry/field-list snapshot, closing the r9 verdict's top item — plus
+# the evolved-table current read, retention under NO-OP batches, the dump
+# REQUEUE path and the dynamic-state DBLog interleave bound to oracles,
+# compaction EXECUTED on all three state classes, the streamed multi-source
+# LWW merge, and the transactionally-consistent as-of JOIN), then the
+# consumers RE-verified because round 10 changed the state layer again:
+# _push_history dedups pointer-identical entries into batch ranges and
+# carries schema/registry snapshots, manifest_asof copies + resolves
+# ranges, initialize rejects unknown keys, and compact() landed on every
+# state class. Padded with previously-green canaries.
+# Rotated OUT of the r10 window (all previously driver-green; greens are
 # cumulative, so rotation changes verification coverage, not status):
-# cdc_debounce_flush_rules, cdc_debounce_keychange_rules,
-# cdc_secondary_index_view, cdc_apply_from_proto, cdc_apply_from_pgoutput,
-# cdc_apply_from_pglogical, cdc_toast_effective_image, backfill_chunk_scan,
-# tpch_q3_shipping_priority, events_stream_windowed, dedup_minhash_lsh,
-# sim_ivf_ann, kmeans_embed, graph_kcore_mutual_knn, ts_holt_trend,
-# cdc_debounce_events, cdc_time_travel.
+# cdc_apply_proto_streamed, corpus_drift_psi_windowed, corpus_drift_psi,
+# corpus_drift_psi_streamed, cdc_snapshot_diff, dedup_exact_streamed,
+# agg_kmv_distinct_streamed, cdc_apply_from_binary_feed_composite,
+# cdc_incremental_agg, cdc_ivm_join_view, cdc_ivm_topk_view,
+# cdc_ivm_minmax_view, cdc_ivm_distinct_view, cdc_ivm_starjoin_view,
+# cdc_time_travel.
 #
 # PACE discipline: add no more new queries per round than one ~50-slot
 # driver window verifies; every addition lands with a DuckDB oracle and
 # goes straight into the window (never the unverified pool).
 _WINDOW: tuple[str, ...] = (
-    # --- r10 wave (new this round) ---
+    # --- r10 wave (new this round; 12 queries) ---
     "cdc_time_travel_schema_asof", "cdc_relation_learn_evolve",
     "cdc_schema_asof_evolving", "cdc_retention_noop_batches",
     "backfill_requeue_streamed", "backfill_dynamic_interleave",
     "state_compact_execute", "cdc_compaction_execute",
     "cdc_multi_source_lww_streamed", "cdc_asof_join_retained",
     "state_compact_multi_execute", "state_compact_dynamic_execute",
-    # --- r9 wave (new last round; 8 + 5 follow-wave queries) ---
+    # --- r9 wave re-verified (retention/manifest machinery r10 touched) ---
     "cdc_time_travel_retention", "cdc_relation_learn_composite",
     "cdc_ivm_view_asof_manifest", "cdc_snapshot_diff_asof_multi",
     "state_rebucket_multi_migrate",
     "backfill_streamed_multi", "backfill_streamed_multi_orders",
     "corpus_drift_psi_windowed_streamed",
-    # second wave: the retention bound asserted on the CROSS-TABLE manifest,
-    # the derived view's pointer-pruned delta between retained manifests,
-    # and the dynamic state's executed layout migration (registry carried)
     "cdc_time_travel_retention_multi", "cdc_ivm_view_delta_manifest",
     "state_rebucket_dynamic_migrate", "cdc_time_travel_retention_dynamic",
     "cdc_snapshot_diff_asof_dynamic",
-    # --- consumers re-verified on the r9 state-layer changes ---
+    # --- consumers re-verified on the r10 state-layer changes ---
     "cdc_time_travel_manifest", "cdc_snapshot_diff_manifest",
     "state_rebucket_migrate", "cdc_relation_learn",
     "backfill_streamed", "backfill_union_merge",
@@ -156,17 +150,11 @@ _WINDOW: tuple[str, ...] = (
     "cdc_apply_multi_streamed", "cdc_apply_proto_multi_streamed",
     "cdc_apply_proto_multi_streamed_orders", "cdc_apply_ddl_streamed",
     "cdc_scd2_streamed", "cdc_apply_customer_streamed",
-    "cdc_apply_proto_streamed", "corpus_drift_psi_windowed",
-    "corpus_drift_psi", "corpus_drift_psi_streamed", "cdc_snapshot_diff",
-    "dedup_exact_streamed", "agg_kmv_distinct_streamed",
+    "cdc_multi_source_lww", "cdc_compaction_plan", "cdc_log_compaction",
     # --- canaries (previously driver-green; engine pillars) ---
     "cdc_apply_customer", "cdc_apply_orders",
-    "cdc_apply_from_binary_feed_composite",
-    "cdc_incremental_agg", "cdc_ivm_join_view", "cdc_ivm_topk_view",
-    "cdc_ivm_minmax_view", "cdc_ivm_distinct_view", "cdc_ivm_starjoin_view",
     "tpch_q1_pricing_summary",
     "events_asof_join", "ts_ohlc_streamed",
-    "cdc_time_travel",
 )
 
 
