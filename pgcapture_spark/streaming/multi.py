@@ -251,6 +251,30 @@ class BucketedMultiTableState:
         ).collect()[0]
         return sorted(row["bs"])
 
+    def touched_buckets_multi(
+        self, keys_dfs: dict[str, DataFrame]
+    ) -> dict[str, list[int]]:
+        """Resolve SEVERAL tables' touched buckets in ONE driver job: each
+        table's bucket-id projection is tagged and unioned, one distinct
+        collect bounded by tables × n_buckets rows (the same fuse
+        fold_commit_multi / apply_stream_dynamic use). Every requested table
+        gets an entry (``[]`` when its key set is empty) — per-trigger probe
+        job count stays flat in table count instead of one collect per
+        table. Each ``keys_df`` must already carry the table's key
+        column(s) under their state names (callers rename delta join keys
+        first, e.g. ΔO's o_custkey → c_custkey for the customer probe)."""
+        probe = None
+        for t, kdf in keys_dfs.items():
+            part = kdf.select(
+                F.lit(t).alias("_t"), self._bucket_col(t).alias("_b")
+            )
+            probe = part if probe is None else probe.unionByName(part)
+        out: dict[str, list[int]] = {t: [] for t in keys_dfs}
+        if probe is not None:
+            for r in probe.distinct().collect():
+                out[r["_t"]].append(r["_b"])
+        return {t: sorted(bs) for t, bs in out.items()}
+
     def mark_batch(self, batch_id: int) -> None:
         """Advance the replay gate without touching bucket pointers — for
         micro-batches whose merge set is empty (see

@@ -729,6 +729,14 @@ def _apply_wire_stream(
     skip_streak, _quarantine = make_quarantine(
         dialect, checkpoint_dir, max_consecutive_skips
     )
+    # driver-side memo of the merged relation cache rows, valid for the life
+    # of this StreamingQuery: the relation set only changes when a batch
+    # carries R frames, so R-frame-less triggers (every trigger after batch
+    # 0 in the steady state) reuse the memo instead of re-collecting the
+    # persisted cache — one driver job fewer per trigger (r10 optimization).
+    # A restart naturally rebuilds from rel_state.read() (memo starts empty);
+    # a replayed batch re-enters through the batch-id gate before this point.
+    rel_memo: dict[str, list | None] = {"rows": None}
 
     def _batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_id <= state.last_batch():
@@ -738,11 +746,11 @@ def _apply_wire_stream(
         # SAFE parse mode throughout: corrupt bytes become op='ERROR' rows
         # routed to the quarantine below — a poison frame must park, not
         # kill the stream (restarting would hit the same byte forever, with
-        # no deadletter). Both slices persist: each is read 2-3 times below
-        # and the Arrow parse must not re-run per reference.
-        rel_parsed = batch_df.where("ord = -1").select(
-            "lsn", "seq", parse_frames_udf(safe=True)("data").alias("f")
-        ).persist()
+        # no deadletter). The data slice persists: it is read 2-3 times below
+        # and the Arrow parse must not re-run per reference. The R-frame
+        # slice (ord = -1, a handful of rows at most) is COLLECTED once —
+        # the error probe, the last-wins dedup input, and the cache merge all
+        # come from that one driver job instead of three (r10 optimization).
         parsed = batch_df.where("ord <> -1").select(
             "lsn", "seq", "ord", parse_frames_udf(safe=True)("data").alias("f")
         ).persist()
@@ -754,43 +762,68 @@ def _apply_wire_stream(
             # (ord = -1 sorts them first). A corrupt R frame quarantines
             # BEFORE the registry commit: a half-learned relation set must
             # never become the persisted schema.
-            rel_err = (
-                rel_parsed.where("f.op = 'ERROR'")
-                .select("f.parse_error").limit(1).collect()
-            )
-            if rel_err:
+            rel_rows = batch_df.where("ord = -1").select(
+                "lsn", "seq", parse_frames_udf(safe=True)("data").alias("f")
+            ).collect()
+            rel_errs = [
+                r["f"]["parse_error"] for r in rel_rows if r["f"]["op"] == "ERROR"
+            ]
+            if rel_errs:
                 _quarantine(
                     batch_df, batch_id,
-                    f"relation frame parse failure: {rel_err[0][0]}",
+                    f"relation frame parse failure: {rel_errs[0]}",
                 )
                 return
-            rel_frames = rel_parsed.where("f.op = 'RELATION'")
-            # several R frames for one relation inside a single micro-batch:
-            # the LAST (by wire order) wins, matching the reference's
-            # replace-on-every-R-message registry
-            last_w = W.partitionBy("f.rel_oid").orderBy(
-                F.col("lsn").desc(), F.col("seq").desc()
-            )
-            rels = project_rels(
-                rel_frames.withColumn("_rn", F.row_number().over(last_w)).where("_rn = 1")
-            )
-            cache = migrate_cache(rel_state.read())
-            if cache is None:
-                cache = rels
-            else:
-                # a later Relation frame REPLACES the whole relation:
-                # anti-join on rel_oid, not position, so a redefinition to
-                # FEWER columns leaves no stale tail positions behind
-                kept = cache.join(
-                    rels.select("rel_oid").distinct(), "rel_oid", "left_anti"
+            if rel_rows:
+                spark = batch_df.sparkSession
+                rel_local = spark.createDataFrame(
+                    rel_rows,
+                    batch_df.select(
+                        "lsn", "seq", parse_frames_udf(safe=True)("data").alias("f")
+                    ).schema,
                 )
-                cache = rels.unionByName(kept)
-            if batch_id > rel_state.last_batch():
-                rel_state.commit(cache, batch_id)
+                rel_frames = rel_local.where("f.op = 'RELATION'")
+                # several R frames for one relation inside a single
+                # micro-batch: the LAST (by wire order) wins, matching the
+                # reference's replace-on-every-R-message registry
+                last_w = W.partitionBy("f.rel_oid").orderBy(
+                    F.col("lsn").desc(), F.col("seq").desc()
+                )
+                rels = project_rels(
+                    rel_frames.withColumn(
+                        "_rn", F.row_number().over(last_w)
+                    ).where("_rn = 1")
+                )
+                cache = migrate_cache(rel_state.read())
+                if cache is None:
+                    cache = rels
+                else:
+                    # a later Relation frame REPLACES the whole relation:
+                    # anti-join on rel_oid, not position, so a redefinition
+                    # to FEWER columns leaves no stale tail positions behind
+                    kept = cache.join(
+                        rels.select("rel_oid").distinct(), "rel_oid", "left_anti"
+                    )
+                    cache = rels.unionByName(kept)
+                if batch_id > rel_state.last_batch():
+                    rel_state.commit(cache, batch_id)
+                # collect the MERGED in-memory cache, not a re-read of
+                # rel_state: the persisted copy may predate the rel_name
+                # migration (and on a replay, this batch's own R frames are
+                # the definitions its rows decode under)
+                rel_memo["rows"] = cache.collect()
+            elif rel_memo["rows"] is None:
+                # no R frames this batch and no memo yet (fresh query /
+                # restart): rehydrate from the persisted registry. No commit
+                # — there is nothing new to persist, and skipping the
+                # unconditional per-trigger rewrite of an UNCHANGED cache is
+                # the point (the persisted copy is already current; a crash
+                # loses nothing).
+                cached = migrate_cache(rel_state.read())
+                rel_memo["rows"] = [] if cached is None else cached.collect()
             # corrupt DATA bytes quarantine AFTER the rel/tx persists above
-            # (their contracts) but BEFORE the relation-cache collect and
-            # everything downstream — a parked batch must not pay for work
-            # whose results are discarded
+            # (their contracts) but BEFORE everything downstream — a parked
+            # batch must not pay for work whose results are discarded
             if probe["err"] is not None:
                 _quarantine(
                     batch_df, batch_id,
@@ -799,11 +832,7 @@ def _apply_wire_stream(
                 return
             by_rel: dict[int, list] = {}
             rel_names: dict[int, str | None] = {}
-            # collect the MERGED in-memory cache, not a re-read of
-            # rel_state: the persisted copy may predate the rel_name
-            # migration (and on a replay, this batch's own R frames are the
-            # definitions its rows decode under)
-            for r in cache.collect():
+            for r in rel_memo["rows"]:
                 by_rel.setdefault(r["rel_oid"], []).append(r)
                 rel_names[r["rel_oid"]] = r["rel_name"]
             # 3) framing-only batches (B/C frames, no row events) advance the
@@ -902,7 +931,6 @@ def _apply_wire_stream(
             skip_streak["n"] = 0
         finally:
             parsed.unpersist()
-            rel_parsed.unpersist()
 
     return (
         frame_stream.writeStream.foreachBatch(_batch)
