@@ -329,6 +329,7 @@ def main() -> None:
     # compare min-to-min and read value_run2 as the same-host noise envelope.
     timings: dict[str, float] = {}
     timings_run2: dict[str, float] = {}
+    from pgcapture_spark.querydefs.r8wave import _TTM_DIRS
     from pgcapture_spark.querydefs.r9wave import (
         _BF_MULTI_DIRS,
         _IVM_ASOF_DIRS,
@@ -362,6 +363,11 @@ def main() -> None:
     # any real session would (verdict r4 flag: paying for the identical
     # converged run twice per bench measured nothing new).
     _CACHED_RUN_RESETS = {
+        # r10 optimization round: the three read-only r8 manifest queries now
+        # share one converged retain-all run (r8wave._retained_manifest_state)
+        # — the payer resets + re-folds per pass, its partner reuses the
+        # snapshot, same protocol-2 shape as the proto-multi pair
+        "cdc_time_travel_manifest": lambda: _reset_cache_dirs(_TTM_DIRS),
         "cdc_apply_proto_multi_streamed": lambda: _reset_cache_dirs(_PROTO_MULTI_DIRS),
         "cdc_ivm_view_asof_manifest": lambda: _reset_cache_dirs(_IVM_ASOF_DIRS),
         "backfill_streamed_multi": lambda: _reset_cache_dirs(_BF_MULTI_DIRS),
@@ -378,6 +384,7 @@ def main() -> None:
     # this same process — enforce the ordering instead of trusting list
     # position (a reorder would silently shift the pipeline cost)
     _PAIRS = (
+        ("cdc_time_travel_manifest", "cdc_snapshot_diff_manifest"),
         ("cdc_apply_proto_multi_streamed", "cdc_apply_proto_multi_streamed_orders"),
         ("cdc_ivm_view_asof_manifest", "cdc_snapshot_diff_asof_multi"),
         ("cdc_ivm_view_asof_manifest", "state_rebucket_multi_migrate"),

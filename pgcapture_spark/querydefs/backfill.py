@@ -123,33 +123,47 @@ def build_dblog_interleave_feed(
     four stream quartiles interleaved with four dump chunks, each chunk the
     consistent replica image as-of its injection point (the watermark rule,
     pkg/dblog/dumper.go:172-186). Returns (base snapshot, feed_dir); segment
-    mtimes force the interleave order under maxFilesPerTrigger=1."""
+    mtimes force the interleave order under maxFilesPerTrigger=1. The log is
+    fixture INPUT (one synthesis per (kind, sf_dir) per process —
+    sources/feed.py cached_fixture_pieces contract; the 4 as-of replica
+    images are by far the dominant build cost); ``d`` is kept for signature
+    compatibility but the returned dir lives in the process fixture cache."""
     from pyspark.sql import functions as F
 
-    from pgcapture_spark.sources.feed import ord_quartile_bounds, write_segments
+    from pgcapture_spark.sources.feed import cached_fixture_pieces, ord_quartile_bounds
 
     register_views(spark, sf_dir, ("customer",))
     base = spark.table("customer")
-    feed = _feed(spark, sf_dir, "customer")
 
-    # segment boundaries: ord quartiles (exact percentiles — 3 scalars)
-    bounds = ord_quartile_bounds(feed)
+    def _build():
+        feed = _feed(spark, sf_dir, "customer").persist()
+        # segment boundaries: ord quartiles (exact percentiles — 3 scalars)
+        bounds = ord_quartile_bounds(feed)
 
-    def _piece(df):
-        return df.unionByName(feed.limit(0), allowMissingColumns=True).select(
-            *feed.columns
-        )
+        def _piece(df):
+            return df.unionByName(feed.limit(0), allowMissingColumns=True).select(
+                *feed.columns
+            )
 
-    pieces = []
-    lo_ord = -1
-    for i, hi_ord in enumerate(bounds):
-        pieces.append(_piece(feed.where((F.col("ord") > lo_ord) & (F.col("ord") <= hi_ord))))
-        # the "replica" as-of this stream position, chunked on key buckets
-        replica = cdc_apply(base, feed.where(F.col("ord") <= hi_ord), "c_custkey", _CUST_COLS)
-        pieces.append(
-            _piece(dump_chunk(replica, "c_custkey", _CUST_COLS, 16 * i, 16 * i + 15, dump_id=i))
-        )
-        lo_ord = hi_ord
-    feed_dir = f"{d}/feed"
-    write_segments(pieces, feed_dir)
+        pieces = []
+        lo_ord = -1
+        for i, hi_ord in enumerate(bounds):
+            pieces.append(
+                _piece(feed.where((F.col("ord") > lo_ord) & (F.col("ord") <= hi_ord)))
+            )
+            # the "replica" as-of this stream position, chunked on key buckets
+            replica = cdc_apply(
+                base, feed.where(F.col("ord") <= hi_ord), "c_custkey", _CUST_COLS
+            )
+            pieces.append(
+                _piece(
+                    dump_chunk(
+                        replica, "c_custkey", _CUST_COLS, 16 * i, 16 * i + 15, dump_id=i
+                    )
+                )
+            )
+            lo_ord = hi_ord
+        return pieces, feed.unpersist
+
+    feed_dir = cached_fixture_pieces(spark, sf_dir, "dblog_interleave", _build)
     return base, feed_dir

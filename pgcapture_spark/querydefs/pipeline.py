@@ -249,13 +249,18 @@ def corpus_select_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     from pgcapture_spark.operators.textstats import select_gate
-    from pgcapture_spark.sources.feed import materialize_feed
+    from pgcapture_spark.sources.feed import cached_fixture_segments
 
     register_views(spark, sf_dir, ("documents",))
     d = tempfile.mkdtemp(prefix="pgcs_q_selstream_")
-    docs = spark.table("documents").select("doc_id", "text")
-    materialize_feed(docs, f"{d}/segs", n_segments=4, order_col="doc_id")
-    schema = spark.read.parquet(f"{d}/segs").schema
+    # fixture INPUT edge (sources/feed.py contract): the doc-segment log is
+    # shared with the other doc-stream consumers — one synthesis per process
+    segs_dir = cached_fixture_segments(
+        spark, sf_dir, "docs_segs",
+        lambda: spark.table("documents").select("doc_id", "text"),
+        n_segments=4, order_col="doc_id",
+    )
+    schema = spark.read.parquet(segs_dir).schema
     sel_dir, seen_dir = f"{d}/selected", f"{d}/seen"
     os.makedirs(sel_dir)
     os.makedirs(seen_dir)
@@ -282,7 +287,7 @@ def corpus_select_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     query = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", "2")
-        .parquet(f"{d}/segs")
+        .parquet(segs_dir)
         .writeStream.foreachBatch(_batch)
         .option("checkpointLocation", f"{d}/ckpt")
         .trigger(availableNow=True)
@@ -565,13 +570,16 @@ def dedup_incremental_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     from pgcapture_spark.operators.dedup import SIG_AGREE_EXPR, lsh_bucket_rows
-    from pgcapture_spark.sources.feed import materialize_feed
+    from pgcapture_spark.sources.feed import cached_fixture_segments
 
     register_views(spark, sf_dir, ("documents",))
     d = tempfile.mkdtemp(prefix="pgcs_q_dedupstream_")
-    docs = spark.table("documents").select("doc_id", "text")
-    materialize_feed(docs, f"{d}/segs", n_segments=4, order_col="doc_id")
-    schema = spark.read.parquet(f"{d}/segs").schema
+    segs_dir = cached_fixture_segments(
+        spark, sf_dir, "docs_segs",
+        lambda: spark.table("documents").select("doc_id", "text"),
+        n_segments=4, order_col="doc_id",
+    )
+    schema = spark.read.parquet(segs_dir).schema
     state_dir, out_dir = f"{d}/sigstate", f"{d}/accepted"
     os.makedirs(state_dir)
     os.makedirs(out_dir)
@@ -610,7 +618,7 @@ def dedup_incremental_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     query = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", "2")
-        .parquet(f"{d}/segs")
+        .parquet(segs_dir)
         .writeStream.foreachBatch(_batch)
         .option("checkpointLocation", f"{d}/ckpt")
         .trigger(availableNow=True)

