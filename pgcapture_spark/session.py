@@ -28,6 +28,16 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", shuffle_partitions)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # coalesce toward the advisory partition size instead of maximizing
+        # parallelism (guide §2.2 "fewer, larger reduce partitions"): at
+        # 100 TB this is what keeps post-shuffle partitions in the
+        # 64-256 MB band instead of splintering them across the cluster;
+        # at sf0.1 an in-session alternating A/B (3 pairs × 6 queries,
+        # scripts/ab_conf.py, r10 opt round) measured it neutral-to-
+        # slightly-better (min ratios 0.89-1.07, medians mostly better).
+        # advisoryPartitionSizeInBytes stays at Spark's 64 MB default —
+        # raise toward 256 MB on a real cluster per the guide.
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

@@ -60,13 +60,18 @@ def make_quarantine(dialect: str, checkpoint_dir: str, max_consecutive_skips: in
     return skip_streak, _quarantine
 
 
-def probe_and_fold_tx(parsed, tx_state: SnapshotState, batch_id: int):
+def probe_and_fold_tx(parsed, tx_state: SnapshotState, batch_id: int, extra_aggs=()):
     """The wire consumers' shared per-batch protocol head — ONE
     implementation so the three consumers (pgoutput/pglogical dialect core,
     proto single-table, proto multi-table) cannot drift:
 
-    1. ONE probe job over the parsed batch: the first parse error (if any)
-       and the I/U/D row count (feeds the framing-only early-exit).
+    1. ONE probe job over the parsed batch: the first DATA parse error (if
+       any — relation frames at ord = -1 are excluded; the dialect core
+       checks those separately from the same probe row), the I/U/D row
+       count (feeds the framing-only early-exit), the Begin count, and any
+       caller-supplied ``extra_aggs`` (the dialect core rides its bounded
+       R-frame ``collect_list`` here so relation learning costs no second
+       driver job).
     2. Fold the batch's Begin frames into the persisted tx registry
        UNCONDITIONALLY — before any quarantine decision. A Begin that
        PARSED is trustworthy even when siblings in the batch are corrupt
@@ -76,7 +81,11 @@ def probe_and_fold_tx(parsed, tx_state: SnapshotState, batch_id: int):
        parked batch cannot repair the registry, because the
        tx_state.last_batch gate skips its re-fold. The fold is additive +
        lsn-deduped, so folding from a parked batch is idempotent under
-       replay.
+       replay. A batch carrying NO Begin frames leaves the registry
+       content-identical, so its per-trigger rewrite is SKIPPED once the
+       registry exists on disk (the commit-on-change discipline the
+       relation cache already follows): on a quiet or framing-sparse
+       stream the registry write job simply does not run.
 
     Returns ``(probe, reg)`` — probe has ``err`` (first parse_error or
     None) and ``n_rows``; reg is the COMMITTED registry (planned off its
@@ -93,18 +102,32 @@ def probe_and_fold_tx(parsed, tx_state: SnapshotState, batch_id: int):
 
     probe = parsed.agg(
         F.max(
-            F.when(F.col("f.op") == "ERROR", F.col("f.parse_error"))
+            F.when(
+                (F.col("f.op") == "ERROR") & (F.col("ord") != -1),
+                F.col("f.parse_error"),
+            )
         ).alias("err"),
         F.sum(
             F.when(
                 F.col("f.op").isin("INSERT", "UPDATE", "DELETE"), 1
             ).otherwise(0)
         ).alias("n_rows"),
+        F.sum(
+            F.when(F.col("f.op") == "BEGIN", 1).otherwise(0)
+        ).alias("n_begins"),
+        *extra_aggs,
     ).collect()[0]
+    existing = tx_state.read()
+    if not (probe["n_begins"] or 0) and existing is not None:
+        # no Begin frames: the fold below would commit a byte-identical
+        # registry — skip the rewrite job (content unchanged on disk; the
+        # batch-id gate only guards this function's own idempotence, and a
+        # replayed begin-less batch skips here again)
+        return probe, existing
     begins = parsed.where("f.op = 'BEGIN'").select(
         "lsn", F.col("f.commit_us").alias("_commit_us")
     ).dropDuplicates(["lsn"])
-    reg = tx_state.read()
+    reg = existing
     if reg is None:
         reg = begins
     else:
@@ -746,25 +769,38 @@ def _apply_wire_stream(
         # SAFE parse mode throughout: corrupt bytes become op='ERROR' rows
         # routed to the quarantine below — a poison frame must park, not
         # kill the stream (restarting would hit the same byte forever, with
-        # no deadletter). The data slice persists: it is read 2-3 times below
-        # and the Arrow parse must not re-run per reference. The R-frame
-        # slice (ord = -1, a handful of rows at most) is COLLECTED once —
-        # the error probe, the last-wins dedup input, and the cache merge all
-        # come from that one driver job instead of three (r10 optimization).
-        parsed = batch_df.where("ord <> -1").select(
+        # no deadletter). The whole batch (R frames included) parses in ONE
+        # persisted frame: it is read 2-3 times below and the Arrow parse
+        # must not re-run per reference. The R-frame slice (ord = -1, a
+        # handful of rows by construction — one R frame per relation) rides
+        # the probe job as a bounded collect_list, so the error probe, the
+        # last-wins dedup input, and the cache merge all come from the SAME
+        # driver job as the data probe — no separate R-slice scan per
+        # trigger (r10 optimization, second cut).
+        parsed = batch_df.select(
             "lsn", "seq", "ord", parse_frames_udf(safe=True)("data").alias("f")
         ).persist()
         try:
-            # 1) the shared protocol head: ONE probe job + the UNCONDITIONAL
-            # Begin fold (see probe_and_fold_tx's contract)
-            probe, reg = probe_and_fold_tx(parsed, tx_state, batch_id)
+            # 1) the shared protocol head: ONE probe job (carrying the
+            # R-frame slice) + the UNCONDITIONAL Begin fold (see
+            # probe_and_fold_tx's contract)
+            probe, reg = probe_and_fold_tx(
+                parsed,
+                tx_state,
+                batch_id,
+                extra_aggs=[
+                    F.collect_list(
+                        F.when(
+                            F.col("ord") == -1, F.struct("lsn", "seq", "f")
+                        )
+                    ).alias("_rel_rows")
+                ],
+            )
             # 2) learn + persist relations from this batch's R frames
             # (ord = -1 sorts them first). A corrupt R frame quarantines
             # BEFORE the registry commit: a half-learned relation set must
             # never become the persisted schema.
-            rel_rows = batch_df.where("ord = -1").select(
-                "lsn", "seq", parse_frames_udf(safe=True)("data").alias("f")
-            ).collect()
+            rel_rows = list(probe["_rel_rows"] or [])
             rel_errs = [
                 r["f"]["parse_error"] for r in rel_rows if r["f"]["op"] == "ERROR"
             ]
@@ -776,11 +812,10 @@ def _apply_wire_stream(
                 return
             if rel_rows:
                 spark = batch_df.sparkSession
+                # driver-local rows back to a (tiny) DataFrame: schema comes
+                # from the persisted parse frame — no extra analysis pass
                 rel_local = spark.createDataFrame(
-                    rel_rows,
-                    batch_df.select(
-                        "lsn", "seq", parse_frames_udf(safe=True)("data").alias("f")
-                    ).schema,
+                    rel_rows, parsed.drop("ord").schema
                 )
                 rel_frames = rel_local.where("f.op = 'RELATION'")
                 # several R frames for one relation inside a single

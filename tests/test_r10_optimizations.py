@@ -39,6 +39,69 @@ def test_touched_buckets_multi_matches_per_table(spark):
         shutil.rmtree(d, ignore_errors=True)
 
 
+def test_tx_registry_skips_rewrite_on_beginless_batch(spark):
+    """probe_and_fold_tx commit-on-change: a batch carrying NO Begin frames
+    leaves the persisted tx registry byte-identical, so its per-trigger
+    rewrite must be SKIPPED (no new version dir, replay gate untouched,
+    returned registry still resolves) — while the first-ever batch (no
+    registry on disk yet) and any batch WITH Begins still commit."""
+    from pgcapture_spark.streaming.pipeline import probe_and_fold_tx
+    from pgcapture_spark.streaming.state import SnapshotState
+
+    schema = (
+        "lsn bigint, seq int, ord bigint,"
+        " f struct<op:string, parse_error:string, commit_us:bigint, n:int>"
+    )
+
+    def _versions(root: str) -> list[str]:
+        return sorted(
+            n for n in os.listdir(root)
+            if n.startswith("v") and os.path.isdir(os.path.join(root, n))
+        )
+
+    d = tempfile.mkdtemp(prefix="t_r10_txskip_")
+    try:
+        tx = SnapshotState(spark, f"{d}/txreg")
+        # first-ever batch, begin-less: must still initialize the registry
+        rows_only = spark.createDataFrame(
+            [(10, 1, 1001, ("INSERT", None, None, 1))], schema
+        )
+        probe, reg = probe_and_fold_tx(rows_only, tx, batch_id=0)
+        assert (probe["n_begins"] or 0) == 0
+        assert tx.last_batch() == 0 and reg.count() == 0
+        v0 = _versions(f"{d}/txreg")
+
+        # batch WITH a Begin commits a new version
+        with_begin = spark.createDataFrame(
+            [(20, 0, 2000, ("BEGIN", None, 222, 0)),
+             (20, 1, 2001, ("INSERT", None, None, 1))], schema
+        )
+        probe, reg = probe_and_fold_tx(with_begin, tx, batch_id=1)
+        assert probe["n_begins"] == 1
+        assert tx.last_batch() == 1
+        assert sorted(r["lsn"] for r in reg.collect()) == [20]
+        v1 = _versions(f"{d}/txreg")
+        assert v1 != v0
+
+        # begin-less batch AFTER the registry exists: rewrite skipped —
+        # same version dirs on disk, gate unmoved, registry still resolves
+        probe, reg = probe_and_fold_tx(rows_only, tx, batch_id=2)
+        assert (probe["n_begins"] or 0) == 0
+        assert _versions(f"{d}/txreg") == v1
+        assert tx.last_batch() == 1  # gate only guards its own idempotence
+        assert sorted(r["lsn"] for r in reg.collect()) == [20]
+
+        # and the next Begin-carrying batch still commits on top
+        with_begin2 = spark.createDataFrame(
+            [(30, 0, 3000, ("BEGIN", None, 333, 0))], schema
+        )
+        _, reg = probe_and_fold_tx(with_begin2, tx, batch_id=3)
+        assert tx.last_batch() == 3
+        assert sorted(r["lsn"] for r in reg.collect()) == [20, 30]
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def test_wire_rel_cache_commits_only_on_relation_frames(spark):
     """8 one-file triggers, the Relation frame only in batch 0: the relation
     cache must be written EXACTLY once (one version dir, manifest pinned at
