@@ -28,16 +28,21 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", shuffle_partitions)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        # coalesce toward the advisory partition size instead of maximizing
-        # parallelism (guide §2.2 "fewer, larger reduce partitions"): at
-        # 100 TB this is what keeps post-shuffle partitions in the
-        # 64-256 MB band instead of splintering them across the cluster;
-        # at sf0.1 an in-session alternating A/B (3 pairs × 6 queries,
-        # scripts/ab_conf.py, r10 opt round) measured it neutral-to-
-        # slightly-better (min ratios 0.89-1.07, medians mostly better).
-        # advisoryPartitionSizeInBytes stays at Spark's 64 MB default —
-        # raise toward 256 MB on a real cluster per the guide.
-        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+        # parallelismFirst stays at Spark's default (true): byte-based
+        # coalescing is blind to per-row CPU, and an in-session alternating
+        # A/B (scripts/ab_conf.py, r10 opt round) showed false serializing
+        # the CPU-heavy small-byte stages — cdc_apply_from_binary_feed_
+        # composite 2.0 -> 4.2 s min with a 42 s bimodal outlier, and
+        # cdc_compaction_execute 3.3 -> 8.2 s (the Arrow decode / compaction
+        # rewrite run on ~1 coalesced partition). The scale lever for the
+        # 100 TB "fewer, larger reduce partitions" goal (guide §2.2) is
+        # advisoryPartitionSizeInBytes, env-overridable below; on a real
+        # cluster set 64-256 MB advisory with parallelismFirst still true so
+        # coalescing never drops below the cluster's parallelism floor.
+        .config(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            os.environ.get("SPARK_GRAFT_ADVISORY_PARTITION_BYTES", "64m"),
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
