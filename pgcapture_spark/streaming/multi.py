@@ -190,12 +190,18 @@ class BucketedMultiTableState:
         )
 
     def read_asof(
-        self, table: str, manifest: dict, buckets: list[int] | None = None
+        self,
+        table: str,
+        manifest: dict,
+        buckets: list[int] | None = None,
+        fields: list[tuple[str, str]] | None = None,
     ) -> DataFrame | None:
         """Point-in-time read of ONE table against a retained cross-table
         manifest (``manifest_asof``). A referenced version dir that vacuum
         removed fails loudly; a missing ``_b=`` subdir inside a live version
-        is a legitimately empty bucket."""
+        is a legitimately empty bucket. ``fields`` (when the caller knows the
+        authoritative field list) becomes the explicit read schema — no
+        footer-merge job (see state.BucketedSnapshotState._reader)."""
         if buckets is None:
             buckets = list(range(self.n_buckets))
         per_t = manifest["buckets"].get(table, {})
@@ -218,10 +224,7 @@ class BucketedMultiTableState:
                     paths.append(p)
         if not paths:
             return None
-        reader = self.spark.read
-        for k, v in self._READ_OPTS.items():
-            reader = reader.option(k, v)
-        return reader.parquet(*paths)
+        return self._reader(fields).parquet(*paths)
 
     @property
     def _manifest(self) -> str:
@@ -326,7 +329,40 @@ class BucketedMultiTableState:
 
     _READ_OPTS: dict[str, str] = {}
 
-    def read_buckets(self, table: str, buckets: list[int]) -> DataFrame | None:
+    def _reader(self, fields: list[tuple[str, str]] | None):
+        """See ``state.BucketedSnapshotState._reader``: an explicit field
+        list skips footer schema inference — in particular the distributed
+        mergeSchema job the dynamic state otherwise pays per bucket read."""
+        reader = self.spark.read
+        if fields is not None:
+            return reader.schema(", ".join(f"`{n}` {t}" for n, t in fields))
+        for k, v in self._READ_OPTS.items():
+            reader = reader.option(k, v)
+        return reader
+
+    def cluster_by_key(self, table: str, df: DataFrame) -> DataFrame:
+        """Hash-cluster ``df`` into exactly ``n_buckets`` partitions on the
+        table's key columns for a WRITE (partition p = bucket p — Spark
+        HashPartitioning is the same ``pmod(hash, n)`` as ``_bucket_col``,
+        and a user by-num repartition feeding a write directly is honored):
+        one task and one file per bucket, clustered by KEY hash instead of
+        by ``hash(_b)`` (the latter collides buckets into some tasks and
+        idles others — guide §2.5). NOT for merge-join inputs: there
+        EnsureRequirements rewrites the by-num shuffle to
+        ``max(n_buckets, spark.sql.shuffle.partitions)`` and pins a rigid
+        count AQE cannot coalesce — the merge paths instead let the join
+        plan its own exchanges and pass ``pre_clustered=True`` to inherit
+        that layout (see ``fold_commit``)."""
+        return df.repartition(
+            self.n_buckets, *[F.col(k) for k in _key_list(self.keys[table])]
+        )
+
+    def read_buckets(
+        self,
+        table: str,
+        buckets: list[int],
+        fields: list[tuple[str, str]] | None = None,
+    ) -> DataFrame | None:
         manifest = self._load()
         paths = []
         for b in buckets:
@@ -337,10 +373,7 @@ class BucketedMultiTableState:
                     paths.append(p)
         if not paths:
             return None
-        reader = self.spark.read
-        for k, v in self._READ_OPTS.items():
-            reader = reader.option(k, v)
-        return reader.parquet(*paths)
+        return self._reader(fields).parquet(*paths)
 
     def read(self) -> dict[str, DataFrame] | None:
         if not os.path.exists(self._manifest):
@@ -387,7 +420,10 @@ class BucketedMultiTableState:
         return groups
 
     def commit(
-        self, merged: dict[str, tuple[DataFrame, list[int]]], batch_id: int
+        self,
+        merged: dict[str, tuple[DataFrame, list[int]]],
+        batch_id: int,
+        pre_clustered: bool = False,
     ) -> None:
         """Write each table's merged touched-bucket rows under one new version
         dir, then swing ALL bucket pointers in one atomic manifest rename.
@@ -396,6 +432,12 @@ class BucketedMultiTableState:
         list + key + compatible schema FUSE into one write job tagged by a
         ``_tbl`` partition column whose dirs are renamed into the per-table
         layout (one job instead of two — per-trigger fixed cost, ADVICE r7).
+        ``pre_clustered=True`` asserts every merged frame is ALREADY
+        key-clustered (the full-outer merge join's own exchanges — see
+        ``pipeline.fold_commit``) — the write then adds NO exchange: the
+        partitioned write splits dirs from the layout the merge already has,
+        one network crossing for each merged frame instead of two (guide
+        §2.4).
         Every table's rows must hash into its passed bucket list — enforced
         post-write, see ``state._assert_buckets_within`` (a stray row would
         be stranded)."""
@@ -408,11 +450,13 @@ class BucketedMultiTableState:
         def _write_single(t: str) -> None:
             df, buckets = merged[t]
             out = os.path.join(self.root, version, t)
+            # cluster by KEY hash into n_buckets (task p = bucket p): one
+            # task and one file per touched bucket — unless the merge join
+            # already key-clustered the frame, in which case the layout is
+            # inherited and the write adds no exchange
+            clustered = df if pre_clustered else self.cluster_by_key(t, df)
             (
-                # cluster by bucket first: one task (and one file) per
-                # touched bucket — see BucketedSnapshotState.commit_buckets
-                df.withColumn("_b", self._bucket_col(t))
-                .repartition(max(1, len(buckets)), F.col("_b"))
+                clustered.withColumn("_b", self._bucket_col(t))
                 .write.mode("overwrite")
                 .partitionBy("_b")
                 .parquet(out)
@@ -433,10 +477,21 @@ class BucketedMultiTableState:
                     if fused is None
                     else fused.unionByName(part, allowMissingColumns=True)
                 )
+            if not pre_clustered:
+                # the fuse rule guarantees the group shares its key columns,
+                # so ONE key-clustered exchange over the union gives task
+                # p = bucket p for every member table (hashing the derived
+                # _b again would collide buckets into some tasks)
+                fused = fused.repartition(
+                    self.n_buckets,
+                    *[F.col(k) for k in _key_list(self.keys[grp[0]])],
+                )
+            # pre-clustered children concatenate partition-wise through the
+            # union — no exchange; partitionBy splits (_tbl, _b) dirs from
+            # the physical layout either way
             tmp = os.path.join(self.root, version, "__fused_" + "_".join(grp))
             (
-                fused.repartition(max(1, len(buckets)), F.col("_b"))
-                .write.mode("overwrite")
+                fused.write.mode("overwrite")
                 .partitionBy("_tbl", "_b")
                 .parquet(tmp)
             )
@@ -512,13 +567,16 @@ class BucketedMultiTableState:
         version = f"vc{manifest['batch_id']:012d}g{gen}"
 
         def _rewrite(t: str) -> None:
-            cur = self.read_buckets(t, list(range(self.n_buckets)))
+            cur = self.read_buckets(
+                t, list(range(self.n_buckets)), fields=self._read_fields(t)
+            )
             if cur is None:
                 return  # never-written table: pointers re-point to nothing
             (
-                self._compact_frame(t, cur)
+                # key-clustered (task p = bucket p), not hash-of-_b — the
+                # latter collides buckets into some tasks and idles others
+                self.cluster_by_key(t, self._compact_frame(t, cur))
                 .withColumn("_b", self._bucket_col(t))
-                .repartition(self.n_buckets, F.col("_b"))
                 .write.mode("overwrite")
                 .partitionBy("_b")
                 .parquet(os.path.join(self.root, version, t))
@@ -538,6 +596,12 @@ class BucketedMultiTableState:
         self._swap(manifest)
         self.vacuum()
         return version
+
+    def _read_fields(self, t: str) -> list[tuple[str, str]] | None:
+        """Hook: the authoritative field list to read table ``t`` with (an
+        explicit schema skips footer inference). None = infer from footers
+        (the static state's schemas never evolve, one footer suffices)."""
+        return None
 
     def _compact_frame(self, t: str, df: DataFrame) -> DataFrame:
         """Hook: the frame compaction physically rewrites for table ``t``.
@@ -632,15 +696,24 @@ def fold_commit_multi(
         merged: dict[str, tuple[DataFrame, list[int]]] = {}
         for t, buckets in sorted(touched.items()):
             buckets = sorted(buckets)
-            current = state.read_buckets(t, buckets)
+            # the seed schema doubles as the explicit read schema (the
+            # bucket files carry exactly those columns/types) — no
+            # per-trigger footer inference
+            current = state.read_buckets(t, buckets, fields=seeds[t].dtypes)
             base = (
                 current.select(*_key_list(keys[t]), *cols[t])
                 if current is not None
                 else seeds[t].limit(0)
             )
-            merged[t] = (merge_images(base, imgs[t], keys[t], cols[t]), buckets)
+            # the full-outer merge join's own exchanges key-cluster the
+            # output, so the commit write inherits the layout and adds no
+            # exchange (see pipeline.fold_commit)
+            merged[t] = (
+                merge_images(base, imgs[t], keys[t], cols[t]),
+                buckets,
+            )
         if merged:
-            state.commit(merged, batch_id)
+            state.commit(merged, batch_id, pre_clustered=True)
             state.vacuum()
         else:
             # no table touched — manifest rename only, keeps last_batch()
@@ -779,6 +852,9 @@ class DynamicMultiTableState(BucketedMultiTableState):
         )
         return self._rebucket_into(new)
 
+    def _read_fields(self, t: str) -> list[tuple[str, str]] | None:
+        return self._fields_spark(t) if t in self.keys else None
+
     def _compact_frame(self, t: str, df: DataFrame) -> DataFrame:
         from pgcapture_spark.streaming.state import align_to_fields
 
@@ -796,21 +872,27 @@ class DynamicMultiTableState(BucketedMultiTableState):
         return RelationRegistry.from_dict(raw) if raw is not None else self.registry
 
     def read_asof(
-        self, table: str, manifest: dict, buckets: list[int] | None = None
+        self,
+        table: str,
+        manifest: dict,
+        buckets: list[int] | None = None,
+        fields: list[tuple[str, str]] | None = None,
     ) -> DataFrame | None:
         """Point-in-time read aligned to the schema AS OF that commit: the
         retained entry's registry snapshot supplies the field list that was
         authoritative when the entry was current, so "the table as of batch
         N" across an ALTER shows batch N's columns — not today's (the r9
-        documented divergence, closed)."""
-        df = super().read_asof(table, manifest, buckets)
-        if df is None:
-            return None
+        documented divergence, closed). The field list doubles as the
+        explicit read schema (no footer-merge job)."""
         from pgcapture_spark.functions.pgtypes import spark_type_for_oid
         from pgcapture_spark.streaming.state import align_to_fields
 
-        reg = self.registry_asof(manifest)
-        fields = [(n, spark_type_for_oid(oid)) for n, oid in reg.fields(table)]
+        if fields is None:
+            reg = self.registry_asof(manifest)
+            fields = [(n, spark_type_for_oid(oid)) for n, oid in reg.fields(table)]
+        df = super().read_asof(table, manifest, buckets, fields=fields)
+        if df is None:
+            return None
         return align_to_fields(df, fields)
 
     def seed_table(self, t: str, snapshot: DataFrame) -> None:
@@ -841,14 +923,17 @@ class DynamicMultiTableState(BucketedMultiTableState):
             return None
         out: dict[str, DataFrame] = {}
         for t in self.registry.tables():
+            fields = self._fields_spark(t)
             df = (
-                self.read_buckets(t, list(range(self.n_buckets)))
+                # the registry field list is the explicit read schema — no
+                # distributed mergeSchema footer job per table
+                self.read_buckets(t, list(range(self.n_buckets)), fields=fields)
                 if t in self.keys
                 else None
             )
             if df is None:
                 df = self.registry.empty_snapshot(self.spark, t)
-            out[t] = align_to_fields(df, self._fields_spark(t))
+            out[t] = align_to_fields(df, fields)
         return out
 
 
@@ -965,17 +1050,23 @@ def apply_stream_dynamic(
                 buckets = sorted(buckets)
                 key = state.keys[t]
                 fields = state._fields_spark(t)
-                cur = state.read_buckets(t, buckets)
+                # the registry field list is the explicit read schema: no
+                # per-trigger footer-merge job (absent columns NULL-fill,
+                # dropped ones are ignored — the same surface the
+                # mergeSchema+align pair produced)
+                cur = state.read_buckets(t, buckets, fields=fields)
                 base = align_to_fields(
                     cur if cur is not None else reg.empty_snapshot(spark, t),
                     fields,
                 )
+                # the merge join's own exchanges key-cluster the output; the
+                # commit write inherits that layout (see pipeline.fold_commit)
                 merged[t] = (
                     merge_images(base, imgs[t], key, reg.value_cols(t)),
                     buckets,
                 )
             if merged:
-                state.commit(merged, batch_id)
+                state.commit(merged, batch_id, pre_clustered=True)
                 state.vacuum()
             else:
                 # schema-only / empty batch: the registry still rides the

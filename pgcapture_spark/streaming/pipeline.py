@@ -92,12 +92,17 @@ def probe_and_fold_tx(parsed, tx_state: SnapshotState, batch_id: int, extra_aggs
     parquet files, not the in-memory union chain).
 
     GROWTH BOUND: the registry accumulates one row per transaction for the
-    stream's lifetime and is rewritten + broadcast whole every batch — fine
-    for the replication-lag horizon it actually serves, unbounded if never
-    maintained (the same storage class the reference bounds by acking LSNs
-    so the broker discards delivered data). :func:`prune_tx_registry` is the
-    offline maintenance op (the ``compact_log`` analog); its safe watermark
-    comes from the log's total ord order."""
+    stream's lifetime. Each batch APPENDS only its new Begins as a delta dir
+    (``SnapshotState.commit_delta`` — O(new begins) written per trigger, not
+    an O(all tx so far) rewrite, which was quadratic over a stream's life);
+    the whole registry is still broadcast per batch for the commit-time
+    join — fine for the replication-lag horizon it actually serves,
+    unbounded if never maintained (the same storage class the reference
+    bounds by acking LSNs so the broker discards delivered data).
+    :func:`prune_tx_registry` is the offline maintenance op (the
+    ``compact_log`` analog) and doubles as delta compaction (its full
+    rewrite supersedes the delta dirs); its safe watermark comes from the
+    log's total ord order."""
     from pyspark.sql import functions as F
 
     probe = parsed.agg(
@@ -127,18 +132,22 @@ def probe_and_fold_tx(parsed, tx_state: SnapshotState, batch_id: int, extra_aggs
     begins = parsed.where("f.op = 'BEGIN'").select(
         "lsn", F.col("f.commit_us").alias("_commit_us")
     ).dropDuplicates(["lsn"])
-    reg = existing
-    if reg is None:
-        reg = begins
-    else:
-        # FIRST writer wins, deterministically (anti-join, not a union +
-        # dropDuplicates whose survivor is arbitrary): a re-delivered Begin
-        # carries the same commit_us so the choice is normally moot, but
-        # determinism means a corrupt late duplicate can never displace the
-        # entry real rows already resolved against
-        reg = reg.unionByName(begins.join(reg.select("lsn"), "lsn", "left_anti"))
     if batch_id > tx_state.last_batch():
-        tx_state.commit(reg, batch_id)
+        if existing is None:
+            tx_state.commit(begins, batch_id)
+        else:
+            # APPEND the batch's genuinely-new Begins as a delta dir instead
+            # of rewriting the whole registry per trigger (O(new) vs O(all
+            # tx so far) — the rewrite was quadratic over a stream's life).
+            # FIRST writer wins, deterministically (anti-join, not a union +
+            # dropDuplicates whose survivor is arbitrary): a re-delivered
+            # Begin carries the same commit_us so the choice is normally
+            # moot, but determinism means a corrupt late duplicate can never
+            # displace the entry real rows already resolved against.
+            tx_state.commit_delta(
+                begins.join(existing.select("lsn"), "lsn", "left_anti"),
+                batch_id,
+            )
         tx_state.vacuum()
     return probe, tx_state.read()
 
@@ -191,6 +200,8 @@ def commit_keyed_state(
     touched_keys: DataFrame,
     merge_fn: Callable[[DataFrame | None], DataFrame],
     seed: DataFrame | None = None,
+    pre_clustered: bool = False,
+    read_fields: list[tuple[str, str]] | None = None,
 ) -> None:
     """Commit one micro-batch's merge into snapshot state, dispatching on the
     state's granularity — the round-6 scale fix for the full-snapshot-rewrite
@@ -224,7 +235,12 @@ def commit_keyed_state(
             # relying on empty replays being no-ops
             state.mark_batch(batch_id)
             return
-        state.commit_buckets(merge_fn(state.read_buckets(buckets)), buckets, batch_id)
+        state.commit_buckets(
+            merge_fn(state.read_buckets(buckets, fields=read_fields)),
+            buckets,
+            batch_id,
+            pre_clustered=pre_clustered,
+        )
     else:
         current = state.read()
         state.commit(merge_fn(current if current is not None else seed), batch_id)
@@ -242,12 +258,28 @@ def fold_commit(
     """The apply consumers' shared snapshot commit: fold ``changes`` to final
     per-key images ONCE (persisted — it feeds both the touched-bucket probe
     and the merge), then merge via :func:`commit_keyed_state`. ``key`` may be
-    a composite replica identity (list of columns)."""
+    a composite replica identity (list of columns).
+
+    On a bucketed state the commit write INHERITS the merge join's layout
+    (``pre_clustered=True``): a full-outer equi-join can never broadcast
+    (verified on this Spark build — SortMergeJoin even under an explicit
+    hint), so ``merge_images``'s output is always hash-clustered on the key
+    by the join's own two ENSURE_REQUIREMENTS exchanges, and the partitioned
+    write needs no by-bucket repartition of its own — the merged frame (the
+    trigger's heaviest: the whole touched-bucket content) crosses the
+    network once instead of twice (guide §2.4). The join exchanges stay
+    AQE-coalescible; forcing ``repartition(n_buckets, key)`` on the inputs
+    instead would be conf-dependent (EnsureRequirements rewrites a user
+    by-num shuffle feeding a co-partitioned join to
+    ``max(user, spark.sql.shuffle.partitions)``) and would pin a rigid
+    partition count AQE cannot adapt at scale."""
     from pgcapture_spark.operators.apply import _keys, last_image, merge_images
+    from pgcapture_spark.streaming.state import BucketedSnapshotState
 
     keys = _keys(key)
     seed = initial_snapshot.select(*keys, *cols)
     img = last_image(changes, key, cols).persist()
+    bucketed = isinstance(state, BucketedSnapshotState)
     try:
         empty = seed.limit(0)
 
@@ -255,7 +287,18 @@ def fold_commit(
             base = current.select(*keys, *cols) if current is not None else empty
             return merge_images(base, img, key, cols)
 
-        commit_keyed_state(state, batch_id, img.select(*keys), _merge, seed=seed)
+        commit_keyed_state(
+            state,
+            batch_id,
+            img.select(*keys),
+            _merge,
+            seed=seed,
+            pre_clustered=bucketed,
+            # the bucket files carry exactly the seed's columns/types, so
+            # the seed schema doubles as the explicit read schema (no
+            # per-trigger footer inference)
+            read_fields=seed.dtypes if bucketed else None,
+        )
     finally:
         img.unpersist()
 
@@ -395,7 +438,9 @@ def apply_stream_with_ddl(
             if not buckets:
                 state.mark_batch(batch_id, extra=extra)
                 return
-            cur = state.read_buckets(buckets)
+            # the evolved field list is the explicit read schema (no
+            # footer-merge job) AND the alignment target
+            cur = state.read_buckets(buckets, fields=fields)
             base = (
                 state.aligned(cur, fields)
                 if cur is not None
@@ -407,8 +452,17 @@ def apply_stream_with_ddl(
                     full_img = full_img.withColumn(
                         f"_set_{c}", F.lit(None).cast(f"struct<v:{types[c]}>")
                     )
+            # the full-outer merge join's own exchanges key-cluster the
+            # output, so the commit write inherits the layout and adds no
+            # exchange (see fold_commit)
             merged = merge_images(base, full_img, key, cols)
-            state.commit_buckets(merged.select(key, *cols), buckets, batch_id, extra=extra)
+            state.commit_buckets(
+                merged.select(key, *cols),
+                buckets,
+                batch_id,
+                extra=extra,
+                pre_clustered=True,
+            )
             state.vacuum()
         finally:
             img.unpersist()
@@ -473,8 +527,10 @@ def apply_stream_bucketed(
                 return
             current = state.read_buckets(buckets)
             assert current is not None, "BucketedSnapshotState not initialized"
+            # the merge join's own exchanges key-cluster the output; the
+            # commit write inherits that layout (see fold_commit)
             merged = merge_images(current.select(key, *cols), img, key, cols)
-            state.commit_buckets(merged, buckets, batch_id)
+            state.commit_buckets(merged, buckets, batch_id, pre_clustered=True)
             if on_batch is not None:
                 on_batch(batch_id, buckets)
         finally:

@@ -45,8 +45,11 @@ class SnapshotState:
         if not os.path.exists(self._manifest):
             return None
         with open(self._manifest) as f:
-            version = json.load(f)["version"]
-        return self.spark.read.parquet(os.path.join(self.root, version))
+            m = json.load(f)
+        dirs = [m["version"], *m.get("deltas", [])]
+        return self.spark.read.parquet(
+            *[os.path.join(self.root, d) for d in dirs]
+        )
 
     def commit(self, df: DataFrame, batch_id: int, version: str | None = None) -> None:
         """Write a new version; atomically swing the manifest. Re-running the
@@ -55,7 +58,8 @@ class SnapshotState:
         ``batch_id`` unchanged (a maintenance commit may never advance the
         stream's replay gate) while still writing a FRESH dir — overwriting
         the manifest-current dir in place would corrupt it on a mid-write
-        crash."""
+        crash. A full commit SUPERSEDES any accumulated delta dirs
+        (``commit_delta``): the manifest drops them and vacuum reclaims."""
         version = version or f"v{batch_id:012d}"
         df.write.mode("overwrite").parquet(os.path.join(self.root, version))
         fd, tmp = tempfile.mkstemp(dir=self.root, suffix=".manifest")
@@ -63,13 +67,42 @@ class SnapshotState:
             json.dump({"version": version, "batch_id": batch_id}, f)
         os.replace(tmp, self._manifest)
 
+    def commit_delta(self, delta: DataFrame, batch_id: int) -> None:
+        """APPEND-ONLY commit: write only ``delta`` (rows NOT already in the
+        state — the caller anti-joins) as a new ``.delta`` dir riding the
+        manifest's ``deltas`` list; ``read()`` is the union of the base
+        version and every delta. For monotone row sets (the tx registry: one
+        immutable row per transaction) this turns the per-trigger write from
+        O(all rows so far) — a full rewrite per micro-batch, quadratic over a
+        stream's lifetime — into O(new rows this batch). A full ``commit``
+        (e.g. the prune maintenance rewrite) supersedes and drops the deltas.
+        Idempotent per batch_id: a crash between the dir write and the
+        manifest swap re-runs into the same dir and appends it once."""
+        if not os.path.exists(self._manifest):
+            raise ValueError("commit_delta: no base version — commit() first")
+        d = f"v{batch_id:012d}.delta"
+        delta.write.mode("overwrite").parquet(os.path.join(self.root, d))
+        with open(self._manifest) as f:
+            m = json.load(f)
+        deltas = m.setdefault("deltas", [])
+        if d not in deltas:
+            deltas.append(d)
+        m["batch_id"] = batch_id
+        fd, tmp = tempfile.mkstemp(dir=self.root, suffix=".manifest")
+        with os.fdopen(fd, "w") as f:
+            json.dump(m, f)
+        os.replace(tmp, self._manifest)
+
     def vacuum(self) -> list[str]:
-        """Remove superseded version dirs (see BucketedSnapshotState.vacuum)."""
+        """Remove superseded version dirs (see BucketedSnapshotState.vacuum).
+        Delta dirs riding the current manifest are live."""
         if not os.path.exists(self._manifest):
             return []
         with open(self._manifest) as f:
-            current = json.load(f)["version"]
-        return _vacuum_versions(self.root, {current})
+            m = json.load(f)
+        return _vacuum_versions(
+            self.root, {m["version"], *m.get("deltas", [])}
+        )
 
 
 def _same_state_entry(a: dict, b: dict) -> bool:
@@ -215,14 +248,32 @@ class BucketedSnapshotState:
 
     _READ_OPTS: dict[str, str] = {}
 
-    def read_buckets(self, buckets: list[int]) -> DataFrame | None:
+    def _reader(self, fields: list[tuple[str, str]] | None):
+        """Parquet reader for bucket slices. When the caller supplies the
+        authoritative ``[(name, spark_type), ...]`` field list (the evolving /
+        dynamic states carry it in the manifest/registry), the read uses that
+        EXPLICIT schema: Spark skips footer schema inference entirely — in
+        particular the distributed ``mergeSchema`` footer-merge job the
+        evolving reads otherwise launch per slice (one per trigger on the
+        streamed paths). Parquet schema evolution gives the same surface the
+        merge+align pair produced: files lacking a column NULL-fill, files
+        carrying extra (dropped) columns ignore them."""
+        reader = self.spark.read
+        if fields is not None:
+            return reader.schema(
+                ", ".join(f"`{n}` {t}" for n, t in fields)
+            )
+        for k, v in self._READ_OPTS.items():
+            reader = reader.option(k, v)
+        return reader
+
+    def read_buckets(
+        self, buckets: list[int], fields: list[tuple[str, str]] | None = None
+    ) -> DataFrame | None:
         paths = self._bucket_paths(self._load(), buckets)
         if not paths:
             return None
-        reader = self.spark.read
-        for k, v in self._READ_OPTS.items():
-            reader = reader.option(k, v)
-        return reader.parquet(*paths)
+        return self._reader(fields).parquet(*paths)
 
     def read(self) -> DataFrame | None:
         if not os.path.exists(self._manifest):
@@ -305,7 +356,10 @@ class BucketedSnapshotState:
         )
 
     def read_asof(
-        self, manifest: dict, buckets: list[int] | None = None
+        self,
+        manifest: dict,
+        buckets: list[int] | None = None,
+        fields: list[tuple[str, str]] | None = None,
     ) -> DataFrame | None:
         """Point-in-time read against a SAVED manifest snapshot (time travel
         over the state's own version history — the manifest maps each bucket
@@ -334,10 +388,7 @@ class BucketedSnapshotState:
         paths = self._bucket_paths(manifest, buckets)
         if not paths:
             return None
-        reader = self.spark.read
-        for k, v in self._READ_OPTS.items():
-            reader = reader.option(k, v)
-        return reader.parquet(*paths)
+        return self._reader(fields).parquet(*paths)
 
     def mark_batch(self, batch_id: int, extra: dict | None = None) -> None:
         """Advance the manifest's replay gate WITHOUT touching any bucket
@@ -353,36 +404,58 @@ class BucketedSnapshotState:
             manifest.update(extra)
         self._swap(manifest)
 
+    def cluster_by_key(self, df: DataFrame) -> DataFrame:
+        """Hash-cluster ``df`` into exactly ``n_buckets`` partitions on the
+        key columns for a WRITE — partition ``p`` then holds exactly bucket
+        ``p``'s keys (Spark's HashPartitioning is ``pmod(hash(cols), n)``,
+        the same expression as ``_bucket_col``; a user by-num repartition
+        feeding a write directly is honored): one task and one file per
+        bucket, clustered by KEY hash instead of by ``hash(_b)`` (the latter
+        collides buckets into some tasks and idles others — guide §2.5).
+        NOT for merge-join inputs: EnsureRequirements rewrites a by-num
+        shuffle feeding a co-partitioned join to ``max(n_buckets,
+        spark.sql.shuffle.partitions)`` and pins a rigid count AQE cannot
+        coalesce — the merge paths instead let the full-outer join plan its
+        own exchanges and pass ``pre_clustered=True`` so the write inherits
+        that layout (see ``pipeline.fold_commit``)."""
+        from pyspark.sql import functions as F
+
+        return df.repartition(self.n_buckets, *[F.col(k) for k in self.key_cols])
+
     def commit_buckets(
         self,
         merged: DataFrame,
         buckets: list[int],
         batch_id: int,
         extra: dict | None = None,
+        pre_clustered: bool = False,
     ) -> None:
         """Write the merged rows of the touched buckets as a new version,
         re-point only those buckets. Idempotent per batch_id. ``extra``
         entries ride in the same atomic manifest swap (e.g. the evolving
         state's schema registry).
 
-        The write clusters rows by bucket first (one task per touched
-        bucket), so each bucket dir gets ONE file instead of one per
-        (upstream partition × bucket) — file count per version stays
-        O(touched buckets), and the extra exchange moves only the touched
-        data the merge already shuffled.
+        The write clusters rows by key-hash into ``n_buckets`` partitions
+        first (task ``p`` = bucket ``p``), so each bucket dir gets ONE file
+        instead of one per (upstream partition × bucket) — file count per
+        version stays O(touched buckets). With ``pre_clustered=True`` the
+        caller asserts ``merged`` is ALREADY key-clustered (the full-outer
+        merge join's own exchanges — see ``pipeline.fold_commit``), and the
+        write adds no exchange at all — the partitioned write splits dirs
+        correctly from the physical layout the merge already has (file count
+        stays O(touched buckets): each bucket's rows sit in the few join
+        partitions its key-hashes map to).
 
         CONTRACT (enforced): every merged row must hash into ``buckets`` —
         a row landing outside would be written but never re-pointed (reads
         would miss it while a stale copy survives via the old pointer), so
         the write is checked against the bucket list and fails loudly
         instead of losing data."""
-        from pyspark.sql import functions as F
-
         version = f"v{batch_id:012d}"
         out = os.path.join(self.root, version)
+        clustered = merged if pre_clustered else self.cluster_by_key(merged)
         (
-            merged.withColumn("_b", self._bucket_col())
-            .repartition(max(1, len(buckets)), F.col("_b"))
+            clustered.withColumn("_b", self._bucket_col())
             .write.mode("overwrite")
             .partitionBy("_b")
             .parquet(out)
@@ -438,14 +511,17 @@ class BucketedSnapshotState:
         cur = self.read()
         if cur is None:
             raise ValueError("compact: state is uninitialized")
-        from pyspark.sql import functions as F
-
         gen = int(manifest.get("compact_gen", 0)) + 1
         version = f"vc{manifest['batch_id']:012d}g{gen}"
         out = os.path.join(self.root, version)
         (
-            cur.withColumn("_b", self._bucket_col())
-            .repartition(self.n_buckets, F.col("_b"))
+            # cluster by KEY hash, not by the derived _b value: hashing _b
+            # again collides buckets into some tasks and leaves others empty
+            # (guide §2.5 synthetic-key collisions); key-clustering gives
+            # task p = bucket p exactly — one balanced task and one file per
+            # bucket for the full-snapshot rewrite
+            self.cluster_by_key(cur)
+            .withColumn("_b", self._bucket_col())
             .write.mode("overwrite")
             .partitionBy("_b")
             .parquet(out)
@@ -549,12 +625,20 @@ class EvolvingBucketedState(BucketedSnapshotState):
         return align_to_fields(df, fields) if df is not None else None
 
     def read(self) -> DataFrame | None:
-        df = super().read()
+        # the manifest's authoritative field list doubles as the EXPLICIT
+        # read schema (parquet schema evolution NULL-fills absent columns and
+        # ignores dropped ones), so the read skips the distributed
+        # mergeSchema footer job entirely; pre-schema manifests fall back to
+        # the merge+align pair
         fields = self.schema_fields()
+        df = self.read_buckets(list(range(self.n_buckets)), fields=fields)
         return self.aligned(df, fields) if fields is not None else df
 
     def read_asof(
-        self, manifest: dict, buckets: list[int] | None = None
+        self,
+        manifest: dict,
+        buckets: list[int] | None = None,
+        fields: list[tuple[str, str]] | None = None,
     ) -> DataFrame | None:
         """Point-in-time read aligned to the schema AS OF that commit: each
         retained history entry carries the field list that was authoritative
@@ -563,10 +647,12 @@ class EvolvingBucketedState(BucketedSnapshotState):
         batch is absent, a column DROPped later is still present (filled from
         the old files; NULL where a bucket had already been rewritten). Falls
         back to the current field list only for pre-schema-snapshot manifests
-        (the r9 on-disk format, documented divergence now closed)."""
-        df = super().read_asof(manifest, buckets)
+        (the r9 on-disk format, documented divergence now closed). The field
+        list is also the explicit read schema (no footer-merge job)."""
         raw = manifest.get("schema")
-        fields = (
-            [tuple(f) for f in raw] if raw is not None else self.schema_fields()
-        )
+        if fields is None:
+            fields = (
+                [tuple(f) for f in raw] if raw is not None else self.schema_fields()
+            )
+        df = super().read_asof(manifest, buckets, fields=fields)
         return self.aligned(df, fields) if fields is not None else df

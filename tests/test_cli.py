@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import tempfile
 
+import pytest
 from pyspark.sql import functions as F
 
 from pgcapture_spark.catalog import CDC_COLS
@@ -12,6 +13,21 @@ from pgcapture_spark.cli import main
 from pgcapture_spark.operators.apply import cdc_apply
 from pgcapture_spark.queries import _feed
 from tests.conftest import SF_SMALL
+
+
+@pytest.fixture(autouse=True)
+def _restore_sql_confs(spark):
+    """cli.main() calls get_spark() with CLI-default confs; getOrCreate
+    MUTATES the runtime SQL confs of the suite's shared session (master is
+    fixed, SQL confs are not), silently flipping shuffle.partitions 8 → 32
+    for every test that runs after this module (r10 opt round root-cause).
+    Snapshot and restore the confs get_spark sets so the suite's session
+    config is order-independent."""
+    keys = ["spark.sql.shuffle.partitions"]
+    saved = {k: spark.conf.get(k) for k in keys}
+    yield
+    for k, v in saved.items():
+        spark.conf.set(k, v)
 
 
 def test_cli_capture_then_apply(spark):

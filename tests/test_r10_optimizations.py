@@ -148,3 +148,171 @@ def test_wire_rel_cache_commits_only_on_relation_frames(spark):
         assert batch.exceptAll(got).count() == 0
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_cluster_by_key_gives_task_bucket_identity(spark):
+    """cluster_by_key's WRITE-side contract: after repartition(n_buckets,
+    keys) feeding a write (no join downstream — EnsureRequirements leaves a
+    by-num repartition alone there), Spark partition p holds exactly the
+    keys whose _bucket_col == p — one task and one file per bucket for the
+    default commit paths and compact()."""
+    from pgcapture_spark.streaming.state import BucketedSnapshotState
+
+    d = tempfile.mkdtemp(prefix="t_r10_cluster_")
+    try:
+        st = BucketedSnapshotState(spark, d, "k", n_buckets=8)
+        df = spark.range(500).select(F.col("id").alias("k"))
+        got = (
+            st.cluster_by_key(df)
+            .select(F.spark_partition_id().alias("p"), st._bucket_col().alias("b"))
+            .where("p <> b")
+            .count()
+        )
+        assert got == 0
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_preclustered_commit_equals_unclustered(spark):
+    """commit_buckets(pre_clustered=True) writing the full-outer merge
+    join's output AS-IS (the join's own exchanges key-cluster it; a full
+    outer equi-join can never broadcast) produces the same state content as
+    the default re-clustered write, adds no exchange of its own, and keeps
+    the per-bucket file count bounded (exactly one here: the join's
+    partition count is the session's 8 = n_buckets, and AQE coalescing only
+    merges whole partitions)."""
+    from pgcapture_spark.operators.apply import last_image, merge_images
+    from pgcapture_spark.streaming.state import BucketedSnapshotState
+
+    snap = spark.range(200).select(F.col("id").alias("k"), (F.col("id") * 2.0).alias("v"))
+    changes = spark.range(60).select(
+        F.col("id").alias("ord"),
+        F.when(F.col("id") % 9 == 0, "DELETE").otherwise("UPDATE").alias("op"),
+        (F.col("id") * 3).alias("k"),
+        (F.col("id") + 0.5).alias("v"),
+        F.lit("k,v").alias("present"),
+    )
+    saved = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    states = []
+    try:
+        for pre in (False, True):
+            d = tempfile.mkdtemp(prefix="t_r10_preclust_")
+            st = BucketedSnapshotState(spark, d, "k", n_buckets=8)
+            st.initialize(snap)
+            img = last_image(changes, "k", ["v"]).persist()
+            try:
+                buckets = st.touched_buckets(img.select("k"))
+                base = st.read_buckets(buckets).select("k", "v")
+                merged = merge_images(base, img, "k", ["v"])
+                if pre:
+                    # the write must inherit the join's layout: the merge
+                    # plan carries only the join's own exchanges, none
+                    # user-pinned (AQE stays free to coalesce them)
+                    plan = merged._jdf.queryExecution().executedPlan().toString()
+                    assert "REPARTITION_BY_NUM" not in plan, plan
+                    assert "BroadcastHashJoin" not in plan, plan
+                st.commit_buckets(merged, buckets, 0, pre_clustered=pre)
+            finally:
+                img.unpersist()
+            states.append((d, st, sorted(buckets)))
+        (d0, st0, b0), (d1, st1, b1) = states
+        assert b0 == b1
+        a = sorted(map(tuple, st0.read().collect()))
+        b = sorted(map(tuple, st1.read().collect()))
+        assert a == b and len(a) > 0
+        vdir = os.path.join(d1, "v000000000000")
+        for name in os.listdir(vdir):
+            if name.startswith("_b="):
+                files = [f for f in os.listdir(os.path.join(vdir, name)) if f.endswith(".parquet")]
+                assert len(files) == 1, (name, files)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", saved)
+        for d, _, _ in states:
+            shutil.rmtree(d, ignore_errors=True)
+
+
+def test_explicit_schema_read_matches_mergeschema_align(spark):
+    """An explicit field-list read of mixed-schema bucket files equals the
+    mergeSchema + align_to_fields pair it replaces: files lacking a column
+    NULL-fill, files carrying a dropped column ignore it — without the
+    distributed footer-merge job."""
+    from pgcapture_spark.streaming.state import align_to_fields
+
+    d = tempfile.mkdtemp(prefix="t_r10_schema_")
+    try:
+        old = spark.createDataFrame([(1, "a", 10.0)], "k bigint, name string, gone double")
+        new = spark.createDataFrame([(2, "b", 7)], "k bigint, name string, added int")
+        old.write.parquet(f"{d}/f1")
+        new.write.parquet(f"{d}/f2")
+        fields = [("k", "bigint"), ("name", "string"), ("added", "int")]
+        via_merge = align_to_fields(
+            spark.read.option("mergeSchema", "true").parquet(f"{d}/f1", f"{d}/f2"),
+            fields,
+        )
+        via_schema = spark.read.schema("`k` bigint, `name` string, `added` int").parquet(
+            f"{d}/f1", f"{d}/f2"
+        )
+        a = sorted(map(tuple, via_merge.collect()))
+        b = sorted(map(tuple, via_schema.collect()))
+        assert a == b == [(1, "a", None), (2, "b", 7)]
+        assert via_merge.columns == via_schema.columns
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_tx_registry_delta_commits_match_full_rewrites(spark):
+    """The tx registry's append-only delta commits (commit_delta) resolve to
+    exactly the registry the old full-rewrite-per-batch produced: unions of
+    base + deltas on read, first-writer-wins across re-delivered Begins,
+    vacuum keeps live deltas, and the prune maintenance rewrite SUPERSEDES
+    the delta dirs (storage collapses back to one version)."""
+    import json
+
+    from pgcapture_spark.streaming.pipeline import (
+        probe_and_fold_tx,
+        prune_tx_registry,
+    )
+    from pgcapture_spark.streaming.state import SnapshotState
+
+    schema = (
+        "lsn bigint, seq int, ord bigint,"
+        " f struct<op:string, parse_error:string, commit_us:bigint, n:int>"
+    )
+    d = tempfile.mkdtemp(prefix="t_r10_txdelta_")
+    try:
+        tx = SnapshotState(spark, f"{d}/txreg")
+        b0 = spark.createDataFrame(
+            [(10, 0, 1000, ("BEGIN", None, 111, 0))], schema
+        )
+        probe_and_fold_tx(b0, tx, batch_id=0)
+        # second batch: one NEW Begin + one re-delivered duplicate of lsn 10
+        # carrying a DIFFERENT commit_us — first writer must win
+        b1 = spark.createDataFrame(
+            [(10, 0, 1000, ("BEGIN", None, 999, 0)),
+             (20, 0, 2000, ("BEGIN", None, 222, 0))], schema
+        )
+        _, reg = probe_and_fold_tx(b1, tx, batch_id=1)
+        got = {r["lsn"]: r["_commit_us"] for r in reg.collect()}
+        assert got == {10: 111, 20: 222}
+        m = json.load(open(f"{d}/txreg/MANIFEST.json"))
+        assert m["deltas"] == ["v000000000001.delta"]
+        # vacuum (ran inside the fold) kept base + delta on disk
+        dirs = sorted(
+            n for n in os.listdir(f"{d}/txreg")
+            if os.path.isdir(os.path.join(f"{d}/txreg", n))
+        )
+        assert dirs == ["v000000000000", "v000000000001.delta"]
+        # prune compacts: full rewrite supersedes the deltas
+        prune_tx_registry(tx, safe_ord=0)
+        m2 = json.load(open(f"{d}/txreg/MANIFEST.json"))
+        assert m2.get("deltas", []) == []
+        dirs2 = [
+            n for n in os.listdir(f"{d}/txreg")
+            if os.path.isdir(os.path.join(f"{d}/txreg", n))
+        ]
+        assert dirs2 == [m2["version"]]
+        got2 = {r["lsn"]: r["_commit_us"] for r in tx.read().collect()}
+        assert got2 == {10: 111, 20: 222}
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

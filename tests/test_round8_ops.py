@@ -30,9 +30,9 @@ class _RecordingBucketedState(BucketedSnapshotState):
         self.read_calls: list[list[int]] = []
         self.full_reads = 0
 
-    def read_buckets(self, buckets):
+    def read_buckets(self, buckets, fields=None):
         self.read_calls.append(list(buckets))
-        return super().read_buckets(buckets)
+        return super().read_buckets(buckets, fields=fields)
 
     def read(self):
         self.full_reads += 1
@@ -370,9 +370,9 @@ def test_dynamic_apply_bucketed_reads_touched_only(spark):
             super().__init__(*a, **kw)
             self.read_calls: list[tuple[str, int]] = []
 
-        def read_buckets(self, table, buckets):
+        def read_buckets(self, table, buckets, fields=None):
             self.read_calls.append((table, len(buckets)))
-            return super().read_buckets(table, buckets)
+            return super().read_buckets(table, buckets, fields=fields)
 
     d = tempfile.mkdtemp(prefix="pgcs_t_dynaudit_")
     n_buckets = 256

@@ -232,9 +232,9 @@ def test_dynamic_composite_key_bucketed_reads_touched_only(spark):
             super().__init__(*a, **kw)
             self.read_calls: list[tuple[str, int]] = []
 
-        def read_buckets(self, table, buckets):
+        def read_buckets(self, table, buckets, fields=None):
             self.read_calls.append((table, len(buckets)))
-            return super().read_buckets(table, buckets)
+            return super().read_buckets(table, buckets, fields=fields)
 
     d = tempfile.mkdtemp(prefix="pgcs_t_dyncomp_")
     n_buckets = 64
