@@ -134,7 +134,9 @@ def probe_and_fold_tx(parsed, tx_state: SnapshotState, batch_id: int, extra_aggs
     ).dropDuplicates(["lsn"])
     if batch_id > tx_state.last_batch():
         if existing is None:
-            tx_state.commit(begins, batch_id)
+            # one file: a single micro-batch's Begins are tiny, and this dir
+            # is re-read (listing + footer per file) EVERY later trigger
+            tx_state.commit(begins.coalesce(1), batch_id)
         else:
             # APPEND the batch's genuinely-new Begins as a delta dir instead
             # of rewriting the whole registry per trigger (O(new) vs O(all

@@ -67,23 +67,49 @@ class SnapshotState:
             json.dump({"version": version, "batch_id": batch_id}, f)
         os.replace(tmp, self._manifest)
 
+    #: auto-compaction threshold for ``commit_delta``: once this many delta
+    #: dirs ride the manifest, the next delta commit folds base + deltas into
+    #: ONE fresh version. Bounds the per-trigger read fan-in (file listing,
+    #: footers, scan tasks all stay O(threshold)) while keeping the write
+    #: volume amortized O(new): a full rewrite every K triggers costs
+    #: O(size/K) per trigger vs the old O(size) rewrite EVERY trigger.
+    delta_compact_threshold: int = 16
+
     def commit_delta(self, delta: DataFrame, batch_id: int) -> None:
         """APPEND-ONLY commit: write only ``delta`` (rows NOT already in the
-        state — the caller anti-joins) as a new ``.delta`` dir riding the
-        manifest's ``deltas`` list; ``read()`` is the union of the base
-        version and every delta. For monotone row sets (the tx registry: one
-        immutable row per transaction) this turns the per-trigger write from
-        O(all rows so far) — a full rewrite per micro-batch, quadratic over a
-        stream's lifetime — into O(new rows this batch). A full ``commit``
-        (e.g. the prune maintenance rewrite) supersedes and drops the deltas.
+        state — the caller anti-joins) as a new single-file ``.delta`` dir
+        riding the manifest's ``deltas`` list; ``read()`` is the union of the
+        base version and every delta. For monotone row sets (the tx registry:
+        one immutable row per transaction) this turns the per-trigger write
+        from O(all rows so far) — a full rewrite per micro-batch, quadratic
+        over a stream's lifetime — into O(new rows this batch). The delta is
+        coalesced to ONE file and the delta list is BOUNDED
+        (``delta_compact_threshold``) by folding into a fresh full version —
+        an unbounded list would just move the quadratic cost from bytes to
+        file count: the registry is re-read every trigger, and N delta dirs
+        × part-files means O(N·P) listings, footer reads and scan tasks per
+        trigger, with prune cadence the only bound and nothing forcing prune
+        to run. A full ``commit`` (e.g. the prune
+        maintenance rewrite) also supersedes and drops the deltas.
         Idempotent per batch_id: a crash between the dir write and the
         manifest swap re-runs into the same dir and appends it once."""
         if not os.path.exists(self._manifest):
             raise ValueError("commit_delta: no base version — commit() first")
-        d = f"v{batch_id:012d}.delta"
-        delta.write.mode("overwrite").parquet(os.path.join(self.root, d))
         with open(self._manifest) as f:
             m = json.load(f)
+        if len(m.get("deltas", [])) >= self.delta_compact_threshold:
+            # fold base + deltas + this delta into one fresh version (reads
+            # the still-on-disk old dirs; the manifest swap inside commit()
+            # drops the delta list; vacuum reclaims the old dirs)
+            self.commit(self.read().unionByName(delta), batch_id)
+            self.vacuum()
+            return
+        d = f"v{batch_id:012d}.delta"
+        # one file per delta: the frame is a micro-batch's new Begins (tiny),
+        # and per-trigger read fan-in is file count, not bytes
+        delta.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(self.root, d)
+        )
         deltas = m.setdefault("deltas", [])
         if d not in deltas:
             deltas.append(d)

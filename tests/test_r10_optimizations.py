@@ -316,3 +316,49 @@ def test_tx_registry_delta_commits_match_full_rewrites(spark):
         assert got2 == {10: 111, 20: 222}
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_tx_registry_delta_autocompaction_bounds_fanin(spark):
+    """The delta list is BOUNDED: each delta dir is written as ONE file, and
+    once delta_compact_threshold dirs ride the manifest the next delta
+    commit folds everything into one fresh full version — the per-trigger
+    read fan-in (listing + footers + scan tasks) stays O(threshold) instead
+    of growing with stream age (the quadratic the unbounded list would
+    re-create in file-count form, with prune cadence the only bound)."""
+    import json
+
+    from pgcapture_spark.streaming.state import SnapshotState
+
+    d = tempfile.mkdtemp(prefix="t_r10_txcompact_")
+    try:
+        st = SnapshotState(spark, f"{d}/txreg")
+        st.delta_compact_threshold = 2
+        st.commit(
+            spark.createDataFrame([(0, 100)], "lsn bigint, _commit_us bigint")
+            .coalesce(1),
+            0,
+        )
+        for b in (1, 2, 3, 4, 5):
+            st.commit_delta(
+                spark.createDataFrame([(b * 10, b * 100)], "lsn bigint, _commit_us bigint"),
+                b,
+            )
+            st.vacuum()
+        m = json.load(open(f"{d}/txreg/MANIFEST.json"))
+        # batches 1,2 appended; batch 3 hit the threshold and folded into a
+        # fresh full version; 4,5 appended onto the new base
+        assert m["version"] == "v000000000003"
+        assert m["deltas"] == ["v000000000004.delta", "v000000000005.delta"]
+        dirs = sorted(
+            n for n in os.listdir(f"{d}/txreg")
+            if os.path.isdir(os.path.join(f"{d}/txreg", n))
+        )
+        assert dirs == ["v000000000003", "v000000000004.delta", "v000000000005.delta"]
+        # each delta dir is exactly one parquet file
+        for dd in m["deltas"]:
+            files = [f for f in os.listdir(f"{d}/txreg/{dd}") if f.endswith(".parquet")]
+            assert len(files) == 1, (dd, files)
+        got = {r["lsn"]: r["_commit_us"] for r in st.read().collect()}
+        assert got == {0: 100, 10: 100, 20: 200, 30: 300, 40: 400, 50: 500}
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
