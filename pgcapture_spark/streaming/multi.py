@@ -427,7 +427,25 @@ class BucketedMultiTableState:
     ) -> None:
         """Write each table's merged touched-bucket rows under one new version
         dir, then swing ALL bucket pointers in one atomic manifest rename.
-        Idempotent per batch_id. Independent tables write CONCURRENTLY
+        Idempotent per batch_id. See :meth:`write_tables` (the write phase)
+        and :meth:`swap_committed` (the pointer swap) — consumers whose later
+        tables' content DEPENDS on observations riding the earlier tables'
+        writes (streaming/mv.py) call the two phases directly; atomicity is
+        identical because only the final swap publishes anything."""
+        self.write_tables(merged, batch_id, pre_clustered=pre_clustered)
+        self.swap_committed({t: b for t, (_, b) in merged.items()}, batch_id)
+
+    def write_tables(
+        self,
+        merged: dict[str, tuple[DataFrame, list[int]]],
+        batch_id: int,
+        pre_clustered: bool = False,
+    ) -> None:
+        """The WRITE phase of a (possibly staged) commit: write the merged
+        bucket files under this batch's version dir WITHOUT touching the
+        manifest — invisible to every reader until :meth:`swap_committed`,
+        and crash-idempotent (a replayed batch rewrites the same dirs).
+        Independent tables write CONCURRENTLY
         (separate jobs, overlapped by the scheduler); tables sharing bucket
         list + key + compatible schema FUSE into one write job tagged by a
         ``_tbl`` partition column whose dirs are renamed into the per-table
@@ -523,9 +541,19 @@ class BucketedMultiTableState:
         groups = self._fuse_groups(merged)
         with ThreadPoolExecutor(max_workers=min(8, max(1, len(groups)))) as ex:
             list(ex.map(_write, groups))
+
+    def swap_committed(
+        self, table_buckets: dict[str, list[int]], batch_id: int
+    ) -> None:
+        """The PUBLISH phase: ONE atomic manifest rename re-pointing every
+        staged table's touched buckets at this batch's version dir. Must
+        follow the :meth:`write_tables` call(s) for exactly these tables —
+        a crash before this point leaves the previous manifest (and its
+        batch_id gate) fully intact."""
+        version = f"v{batch_id:012d}"
         manifest = self._load()
         self._push_history(manifest)
-        for t, (_, buckets) in merged.items():
+        for t, buckets in table_buckets.items():
             for b in buckets:
                 manifest["buckets"].setdefault(t, {})[str(b)] = version
         manifest["batch_id"] = batch_id
@@ -649,13 +677,20 @@ def fold_commit_multi(
     keys: dict[str, str | list[str]],
     cols: dict[str, list[str]],
     batch_id: int,
+    touched: dict[str, list[int]] | None = None,
 ) -> None:
     """Multi-table analog of ``pipeline.fold_commit``: fold every table's
     change rows to final per-key images, merge each into its snapshot slice,
     and advance ALL tables under one atomic manifest. Dispatches on the
     state's granularity (BucketedMultiTableState → only touched buckets read
     and rewritten; MultiTableState → full rewrite compat path). Both vacuum
-    superseded versions after the swap."""
+    superseded versions after the swap.
+
+    ``touched``: precomputed per-table touched-bucket ids (the wire consumer
+    rides tagged collect_sets on its protocol probe —
+    ``pipeline._wire_key_bucket_agg``); the fused cross-table probe job is
+    then skipped, and the folded images are not persisted (each feeds
+    exactly one merge join)."""
     from pgcapture_spark.operators.apply import cdc_apply, last_image, merge_images
 
     if not isinstance(state, BucketedMultiTableState):
@@ -676,23 +711,30 @@ def fold_commit_multi(
     }
     if not state.initialized():
         state.initialize(seeds)
+    precomputed = touched is not None
     imgs = {
-        t: last_image(per_table_changes[t], keys[t], cols[t]).persist()
+        t: last_image(per_table_changes[t], keys[t], cols[t])
         for t in state.tables
     }
+    if not precomputed:
+        imgs = {t: img.persist() for t, img in imgs.items()}
     try:
-        # ONE driver-side job resolves every table's touched buckets (bounded
-        # by tables × n_buckets rows) — per-trigger job count stays flat in
-        # table count instead of one distinct-collect per table
-        probe = None
-        for t in state.tables:
-            part = imgs[t].select(
-                F.lit(t).alias("_t"), state._bucket_col(t).alias("_b")
-            )
-            probe = part if probe is None else probe.unionByName(part)
-        touched: dict[str, list[int]] = {}
-        for r in probe.distinct().collect():
-            touched.setdefault(r["_t"], []).append(r["_b"])
+        if precomputed:
+            touched = {t: bs for t, bs in touched.items() if bs}
+        else:
+            # ONE driver-side job resolves every table's touched buckets
+            # (bounded by tables × n_buckets rows) — per-trigger job count
+            # stays flat in table count instead of one distinct-collect per
+            # table
+            probe = None
+            for t in state.tables:
+                part = imgs[t].select(
+                    F.lit(t).alias("_t"), state._bucket_col(t).alias("_b")
+                )
+                probe = part if probe is None else probe.unionByName(part)
+            touched = {}
+            for r in probe.distinct().collect():
+                touched.setdefault(r["_t"], []).append(r["_b"])
         merged: dict[str, tuple[DataFrame, list[int]]] = {}
         for t, buckets in sorted(touched.items()):
             buckets = sorted(buckets)
@@ -720,8 +762,9 @@ def fold_commit_multi(
             # in lockstep with the streaming checkpoint
             state.mark_batch(batch_id)
     finally:
-        for img in imgs.values():
-            img.unpersist()
+        if not precomputed:
+            for img in imgs.values():
+                img.unpersist()
 
 
 def apply_stream_multi_table(

@@ -34,15 +34,32 @@ def make_quarantine(dialect: str, checkpoint_dir: str, max_consecutive_skips: in
     checkpoint advances, count DATA batches quarantined since the last
     successful apply, and fail loudly at ``max_consecutive_skips``. Returns
     ``(skip_streak, quarantine)`` — the caller resets ``skip_streak['n']``
-    after each successful apply. Recovery order is documented on
+    after each successful apply. ``skip_streak['ord_floor']`` tracks the
+    minimum ord across every batch parked in this query's life: parked
+    frames replay out-of-band with their ORIGINAL lsns, so the tx
+    registry's auto-prune watermark (``probe_and_fold_tx``) must never rise
+    past them — the rare quarantine path pays one tiny min() job to keep
+    the hot path's prune safe. Recovery order is documented on
     :func:`_apply_wire_stream`."""
     import os as _os
 
-    skip_streak = {"n": 0}
+    skip_streak = {"n": 0, "ord_floor": None}
 
     def _quarantine(batch_df: DataFrame, batch_id: int, why: str) -> None:
+        from pyspark.sql import functions as F
+
         dead = _os.path.join(checkpoint_dir, "deadletter", f"batch_{batch_id:012d}")
         batch_df.write.mode("overwrite").parquet(dead)
+        if "ord" in batch_df.columns:
+            parked_min = batch_df.agg(F.min("ord")).collect()[0][0]
+            if parked_min is not None:
+                cur = skip_streak["ord_floor"]
+                skip_streak["ord_floor"] = (
+                    parked_min if cur is None else min(cur, parked_min)
+                )
+        else:
+            # unknown horizon: hold the prune watermark at the floor forever
+            skip_streak["ord_floor"] = -1
         skip_streak["n"] += 1
         _LOG.warning(
             "%s: %s; batch %d parked at %s (%d quarantined since last apply)",
@@ -60,7 +77,13 @@ def make_quarantine(dialect: str, checkpoint_dir: str, max_consecutive_skips: in
     return skip_streak, _quarantine
 
 
-def probe_and_fold_tx(parsed, tx_state: SnapshotState, batch_id: int, extra_aggs=()):
+def probe_and_fold_tx(
+    parsed,
+    tx_state: SnapshotState,
+    batch_id: int,
+    extra_aggs=(),
+    deadletter_floor: int | None = None,
+):
     """The wire consumers' shared per-batch protocol head — ONE
     implementation so the three consumers (pgoutput/pglogical dialect core,
     proto single-table, proto multi-table) cannot drift:
@@ -68,10 +91,11 @@ def probe_and_fold_tx(parsed, tx_state: SnapshotState, batch_id: int, extra_aggs
     1. ONE probe job over the parsed batch: the first DATA parse error (if
        any — relation frames at ord = -1 are excluded; the dialect core
        checks those separately from the same probe row), the I/U/D row
-       count (feeds the framing-only early-exit), the Begin count, and any
-       caller-supplied ``extra_aggs`` (the dialect core rides its bounded
-       R-frame ``collect_list`` here so relation learning costs no second
-       driver job).
+       count (feeds the framing-only early-exit), the batch's Begin frames
+       as a bounded ``collect_list`` plus its min data ord (the prune
+       watermark), and any caller-supplied ``extra_aggs`` (the dialect core
+       rides its bounded R-frame ``collect_list`` here so relation learning
+       costs no second driver job).
     2. Fold the batch's Begin frames into the persisted tx registry
        UNCONDITIONALLY — before any quarantine decision. A Begin that
        PARSED is trustworthy even when siblings in the batch are corrupt
@@ -81,28 +105,44 @@ def probe_and_fold_tx(parsed, tx_state: SnapshotState, batch_id: int, extra_aggs
        parked batch cannot repair the registry, because the
        tx_state.last_batch gate skips its re-fold. The fold is additive +
        lsn-deduped, so folding from a parked batch is idempotent under
-       replay. A batch carrying NO Begin frames leaves the registry
-       content-identical, so its per-trigger rewrite is SKIPPED once the
-       registry exists on disk (the commit-on-change discipline the
-       relation cache already follows): on a quiet or framing-sparse
-       stream the registry write job simply does not run.
+       replay. A batch carrying NO new Begins leaves the registry
+       content-identical, so its write is SKIPPED (the commit-on-change
+       discipline the relation cache already follows).
+
+    DRIVER-MEMOIZED REGISTRY (r11): the registry's working set lives
+    driver-side for the life of the StreamingQuery — the same residency the
+    commit-time join already required (the whole registry is broadcast per
+    batch). Per trigger that removes (a) the registry parquet re-read
+    (listing + footers + scan) from both the delta anti-join and the
+    commit-time join (the returned ``reg`` is a local relation, so the
+    broadcast build scans nothing), and (b) the per-trigger Spark write
+    job: the batch's new Begins — already collected by the probe — are
+    appended driver-side (``SnapshotState.commit_delta_rows``, same
+    dir/manifest protocol, crash-identical layout). A restart rehydrates
+    the memo from the committed registry; a replayed batch re-enters
+    through the batch-id gates unchanged. First-writer-wins is preserved:
+    within a batch the lowest ``commit_us`` per lsn is kept
+    (deterministic), across batches the memo (= committed content) wins.
 
     Returns ``(probe, reg)`` — probe has ``err`` (first parse_error or
-    None) and ``n_rows``; reg is the COMMITTED registry (planned off its
-    parquet files, not the in-memory union chain).
+    None) and ``n_rows``; reg is a DataFrame over the COMMITTED registry
+    content (memo-backed local relation — value-identical to reading the
+    parquet dirs).
 
-    GROWTH BOUND: the registry accumulates one row per transaction for the
-    stream's lifetime. Each batch APPENDS only its new Begins as a delta dir
-    (``SnapshotState.commit_delta`` — O(new begins) written per trigger, not
-    an O(all tx so far) rewrite, which was quadratic over a stream's life);
-    the whole registry is still broadcast per batch for the commit-time
-    join — fine for the replication-lag horizon it actually serves,
-    unbounded if never maintained (the same storage class the reference
-    bounds by acking LSNs so the broker discards delivered data).
-    :func:`prune_tx_registry` is the offline maintenance op (the
-    ``compact_log`` analog) and doubles as delta compaction (its full
-    rewrite supersedes the delta dirs); its safe watermark comes from the
-    log's total ord order."""
+    GROWTH BOUND (r11, closing the r10 verdict's "unbounded between
+    prunes"): every ``delta_compact_threshold``-th delta commit folds
+    base + deltas into one fresh full version (as before) AND prunes
+    entries whose whole transaction lies strictly below the safe watermark
+    — ``min(current batch's min data ord, deadletter_floor)`` — exactly
+    :func:`prune_tx_registry`'s retention rule, now applied automatically
+    on the compaction cadence. Under the log contract (segments delivered
+    in ord order — sources/feed.py) no future frame can reference a pruned
+    tx, and parked batches hold the watermark down via ``deadletter_floor``
+    (the oldest parked batch's min ord — ``make_quarantine`` tracks it), so
+    replayed deadletter frames still resolve. The registry the commit-time
+    join broadcasts is therefore O(replication-lag horizon + threshold
+    batches), not O(stream lifetime). :func:`prune_tx_registry` remains the
+    offline maintenance op for out-of-band retention."""
     from pyspark.sql import functions as F
 
     probe = parsed.agg(
@@ -117,41 +157,156 @@ def probe_and_fold_tx(parsed, tx_state: SnapshotState, batch_id: int, extra_aggs
                 F.col("f.op").isin("INSERT", "UPDATE", "DELETE"), 1
             ).otherwise(0)
         ).alias("n_rows"),
-        F.sum(
-            F.when(F.col("f.op") == "BEGIN", 1).otherwise(0)
-        ).alias("n_begins"),
+        F.collect_list(
+            F.when(
+                F.col("f.op") == "BEGIN",
+                F.struct(F.col("lsn"), F.col("f.commit_us").alias("c")),
+            )
+        ).alias("_begin_rows"),
+        F.min(F.when(F.col("ord") != -1, F.col("ord"))).alias("_min_ord"),
         *extra_aggs,
     ).collect()[0]
-    existing = tx_state.read()
-    if not (probe["n_begins"] or 0) and existing is not None:
-        # no Begin frames: the fold below would commit a byte-identical
-        # registry — skip the rewrite job (content unchanged on disk; the
-        # batch-id gate only guards this function's own idempotence, and a
-        # replayed begin-less batch skips here again)
-        return probe, existing
-    begins = parsed.where("f.op = 'BEGIN'").select(
-        "lsn", F.col("f.commit_us").alias("_commit_us")
-    ).dropDuplicates(["lsn"])
+    memo: dict[int, int] | None = getattr(tx_state, "_tx_memo", None)
+    if memo is None:
+        committed = tx_state.read()
+        memo = (
+            {}
+            if committed is None
+            else {r["lsn"]: r["_commit_us"] for r in committed.collect()}
+        )
+        tx_state._tx_memo = memo
+    spark = parsed.sparkSession
+    reg_schema = "lsn bigint, _commit_us bigint"
+
+    def _reg():
+        return spark.createDataFrame(list(memo.items()), reg_schema)
+
+    begins = sorted(
+        ((r["lsn"], r["c"]) for r in (probe["_begin_rows"] or [])),
+        key=lambda t: (t[0], t[1]),
+    )
+    # within-batch dedupe: lowest commit_us per lsn (deterministic); across
+    # batches the memo — the committed registry — wins (first writer)
+    new_rows: list[tuple[int, int]] = []
+    seen_batch: set[int] = set()
+    for lsn, c in begins:
+        if lsn not in memo and lsn not in seen_batch:
+            new_rows.append((lsn, c))
+            seen_batch.add(lsn)
+    registry_exists = tx_state.last_batch() >= 0
+    if not new_rows and registry_exists:
+        # nothing new: the write would be byte-identical — skip it (a
+        # replayed or begin-less batch skips here again)
+        return probe, _reg()
     if batch_id > tx_state.last_batch():
-        if existing is None:
-            # one file: a single micro-batch's Begins are tiny, and this dir
-            # is re-read (listing + footer per file) EVERY later trigger
-            tx_state.commit(begins.coalesce(1), batch_id)
+        if not registry_exists:
+            tx_state.commit_rows(new_rows, batch_id)
+        elif tx_state.delta_count() >= tx_state.delta_compact_threshold:
+            # compaction fold + auto-prune: one fresh full version holding
+            # every live entry at-or-above the safe watermark (sorted for a
+            # deterministic file), delta list drops to zero
+            safe = probe["_min_ord"]
+            if deadletter_floor is not None:
+                safe = (
+                    deadletter_floor
+                    if safe is None
+                    else min(safe, deadletter_floor)
+                )
+            live = dict(memo)
+            live.update(new_rows)
+            if safe is not None:
+                live = {
+                    lsn: c for lsn, c in live.items() if lsn * 100 + 99 >= safe
+                }
+            tx_state.commit_rows(sorted(live.items()), batch_id)
+            memo.clear()
+            memo.update(live)
+            tx_state.vacuum()
+            return probe, _reg()
         else:
-            # APPEND the batch's genuinely-new Begins as a delta dir instead
-            # of rewriting the whole registry per trigger (O(new) vs O(all
-            # tx so far) — the rewrite was quadratic over a stream's life).
-            # FIRST writer wins, deterministically (anti-join, not a union +
-            # dropDuplicates whose survivor is arbitrary): a re-delivered
-            # Begin carries the same commit_us so the choice is normally
-            # moot, but determinism means a corrupt late duplicate can never
-            # displace the entry real rows already resolved against.
-            tx_state.commit_delta(
-                begins.join(existing.select("lsn"), "lsn", "left_anti"),
-                batch_id,
-            )
+            tx_state.commit_delta_rows(new_rows, batch_id)
         tx_state.vacuum()
-    return probe, tx_state.read()
+        memo.update(new_rows)
+    return probe, _reg()
+
+
+def _wire_key_bucket_agg(
+    key: str, key_oid: int, n_buckets: int, table: str | None, alias: str
+):
+    """A ``collect_set`` aggregate computing the touched key-bucket ids of a
+    parsed wire batch — built to ride :func:`probe_and_fold_tx`'s probe job
+    (``extra_aggs``), so the wire consumers learn their touched buckets from
+    the SAME driver action that probes for parse errors, instead of paying a
+    second per-trigger collect over the folded images (guide §5: fewer
+    driver barriers).
+
+    EQUIVALENCE CONTRACT (pinned by
+    tests/test_r11_optimizations.py::test_wire_probe_bucket_agg_matches_fold):
+    must reproduce ``BucketedSnapshotState.touched_buckets`` over the decoded
+    fold's key column exactly —
+
+    - same key VALUE: ``coalesce(decode(new_fields[key]),
+      decode(old_fields[key]))``, the consumers' post-decode key coalesce
+      (a DELETE carries the key only in its old tuple);
+    - same TYPE: ``pg_decode_udf(key_oid)`` returns
+      ``spark_type_for_oid(key_oid)`` — the very type the fused decode gives
+      the key column, so ``hash()`` agrees;
+    - same id space: ``pmod(hash(key), n_buckets)``.
+
+    Every key present in the batch contributes (DELETEs included — their
+    buckets must rewrite), matching the fold's image key set. Non-data frames
+    (Begin/Commit/Relation/ERROR) fall out via the op filter; ``collect_set``
+    drops the resulting NULLs."""
+    from pyspark.sql import functions as F
+
+    from pgcapture_spark.functions.pgtypes import pg_decode_udf
+
+    dec = pg_decode_udf(key_oid)
+
+    def _bin(side: str):
+        return F.try_element_at(
+            F.filter(F.col(f"f.{side}"), lambda x: x["name"] == F.lit(key)),
+            F.lit(1),
+        )["bin"]
+
+    cond = F.col("f.op").isin("INSERT", "UPDATE", "DELETE")
+    if table is not None:
+        cond = cond & (F.col("f.table") == F.lit(table))
+    key_val = F.coalesce(dec(_bin("new_fields")), dec(_bin("old_fields")))
+    return F.collect_set(
+        F.when(cond, F.pmod(F.hash(key_val), F.lit(n_buckets)))
+    ).alias(alias)
+
+
+def _dialect_key_bucket_agg(
+    rel_oid: int, key_pos: int, key_oid: int, n_buckets: int, alias: str
+):
+    """The wire-DIALECT form of :func:`_wire_key_bucket_agg`: pgoutput /
+    pglogical tuples are POSITIONAL (``new_tuple[i]`` pairs with the learned
+    relation's column ``i``), so the key extraction is by the memoized
+    relation's key position instead of by field name. Mirrors the zip-decode
+    exactly: the new side drops TOAST-absent cells (``format = 'u'``), the
+    old side keeps only carried values (``format IN ('b','t')``), the decode
+    is the same fixed-OID codec, and DELETE keys coalesce from the old
+    tuple. Rows of OTHER relations are excluded — the consumer never folds
+    them. Only valid while the memoized relation holds (the caller falls
+    back to the classic fold probe whenever the batch carries R frames)."""
+    from pyspark.sql import functions as F
+
+    from pgcapture_spark.functions.pgtypes import pg_decode_udf
+
+    dec = pg_decode_udf(key_oid)
+    new_el = F.try_element_at(F.col("f.new_tuple"), F.lit(key_pos + 1))
+    old_el = F.try_element_at(F.col("f.old_tuple"), F.lit(key_pos + 1))
+    new_bin = F.when(new_el["format"] != F.lit("u"), new_el["bin"])
+    old_bin = F.when(old_el["format"].isin("b", "t"), old_el["bin"])
+    cond = F.col("f.op").isin("INSERT", "UPDATE", "DELETE") & (
+        F.col("f.rel_oid") == F.lit(rel_oid)
+    )
+    key_val = F.coalesce(dec(new_bin), dec(old_bin))
+    return F.collect_set(
+        F.when(cond, F.pmod(F.hash(key_val), F.lit(n_buckets)))
+    ).alias(alias)
 
 
 def prune_tx_registry(tx_state: SnapshotState, safe_ord: int) -> tuple[int, int]:
@@ -193,17 +348,22 @@ def prune_tx_registry(tx_state: SnapshotState, safe_ord: int) -> tuple[int, int]
     tx_state.commit(kept, last, version=f"v{last:012d}.prune{k}")
     after = tx_state.read().count()  # count the COMMITTED copy before vacuum
     tx_state.vacuum()
+    # drop the consumer's driver memo (probe_and_fold_tx) if one exists:
+    # it mirrors the committed content, which this prune just shrank
+    if getattr(tx_state, "_tx_memo", None) is not None:
+        tx_state._tx_memo = None
     return (before, after)
 
 
 def commit_keyed_state(
     state,
     batch_id: int,
-    touched_keys: DataFrame,
+    touched_keys: DataFrame | None,
     merge_fn: Callable[[DataFrame | None], DataFrame],
     seed: DataFrame | None = None,
     pre_clustered: bool = False,
     read_fields: list[tuple[str, str]] | None = None,
+    buckets: list[int] | None = None,
 ) -> None:
     """Commit one micro-batch's merge into snapshot state, dispatching on the
     state's granularity — the round-6 scale fix for the full-snapshot-rewrite
@@ -224,13 +384,19 @@ def commit_keyed_state(
 
     ``merge_fn(current)`` must return the full replacement content for
     whatever slice it was given; ``current`` is None when the slice is empty
-    (uninitialized bucket / first batch)."""
+    (uninitialized bucket / first batch).
+
+    ``buckets``: the caller may hand over the touched-bucket set it already
+    knows (the wire consumers compute it inside the shared protocol probe —
+    same ``pmod(hash(key), n_buckets)`` id space); the separate
+    ``touched_keys`` probe job is then skipped entirely."""
     from pgcapture_spark.streaming.state import BucketedSnapshotState
 
     if isinstance(state, BucketedSnapshotState):
         if seed is not None and not state.initialized():
             state.initialize(seed)
-        buckets = state.touched_buckets(touched_keys)
+        if buckets is None:
+            buckets = state.touched_buckets(touched_keys)
         if not buckets:
             # nothing to merge — still record the batch_id (manifest rename
             # only) so last_batch() tracks Spark's checkpoint instead of
@@ -256,11 +422,19 @@ def fold_commit(
     key: str | list[str],
     cols: list[str],
     batch_id: int,
+    buckets: list[int] | None = None,
 ) -> None:
     """The apply consumers' shared snapshot commit: fold ``changes`` to final
     per-key images ONCE (persisted — it feeds both the touched-bucket probe
     and the merge), then merge via :func:`commit_keyed_state`. ``key`` may be
     a composite replica identity (list of columns).
+
+    ``buckets``: precomputed touched-bucket ids (the wire consumers ride the
+    key-bucket ``collect_set`` on their protocol probe job — guide §5, fewer
+    driver barriers per trigger). With the probe gone the folded image feeds
+    exactly ONE consumer (the merge join), so it is not persisted either —
+    the decode/fold work runs once inside the commit write instead of once
+    into a cache.
 
     On a bucketed state the commit write INHERITS the merge join's layout
     (``pre_clustered=True``): a full-outer equi-join can never broadcast
@@ -280,8 +454,11 @@ def fold_commit(
 
     keys = _keys(key)
     seed = initial_snapshot.select(*keys, *cols)
-    img = last_image(changes, key, cols).persist()
     bucketed = isinstance(state, BucketedSnapshotState)
+    precomputed = buckets is not None and bucketed
+    img = last_image(changes, key, cols)
+    if not precomputed:
+        img = img.persist()
     try:
         empty = seed.limit(0)
 
@@ -292,7 +469,7 @@ def fold_commit(
         commit_keyed_state(
             state,
             batch_id,
-            img.select(*keys),
+            None if precomputed else img.select(*keys),
             _merge,
             seed=seed,
             pre_clustered=bucketed,
@@ -300,9 +477,11 @@ def fold_commit(
             # the seed schema doubles as the explicit read schema (no
             # per-trigger footer inference)
             read_fields=seed.dtypes if bucketed else None,
+            buckets=buckets if precomputed else None,
         )
     finally:
-        img.unpersist()
+        if not precomputed:
+            img.unpersist()
 
 
 def apply_stream(
@@ -586,6 +765,17 @@ def apply_wire_stream(
     skip_streak, _quarantine = make_quarantine(
         "apply_wire_stream", checkpoint_dir, max_consecutive_skips
     )
+    # bucketed state: the touched-bucket set rides the protocol probe (one
+    # driver job fewer per trigger — see _wire_key_bucket_agg's contract)
+    from pgcapture_spark.streaming.state import BucketedSnapshotState
+
+    kb_agg = (
+        _wire_key_bucket_agg(
+            key, dict(field_oids)[key], state.n_buckets, None, "_kb"
+        )
+        if isinstance(state, BucketedSnapshotState)
+        else None
+    )
 
     def _apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_id <= state.last_batch():
@@ -594,7 +784,11 @@ def apply_wire_stream(
             "lsn", "seq", "ord", parse_messages_udf(safe=True)("data").alias("f")
         ).persist()
         try:
-            probe, reg = probe_and_fold_tx(parsed, tx_state, batch_id)
+            probe, reg = probe_and_fold_tx(
+                parsed, tx_state, batch_id,
+                extra_aggs=[kb_agg] if kb_agg is not None else (),
+                deadletter_floor=skip_streak["ord_floor"],
+            )
             if probe["err"] is not None:
                 # corrupt Message bytes park the batch (dead-letter) instead
                 # of killing the stream
@@ -633,7 +827,10 @@ def apply_wire_stream(
                 old_key=(f"old_{key}", key, dict(field_oids)[key]),
                 fused=True,
             ).withColumn(key, F.coalesce(F.col(key), F.col(f"old_{key}")))
-            fold_commit(state, initial_snapshot, decoded, key, cols, batch_id)
+            fold_commit(
+                state, initial_snapshot, decoded, key, cols, batch_id,
+                buckets=sorted(probe["_kb"] or []) if kb_agg is not None else None,
+            )
             skip_streak["n"] = 0
         finally:
             parsed.unpersist()
@@ -680,6 +877,24 @@ def apply_wire_stream_multi(
     skip_streak, _quarantine = make_quarantine(
         "apply_wire_stream_multi", checkpoint_dir, max_consecutive_skips
     )
+    # bucketed multi state: every table's touched-bucket set rides the ONE
+    # protocol probe (tagged per-table collect_sets — the probe job count
+    # stays flat in table count, and the separate cross-table bucket probe
+    # in fold_commit_multi is skipped; see _wire_key_bucket_agg)
+    from pgcapture_spark.streaming.multi import BucketedMultiTableState
+
+    kb_aggs: dict[str, object] | None = None
+    if isinstance(state, BucketedMultiTableState):
+        kb_aggs = {
+            t: _wire_key_bucket_agg(
+                keys[t],
+                dict(field_oids[t])[keys[t]],
+                state.n_buckets,
+                t,
+                f"_kb_{i}",
+            )
+            for i, t in enumerate(state.tables)
+        }
 
     def _batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_id <= state.last_batch():
@@ -688,7 +903,11 @@ def apply_wire_stream_multi(
             "lsn", "seq", "ord", parse_messages_udf(safe=True)("data").alias("f")
         ).persist()
         try:
-            probe, reg = probe_and_fold_tx(parsed, tx_state, batch_id)
+            probe, reg = probe_and_fold_tx(
+                parsed, tx_state, batch_id,
+                extra_aggs=list(kb_aggs.values()) if kb_aggs is not None else (),
+                deadletter_floor=skip_streak["ord_floor"],
+            )
             if probe["err"] is not None:
                 _quarantine(
                     batch_df, batch_id,
@@ -733,7 +952,15 @@ def apply_wire_stream_multi(
                     fused=True,
                 ).withColumn(key, F.coalesce(F.col(key), F.col(f"old_{key}")))
             fold_commit_multi(
-                state, initial_snapshots, decoded_by_table, keys, cols, batch_id
+                state, initial_snapshots, decoded_by_table, keys, cols, batch_id,
+                touched=(
+                    {
+                        t: sorted(probe[f"_kb_{i}"] or [])
+                        for i, t in enumerate(state.tables)
+                    }
+                    if kb_aggs is not None
+                    else None
+                ),
             )
             skip_streak["n"] = 0
         finally:
@@ -819,6 +1046,59 @@ def _apply_wire_stream(
     # a replayed batch re-enters through the batch-id gate before this point.
     rel_memo: dict[str, list | None] = {"rows": None}
 
+    from pgcapture_spark.streaming.state import BucketedSnapshotState
+
+    bucketed = isinstance(state, BucketedSnapshotState)
+
+    def _select(rows):
+        """Resolve THE relation this consumer decodes against, from a
+        relation-cache row list: single-table selection keyed by the R
+        frame's relname (NULL-name coverage fallback for migrated legacy
+        caches), unique-column-coverage disambiguation, then the dialect's
+        ``resolve_schema``. Returns ``("ok", rel_oid, field_oids, key,
+        key_oid)`` or ``("err", quarantine_reason)``. DETERMINISTIC in
+        ``rows`` — the fused bucket probe below relies on the pre-probe
+        (memo) and post-probe selections agreeing whenever the batch carried
+        no R frames (the memo is unchanged in that case by construction)."""
+        by_rel: dict[int, list] = {}
+        rel_names: dict[int, str | None] = {}
+        for r in rows:
+            by_rel.setdefault(r["rel_oid"], []).append(r)
+            rel_names[r["rel_oid"]] = r["rel_name"]
+        if not by_rel:
+            return ("err", "row events arrived before any Relation frame")
+        want = set(cols)
+        candidates = (
+            [oid for oid, nm in rel_names.items() if nm == table]
+            if table is not None
+            else list(by_rel)
+        )
+        if table is not None and not candidates:
+            # legacy cache migrated without names: its R frames live in
+            # already-consumed batches, so a NULL name can never be
+            # repaired in-band — fall back to coverage selection over the
+            # NULL-named entries rather than bricking the upgraded stream
+            candidates = [oid for oid, nm in rel_names.items() if nm is None]
+        matches = [
+            oid for oid in candidates
+            if want <= {row["name"] for row in by_rel[oid]}
+        ]
+        if len(matches) != 1:
+            return (
+                "err",
+                f"{len(matches)} relations named {table!r} cover expected "
+                f"columns {sorted(want)!r} (cached relations "
+                f"{sorted((o, rel_names.get(o)) for o in by_rel)!r})",
+            )
+        rel_oid = matches[0]
+        resolved = resolve_schema(
+            rel_oid, sorted(by_rel[rel_oid], key=lambda row: row["pos"])
+        )
+        if resolved[0] != "ok":
+            return ("err", resolved[1])
+        _, field_oids, key, key_oid = resolved
+        return ("ok", rel_oid, field_oids, key, key_oid)
+
     def _batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_id <= state.last_batch():
             return
@@ -839,6 +1119,23 @@ def _apply_wire_stream(
             "lsn", "seq", "ord", parse_frames_udf(safe=True)("data").alias("f")
         ).persist()
         try:
+            # steady-state bucket fusion: while the memoized relation holds,
+            # the touched key-bucket set rides the protocol probe (one fold
+            # probe job fewer per R-less trigger). Valid ONLY if this batch
+            # carries no R frames — checked after the probe returns (the
+            # memo is unchanged then, so the pre/post selections agree).
+            fused_agg = None
+            if bucketed and rel_memo["rows"]:
+                pre = _select(rel_memo["rows"])
+                if pre[0] == "ok":
+                    _, rel_oid0, field_oids0, key0, key_oid0 = pre
+                    fused_agg = _dialect_key_bucket_agg(
+                        rel_oid0,
+                        [n for n, _ in field_oids0].index(key0),
+                        key_oid0,
+                        state.n_buckets,
+                        "_kb",
+                    )
             # 1) the shared protocol head: ONE probe job (carrying the
             # R-frame slice) + the UNCONDITIONAL Begin fold (see
             # probe_and_fold_tx's contract)
@@ -852,7 +1149,9 @@ def _apply_wire_stream(
                             F.col("ord") == -1, F.struct("lsn", "seq", "f")
                         )
                     ).alias("_rel_rows")
-                ],
+                ]
+                + ([fused_agg] if fused_agg is not None else []),
+                deadletter_floor=skip_streak["ord_floor"],
             )
             # 2) learn + persist relations from this batch's R frames
             # (ord = -1 sorts them first). A corrupt R frame quarantines
@@ -898,13 +1197,18 @@ def _apply_wire_stream(
                         rels.select("rel_oid").distinct(), "rel_oid", "left_anti"
                     )
                     cache = rels.unionByName(kept)
-                if batch_id > rel_state.last_batch():
-                    rel_state.commit(cache, batch_id)
                 # collect the MERGED in-memory cache, not a re-read of
                 # rel_state: the persisted copy may predate the rel_name
                 # migration (and on a replay, this batch's own R frames are
                 # the definitions its rows decode under)
-                rel_memo["rows"] = cache.collect()
+                rows = cache.collect()
+                if batch_id > rel_state.last_batch():
+                    # the merged cache is driver-resident already (the memo
+                    # collect above) — persist it driver-side under the same
+                    # dir/manifest protocol instead of paying a Spark write
+                    # job per R-carrying trigger (guide §5)
+                    rel_state.commit_collected(rows, cache.dtypes, batch_id)
+                rel_memo["rows"] = rows
             elif rel_memo["rows"] is None:
                 # no R frames this batch and no memo yet (fresh query /
                 # restart): rehydrate from the persisted registry. No commit
@@ -923,11 +1227,6 @@ def _apply_wire_stream(
                     f"frame parse failure: {probe['err']}",
                 )
                 return
-            by_rel: dict[int, list] = {}
-            rel_names: dict[int, str | None] = {}
-            for r in rel_memo["rows"]:
-                by_rel.setdefault(r["rel_oid"], []).append(r)
-                rel_names[r["rel_oid"]] = r["rel_name"]
             # 3) framing-only batches (B/C frames, no row events) advance the
             # checkpoint cleanly — only actual I/U/D events can be "lost" and
             # hence only they justify quarantine
@@ -942,48 +1241,15 @@ def _apply_wire_stream(
                 # since the last successful apply", not wall-clock
                 # consecutive batches (ADVICE r4 naming remedy).
                 return
-            if not by_rel:
-                _quarantine(
-                    batch_df, batch_id,
-                    "row events arrived before any Relation frame",
-                )
-                return
             # single-table consumer: key the registry by the R frame's relname
             # (the reference keys by namespace/name + oid); among same-named
             # relations the coverage check disambiguates dropped/recreated
             # oids. table=None falls back to coverage-only selection.
-            want = set(cols)
-            candidates = (
-                [oid for oid, nm in rel_names.items() if nm == table]
-                if table is not None
-                else list(by_rel)
-            )
-            if table is not None and not candidates:
-                # legacy cache migrated without names: its R frames live in
-                # already-consumed batches, so a NULL name can never be
-                # repaired in-band — fall back to coverage selection over the
-                # NULL-named entries rather than bricking the upgraded stream
-                candidates = [oid for oid, nm in rel_names.items() if nm is None]
-            matches = [
-                oid for oid in candidates
-                if want <= {row["name"] for row in by_rel[oid]}
-            ]
-            if len(matches) != 1:
-                _quarantine(
-                    batch_df, batch_id,
-                    f"{len(matches)} relations named {table!r} cover expected "
-                    f"columns {sorted(want)!r} (cached relations "
-                    f"{sorted((o, rel_names.get(o)) for o in by_rel)!r})",
-                )
+            sel = _select(rel_memo["rows"])
+            if sel[0] != "ok":
+                _quarantine(batch_df, batch_id, sel[1])
                 return
-            rel_oid = matches[0]
-            resolved = resolve_schema(
-                rel_oid, sorted(by_rel[rel_oid], key=lambda row: row["pos"])
-            )
-            if resolved[0] != "ok":
-                _quarantine(batch_df, batch_id, resolved[1])
-                return
-            _, field_oids, key, key_oid = resolved
+            _, rel_oid, field_oids, key, key_oid = sel
             cols_lit = "array(" + ", ".join(
                 f"named_struct('name', '{n}', 'oid', {o})" for n, o in field_oids
             ) + ")"
@@ -1020,7 +1286,14 @@ def _apply_wire_stream(
             decoded = decode_binary_feed(
                 generic, field_oids, old_key=(f"old_{key}", key, key_oid), fused=True
             ).withColumn(key, F.coalesce(F.col(key), F.col(f"old_{key}")))
-            fold_commit(state, initial_snapshot, decoded, key, cols, batch_id)
+            # the fused bucket set holds iff NO R frames arrived (memo
+            # unchanged → the pre-probe selection it was built from is the
+            # one the batch decoded under)
+            fused_ok = fused_agg is not None and not rel_rows
+            fold_commit(
+                state, initial_snapshot, decoded, key, cols, batch_id,
+                buckets=sorted(probe["_kb"] or []) if fused_ok else None,
+            )
             skip_streak["n"] = 0
         finally:
             parsed.unpersist()

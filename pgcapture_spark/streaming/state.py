@@ -130,6 +130,126 @@ class SnapshotState:
             self.root, {m["version"], *m.get("deltas", [])}
         )
 
+    # ------------------------------------------- driver-local row commits
+    #
+    # The tx registry's per-trigger writes are a handful of rows the driver
+    # ALREADY holds (the probe job collects the batch's Begins — the same
+    # bound that makes the registry broadcastable for the commit-time join).
+    # Writing them through a Spark job costs a full SQL execution per
+    # trigger (plan + schedule + task round trip) to move bytes the driver
+    # has in hand; these variants write the parquet file driver-side
+    # (pyarrow) under the SAME dir/manifest protocol as commit/commit_delta,
+    # so readers (spark.read.parquet unions, prune_tx_registry, crash
+    # rehydration) see an identical layout. NOT for data-sized frames — the
+    # rows must already be driver-resident by contract.
+
+    _LOCAL_SCHEMA: list[tuple[str, str]] = [("lsn", "int64"), ("_commit_us", "int64")]
+
+    def _write_local_parquet(
+        self,
+        rows: list[tuple],
+        version: str,
+        schema: list[tuple[str, str]] | None = None,
+    ) -> None:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        out = os.path.join(self.root, version)
+        os.makedirs(out, exist_ok=True)
+        # idempotent replay: same batch id rewrites the same dir
+        for name in os.listdir(out):
+            if name.endswith(".parquet"):
+                os.remove(os.path.join(out, name))
+        schema = schema or self._LOCAL_SCHEMA
+        names = [n for n, _ in schema]
+        arrays = [
+            pa.array([r[i] for r in rows], type=getattr(pa, t)())
+            for i, (_, t) in enumerate(schema)
+        ]
+        pq.write_table(
+            pa.Table.from_arrays(arrays, names=names),
+            os.path.join(out, "part-00000.parquet"),
+        )
+
+    # Spark simple types a driver-local write can represent exactly; nested /
+    # exotic types must keep using the Spark-job commit()
+    _PA_FOR_SPARK: dict[str, str] = {
+        "bigint": "int64",
+        "int": "int32",
+        "smallint": "int16",
+        "string": "string",
+        "boolean": "bool_",
+        "double": "float64",
+        "float": "float32",
+        "binary": "binary",
+    }
+
+    def commit_collected(self, rows: list, dtypes: list[tuple[str, str]],
+                         batch_id: int) -> None:
+        """:meth:`commit` from rows the driver ALREADY collected (e.g. the
+        wire consumers' relation cache, whose merged content is collected for
+        the driver memo anyway): writes one fresh full version driver-side
+        (no Spark job) under the same dir/manifest protocol. ``dtypes`` is
+        the frame's ``DataFrame.dtypes`` — FLAT simple-typed schemas only
+        (raises on anything the parquet writer cannot represent exactly as
+        Spark would)."""
+        schema = []
+        for n, t in dtypes:
+            if t not in self._PA_FOR_SPARK:
+                raise ValueError(
+                    f"commit_collected: column {n!r} has type {t!r}; only "
+                    f"flat {sorted(self._PA_FOR_SPARK)} supported"
+                )
+            schema.append((n, self._PA_FOR_SPARK[t]))
+        version = f"v{batch_id:012d}"
+        self._write_local_parquet(
+            [tuple(r) for r in rows], version, schema=schema
+        )
+        fd, tmp = tempfile.mkstemp(dir=self.root, suffix=".manifest")
+        with os.fdopen(fd, "w") as f:
+            json.dump({"version": version, "batch_id": batch_id}, f)
+        os.replace(tmp, self._manifest)
+
+    def commit_rows(self, rows: list[tuple], batch_id: int) -> None:
+        """Driver-local form of :meth:`commit`: write ``rows`` as one fresh
+        full version (ONE file, no Spark job) and swing the manifest,
+        dropping any delta dirs (a full commit supersedes them)."""
+        version = f"v{batch_id:012d}"
+        self._write_local_parquet(rows, version)
+        fd, tmp = tempfile.mkstemp(dir=self.root, suffix=".manifest")
+        with os.fdopen(fd, "w") as f:
+            json.dump({"version": version, "batch_id": batch_id}, f)
+        os.replace(tmp, self._manifest)
+
+    def commit_delta_rows(self, rows: list[tuple], batch_id: int) -> None:
+        """Driver-local form of :meth:`commit_delta`: append ``rows`` (already
+        deduped against the committed registry by the caller) as a one-file
+        ``.delta`` dir riding the manifest — no Spark job. The caller owns
+        the compaction-threshold fold (it holds the full row set in memory,
+        so the fold is a :meth:`commit_rows`, not a distributed union)."""
+        if not os.path.exists(self._manifest):
+            raise ValueError("commit_delta_rows: no base version — commit first")
+        with open(self._manifest) as f:
+            m = json.load(f)
+        d = f"v{batch_id:012d}.delta"
+        self._write_local_parquet(rows, d)
+        deltas = m.setdefault("deltas", [])
+        if d not in deltas:
+            deltas.append(d)
+        m["batch_id"] = batch_id
+        fd, tmp = tempfile.mkstemp(dir=self.root, suffix=".manifest")
+        with os.fdopen(fd, "w") as f:
+            json.dump(m, f)
+        os.replace(tmp, self._manifest)
+
+    def delta_count(self) -> int:
+        """How many delta dirs ride the current manifest (the caller-side
+        compaction-threshold check for ``commit_delta_rows``)."""
+        if not os.path.exists(self._manifest):
+            return 0
+        with open(self._manifest) as f:
+            return len(json.load(f).get("deltas", []))
+
 
 def _same_state_entry(a: dict, b: dict) -> bool:
     """Whether two history entries describe the SAME state: identical

@@ -67,7 +67,7 @@ def test_tx_registry_skips_rewrite_on_beginless_batch(spark):
             [(10, 1, 1001, ("INSERT", None, None, 1))], schema
         )
         probe, reg = probe_and_fold_tx(rows_only, tx, batch_id=0)
-        assert (probe["n_begins"] or 0) == 0
+        assert len(probe["_begin_rows"] or []) == 0
         assert tx.last_batch() == 0 and reg.count() == 0
         v0 = _versions(f"{d}/txreg")
 
@@ -77,7 +77,7 @@ def test_tx_registry_skips_rewrite_on_beginless_batch(spark):
              (20, 1, 2001, ("INSERT", None, None, 1))], schema
         )
         probe, reg = probe_and_fold_tx(with_begin, tx, batch_id=1)
-        assert probe["n_begins"] == 1
+        assert len(probe["_begin_rows"] or []) == 1
         assert tx.last_batch() == 1
         assert sorted(r["lsn"] for r in reg.collect()) == [20]
         v1 = _versions(f"{d}/txreg")
@@ -86,7 +86,7 @@ def test_tx_registry_skips_rewrite_on_beginless_batch(spark):
         # begin-less batch AFTER the registry exists: rewrite skipped —
         # same version dirs on disk, gate unmoved, registry still resolves
         probe, reg = probe_and_fold_tx(rows_only, tx, batch_id=2)
-        assert (probe["n_begins"] or 0) == 0
+        assert len(probe["_begin_rows"] or []) == 0
         assert _versions(f"{d}/txreg") == v1
         assert tx.last_batch() == 1  # gate only guards its own idempotence
         assert sorted(r["lsn"] for r in reg.collect()) == [20]
